@@ -1,0 +1,146 @@
+"""Aggregation operators (SURVEY §2.4 A1-A12).
+
+All hash aggregations — Spark plans partial (map-side) + final stages
+automatically, so each op is one shuffle on its grouping key regardless of
+input size. Pivots always receive explicit value lists (unbounded pivot
+cardinality is a driver-side collect — SURVEY §7 risk register).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def decimal_sum(col: Column | str, scale: int = 6) -> Column:
+    """Order-insensitive exact sum of a double column.
+
+    Double addition is non-associative, so a plain ``sum`` over a shuffled
+    100 TB table is run-to-run nondeterministic in the low bits. Casting to
+    decimal first makes the sum exact and associative (deterministic across
+    partitionings and engines), then the result returns to double.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(27,{scale})")).cast("double")
+
+
+def decimal_avg(col: Column | str, scale: int = 6) -> Column:
+    """Deterministic mean: exact decimal sum, then a single double division
+    (both steps order-insensitive and engine-portable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(27,{scale})")).cast("double") / F.count(c)
+
+
+def group_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    shortage_threshold: float = 0.1,
+    full_threshold: float = 0.9,
+) -> DataFrame:
+    """The reference's 6-metric aggregate-UDF ``get_stats_summary`` (A1-A4,
+    §2.9) as one hash aggregation: mean/std/count + conditional rates
+    (fraction below/above thresholds) + coefficient of variation
+    (``notebooks/01_youbike_analysis.ipynb:L280-L295,L310-L311``)."""
+    v = F.col(value_col)
+    agg = df.groupBy(group_col).agg(
+        F.avg(v).alias("mean"),
+        F.stddev_samp(v).alias("std"),
+        F.count(v).alias("n"),
+        F.avg(F.when(v < shortage_threshold, 1.0).otherwise(0.0)).alias("shortage_rate"),
+        F.avg(F.when(v > full_threshold, 1.0).otherwise(0.0)).alias("full_rate"),
+    )
+    return agg.withColumn("cv", F.col("std") / F.col("mean"))
+
+
+def describe_block(df: DataFrame, value_col: str) -> DataFrame:
+    """Descriptive-stats block (A3): count/mean/std/min/25%/50%/75%/max —
+    ``data.describe()`` equivalent (``notebooks/01_youbike_analysis.ipynb:L281``).
+    Uses exact ``percentile`` (linear interpolation, matches pandas/duckdb
+    ``quantile_cont``); swap to ``percentile_approx`` at extreme scale."""
+    v = F.col(value_col)
+    return df.agg(
+        F.count(v).alias("n"),
+        F.avg(v).alias("mean"),
+        F.stddev_samp(v).alias("std"),
+        F.min(v).alias("min"),
+        F.expr(f"percentile({value_col}, 0.25)").alias("q25"),
+        F.expr(f"percentile({value_col}, 0.5)").alias("median"),
+        F.expr(f"percentile({value_col}, 0.75)").alias("q75"),
+        F.max(v).alias("max"),
+    )
+
+
+def top1_per_group(df: DataFrame, group_col: str, count_col: str) -> DataFrame:
+    """Mode / top-1-by-frequency per group (A5): count then keep the
+    highest-count value per group, ties broken by value ascending for
+    determinism (reference ``value_counts().idxmax()``,
+    ``notebooks/05_multistation_lstm.ipynb:L134``)."""
+    counts = df.groupBy(group_col, count_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(group_col).orderBy(F.col("cnt").desc(), F.col(count_col).asc())
+    return counts.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def pivot_profile(
+    df: DataFrame,
+    index_col: str,
+    pivot_col: str,
+    value_col: str,
+    pivot_values: list,
+    fill: float = 0.0,
+) -> DataFrame:
+    """Pivot matrix (A6): ``groupBy(index).pivot(col, values).avg(value)``
+    with explicit pivot values and zero fill — the station×hour profile
+    (``notebooks/01_youbike_analysis.ipynb:L659``). Explicit values keep the
+    plan static (no pre-scan collect) at any scale."""
+    return (
+        df.groupBy(index_col)
+        .pivot(pivot_col, pivot_values)
+        .agg(F.avg(value_col))
+        .na.fill(fill)
+    )
+
+
+def crosstab_counts(
+    df: DataFrame, row_col: str, col_col: str, col_values: list
+) -> DataFrame:
+    """Contingency table (A7): counts pivoted wide
+    (reference ``pd.crosstab``, ``notebooks/01_youbike_analysis.ipynb:L972``)."""
+    return (
+        df.groupBy(row_col)
+        .pivot(col_col, col_values)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+def crosstab_normalized(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Row-normalized contingency shares (A7, ``normalize='index'`` —
+    ``notebooks/01_youbike_analysis.ipynb:L688``), long form: count per cell
+    divided by the row total via a window sum."""
+    counts = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy(row_col)
+    return counts.withColumn("share", F.col("cnt") / F.sum("cnt").over(w)).drop("cnt")
+
+
+def crosstab_with_totals(df: DataFrame, row_col: str, col_col: str, col_values: list) -> DataFrame:
+    """Crosstab plus row totals (A8): reference ``cross_table.sum(axis=1)``
+    (``notebooks/01_youbike_analysis.ipynb:L1013``)."""
+    wide = crosstab_counts(df, row_col, col_col, col_values)
+    total = None
+    for v in col_values:
+        c = F.col(str(v))
+        total = c if total is None else total + c
+    return wide.withColumn("row_total", total)
+
+
+def argmax_hour(df: DataFrame, index_col: str, hour_cols: list[str]) -> DataFrame:
+    """Arg-max over pivoted columns (A10): peak hour of a 24-wide profile via
+    ``array_position(arr, array_max(arr))`` (reference ``idxmax`` over
+    cluster centroids, ``notebooks/01_youbike_analysis.ipynb:L669``).
+    Returns the *first* max position (1-based into ``hour_cols``)."""
+    arr = F.array(*[F.col(c).cast("double") for c in hour_cols])
+    return df.select(
+        index_col,
+        (F.array_position(arr, F.array_max(arr)) - 1).cast("int").alias("peak_index"),
+    )

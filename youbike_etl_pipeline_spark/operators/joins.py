@@ -1,0 +1,163 @@
+"""Join operators (SURVEY §2.3 J1-J6, plus as-of/range generalizations).
+
+Scale posture: every dimension side in the reference workload is tiny
+(≈1.4k stations, 13 districts) → explicit ``broadcast`` so the fact side never
+shuffles. The NN spatial join broadcasts the small point set and reduces with
+a min-aggregation, so it is a map-side cross product — no shuffle of the big
+side. The as-of join is the one genuinely custom composition (Spark has no
+native as-of): union + partitioned last-value carry-forward, one shuffle on
+the join key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalar import haversine_m
+
+
+def fact_dim_join(
+    fact: DataFrame, dim: DataFrame, on: str | list[str], how: str = "left"
+) -> DataFrame:
+    """Fact ⋈ small-dimension left join (J1), dimension broadcast
+    (reference ``notebooks/03_data_merge.ipynb:L74``)."""
+    return fact.join(F.broadcast(dim), on=on, how=how)
+
+
+def hour_bucket_join(
+    fact: DataFrame,
+    hourly: DataFrame,
+    fact_ts: str,
+    hourly_ts: str,
+    how: str = "left",
+) -> DataFrame:
+    """Time-bucket join (J2): floor fact timestamps to the hour and equi-join
+    the hourly series — each sub-hourly reading joins its containing hour
+    (reference ``notebooks/03_data_merge.ipynb:L79-L87``). The hourly side is
+    small (one row per hour) → broadcast."""
+    keyed = fact.withColumn("hour_key", F.date_trunc("hour", F.col(fact_ts)))
+    rhs = hourly.withColumnRenamed(hourly_ts, "hour_key")
+    return keyed.join(F.broadcast(rhs), on="hour_key", how=how)
+
+
+def anti_join_new_rows(incoming: DataFrame, existing: DataFrame, on: str | list[str]) -> DataFrame:
+    """Anti join (J4/S9): incoming rows whose key does not exist yet
+    (reference ``etl_job.py:121-122``)."""
+    on_cols = [on] if isinstance(on, str) else on
+    return incoming.join(F.broadcast(existing.select(*on_cols).distinct()), on=on_cols, how="left_anti")
+
+
+def semi_join_existing(df: DataFrame, other: DataFrame, on: str | list[str]) -> DataFrame:
+    """Semi join — EXISTS counterpart of J4 (free in Spark; SURVEY §2.3 notes
+    the reference only uses anti)."""
+    on_cols = [on] if isinstance(on, str) else on
+    return df.join(other.select(*on_cols).distinct(), on=on_cols, how="left_semi")
+
+
+def lookup_join(df: DataFrame, mapping: dict, key: str, value_name: str) -> DataFrame:
+    """Dict-lookup join (J6): static Python map applied as a broadcast-free
+    literal ``create_map`` (reference ``map(zoning_map)``,
+    ``notebooks/01_youbike_analysis.ipynb:L836``). For large maps prefer a
+    broadcast join against a 2-col DataFrame."""
+    pairs: list[Column] = []
+    for k, v in mapping.items():
+        pairs += [F.lit(k), F.lit(v)]
+    return df.withColumn(value_name, F.create_map(*pairs)[F.col(key)])
+
+
+def nearest_neighbor_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    distance: Column,
+    right_keep: list[str] | None = None,
+) -> DataFrame:
+    """Generic k=1 nearest-neighbor join (J5): broadcast-cross-join ``right``
+    (the small point set), compute ``distance``, keep the arg-min row per
+    ``left_id`` via a window — reference's per-station min-Haversine loop
+    (``notebooks/01_youbike_analysis.ipynb:L55-L61``) distributed.
+
+    ``distance`` is a column expression over the cross product. Tie-break is
+    by ``right_keep`` columns so the arg-min row is deterministic. At huge
+    right-side cardinality, pre-bucket both sides by grid cell first (see
+    SURVEY §4) — for dimension-sized point sets the broadcast cross product
+    is map-side only and optimal.
+    """
+    crossed = left.crossJoin(F.broadcast(right)).withColumn("__dist", distance)
+    order = [F.col("__dist").asc(), *[F.col(c).asc() for c in (right_keep or [])]]
+    w = Window.partitionBy(left_id).orderBy(*order)
+    return (
+        crossed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .withColumnRenamed("__dist", "nn_distance")
+    )
+
+
+def nearest_mrt_distance(stations: DataFrame, mrt: DataFrame) -> DataFrame:
+    """The reference's concrete NN query: per YouBike station, min Haversine
+    distance to any MRT station → ``dist_to_mrt``
+    (``notebooks/01_youbike_analysis.ipynb:L55-L61``). Min-only (no arg-min
+    row needed) → broadcast cross join + map-side partial min, no window."""
+    mrt_pts = F.broadcast(mrt.select(F.col("lat").alias("__mlat"), F.col("lng").alias("__mlng")))
+    d = haversine_m(
+        F.col("lat").cast("double"), F.col("lng").cast("double"), F.col("__mlat"), F.col("__mlng")
+    )
+    return (
+        stations.crossJoin(mrt_pts)
+        .withColumn("__d", d)
+        .groupBy(*stations.columns)
+        .agg(F.min("__d").alias("dist_to_mrt"))
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+) -> DataFrame:
+    """As-of join (J2's generalization): for each left row, the most recent
+    right row with ``right_ts <= left_ts`` within the same ``on`` key.
+
+    Spark has no native as-of join; the scalable composition is
+    union-and-carry-forward: tag both sides, union on (key, ts), then
+    ``last(value, ignorenulls=True)`` over a partitioned ordered window
+    carries each right value forward onto subsequent left rows. One shuffle
+    on ``on`` total — same cost as a regular join, no range explosion.
+    Right rows tied on timestamp with a left row sort first (inclusive as-of).
+    """
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*lcols).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in right_values],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__rv_{c}") for c in right_values],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        "__k",
+        "__side",
+        "__lrow",
+        *[F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in right_values],
+    ).filter(F.col("__side") == 1)
+    return carried.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in lcols],
+        *[F.col(f"__c_{c}").alias(c) for c in right_values],
+    )

@@ -1,0 +1,141 @@
+"""Window / time-series operators (SURVEY §2.5 W1-W8, §2.2 P10-P11).
+
+Every op partitions by the series key (station/user) and orders by timestamp
+— one shuffle on the key, then per-partition sorted evaluation. Orderings
+always carry a unique tie-breaker column so results are deterministic when
+timestamps collide.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def series_window(key: str, ts: str, *tiebreak: str) -> Window:
+    """The canonical per-series ordered window."""
+    return Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in (ts, *tiebreak)])
+
+
+def lag_features(
+    df: DataFrame, key: str, ts: str, value_col: str, lags: list[int], tiebreak: list[str] | None = None
+) -> DataFrame:
+    """Partitioned lag features (W1) — the reference's single most
+    load-bearing transform (``filling_rate_lag1`` lifts OLS R² 0.02→0.92;
+    ``notebooks/01_youbike_analysis.ipynb:L1115-L1118``)."""
+    w = series_window(key, ts, *(tiebreak or []))
+    return df.withColumns({f"{value_col}_lag{k}": F.lag(value_col, k).over(w) for k in lags})
+
+
+def sequence_windows(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    feature_cols: list[str],
+    time_steps: int = 3,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Sliding sequence windows (W2): per series, an array of the previous
+    ``time_steps`` feature structs predicting the current row — the LSTM
+    dataset builder (``notebooks/05_multistation_lstm.ipynb:L224-L248``)
+    re-expressed as a pure window ``collect_list`` (no Python loop; scales
+    with the shuffle, not the driver). Rows without a full window are
+    dropped, matching the reference's range loop."""
+    w = series_window(key, ts, *(tiebreak or [])).rowsBetween(-time_steps, -1)
+    seq = F.collect_list(F.struct(*[F.col(c) for c in feature_cols])).over(w)
+    return (
+        df.withColumn("sequence", seq)
+        .filter(F.size("sequence") == time_steps)
+    )
+
+
+def ffill(df: DataFrame, key: str, ts: str, cols: list[str], tiebreak: list[str] | None = None) -> DataFrame:
+    """Forward fill per series (P10): ``last(col, ignorenulls=True)`` over an
+    unbounded-preceding frame (reference ``ffill()``,
+    ``notebooks/04_lstm_prediction.ipynb:L237``)."""
+    w = series_window(key, ts, *(tiebreak or [])).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumns({c: F.last(c, ignorenulls=True).over(w) for c in cols})
+
+
+def bfill(df: DataFrame, key: str, ts: str, cols: list[str], tiebreak: list[str] | None = None) -> DataFrame:
+    """Backward fill per series (P10): mirror of :func:`ffill`."""
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*[F.col(c).desc() for c in (ts, *(tiebreak or []))])
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return df.withColumns({c: F.last(c, ignorenulls=True).over(w) for c in cols})
+
+
+def interpolate_linear(
+    df: DataFrame, key: str, ts: str, cols: list[str], tiebreak: list[str] | None = None
+) -> DataFrame:
+    """Groupwise linear interpolation + ffill + bfill (P11) — reference
+    ``groupby(...).transform(lambda x: x.interpolate('linear').ffill().bfill())``
+    (``notebooks/05_multistation_lstm.ipynb:L194-L196``). No Spark builtin.
+
+    Window formulation (index-based, like pandas' default method='linear' on
+    a default RangeIndex): bracket each null run with the previous/next
+    non-null value and their row positions, then blend linearly; leading runs
+    take the next value (bfill), trailing runs the previous (ffill). Cost:
+    one shuffle on ``key``, four window passes — no Python on the data path.
+    """
+    order = [F.col(c).asc() for c in (ts, *(tiebreak or []))]
+    rev = [F.col(c).desc() for c in (ts, *(tiebreak or []))]
+    w_fwd = Window.partitionBy(key).orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    w_bwd = Window.partitionBy(key).orderBy(*rev).rowsBetween(Window.unboundedPreceding, 0)
+    w_pos = Window.partitionBy(key).orderBy(*order)
+
+    out = df.withColumn("__pos", F.row_number().over(w_pos))
+    for c in cols:
+        pos_if = F.when(F.col(c).isNotNull(), F.col("__pos"))
+        out = (
+            out.withColumn("__pv", F.last(c, ignorenulls=True).over(w_fwd))
+            .withColumn("__pp", F.last(pos_if, ignorenulls=True).over(w_fwd))
+            .withColumn("__nv", F.last(c, ignorenulls=True).over(w_bwd))
+            .withColumn("__np", F.last(pos_if, ignorenulls=True).over(w_bwd))
+        )
+        interp = F.col("__pv") + (F.col("__nv") - F.col("__pv")) * (
+            (F.col("__pos") - F.col("__pp")) / (F.col("__np") - F.col("__pp"))
+        )
+        filled = (
+            F.when(F.col(c).isNotNull(), F.col(c))
+            .when(F.col("__pp").isNull(), F.col("__nv"))  # leading nulls → bfill
+            .when(F.col("__np").isNull(), F.col("__pv"))  # trailing nulls → ffill
+            .otherwise(interp)
+        )
+        out = out.withColumn(c, filled).drop("__pv", "__pp", "__nv", "__np")
+    return out.drop("__pos")
+
+
+def interpolate_linear_pandas(
+    df: DataFrame, key: str, ts: str, cols: list[str]
+) -> DataFrame:
+    """``applyInPandas`` fallback for P11 — byte-exact pandas
+    ``interpolate('linear').ffill().bfill()`` semantics per series, for
+    parity testing the window formulation (grouped-map, Arrow-batched)."""
+    schema = df.schema
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts)
+        pdf[cols] = pdf[cols].interpolate("linear").ffill().bfill()
+        return pdf
+
+    return df.groupBy(key).applyInPandas(fn, schema=schema)
+
+
+def deterministic_sample(df: DataFrame, key: str, modulus: int = 10, bucket: int = 0) -> DataFrame:
+    """Systematic sample (W7 analogue): keep rows where ``key % modulus ==
+    bucket``. Unlike ``df.sample(seed)``, reproducible across engines and
+    partitionings — the engine also exposes native ``df.sample`` for
+    statistical sampling."""
+    return df.filter((F.col(key) % modulus) == bucket)
+
+
+def hour_bucket(ts: Column) -> Column:
+    """Hour flooring (W4) — ``date_trunc('hour', ts)``
+    (reference ``dt.floor('h')``, ``notebooks/03_data_merge.ipynb:L79``)."""
+    return F.date_trunc("hour", ts)

@@ -1,0 +1,80 @@
+"""Sinks with the reference's idempotence semantics (SURVEY §2.1 S7-S11).
+
+The reference gets idempotent loads from a DB unique key + swallowed
+``IntegrityError`` (``sql/init_schema.sql:17``, ``etl_job.py:128-132``) and
+insert-if-absent dims from an anti-join against existing PKs
+(``etl_job.py:121-126``). Spark-first equivalents: dedup-before-append on the
+natural key, and a ``left_anti`` join upsert — both shuffle only on the key
+and broadcast the existing-keys side when it is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "append", partition_by: list[str] | None = None) -> None:
+    """Parquet sink; partition by low-cardinality date-ish columns so future
+    reads get partition pruning (the 100 TB fact table is date-partitioned)."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, single_file: bool = False, encoding: str = "UTF-8") -> None:
+    """CSV sink (S10). ``single_file=True`` matches the reference's one-file
+    ``to_csv`` exports (``notebooks/03_data_merge.ipynb:L91``) — only for
+    small result sets; large outputs stay multi-part."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode("overwrite").option("header", True).option("encoding", encoding).csv(path)
+
+
+def append_dedup(new_rows: DataFrame, existing: DataFrame | None, keys: list[str]) -> DataFrame:
+    """Duplicate-tolerant load (S8): returns only rows whose key is new.
+
+    Equivalent to the reference's unique-key-rejects-dups semantics
+    (``sql/init_schema.sql:17``; ``etl_job.py:128-132``): dedup within the
+    batch, then anti-join against already-loaded keys. Re-running the same
+    batch is a no-op — same idempotence without a transactional store.
+    """
+    batch = new_rows.dropDuplicates(keys)
+    if existing is None:
+        return batch
+    existing_keys = existing.select(*keys).dropDuplicates(keys)
+    return batch.join(existing_keys, on=keys, how="left_anti")
+
+
+def upsert_insert_if_absent(incoming: DataFrame, existing_keys: DataFrame, key: str) -> DataFrame:
+    """Insert-if-absent dimension upsert (S9): rows of ``incoming`` whose
+    ``key`` is not present in ``existing_keys``.
+
+    Reference: ``df_info[~station_no.isin(existing)]`` (``etl_job.py:121-126``).
+    The existing-keys side is typically tiny (dimension PKs) → broadcast, so
+    the anti-join is shuffle-free on the big side.
+    """
+    return incoming.dropDuplicates([key]).join(
+        F.broadcast(existing_keys.select(key).distinct()), on=key, how="left_anti"
+    )
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "append",
+    properties: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+    batchsize: int = 10_000,
+) -> None:
+    """JDBC append sink (S7). ``numPartitions`` bounds concurrent connections
+    (the reference's SQLAlchemy pool analogue, ``etl_job.py:55-61``);
+    ``batchsize`` batches inserts per round-trip."""
+    out = df.coalesce(num_partitions) if num_partitions else df
+    writer = out.write.format("jdbc").option("url", url).option("dbtable", table).option(
+        "batchsize", str(batchsize)
+    )
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.mode(mode).save()
