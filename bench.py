@@ -1,0 +1,72 @@
+"""Benchmark harness: runs the engine's headline queries at a given scale
+factor and prints ONE JSON line with per-query wall-clock seconds.
+
+Env:
+  SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local parallelism (default: all cores)
+
+Each query materializes via the ``noop`` sink — full execution, no
+driver-side result transfer, so the number is engine time, not collect time.
+The first query's time includes JVM/codegen warmup; a warmup pass runs first
+so per-query numbers are steady-state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from youbike_etl_pipeline_spark.plans.corpus import CORPUS  # noqa: E402
+from youbike_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+#: Headline queries (subset of the corpus; every name must exist there).
+HEADLINE = [
+    "flagship_segment_health",
+    "j1_fact_dim_revenue",
+    "j2_hour_bucket_join",
+    "j5_nearest_neighbor_join",
+    "a5_top1_event_type_per_user",
+    "a6_pivot_user_hour_profile",
+    "w1_lag_delta_per_user",
+    "p6_filter_predicates",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="bench")
+
+    names = [n for n in HEADLINE if n in CORPUS]
+    extra = [n for n in CORPUS if n not in names and CORPUS[n].oracle is not None]
+    names += extra[: max(0, 12 - len(names))]
+
+    # Warmup: run the flagship once to pay JVM/codegen/IO-cache startup.
+    CORPUS[names[0]].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        CORPUS[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

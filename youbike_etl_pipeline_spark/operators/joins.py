@@ -83,14 +83,26 @@ def nearest_neighbor_join(
     right-side cardinality, pre-bucket both sides by grid cell first (see
     SURVEY §4) — for dimension-sized point sets the broadcast cross product
     is map-side only and optimal.
+
+    Physical strategy: two passes over the (map-side-only) cross product.
+    Pass 1: hash-aggregate ``min(distance)`` per left key — a primitive agg
+    buffer, so Spark plans HashAggregate with map-side partials. Pass 2:
+    re-generate the cross product, broadcast-join the per-key minima, keep
+    rows matching their minimum, and break ties with a window over that tiny
+    remainder. (One-pass ``min_by``/``min`` over a struct payload falls back
+    to SortAggregate — sorting the whole cross product, ~5× slower; a plain
+    row_number window is worse still.)
     """
     crossed = left.crossJoin(F.broadcast(right)).withColumn("__dist", distance)
-    order = [F.col("__dist").asc(), *[F.col(c).asc() for c in (right_keep or [])]]
-    w = Window.partitionBy(left_id).orderBy(*order)
+    minima = crossed.groupBy(left_id).agg(F.min("__dist").alias("__min_dist"))
+    at_min = crossed.join(F.broadcast(minima), on=left_id, how="inner").filter(
+        F.col("__dist") == F.col("__min_dist")
+    )
+    w = Window.partitionBy(left_id).orderBy(*[F.col(c).asc() for c in (right_keep or [])])
     return (
-        crossed.withColumn("__rn", F.row_number().over(w))
+        at_min.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__min_dist")
         .withColumnRenamed("__dist", "nn_distance")
     )
 

@@ -366,7 +366,9 @@ def j4b_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFram
     "arg-min window (the dist_to_mrt shape on numeric distance).",
 )
 def j5_nearest_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    supp = _t(spark, sf_dir, "supplier")
+    # prune both sides before the cross product — the payload struct the
+    # arg-min aggregation carries is what the whole 20M-row product pays for
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     dist = F.abs(F.col("s_acctbal") - F.col("p_retailprice"))
     nn = oj.nearest_neighbor_join(supp, part, "s_suppkey", dist, right_keep=["p_partkey"])
