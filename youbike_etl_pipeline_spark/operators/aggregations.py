@@ -19,9 +19,44 @@ def decimal_sum(col: Column | str, scale: int = 6) -> Column:
     100 TB table is run-to-run nondeterministic in the low bits. Casting to
     decimal first makes the sum exact and associative (deterministic across
     partitionings and engines), then the result returns to double.
+
+    Portability bound: the double→decimal cast is only engine-portable while
+    ``|x| · 10^scale < 2^53`` — above that, engines that convert via double
+    multiplication diverge in the last tick. For sums of powers (x², x³, …)
+    use :func:`decimal_pow_sum`, which squares *in decimal* instead of
+    casting a large product.
     """
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(f"decimal(27,{scale})")).cast("double")
+
+
+#: base decimal (precision, scale) per power such that the k-fold decimal
+#: product stays within decimal(38, _): 2→(18,6), 3→(12,4), 4→(8,3).
+_POW_BASE = {1: (27, 6), 2: (18, 6), 3: (12, 4), 4: (8, 3)}
+
+
+def decimal_pow_sum(col: Column | str, k: int) -> Column:
+    """Exact, engine-portable Σxᵏ: cast x to a decimal sized for k-fold
+    multiplication, take the power in exact decimal arithmetic, sum, floor
+    to an integer, return double.
+
+    Three portability traps this sidesteps: (1) casting an already-computed
+    double power to decimal hits the 2^53 bound (see :func:`decimal_sum`);
+    (2) a decimal→double cast is only correctly rounded when the scaled
+    integer fits 2^53 *or* the value is integral (a single int→double
+    conversion); (3) scale-reduction *rounding* modes differ across engines
+    (Spark HALF_UP vs DuckDB) and exact .5 ties are common for fixed-decimal
+    inputs — so the sum is FLOORED to an integer, which is tie-free. The
+    dropped fraction is ≤1 unit on a sum whose magnitude dwarfs it; for
+    small-magnitude value columns, scale the variable up first.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    prec, sc = _POW_BASE[k]
+    base = c.cast(f"decimal({prec},{sc})")
+    prod = base
+    for _ in range(k - 1):
+        prod = prod * base
+    return F.floor(F.sum(prod)).cast("double")
 
 
 def decimal_avg(col: Column | str, scale: int = 6) -> Column:

@@ -455,6 +455,856 @@ def w1_lag_delta_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# §2.4 Aggregations (continued)
+# ===========================================================================
+
+
+@register(
+    "a1_tpch_q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {SQL_DSUM('l_quantity')} AS sum_qty,
+           {SQL_DSUM('l_extendedprice')} AS sum_base_price,
+           {SQL_DSUM('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {SQL_DSUM('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {SQL_DAVG('l_quantity')} AS avg_qty,
+           {SQL_DAVG('l_extendedprice')} AS avg_price,
+           {SQL_DAVG('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    survey_rows="A1,A11,A12",
+    description="TPC-H Q1 shape: two-key groupBy with 8 aggregates over the "
+    "filtered fact table — the canonical scan+agg (SURVEY §2.4 note).",
+)
+def a1_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        agg.decimal_sum("l_quantity").alias("sum_qty"),
+        agg.decimal_sum("l_extendedprice").alias("sum_base_price"),
+        agg.decimal_sum(disc_price).alias("sum_disc_price"),
+        agg.decimal_sum(charge).alias("sum_charge"),
+        agg.decimal_avg("l_quantity").alias("avg_qty"),
+        agg.decimal_avg("l_extendedprice").alias("avg_price"),
+        agg.decimal_avg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "a3_describe_block",
+    f"""
+    SELECT COUNT(l_quantity) AS n,
+           {SQL_DAVG('l_quantity')} AS mean,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS std,
+           MIN(l_quantity) AS min,
+           ROUND(QUANTILE_CONT(l_quantity, 0.25), 6) AS q25,
+           ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS median,
+           ROUND(QUANTILE_CONT(l_quantity, 0.75), 6) AS q75,
+           MAX(l_quantity) AS max
+    FROM lineitem
+    """,
+    survey_rows="A3",
+    description="describe() block: count/mean/std/min/quartiles/max with exact "
+    "percentiles (percentile_approx is the >TB swap-in).",
+)
+def a3_describe_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    v = F.col("l_quantity")
+    return li.agg(
+        F.count(v).alias("n"),
+        agg.decimal_avg(v).alias("mean"),
+        F.round(F.stddev_samp(v), 6).alias("std"),
+        F.min(v).alias("min"),
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("q75"),
+        F.max(v).alias("max"),
+    )
+
+
+_ORDERSTATUS = ["F", "O", "P"]
+
+
+@register(
+    "a7_crosstab_counts",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS "F",
+           COUNT(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS "O",
+           COUNT(CASE WHEN o.o_orderstatus = 'P' THEN 1 END) AS "P"
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey_rows="A7,J1",
+    description="Contingency table (crosstab): segment × order-status counts.",
+)
+def a7_crosstab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return agg.crosstab_counts(joined, "c_mktsegment", "o_orderstatus", _ORDERSTATUS)
+
+
+@register(
+    "a7b_crosstab_normalized",
+    """
+    SELECT c_mktsegment, o_orderstatus, cnt * 1.0 / SUM(cnt) OVER (PARTITION BY c_mktsegment) AS share
+    FROM (
+      SELECT c.c_mktsegment, o.o_orderstatus, COUNT(*) AS cnt
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    """,
+    survey_rows="A7",
+    description="Row-normalized crosstab shares via window row-total.",
+)
+def a7b_crosstab_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return agg.crosstab_normalized(joined, "c_mktsegment", "o_orderstatus")
+
+
+@register(
+    "a8_crosstab_row_totals",
+    """
+    SELECT c.c_mktsegment,
+           COUNT(CASE WHEN o.o_orderstatus = 'F' THEN 1 END) AS "F",
+           COUNT(CASE WHEN o.o_orderstatus = 'O' THEN 1 END) AS "O",
+           COUNT(CASE WHEN o.o_orderstatus = 'P' THEN 1 END) AS "P",
+           COUNT(*) AS row_total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    survey_rows="A8",
+    description="Crosstab with row totals (sum across pivoted columns).",
+)
+def a8_crosstab_row_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return agg.crosstab_with_totals(joined, "c_mktsegment", "o_orderstatus", _ORDERSTATUS)
+
+
+@register(
+    "a9_rollup_hierarchy",
+    f"""
+    SELECT c_mktsegment, o_orderstatus, COUNT(*) AS n, {SQL_DSUM('o_totalprice')} AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY ROLLUP (c_mktsegment, o_orderstatus)
+    """,
+    survey_rows="A1 (rollup extension, SURVEY §2.4 note)",
+    description="ROLLUP grouping-sets hierarchy: (seg,status) / (seg) / ().",
+)
+def a9_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return joined.rollup("c_mktsegment", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), agg.decimal_sum("o_totalprice").alias("total")
+    )
+
+
+@register(
+    "a12_count_distinct",
+    """
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           COUNT(DISTINCT c_mktsegment) AS n_segments
+    FROM customer GROUP BY c_nationkey
+    """,
+    survey_rows="A12 (distinct-agg extension, SURVEY §2.4 note)",
+    description="Exact COUNT(DISTINCT) per group (approx_count_distinct is the "
+    ">TB swap-in).",
+)
+def a12_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.countDistinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@register(
+    "a10_argmax_peak_hour",
+    """
+    WITH cells AS (
+      SELECT user_id, EXTRACT(hour FROM ts)::INT AS h, ROUND(AVG(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, h AS peak_index FROM (
+      SELECT user_id, h,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY v DESC, h ASC) AS rn
+      FROM cells
+    ) WHERE rn = 1
+    """,
+    survey_rows="A10,A6",
+    description="Arg-max over the pivoted 24-hour profile: array_position of "
+    "array_max (first-max tie-break = lowest hour).",
+)
+def a10_argmax_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("hour", F.hour("ts"))
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("hour", list(range(24)))
+        .agg(F.round(F.avg("value"), 6))
+        .na.fill(0.0)
+    )
+    return agg.argmax_hour(wide, "user_id", [str(h) for h in range(24)]).withColumnsRenamed(
+        {"peak_index": "peak_index"}
+    )
+
+
+# ===========================================================================
+# §2.5 Windows & time (continued)
+# ===========================================================================
+
+
+@register(
+    "w2_sequence_windows",
+    f"""
+    WITH lagged AS (
+      SELECT user_id,
+             LAG(value, 3) OVER w AS v3,
+             LAG(value, 2) OVER w AS v2,
+             LAG(value, 1) OVER w AS v1
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    seqs AS (
+      SELECT user_id, v3 + v2 + v1 AS wsum FROM lagged
+      WHERE v3 IS NOT NULL AND v2 IS NOT NULL AND v1 IS NOT NULL
+    )
+    SELECT user_id, COUNT(*) AS n_windows, {SQL_DAVG('wsum')} AS mean_wsum
+    FROM seqs GROUP BY user_id
+    """,
+    survey_rows="W2,W3",
+    description="Sliding 3-step sequence windows (LSTM dataset builder shape) "
+    "via collect_list over a bounded frame.",
+)
+def w2_sequence_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    seq = ow.sequence_windows(
+        ev, key="user_id", ts="ts", feature_cols=["value"], time_steps=3, tiebreak=["event_id"]
+    )
+    wsum = F.aggregate("sequence", F.lit(0.0), lambda acc, x: acc + x["value"])
+    return (
+        seq.withColumn("wsum", wsum)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_windows"), agg.decimal_avg(F.col("wsum")).alias("mean_wsum"))
+    )
+
+
+@register(
+    "w4_w5_calendar_buckets",
+    f"""
+    SELECT (isodow(ts) - 1)::INT AS dow,
+           (isodow(ts) >= 6) AS is_weekend,
+           (EXTRACT(hour FROM ts)::INT IN (7, 8, 9, 17, 18, 19)) AS is_peak,
+           COUNT(*) AS n,
+           {SQL_DSUM('value')} AS sum_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    survey_rows="W4,W5,F14",
+    description="Calendar-part extraction + peak/weekend flags (dayofweek "
+    "numbering handled per SURVEY §2.5 W5).",
+)
+def w4_w5_calendar_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import PEAK_HOURS
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("dow", F.weekday("ts"))
+        .withColumn("is_weekend", F.weekday("ts") >= 5)
+        .withColumn("is_peak", F.hour("ts").isin(PEAK_HOURS))
+        .groupBy("dow", "is_weekend", "is_peak")
+        .agg(F.count(F.lit(1)).alias("n"), agg.decimal_sum("value").alias("sum_value"))
+    )
+
+
+@register(
+    "w6_rank_within_group",
+    f"""
+    WITH rev AS (
+      SELECT c.c_mktsegment, c.c_nationkey, {SQL_DSUM('o.o_totalprice')} AS revenue
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, c_nationkey, revenue,
+           ROW_NUMBER() OVER (
+             PARTITION BY c_mktsegment ORDER BY revenue DESC, c_nationkey ASC
+           ) AS rnk
+    FROM rev
+    """,
+    survey_rows="W6",
+    description="Ranking/ordering for reports: revenue rank within segment.",
+)
+def w6_rank_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(agg.decimal_sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("revenue").desc(), F.col("c_nationkey").asc())
+    return rev.withColumn("rnk", F.row_number().over(w))
+
+
+@register(
+    "w7_systematic_sample",
+    f"""
+    SELECT event_type, COUNT(*) AS n, {SQL_DSUM('value')} AS sum_value
+    FROM events WHERE event_id % 10 = 0 GROUP BY event_type
+    """,
+    survey_rows="W7",
+    description="Deterministic systematic sample (key mod N); df.sample(seed) "
+    "is the statistical variant (not cross-engine reproducible).",
+)
+def w7_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = ow.deterministic_sample(_t(spark, sf_dir, "events"), key="event_id", modulus=10)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), agg.decimal_sum("value").alias("sum_value")
+    )
+
+
+@register(
+    "w8_top_k_limit",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 5
+    """,
+    survey_rows="W8,W6",
+    description="Deterministic head/limit: global top-5 with unique tie-break.",
+)
+def w8_top_k_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(5)
+    )
+
+
+@register(
+    "p10_ffill_per_series",
+    f"""
+    WITH masked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    filled AS (
+      SELECT user_id,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS v_filled
+      FROM masked
+    )
+    SELECT user_id,
+           COUNT(*) - COUNT(v_filled) AS n_leading_null,
+           {SQL_DSUM('v_filled')} AS sum_filled
+    FROM filled GROUP BY user_id
+    """,
+    survey_rows="P10",
+    description="Forward fill per series (last ignorenulls over unbounded-"
+    "preceding frame); leading nulls remain — counted.",
+)
+def p10_ffill_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_type") != "error", F.col("value"))
+    )
+    filled = ow.ffill(ev, key="user_id", ts="ts", cols=["v"], tiebreak=["event_id"])
+    return filled.groupBy("user_id").agg(
+        (F.count(F.lit(1)) - F.count("v")).alias("n_leading_null"),
+        agg.decimal_sum("v").alias("sum_filled"),
+    )
+
+
+@register(
+    "p11_interpolate_linear",
+    f"""
+    WITH masked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('error', 'signup') THEN NULL ELSE value END AS v
+      FROM events
+    ),
+    pos AS (
+      SELECT user_id, ts, event_id, v,
+             ROW_NUMBER() OVER w AS p
+      FROM masked WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    br AS (
+      SELECT user_id, v, p,
+             LAST_VALUE(v IGNORE NULLS) OVER wf AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER wf AS pp,
+             LAST_VALUE(v IGNORE NULLS) OVER wb AS nv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN p END IGNORE NULLS) OVER wb AS np
+      FROM pos
+      WINDOW wf AS (PARTITION BY user_id ORDER BY p ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wb AS (PARTITION BY user_id ORDER BY p DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    interp AS (
+      SELECT user_id,
+             CASE WHEN v IS NOT NULL THEN v
+                  WHEN pp IS NULL THEN nv
+                  WHEN np IS NULL THEN pv
+                  ELSE pv + (nv - pv) * ((p - pp) * 1.0 / (np - pp))
+             END AS vi
+      FROM br
+    )
+    SELECT user_id, COUNT(vi) AS n_filled, {SQL_DAVG('vi')} AS mean_vi
+    FROM interp GROUP BY user_id
+    """,
+    survey_rows="P11",
+    description="Groupwise linear interpolation + ffill + bfill — the window "
+    "bracketing formulation (applyInPandas fallback in operators.windows).",
+)
+def p11_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "v", F.when(~F.col("event_type").isin("error", "signup"), F.col("value"))
+    )
+    filled = ow.interpolate_linear(ev, key="user_id", ts="ts", cols=["v"], tiebreak=["event_id"])
+    return filled.groupBy("user_id").agg(
+        F.count("v").alias("n_filled"), agg.decimal_avg(F.col("v")).alias("mean_vi")
+    )
+
+
+# ===========================================================================
+# §2.6 Scalar functions
+# ===========================================================================
+
+
+@register(
+    "f4_haversine_distance",
+    """
+    WITH np AS (
+      SELECT n_nationkey, n_name,
+             n_nationkey * 1.7 - 20.0 AS lat, n_nationkey * 3.1 + 10.0 AS lng
+      FROM nation
+    ),
+    rp AS (
+      SELECT r_regionkey, r_name,
+             r_regionkey * 8.0 - 15.0 AS lat, r_regionkey * 15.0 AS lng
+      FROM region
+    )
+    SELECT np.n_name, rp.r_name,
+           ROUND(2.0 * 6371000.0 * ATAN2(
+             SQRT(POW(SIN((RADIANS(rp.lat) - RADIANS(np.lat)) / 2), 2)
+                  + COS(RADIANS(np.lat)) * COS(RADIANS(rp.lat))
+                  * POW(SIN((RADIANS(rp.lng) - RADIANS(np.lng)) / 2), 2)),
+             SQRT(1 - (POW(SIN((RADIANS(rp.lat) - RADIANS(np.lat)) / 2), 2)
+                  + COS(RADIANS(np.lat)) * COS(RADIANS(rp.lat))
+                  * POW(SIN((RADIANS(rp.lng) - RADIANS(np.lng)) / 2), 2)))
+           ), 3) AS dist_m
+    FROM np CROSS JOIN rp
+    """,
+    survey_rows="F4,J5",
+    description="Haversine great-circle distance as a pure column expression "
+    "over a cross product (synthetic coordinates from keys).",
+)
+def f4_haversine_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import haversine_m
+
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_name",
+        (F.col("n_nationkey") * 1.7 - 20.0).alias("nlat"),
+        (F.col("n_nationkey") * 3.1 + 10.0).alias("nlng"),
+    )
+    region = _t(spark, sf_dir, "region").select(
+        "r_name",
+        (F.col("r_regionkey") * 8.0 - 15.0).alias("rlat"),
+        (F.col("r_regionkey") * 15.0).alias("rlng"),
+    )
+    crossed = nation.crossJoin(F.broadcast(region))
+    d = haversine_m(F.col("nlat"), F.col("nlng"), F.col("rlat"), F.col("rlng"))
+    return crossed.select("n_name", "r_name", F.round(d, 3).alias("dist_m"))
+
+
+@register(
+    "f5_f6_bucket_and_label",
+    f"""
+    SELECT CASE WHEN value / 50.0 <= 0 THEN 0
+                WHEN value / 50.0 <= 2 THEN 1
+                WHEN value / 50.0 <= 10 THEN 2
+                ELSE 3 END AS rain_cat,
+           CASE WHEN value / 500.0 < 0.1 THEN 'Shortage' ELSE 'Normal' END AS risk_label,
+           COUNT(*) AS n,
+           {SQL_DSUM('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    survey_rows="F5,F6",
+    description="Ordinal bucketing (rain categories) + binary risk label as "
+    "when-chains.",
+)
+def f5_f6_bucket_and_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import rain_category, shortage_label
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("rain_cat", rain_category(F.col("value") / 50.0))
+        .withColumn("risk_label", shortage_label(F.col("value") / 500.0))
+        .groupBy("rain_cat", "risk_label")
+        .agg(F.count(F.lit(1)).alias("n"), agg.decimal_sum("value").alias("sum_value"))
+    )
+
+
+@register(
+    "f8_f10_string_functions",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           MIN(CAST(REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS BIGINT)) AS min_id,
+           MAX(CAST(REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS BIGINT)) AS max_id,
+           MIN(CONCAT(REPLACE(c_name, 'Customer#', ''), ' [', c_mktsegment, ']')) AS min_label
+    FROM customer GROUP BY c_mktsegment
+    """,
+    survey_rows="F8,F9,F10,F11",
+    description="String replace / concat-format / regexp-extract / cast.",
+)
+def f8_f10_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    cid = F.regexp_extract("c_name", "([0-9]+)", 1).cast("bigint")
+    label = F.concat(
+        F.regexp_replace("c_name", "Customer#", ""), F.lit(" ["), F.col("c_mktsegment"), F.lit("]")
+    )
+    return (
+        cust.withColumn("cid", cid)
+        .withColumn("label", label)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("cid").alias("min_id"),
+            F.max("cid").alias("max_id"),
+            F.min("label").alias("min_label"),
+        )
+    )
+
+
+@register(
+    "f12_clamp_round",
+    """
+    SELECT event_type,
+           SUM(GREATEST(0, CAST(ROUND(value - 250.0) AS INTEGER))) AS sum_clamped,
+           MAX(GREATEST(0, CAST(ROUND(value - 250.0) AS INTEGER))) AS max_clamped
+    FROM events GROUP BY event_type
+    """,
+    survey_rows="F12",
+    description="Clamp/round: max(0, int(round(x))) as greatest+round+cast.",
+)
+def f12_clamp_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import clamp_round_nonneg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "clamped", clamp_round_nonneg(F.col("value") - 250.0)
+    )
+    return ev.groupBy("event_type").agg(
+        F.sum("clamped").alias("sum_clamped"), F.max("clamped").alias("max_clamped")
+    )
+
+
+@register(
+    "f1_f2_tz_normalize",
+    """
+    SELECT CAST(date_trunc('day', ts - INTERVAL 8 HOUR) AS TIMESTAMP) AS utc_day, COUNT(*) AS n
+    FROM events GROUP BY 1
+    """,
+    survey_rows="F1,F2",
+    description="Wall-clock Asia/Taipei → UTC normalization (fixed +8 offset; "
+    "Taipei has no DST) then daily bucketing.",
+)
+def f1_f2_tz_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import to_utc_from_tz
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("utc_day", F.date_trunc("day", to_utc_from_tz(F.col("ts"))))
+        .groupBy("utc_day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ===========================================================================
+# §2.7 Statistics operators (sufficient-statistics layer)
+# ===========================================================================
+
+_SUFF = """
+      SELECT c.c_mktsegment AS grp,
+             COUNT(o.o_totalprice) AS n,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             CAST(FLOOR(SUM(CAST(o.o_totalprice AS DECIMAL(19,6)) * CAST(o.o_totalprice AS DECIMAL(19,6)))) AS DOUBLE) AS sxx
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+"""
+
+
+@register(
+    "m1_group_confidence_intervals",
+    f"""
+    WITH s AS ({_SUFF})
+    SELECT grp AS c_mktsegment, n,
+           sx / n AS mean,
+           SQRT(((sxx - sx * sx / n) / (n - 1)) / n) AS sem,
+           sx / n - 1.959963984540054 * SQRT(((sxx - sx * sx / n) / (n - 1)) / n) AS ci_lo,
+           sx / n + 1.959963984540054 * SQRT(((sxx - sx * sx / n) / (n - 1)) / n) AS ci_hi,
+           CASE WHEN sx / n + 1.959963984540054 * SQRT(((sxx - sx * sx / n) / (n - 1)) / n) < 151000.0 THEN 'Fail'
+                WHEN sx / n - 1.959963984540054 * SQRT(((sxx - sx * sx / n) / (n - 1)) / n) > 151000.0 THEN 'Pass'
+                ELSE 'Warn' END AS status
+    FROM s
+    """,
+    survey_rows="M1,A1",
+    description="Per-group mean ± 95% CI + KPI Pass/Warn/Fail (forest-plot "
+    "inputs) from exact sufficient sums.",
+)
+def m1_group_confidence_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..stats.inference import group_confidence_intervals
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return group_confidence_intervals(joined, "c_mktsegment", "o_totalprice", kpi=151000.0)
+
+
+@register(
+    "m2_m3_welch_ttest",
+    """
+    WITH s AS (
+      SELECT COUNT(CASE WHEN c.c_mktsegment = 'BUILDING' THEN o.o_totalprice END) AS n_a,
+             CAST(SUM(CASE WHEN c.c_mktsegment = 'BUILDING' THEN CAST(o.o_totalprice AS DECIMAL(27,6)) END) AS DOUBLE) AS sx_a,
+             CAST(FLOOR(SUM(CASE WHEN c.c_mktsegment = 'BUILDING' THEN CAST(o.o_totalprice AS DECIMAL(19,6)) * CAST(o.o_totalprice AS DECIMAL(19,6)) END)) AS DOUBLE) AS sxx_a,
+             COUNT(CASE WHEN c.c_mktsegment = 'MACHINERY' THEN o.o_totalprice END) AS n_b,
+             CAST(SUM(CASE WHEN c.c_mktsegment = 'MACHINERY' THEN CAST(o.o_totalprice AS DECIMAL(27,6)) END) AS DOUBLE) AS sx_b,
+             CAST(FLOOR(SUM(CASE WHEN c.c_mktsegment = 'MACHINERY' THEN CAST(o.o_totalprice AS DECIMAL(19,6)) * CAST(o.o_totalprice AS DECIMAL(19,6)) END)) AS DOUBLE) AS sxx_b
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    d AS (
+      SELECT n_a, sx_a / n_a AS mean_a, (sxx_a - sx_a * sx_a / n_a) / (n_a - 1) AS var_a,
+             n_b, sx_b / n_b AS mean_b, (sxx_b - sx_b * sx_b / n_b) / (n_b - 1) AS var_b
+      FROM s
+    )
+    SELECT n_a, mean_a, var_a, n_b, mean_b, var_b,
+           (mean_a - mean_b) / SQRT(var_a / n_a + var_b / n_b) AS t_stat,
+           (var_a / n_a + var_b / n_b) * (var_a / n_a + var_b / n_b)
+             / ((var_a / n_a) * (var_a / n_a) / (n_a - 1)
+                + (var_b / n_b) * (var_b / n_b) / (n_b - 1)) AS welch_df,
+           (mean_a - mean_b)
+             / SQRT(((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2)) AS cohens_d
+    FROM d
+    """,
+    survey_rows="M2,M3",
+    description="Welch two-sample t + Cohen's d closed-form from conditional "
+    "sufficient sums (one pass).",
+)
+def m2_m3_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..stats.inference import welch_ttest
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return welch_ttest(joined, "c_mktsegment", "o_totalprice", "BUILDING", "MACHINERY")
+
+
+@register(
+    "m4_anova_oneway",
+    f"""
+    WITH s AS ({_SUFF}),
+    t AS (
+      SELECT COUNT(*) AS k, SUM(n) AS "N",
+             CAST(SUM(CAST(sx AS DECIMAL(27,6))) AS DOUBLE) AS sx_tot,
+             CAST(SUM(CAST(sxx AS DECIMAL(27,0))) AS DOUBLE) AS sxx_tot,
+             CAST(SUM(CAST(FLOOR(sx * sx / n) AS DECIMAL(27,0))) AS DOUBLE) AS sg
+      FROM s
+    )
+    SELECT k, "N",
+           sg - sx_tot * sx_tot / "N" AS ss_between,
+           sxx_tot - sg AS ss_within,
+           ((sg - sx_tot * sx_tot / "N") / (k - 1))
+             / ((sxx_tot - sg) / ("N" - k)) AS f_stat,
+           (sg - sx_tot * sx_tot / "N")
+             / ((sg - sx_tot * sx_tot / "N") + (sxx_tot - sg)) AS eta_sq,
+           k - 1 AS df_between,
+           "N" - k AS df_within
+    FROM t
+    """,
+    survey_rows="M4",
+    description="One-way ANOVA F + eta-squared, closed-form SSB/SSW from "
+    "re-aggregated exact per-group sums.",
+)
+def m4_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..stats.inference import anova_oneway
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return anova_oneway(joined, "c_mktsegment", "o_totalprice")
+
+
+@register(
+    "m5_tukey_hsd_pairs",
+    f"""
+    WITH s AS ({_SUFF}),
+    msw AS (
+      SELECT (CAST(SUM(CAST(sxx AS DECIMAL(27,0))) AS DOUBLE)
+              - CAST(SUM(CAST(FLOOR(sx * sx / n) AS DECIMAL(27,0))) AS DOUBLE))
+             / (SUM(n) - COUNT(*)) AS msw
+      FROM s
+    )
+    SELECT a.grp AS group_i, b.grp AS group_j, a.n AS n_i, b.n AS n_j,
+           b.sx / b.n - a.sx / a.n AS mean_diff,
+           SQRT(m.msw / 2 * (CAST(1 AS DOUBLE) / a.n + CAST(1 AS DOUBLE) / b.n)) AS se_hsd
+    FROM s a CROSS JOIN s b CROSS JOIN msw m
+    WHERE a.grp < b.grp
+    """,
+    survey_rows="M5",
+    description="Tukey-HSD pairwise mean differences + HSD standard errors "
+    "(q-critical applied driver-side on the tiny result).",
+)
+def m5_tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..stats.inference import tukey_hsd_pairs
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return tukey_hsd_pairs(joined, "c_mktsegment", "o_totalprice")
+
+
+@register(
+    "m6_chi_square_independence",
+    """
+    WITH obs AS (
+      SELECT c.c_mktsegment, o.o_orderstatus, COUNT(*) AS observed
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ),
+    cells AS (
+      SELECT c_mktsegment, o_orderstatus, observed,
+             SUM(observed) OVER (PARTITION BY c_mktsegment)
+               * SUM(observed) OVER (PARTITION BY o_orderstatus)
+               * 1.0 / SUM(observed) OVER () AS expected,
+             SUM(observed) OVER () AS n_total
+      FROM obs
+    ),
+    resid AS (
+      SELECT *, (observed - expected) / SQRT(expected) AS residual FROM cells
+    ),
+    dims AS (
+      SELECT COUNT(DISTINCT c_mktsegment) AS r_cnt, COUNT(DISTINCT o_orderstatus) AS c_cnt
+      FROM obs
+    )
+    SELECT c_mktsegment, o_orderstatus, observed, expected, n_total, residual,
+           ROUND(SUM(residual * residual) OVER (), 6) AS chi2,
+           CAST((d.r_cnt - 1) * (d.c_cnt - 1) AS BIGINT) AS dof,
+           ROUND(SQRT(SUM(residual * residual) OVER ()
+                      / (n_total * (LEAST(d.r_cnt, d.c_cnt) - 1))), 6) AS cramers_v
+    FROM resid CROSS JOIN dims d
+    """,
+    survey_rows="M6,A7",
+    description="Chi-square independence: long-form observed/expected/"
+    "standardized residuals + chi2 and Cramer's V via window totals.",
+)
+def m6_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..stats.inference import chi_square_independence
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    out = chi_square_independence(joined, "c_mktsegment", "o_orderstatus")
+    return out.withColumn("chi2", F.round("chi2", 6)).withColumn(
+        "cramers_v", F.round("cramers_v", 6)
+    )
+
+
+@register(
+    "m9_moment_stats",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(l_quantity) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+             CAST(FLOOR(SUM(CAST(l_quantity AS DECIMAL(19,6)) * CAST(l_quantity AS DECIMAL(19,6)))) AS DOUBLE) AS s2,
+             CAST(FLOOR(SUM(CAST(CAST(l_quantity AS DECIMAL(14,4)) * CAST(l_quantity AS DECIMAL(12,4)) AS DECIMAL(27,8)) * CAST(l_quantity AS DECIMAL(12,4)))) AS DOUBLE) AS s3,
+             CAST(FLOOR(SUM(CAST(CAST(l_quantity AS DECIMAL(11,3)) * CAST(l_quantity AS DECIMAL(11,3)) AS DECIMAL(22,6)) * CAST(CAST(l_quantity AS DECIMAL(11,3)) * CAST(l_quantity AS DECIMAL(11,3)) AS DECIMAL(22,6)))) AS DOUBLE) AS s4
+      FROM lineitem GROUP BY 1
+    ),
+    m AS (
+      SELECT l_returnflag, n, s1 / n AS mean,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+               - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM s
+    )
+    SELECT l_returnflag, n, mean, m2,
+           ROUND(m3 / POW(m2, 1.5), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3, 6) AS kurtosis
+    FROM m
+    """,
+    survey_rows="M9",
+    description="Skewness/kurtosis per group via exact central-moment "
+    "expansion (engine-portable; Spark builtins are the fast path).",
+)
+def m9_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..stats.inference import moment_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = moment_stats(li, "l_returnflag", "l_quantity")
+    return out.withColumn("skewness", F.round("skewness", 6)).withColumn(
+        "kurtosis", F.round("kurtosis", 6)
+    )
+
+
+@register(
+    "m10_histogram_bins",
+    f"""
+    SELECT CAST(FLOOR(value / 25.0) AS INTEGER) AS bin,
+           COUNT(*) AS n,
+           {SQL_DSUM('value')} AS sum_value
+    FROM events GROUP BY 1
+    """,
+    survey_rows="M10",
+    description="Histogram input bins: fixed-width binning via floor division.",
+)
+def m10_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("bin", F.floor(F.col("value") / 25.0).cast("int"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), agg.decimal_sum("value").alias("sum_value"))
+    )
+
+
+@register(
+    "m10b_group_quartiles",
+    """
+    SELECT event_type,
+           ROUND(QUANTILE_CONT(value, 0.25), 6) AS q25,
+           ROUND(QUANTILE_CONT(value, 0.5), 6) AS median,
+           ROUND(QUANTILE_CONT(value, 0.75), 6) AS q75
+    FROM events GROUP BY event_type
+    """,
+    survey_rows="M10,A3",
+    description="Boxplot inputs: exact per-group quartiles.",
+)
+def m10b_group_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("median"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q75"),
+    )
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 

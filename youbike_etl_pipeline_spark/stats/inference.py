@@ -1,0 +1,315 @@
+"""Closed-form statistical inference over distributed sufficient statistics
+(SURVEY §2.7 M1-M6, M9).
+
+The reference runs scipy/statsmodels on in-memory arrays
+(``notebooks/01_youbike_analysis.ipynb`` Parts B/D/E). At 100 TB that is
+impossible — but every one of these tests needs only per-group sufficient
+statistics (n, Σx, Σx², …), which are one hash aggregation. The test
+statistic itself is then scalar column math over a tiny (groups-count-sized)
+frame. Everything stays a DataFrame (no collect on the data path); p-values
+need distribution quantiles, so the driver-side helpers use scipy when
+available (import-gated) on the already-tiny result.
+
+Determinism: sums are exact (decimal-cast — see
+:func:`..operators.aggregations.decimal_sum`), and derived statistics apply a
+fixed IEEE op sequence over those exact inputs, so results are bit-identical
+across partitionings and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.aggregations import decimal_pow_sum, decimal_sum
+
+try:  # pragma: no cover - optional, driver-side p-values only
+    from scipy import stats as _scipy_stats
+except ImportError:  # pragma: no cover
+    _scipy_stats = None
+
+
+def _suffstats(df: DataFrame, group_col: str | None, value_col: str, scale: int = 6) -> DataFrame:
+    """Per-group (n, Σx, Σx²) with exact sums; the base of every test here.
+    One hash aggregation = one shuffle on ``group_col``."""
+    v = F.col(value_col)
+    keys = [group_col] if group_col else []
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    return grouped.agg(
+        F.count(v).alias("n"),
+        decimal_sum(v, scale).alias("sx"),
+        decimal_pow_sum(v, 2).alias("sxx"),
+    )
+
+
+def _mean(n: Column, sx: Column) -> Column:
+    return sx / n
+
+
+def _var_samp(n: Column, sx: Column, sxx: Column) -> Column:
+    """Sample variance from sufficient sums: (Σx² − (Σx)²/n) / (n−1)."""
+    return (sxx - sx * sx / n) / (n - 1)
+
+
+def group_confidence_intervals(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    z: float = 1.959963984540054,  # normal 97.5% quantile; see note
+    kpi: float | None = None,
+) -> DataFrame:
+    """Per-group mean ± CI half-width, with optional KPI classification (M1).
+
+    Reference builds a per-district forest plot: mean, SEM, Student-t 95% CI,
+    Pass/Warn/Fail vs KPI 0.30 (``notebooks/01_youbike_analysis.ipynb:
+    L405-L431``). Here the critical value is a constant column (normal
+    approximation by default — exact for the reference's n≈10⁵ groups); pass
+    a Student-t quantile for small groups (scipy driver-side, group count is
+    tiny). Status bands mirror the reference: Fail if the upper bound is
+    below KPI, Pass if the lower bound is above, else Warn.
+    """
+    s = _suffstats(df, group_col, value_col)
+    mean = _mean(F.col("n"), F.col("sx"))
+    sem = F.sqrt(_var_samp(F.col("n"), F.col("sx"), F.col("sxx")) / F.col("n"))
+    out = s.select(
+        group_col,
+        F.col("n"),
+        mean.alias("mean"),
+        sem.alias("sem"),
+        (mean - z * sem).alias("ci_lo"),
+        (mean + z * sem).alias("ci_hi"),
+    )
+    if kpi is not None:
+        out = out.withColumn(
+            "status",
+            F.when(F.col("ci_hi") < kpi, F.lit("Fail"))
+            .when(F.col("ci_lo") > kpi, F.lit("Pass"))
+            .otherwise(F.lit("Warn")),
+        )
+    return out
+
+
+def welch_ttest(
+    df: DataFrame, group_col: str, value_col: str, group_a: str, group_b: str
+) -> DataFrame:
+    """Welch two-sample t-test + Cohen's d as a single-row DataFrame (M2/M3).
+
+    Reference: ``stats.ttest_ind(..., equal_var=False)`` + pooled-variance
+    Cohen's d (``notebooks/01_youbike_analysis.ipynb:L557-L581``). One pass:
+    conditional sufficient sums for both groups, then the closed forms
+
+        t  = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)
+        df = (v_a/n_a + v_b/n_b)² / [ (v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1) ]
+        d  = (m_a − m_b) / sqrt(((n_a−1)v_a + (n_b−1)v_b) / (n_a+n_b−2))
+
+    Use :func:`p_value_t` on the collected row for the p-value.
+    """
+    v = F.col(value_col)
+    g = F.col(group_col)
+    a, b = F.when(g == group_a, v), F.when(g == group_b, v)
+    s = df.agg(
+        F.count(a).alias("n_a"),
+        decimal_sum(a).alias("sx_a"),
+        decimal_pow_sum(a, 2).alias("sxx_a"),
+        F.count(b).alias("n_b"),
+        decimal_sum(b).alias("sx_b"),
+        decimal_pow_sum(b, 2).alias("sxx_b"),
+    )
+    m_a, m_b = _mean(F.col("n_a"), F.col("sx_a")), _mean(F.col("n_b"), F.col("sx_b"))
+    v_a = _var_samp(F.col("n_a"), F.col("sx_a"), F.col("sxx_a"))
+    v_b = _var_samp(F.col("n_b"), F.col("sx_b"), F.col("sxx_b"))
+    se2 = v_a / F.col("n_a") + v_b / F.col("n_b")
+    t = (m_a - m_b) / F.sqrt(se2)
+    wdf = (se2 * se2) / (
+        (v_a / F.col("n_a")) ** 2 / (F.col("n_a") - 1)
+        + (v_b / F.col("n_b")) ** 2 / (F.col("n_b") - 1)
+    )
+    pooled = ((F.col("n_a") - 1) * v_a + (F.col("n_b") - 1) * v_b) / (
+        F.col("n_a") + F.col("n_b") - 2
+    )
+    d = (m_a - m_b) / F.sqrt(pooled)
+    return s.select(
+        F.col("n_a"),
+        m_a.alias("mean_a"),
+        v_a.alias("var_a"),
+        F.col("n_b"),
+        m_b.alias("mean_b"),
+        v_b.alias("var_b"),
+        t.alias("t_stat"),
+        wdf.alias("welch_df"),
+        d.alias("cohens_d"),
+    )
+
+
+def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA F statistic + η² as a single-row DataFrame (M4).
+
+    Reference: ``ols(...).fit()`` + ``anova_lm`` + η² = SSB/(SSB+SSW)
+    (``notebooks/01_youbike_analysis.ipynb:L842-L844``). Closed form from
+    per-group sufficient sums re-aggregated exactly:
+
+        SSB = Σ_g (Σx_g)²/n_g − (Σx)²/N ;  SSW = Σx² − Σ_g (Σx_g)²/n_g
+    """
+    s = _suffstats(df, group_col, value_col)
+    # re-aggregation over the tiny per-group frame: sxx/sg magnitudes can
+    # exceed the scale-6 portability bound, so they use scale 0 (their
+    # fractional part is noise at SSW/SSB magnitude anyway)
+    totals = s.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("N"),
+        decimal_sum(F.col("sx"), 6).alias("sx_tot"),
+        decimal_sum(F.col("sxx"), 0).alias("sxx_tot"),
+        decimal_sum(F.floor(F.col("sx") * F.col("sx") / F.col("n")), 0).alias("sg"),
+    )
+    ssb = F.col("sg") - F.col("sx_tot") * F.col("sx_tot") / F.col("N")
+    ssw = F.col("sxx_tot") - F.col("sg")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("N") - F.col("k")))
+    return totals.select(
+        F.col("k"),
+        F.col("N"),
+        ssb.alias("ss_between"),
+        ssw.alias("ss_within"),
+        f_stat.alias("f_stat"),
+        (ssb / (ssb + ssw)).alias("eta_sq"),
+        (F.col("k") - 1).alias("df_between"),
+        (F.col("N") - F.col("k")).alias("df_within"),
+    )
+
+
+def tukey_hsd_pairs(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Tukey-HSD pairwise scaffold (M5): all group pairs with mean difference
+    and the HSD standard error sqrt(MSW/2 · (1/n_i + 1/n_j)).
+
+    Reference: ``pairwise_tukeyhsd`` (``notebooks/01_youbike_analysis.ipynb:
+    L851-L853``). The studentized-range critical value q(α, k, df) is not
+    SQL-expressible — apply :func:`q_critical` driver-side to the (k·(k−1)/2)-
+    row result to finish the test.
+    """
+    s = _suffstats(df, group_col, value_col)
+    msw_row = s.agg(
+        (
+            (decimal_sum(F.col("sxx"), 0) - decimal_sum(F.floor(F.col("sx") * F.col("sx") / F.col("n")), 0))
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("msw")
+    )
+    a = s.select(
+        F.col(group_col).alias("group_i"), F.col("n").alias("n_i"), (_mean(F.col("n"), F.col("sx"))).alias("mean_i")
+    )
+    b = s.select(
+        F.col(group_col).alias("group_j"), F.col("n").alias("n_j"), (_mean(F.col("n"), F.col("sx"))).alias("mean_j")
+    )
+    pairs = a.crossJoin(b).filter(F.col("group_i") < F.col("group_j")).crossJoin(F.broadcast(msw_row))
+    return pairs.select(
+        "group_i",
+        "group_j",
+        "n_i",
+        "n_j",
+        (F.col("mean_j") - F.col("mean_i")).alias("mean_diff"),
+        F.sqrt(F.col("msw") / 2 * (1 / F.col("n_i") + 1 / F.col("n_j"))).alias("se_hsd"),
+    )
+
+
+def chi_square_independence(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
+    """Chi-square independence inputs in long form (M6): per-cell observed,
+    expected, standardized residual — plus the χ² total, Cramér's V and dof
+    replicated on every row (window grand totals keep it one DataFrame).
+
+    Reference: ``chi2_contingency`` + ``V = sqrt(chi2/(n·min_dim))`` +
+    residuals ``(obs-exp)/sqrt(exp)``
+    (``notebooks/01_youbike_analysis.ipynb:L975-L998``).
+    """
+    from pyspark.sql import Window
+
+    obs = df.groupBy(row_col, col_col).agg(F.count(F.lit(1)).alias("observed"))
+    w_all = Window.partitionBy()
+    w_row = Window.partitionBy(row_col)
+    w_col = Window.partitionBy(col_col)
+    n = F.sum("observed").over(w_all)
+    expected = (
+        F.sum("observed").over(w_row) * F.sum("observed").over(w_col) / n
+    )
+    cell = obs.select(
+        row_col,
+        col_col,
+        "observed",
+        expected.alias("expected"),
+        n.alias("n_total"),
+    ).withColumn("residual", (F.col("observed") - F.col("expected")) / F.sqrt("expected"))
+    chi2 = F.sum(F.col("residual") * F.col("residual")).over(w_all)
+    r_cnt = F.size(F.collect_set(row_col).over(w_all))
+    c_cnt = F.size(F.collect_set(col_col).over(w_all))
+    return (
+        cell.withColumn("chi2", chi2)
+        .withColumn("dof", ((r_cnt - 1) * (c_cnt - 1)).cast("long"))
+        .withColumn(
+            "cramers_v",
+            F.sqrt(F.col("chi2") / (F.col("n_total") * (F.least(r_cnt, c_cnt) - 1))),
+        )
+    )
+
+
+def moment_stats(df: DataFrame, group_col: str | None, value_col: str) -> DataFrame:
+    """Skewness/kurtosis from exact central-moment expansion (M9).
+
+    Population (g1/g2) definitions, matching Spark's builtin ``skewness`` /
+    ``kurtosis`` — but expanded from exact decimal power sums so the result
+    is engine-portable bit-for-bit (builtins differ in merge order):
+
+        m_k = E[xᵏ] central;  skew = m3/m2^1.5 ;  kurt = m4/m2² − 3
+    """
+    v = F.col(value_col)
+    keys = [group_col] if group_col else []
+    grouped = df.groupBy(*keys) if keys else df.groupBy()
+    s = grouped.agg(
+        F.count(v).alias("n"),
+        decimal_sum(v).alias("s1"),
+        decimal_pow_sum(v, 2).alias("s2"),
+        decimal_pow_sum(v, 3).alias("s3"),
+        decimal_pow_sum(v, 4).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    e2, e3, e4 = F.col("s2") / n, F.col("s3") / n, F.col("s4") / n
+    m2 = e2 - mu * mu
+    m3 = e3 - 3 * mu * e2 + 2 * mu * mu * mu
+    m4 = e4 - 4 * mu * e3 + 6 * mu * mu * e2 - 3 * mu * mu * mu * mu
+    return s.select(
+        *keys,
+        n.alias("n"),
+        mu.alias("mean"),
+        m2.alias("m2"),
+        (m3 / F.pow(m2, 1.5)).alias("skewness"),
+        (m4 / (m2 * m2) - 3).alias("kurtosis"),
+    )
+
+
+# ------------------------------------------------------------------
+# Driver-side p-value helpers (scipy-gated; operate on collected scalars)
+# ------------------------------------------------------------------
+
+
+def p_value_t(t_stat: float, dof: float, two_sided: bool = True) -> float:
+    """Student-t p-value for a collected t statistic."""
+    if _scipy_stats is None:  # pragma: no cover
+        raise NotImplementedError("scipy not available for p-values")
+    p = _scipy_stats.t.sf(abs(t_stat), dof)
+    return float(2 * p if two_sided else p)
+
+
+def p_value_f(f_stat: float, df1: float, df2: float) -> float:
+    if _scipy_stats is None:  # pragma: no cover
+        raise NotImplementedError("scipy not available for p-values")
+    return float(_scipy_stats.f.sf(f_stat, df1, df2))
+
+
+def p_value_chi2(chi2: float, dof: int) -> float:
+    if _scipy_stats is None:  # pragma: no cover
+        raise NotImplementedError("scipy not available for p-values")
+    return float(_scipy_stats.chi2.sf(chi2, dof))
+
+
+def q_critical(alpha: float, k: int, dof: float) -> float:
+    """Studentized-range critical value for Tukey HSD."""
+    if _scipy_stats is None:  # pragma: no cover
+        raise NotImplementedError("scipy not available for q critical values")
+    return float(_scipy_stats.studentized_range.ppf(1 - alpha, k, dof))
