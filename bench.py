@@ -26,13 +26,24 @@ from youbike_etl_pipeline_spark.session import get_spark  # noqa: E402
 #: Headline queries (subset of the corpus; every name must exist there).
 HEADLINE = [
     "flagship_segment_health",
+    "a1_tpch_q1_pricing_summary",
     "j1_fact_dim_revenue",
     "j2_hour_bucket_join",
     "j5_nearest_neighbor_join",
+    "j7_asof_join",
     "a5_top1_event_type_per_user",
     "a6_pivot_user_hour_profile",
     "w1_lag_delta_per_user",
+    "w2_sequence_windows",
     "p6_filter_predicates",
+    "p11_interpolate_linear",
+    "m1_group_confidence_intervals",
+    "m6_chi_square_independence",
+    "t1_exact_dedup",
+    "t2_ngram_jaccard_pairs",
+    "t7_minhash_lsh_dedup",
+    "s1_cosine_topk",
+    "s2_embedding_near_dup",
 ]
 
 

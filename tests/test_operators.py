@@ -1,0 +1,180 @@
+"""Operator-level tests: pandas-equivalence for the window fills, as-of join
+vs merge_asof, recall of the approximate dedup/similarity paths against their
+exact counterparts, and the multimodal/ML contracts."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from youbike_etl_pipeline_spark.operators.dedup import (
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from youbike_etl_pipeline_spark.operators.joins import asof_join
+from youbike_etl_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_near_dup_pairs,
+)
+from youbike_etl_pipeline_spark.operators.windows import (
+    bfill,
+    ffill,
+    interpolate_linear,
+    interpolate_linear_pandas,
+    sequence_windows,
+)
+
+
+def test_interpolate_matches_pandas(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 6 + ["b"] * 4,
+            "t": list(range(6)) + list(range(4)),
+            "v": [None, 1.0, None, None, 7.0, None, None, 2.0, 4.0, None],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = (
+        interpolate_linear(df, key="k", ts="t", cols=["v"])
+        .orderBy("k", "t")
+        .toPandas()["v"]
+        .tolist()
+    )
+    expected = (
+        pdf.groupby("k")["v"]
+        .transform(lambda x: x.interpolate("linear").ffill().bfill())
+        .tolist()
+    )
+    assert got == pytest.approx(expected)
+    # applyInPandas fallback agrees
+    got2 = (
+        interpolate_linear_pandas(df, key="k", ts="t", cols=["v"])
+        .orderBy("k", "t")
+        .toPandas()["v"]
+        .tolist()
+    )
+    assert got2 == pytest.approx(expected)
+
+
+def test_ffill_bfill_match_pandas(spark):
+    pdf = pd.DataFrame(
+        {"k": ["a"] * 5, "t": range(5), "v": [None, 2.0, None, 3.0, None]}
+    )
+    df = spark.createDataFrame(pdf)
+    got_f = ffill(df, "k", "t", ["v"]).orderBy("t").toPandas()["v"].tolist()
+    got_b = bfill(df, "k", "t", ["v"]).orderBy("t").toPandas()["v"].tolist()
+    assert got_f == pytest.approx(pdf["v"].ffill().tolist(), nan_ok=True)
+    assert got_b == pytest.approx(pdf["v"].bfill().tolist(), nan_ok=True)
+
+
+def test_asof_join_matches_merge_asof(spark):
+    left = pd.DataFrame(
+        {"k": ["a"] * 4 + ["b"] * 3, "t": [1, 3, 5, 7, 2, 4, 6], "x": range(7)}
+    )
+    right = pd.DataFrame({"k": ["a", "a", "b"], "t": [2, 5, 4], "r": [10.0, 20.0, 30.0]})
+    got = (
+        asof_join(
+            spark.createDataFrame(left),
+            spark.createDataFrame(right.rename(columns={"t": "rt"})),
+            on="k",
+            left_ts="t",
+            right_ts="rt",
+            right_values=["r"],
+        )
+        .orderBy("k", "t")
+        .toPandas()
+    )
+    expected = pd.merge_asof(
+        left.sort_values("t"), right.sort_values("t"), on="t", by="k"
+    ).sort_values(["k", "t"])
+    assert got["r"].tolist() == pytest.approx(expected["r"].tolist(), nan_ok=True)
+
+
+def test_sequence_windows_shape(spark):
+    df = spark.createDataFrame(
+        [("a", i, float(i)) for i in range(5)], "k string, t int, value double"
+    )
+    seq = sequence_windows(df, key="k", ts="t", feature_cols=["value"], time_steps=3)
+    rows = seq.orderBy("t").collect()
+    assert len(rows) == 2  # t=3 and t=4 have full 3-step history
+    assert [s["value"] for s in rows[0]["sequence"]] == [0.0, 1.0, 2.0]
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup(docs, k=3, threshold=0.5).collect()
+    }
+    # verification step makes approx ⊆ exact; banding should recover most
+    assert approx.issubset(exact)
+    if exact:
+        assert len(approx) / len(exact) >= 0.8, (len(approx), len(exact))
+
+
+def test_simhash_runs_and_is_symmetric_free(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    pairs = simhash_pairs(docs, max_hamming=16).collect()
+    assert all(r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_lsh_near_dup_subset_of_exact(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.3).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_near_dup_pairs(emb, dim=64, threshold=0.3, bits=4).collect()
+    }
+    assert approx.issubset(exact)
+
+
+def test_cosine_topk_self_similarity(spark, sf_small):
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    top = cosine_topk(emb, q, k=1).collect()
+    assert top[0]["vec_id"] == 0 and top[0]["cosine"] == pytest.approx(1.0)
+
+
+def test_multimodal_strict_stub_raises(spark, sf_small):
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_media_columns,
+        decode_image_features,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet").limit(5)
+    media = attach_media_columns(docs)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_image_features(media, strict=True).collect()
+    feats = decode_image_features(media).collect()
+    assert len(feats) == 5 and all(len(r["feature"]) == 8 for r in feats)
+    frames = sample_frames(media).collect()
+    assert len(frames) >= 5 and {"doc_id", "frame_idx", "frame_bytes"} == set(
+        frames[0].asDict().keys()
+    )
+
+
+def test_minmax_roundtrip(spark):
+    from youbike_etl_pipeline_spark.ml.features import (
+        minmax_fit,
+        minmax_inverse,
+        minmax_transform,
+    )
+
+    df = spark.createDataFrame([(1.0,), (3.0,), (5.0,)], "x double")
+    bounds = minmax_fit(df, ["x"])
+    assert bounds == {"x": (1.0, 5.0)}
+    scaled = minmax_transform(df, bounds)
+    assert [r["x"] for r in scaled.orderBy("x").collect()] == [0.0, 0.5, 1.0]
+    back = minmax_inverse(scaled, bounds)
+    assert [r["x"] for r in back.orderBy("x").collect()] == [1.0, 3.0, 5.0]

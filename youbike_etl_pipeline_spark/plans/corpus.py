@@ -1305,6 +1305,455 @@ def m10b_group_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# LLM-data-pipeline operators: text analysis / dedup / similarity /
+# multimodal (BASELINE.json north-star extensions; SURVEY §7.7)
+# ===========================================================================
+
+
+@register(
+    "t1_exact_dedup",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    survey_rows="ext:dedup-exact,P4",
+    description="Exact dedup via content hash: survivor id + copy count.",
+)
+def t1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "t2_ngram_jaccard_pairs",
+    """
+    WITH shing AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i)
+      )
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common, ca.n AS n_a, cb.n AS n_b,
+           n_common / (ca.n + cb.n - n_common) AS jaccard
+    FROM inter
+    JOIN cnt ca ON id_a = ca.doc_id
+    JOIN cnt cb ON id_b = cb.doc_id
+    WHERE n_common / (ca.n + cb.n - n_common) >= 0.5
+    """,
+    survey_rows="ext:dedup-ngram-jaccard",
+    description="Near-dup pairs by word-3-gram Jaccard >= 0.5 via inverted "
+    "shingle index self-join (the exact verify of MinHash LSH).",
+)
+def t2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
+
+
+_TOK_EXPR = "len(regexp_split_to_array(trim(text), '\\s+'))"
+_PUNCT_EXPR = "len(regexp_extract_all(text, '[^\\w\\s]'))"
+
+@register(
+    "t3_token_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {SQL_DAVG(_TOK_EXPR)} AS mean_tokens,
+           SUM(n_chars) AS total_chars,
+           {SQL_DAVG(_PUNCT_EXPR)} AS mean_punct
+    FROM documents GROUP BY lang
+    """,
+    survey_rows="ext:text-stats,F15",
+    description="Per-language token counting + character/punctuation stats.",
+)
+def t3_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    n_punct = F.size(F.regexp_extract_all("text", F.lit(r"[^\w\s]"), 0))
+    return (
+        docs.withColumn("n_tokens", token_count(F.col("text")).cast("double"))
+        .withColumn("n_punct", n_punct.cast("double"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            agg.decimal_avg(F.col("n_tokens")).alias("mean_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            agg.decimal_avg(F.col("n_punct")).alias("mean_punct"),
+        )
+    )
+
+
+@register(
+    "t4_lang_id_confusion",
+    """
+    WITH scores AS (
+      SELECT lang,
+             len(regexp_extract_all(lower(text), '\\bder\\b')) + len(regexp_extract_all(lower(text), '\\bdie\\b'))
+               + len(regexp_extract_all(lower(text), '\\bund\\b')) + len(regexp_extract_all(lower(text), '\\bdas\\b'))
+               + len(regexp_extract_all(lower(text), '\\bist\\b')) AS s_de,
+             len(regexp_extract_all(lower(text), '\\bthe\\b')) + len(regexp_extract_all(lower(text), '\\band\\b'))
+               + len(regexp_extract_all(lower(text), '\\bof\\b')) + len(regexp_extract_all(lower(text), '\\bto\\b'))
+               + len(regexp_extract_all(lower(text), '\\ba\\b')) AS s_en,
+             len(regexp_extract_all(lower(text), '\\bel\\b')) + len(regexp_extract_all(lower(text), '\\bla\\b'))
+               + len(regexp_extract_all(lower(text), '\\bde\\b')) + len(regexp_extract_all(lower(text), '\\bque\\b'))
+               + len(regexp_extract_all(lower(text), '\\by\\b')) AS s_es,
+             len(regexp_extract_all(lower(text), '\\ble\\b')) + len(regexp_extract_all(lower(text), '\\bla\\b'))
+               + len(regexp_extract_all(lower(text), '\\bet\\b')) + len(regexp_extract_all(lower(text), '\\bles\\b'))
+               + len(regexp_extract_all(lower(text), '\\bdes\\b')) AS s_fr
+      FROM documents
+    )
+    SELECT CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_guess,
+           lang AS lang_actual,
+           COUNT(*) AS n
+    FROM scores GROUP BY 1, 2
+    """,
+    survey_rows="ext:lang-id",
+    description="Heuristic marker-word language ID vs labeled language "
+    "(confusion counts). Fold order = ascending language code on ties.",
+)
+def t4_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("lang_guess", lang_id(F.col("text")))
+        .groupBy(F.col("lang_guess"), F.col("lang").alias("lang_actual"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "t5_char_fingerprint",
+    """
+    SELECT doc_id,
+           (SELECT SUM(ord * ascii(ch)) % 1000000007
+            FROM (SELECT unnest(string_split(text,'')) AS ch,
+                         generate_subscripts(string_split(text,''),1) AS ord)) AS fingerprint
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    survey_rows="ext:fingerprint",
+    description="Position-weighted character fingerprint (rolling-hash "
+    "simplification; xxhash64 shingle fingerprints are the scale variant).",
+)
+def t5_char_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import char_fingerprint
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return docs.select("doc_id", char_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "t6_quality_scores",
+    None,  # heuristic composite — mechanism-checked (rows-only)
+    survey_rows="ext:quality-score",
+    description="Composite document quality scoring (length/punct/stopword).",
+)
+def t6_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("quality", quality_score(F.col("text")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(agg.decimal_avg(F.col("quality")), 6).alias("mean_quality"),
+        )
+    )
+
+
+@register(
+    "t7_minhash_lsh_dedup",
+    None,  # xxhash64-based — not DuckDB-expressible; validated against t2
+    survey_rows="ext:dedup-minhash-lsh",
+    description="MinHash(32) + LSH(8 bands) candidate generation with exact "
+    "Jaccard verify — the scale path for t2 (recall checked in tests).",
+)
+def t7_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
+
+
+@register(
+    "t8_simhash_pairs",
+    None,  # xxhash64-based
+    survey_rows="ext:dedup-simhash",
+    description="SimHash64 near-dup pairs (Hamming <= 12) via 16-bit chunk "
+    "banding + popcount verify.",
+)
+def t8_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_pairs
+
+    return simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=12)
+
+
+_EMB_DOTS = """
+    qe AS (
+      SELECT unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 0
+    ),
+    ve AS (
+      SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id != 0
+    ),
+    qn AS (SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS qq FROM qe),
+    dots AS (
+      SELECT ve.vec_id,
+             SUM(CAST(ve.x AS DOUBLE) * CAST(qe.x AS DOUBLE)) AS dot,
+             SUM(CAST(ve.x AS DOUBLE) * CAST(ve.x AS DOUBLE)) AS aa
+      FROM ve JOIN qe ON ve.i = qe.i GROUP BY 1
+    )
+"""
+
+
+@register(
+    "s1_cosine_topk",
+    f"""
+    WITH {_EMB_DOTS}
+    SELECT vec_id, ROUND(dot / (SQRT(aa) * SQRT(qq)), 6) AS cosine
+    FROM dots, qn
+    ORDER BY dot / (SQRT(aa) * SQRT(qq)) DESC, vec_id ASC LIMIT 10
+    """,
+    survey_rows="ext:similarity-topk",
+    description="Brute-force cosine top-10 to a query embedding (JVM-side "
+    "zip_with/aggregate vector math; LSH variant is the scale path).",
+)
+def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    out = cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@register(
+    "s2_embedding_near_dup",
+    f"""
+    WITH norms AS (
+      SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nn
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings) GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+      FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding,1) AS i FROM embeddings) a
+      JOIN (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding,1) AS i FROM embeddings) b
+        ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(dot / (SQRT(na.nn) * SQRT(nb.nn)), 6) AS cosine
+    FROM pairs JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
+    WHERE dot / (SQRT(na.nn) * SQRT(nb.nn)) >= 0.32
+    """,
+    survey_rows="ext:dedup-embedding-cosine",
+    description="Embedding near-dup pairs (cosine >= 0.32) — exact all-pairs "
+    "baseline; lsh_near_dup_pairs is the bucketed scale path.",
+)
+def s2_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_near_dup_pairs
+
+    out = embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.32)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@register(
+    "s3_lsh_ann_buckets",
+    None,  # recall-bearing approximate structure; verified in tests vs s2
+    survey_rows="ext:similarity-lsh",
+    description="Random-hyperplane LSH bucketing for ANN: bucket histogram "
+    "(the IVF/LSH scale path for s1/s2).",
+)
+def s3_lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _hyperplanes, lsh_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(64, 8, seed=42)
+    return (
+        emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "mm1_multimodal_binary",
+    """
+    SELECT source,
+           COUNT(*) AS n,
+           SUM(octet_length(CAST(text AS BLOB))) AS total_bytes,
+           MIN(sha256(text)) AS min_sha
+    FROM documents GROUP BY source
+    """,
+    survey_rows="ext:multimodal-binary",
+    description="Opaque binary payload plumbing: byte lengths + content "
+    "hashes over a binary column (decode UDFs are stubbed by contract).",
+)
+def mm1_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_media_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_media_columns(docs).join(docs.select("doc_id", "source"), "doc_id")
+    return media.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.min(F.sha2(F.col("payload"), 256)).alias("min_sha"),
+    )
+
+
+@register(
+    "mm2_decode_features",
+    None,  # mapInPandas stub path — schema/partitioning contract check
+    survey_rows="ext:multimodal-decode",
+    description="Arrow-batched mapInPandas decode stub: deterministic fake "
+    "features with the real schema/batch shape.",
+)
+def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_media_columns, decode_image_features
+
+    docs = _t(spark, sf_dir, "documents")
+    media = attach_media_columns(docs)
+    feats = decode_image_features(media)
+    return feats.select(
+        "doc_id", "n_bytes", F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum")
+    )
+
+
+# ===========================================================================
+# As-of join, ML, streaming
+# ===========================================================================
+
+
+@register(
+    "j7_asof_join",
+    f"""
+    WITH ev AS (SELECT user_id % 4 AS grp, ts, event_id, value FROM events),
+    cps AS (
+      SELECT user_id % 4 AS grp, ts AS cp_ts, value AS cp_value
+      FROM events WHERE event_id % 50 = 0
+    )
+    SELECT grp, COUNT(cp_value) AS n_matched,
+           {SQL_DAVG('value - cp_value')} AS mean_delta
+    FROM (
+      SELECT e.grp, e.value, c.cp_value
+      FROM ev e ASOF LEFT JOIN cps c ON e.grp = c.grp AND e.ts >= c.cp_ts
+    ) GROUP BY grp
+    """,
+    survey_rows="J2 (as-of generalization)",
+    description="As-of join: each event matched to the most recent checkpoint "
+    "<= ts per group, via union + partitioned last-value carry-forward "
+    "(one shuffle — no range explosion).",
+)
+def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("grp", F.col("user_id") % 4)
+    cps = (
+        ev.filter(F.col("event_id") % 50 == 0)
+        .select("grp", F.col("ts").alias("cp_ts"), F.col("value").alias("cp_value"))
+    )
+    joined = oj.asof_join(
+        ev.select("grp", "ts", "event_id", "value"),
+        cps,
+        on="grp",
+        left_ts="ts",
+        right_ts="cp_ts",
+        right_values=["cp_value"],
+    )
+    return joined.groupBy("grp").agg(
+        F.count("cp_value").alias("n_matched"),
+        agg.decimal_avg(F.col("value") - F.col("cp_value")).alias("mean_delta"),
+    )
+
+
+@register(
+    "ml1_kmeans_embeddings",
+    None,  # iterative seeded clustering — rows-only per driver contract
+    survey_rows="M8",
+    description="Seeded KMeans(k=4) over the embedding table: cluster sizes "
+    "(the reference's station-profile clustering shape + IVF centroids).",
+)
+def ml1_kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.clustering import kmeans_cluster_embeddings
+
+    assignments = kmeans_cluster_embeddings(_t(spark, sf_dir, "embeddings"), k=4, seed=42)
+    return assignments.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "ml2_regression_r2",
+    None,  # normal-equations OLS — rows-only (closed-form oracle impractical)
+    survey_rows="M7",
+    description="RFormula + LinearRegression model-evolution: R2 ladder over "
+    "two formulas (the reference's M1->M3 comparison shape).",
+)
+def ml2_regression_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.regression import model_evolution
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_quantity", "l_discount", "l_returnflag"
+    )
+    results = model_evolution(
+        li,
+        [
+            "l_extendedprice ~ l_discount",
+            "l_extendedprice ~ l_quantity + l_discount + l_returnflag",
+        ],
+    )
+    return li.sparkSession.createDataFrame(
+        [(r["formula"], float(round(r["r2"], 6)), r["n"]) for r in results],
+        schema="formula string, r2 double, n long",
+    )
+
+
+@register(
+    "st1_streaming_hourly_counts",
+    """
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_key, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+    survey_rows="§2.8 windows,W4",
+    description="Structured Streaming tumbling 1-hour windowed counts "
+    "(watermark + window), run to completion over the finite source — "
+    "matches the batch oracle exactly.",
+)
+def st1_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import hourly_windowed_counts_stream, read_events_stream, run_stream_to_memory
+
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(hourly_windowed_counts_stream(events))
+
+
+@register(
+    "st2_streaming_dedup",
+    """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    survey_rows="§2.8 dedup,S8",
+    description="Streaming watermark+dropDuplicates on the natural key, "
+    "then per-type counts — the idempotent-ingest streaming twin.",
+)
+def st2_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import read_events_stream, run_stream_to_memory, stream_dedup_counts
+
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(stream_dedup_counts(events))
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 

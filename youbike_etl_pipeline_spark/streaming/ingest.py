@@ -1,0 +1,120 @@
+"""Structured Streaming ingest — the reference's micro-batch semantics
+re-expressed (SURVEY §2.8).
+
+The reference is cron-driven micro-batching: fetch every 10 minutes, dedup
+on (station_no, record_time) via a DB unique key, insert-if-absent dims
+(``dags/youbike_dag.py:135``, ``sql/init_schema.sql:17``,
+``etl_job.py:121-132``). The Spark mapping:
+
+- trigger: ``availableNow`` for catch-up runs / ``processingTime`` for the
+  10-minute cadence;
+- idempotent dedup: ``withWatermark + dropDuplicates`` on the natural key
+  (watermark bounds state — late data beyond the horizon is dropped, which
+  the unique key also did implicitly);
+- dim upsert: anti-join-append inside ``foreachBatch`` (at-least-once on
+  dims, accepted — SURVEY §7 risk register);
+- failure: checkpointing replaces Airflow's retry — restart resumes from
+  the last committed offset.
+
+For local verification, parquet-directory sources + a memory sink driven by
+``processAllAvailable`` make a streaming query complete synchronously over a
+finite input (same pattern as the public Spark docs).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: events.parquet physical schema with the nanos ts read as long
+#: (see sources.readers.read_events for the batch twin).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the events table (parquet-directory source)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .format("parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def hourly_windowed_counts_stream(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windowed counts per event type (J2/W4 streaming twin).
+    Watermark bounds state; complete output mode emits every window."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("hour_key"), "event_type", "n")
+    )
+
+
+def stream_dedup_counts(events: DataFrame) -> DataFrame:
+    """Streaming exactly-once-ish dedup (S8 twin): dropDuplicates on the
+    natural key, then per-type distinct-user counts."""
+    return (
+        events.withWatermark("ts", "24 hours")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, output_mode: str = "complete", name: str | None = None
+) -> DataFrame:
+    """Run a (finite-source) streaming query to completion into a memory
+    sink and return the result as a batch DataFrame."""
+    qname = name or f"stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(qname)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(qname)
+
+
+def upsert_foreach_batch(
+    stream: DataFrame,
+    existing_keys: DataFrame,
+    key_cols: list[str],
+    sink: list,
+) -> None:
+    """foreachBatch anti-join upsert (S9 streaming twin): per micro-batch,
+    dedup within the batch, anti-join against existing keys, append the
+    remainder to ``sink`` (a list stand-in for the JDBC/Delta writer)."""
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        new_rows = (
+            batch.dropDuplicates(key_cols)
+            .join(F.broadcast(existing_keys.select(*key_cols).distinct()), key_cols, "left_anti")
+        )
+        sink.append((epoch_id, new_rows.collect()))
+
+    q = stream.writeStream.foreachBatch(handle).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
