@@ -1,0 +1,82 @@
+"""Physical-plan shape assertions — the 100 TB posture checks.
+
+Correctness tests prove the answers; these prove the *plans*: filters reach
+the parquet scan, projections prune columns, dimensions broadcast, arg-min
+aggregations hash (not sort), and window ops shuffle once. A regression here
+is a scale regression even when results stay right.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from youbike_etl_pipeline_spark.plans.corpus import CORPUS
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_small):
+    df = CORPUS["p6_filter_predicates"].fn(spark, sf_small)
+    txt = plan_text(df)
+    assert "PushedFilters: [" in txt
+    # at least the range predicate on l_shipdate is pushed
+    assert "l_shipdate" in txt.split("PushedFilters")[1].split("]")[0]
+
+
+def test_column_pruning_reaches_scan(spark, sf_small):
+    df = CORPUS["flagship_segment_health"].fn(spark, sf_small)
+    txt = plan_text(df)
+    # orders scan must read only the two join keys, not the whole table
+    orders_reads = [
+        seg.split("\n")[0]
+        for seg in txt.split("ReadSchema: ")[1:]
+        if "o_orderkey" in seg.split("\n")[0]
+    ]
+    assert orders_reads and all(
+        "o_totalprice" not in r and "o_orderdate" not in r for r in orders_reads
+    )
+
+
+def test_dimension_joins_broadcast(spark, sf_small):
+    txt = plan_text(CORPUS["j1_fact_dim_revenue"].fn(spark, sf_small))
+    assert txt.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in txt
+
+
+def test_nn_join_is_hash_agg_not_sort(spark, sf_small):
+    txt = plan_text(CORPUS["j5_nearest_neighbor_join"].fn(spark, sf_small))
+    assert "HashAggregate" in txt
+    # the 20M-row cross product must not flow into a SortAggregate
+    assert "SortAggregate" not in txt
+    assert "BroadcastNestedLoopJoin" in txt
+
+
+def test_tpch_q1_partial_aggregation(spark, sf_small):
+    txt = plan_text(CORPUS["a1_tpch_q1_pricing_summary"].fn(spark, sf_small), "simple")
+    # map-side partial + final: two HashAggregate nodes around one Exchange
+    assert txt.count("HashAggregate") >= 2
+    assert "partial_sum" in txt  # map-side combine before the shuffle
+
+
+def test_lag_query_single_shuffle(spark, sf_small):
+    txt = plan_text(CORPUS["w1_lag_delta_per_user"].fn(spark, sf_small))
+    # one Exchange for the window partition; the groupBy reuses it
+    assert txt.count("Exchange hashpartitioning") <= 2
+
+
+def test_topk_no_global_sort(spark, sf_small):
+    txt = plan_text(CORPUS["w8_top_k_limit"].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in txt
+
+
+def test_asof_join_single_shuffle_no_range_explosion(spark, sf_small):
+    txt = plan_text(CORPUS["j7_asof_join"].fn(spark, sf_small))
+    assert "CartesianProduct" not in txt and "BroadcastNestedLoopJoin" not in txt

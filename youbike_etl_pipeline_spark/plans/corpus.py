@@ -1754,6 +1754,98 @@ def st2_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Coverage round-out: J6 lookup join, F13 minmax, cube, M8 profile KMeans
+# ===========================================================================
+
+
+@register(
+    "j6_lookup_join",
+    """
+    SELECT CASE o_orderpriority
+             WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+             WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 END AS priority_rank,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+    survey_rows="J6",
+    description="Static dict-lookup join via create_map literal (the "
+    "reference's zoning_map/.map() shape; broadcast join for big maps).",
+)
+def j6_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    priority_rank = {
+        "1-URGENT": 1,
+        "2-HIGH": 2,
+        "3-MEDIUM": 3,
+        "4-NOT SPECIFIED": 4,
+        "5-LOW": 5,
+    }
+    orders = _t(spark, sf_dir, "orders")
+    mapped = oj.lookup_join(orders, priority_rank, key="o_orderpriority", value_name="priority_rank")
+    return mapped.groupBy("priority_rank").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "f13_minmax_scale",
+    """
+    WITH bounds AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+    SELECT CAST(FLOOR((o_totalprice - lo) / (hi - lo) * 10) AS INTEGER) AS decile_bin,
+           COUNT(*) AS n
+    FROM orders, bounds GROUP BY 1
+    """,
+    survey_rows="F13,M10",
+    description="MinMax scaling as column arithmetic against aggregated "
+    "bounds (broadcast one-row frame — no driver collect), binned.",
+)
+def f13_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    bounds = orders.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    scaled = orders.crossJoin(F.broadcast(bounds)).withColumn(
+        "decile_bin",
+        F.floor((F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 10).cast("int"),
+    )
+    return scaled.groupBy("decile_bin").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "a9b_cube_hierarchy",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {SQL_DSUM('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    survey_rows="A1 (cube extension, SURVEY §2.4 note)",
+    description="CUBE grouping sets over the fact table.",
+)
+def a9b_cube_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), agg.decimal_sum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "m8_kmeans_hour_profiles",
+    None,  # iterative seeded clustering — rows-only
+    survey_rows="M8,A6,A10",
+    description="The reference's station-cluster query: user-hour pivot "
+    "profile -> seeded KMeans(k=4) -> cluster sizes + peak-hour labels.",
+)
+def m8_kmeans_hour_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.clustering import kmeans_hour_profiles, label_cluster_by_peak
+
+    ev = _t(spark, sf_dir, "events").withColumn("hour", F.hour("ts"))
+    profile = agg.pivot_profile(ev, "user_id", "hour", "value", list(range(24)))
+    assignments, summaries = kmeans_hour_profiles(
+        profile, "user_id", [str(h) for h in range(24)], k=4, seed=42
+    )
+    sizes = assignments.groupBy("cluster").agg(F.count(F.lit(1)).alias("n"))
+    labels = ev.sparkSession.createDataFrame(
+        [(s["cluster"], s["peak_hour"], label_cluster_by_peak(s["peak_hour"])) for s in summaries],
+        schema="cluster int, peak_hour int, label string",
+    )
+    return sizes.join(labels, "cluster")
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 

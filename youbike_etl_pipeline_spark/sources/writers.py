@@ -26,9 +26,26 @@ def write_parquet(df: DataFrame, path: str, mode: str = "append", partition_by: 
 def write_csv(df: DataFrame, path: str, single_file: bool = False, encoding: str = "UTF-8") -> None:
     """CSV sink (S10). ``single_file=True`` matches the reference's one-file
     ``to_csv`` exports (``notebooks/03_data_merge.ipynb:L91``) — only for
-    small result sets; large outputs stay multi-part."""
+    small result sets; large outputs stay multi-part.
+
+    ``UTF-8-SIG`` (the reference's Excel-friendly Tableau export encoding,
+    ``06_tableau_master_dataset.ipynb:L86``) is not a JVM charset — emulated
+    by writing UTF-8 and prepending the BOM to each part file afterwards.
+    """
+    want_bom = encoding.upper() in ("UTF-8-SIG", "UTF-8_SIG")
     out = df.coalesce(1) if single_file else df
-    out.write.mode("overwrite").option("header", True).option("encoding", encoding).csv(path)
+    out.write.mode("overwrite").option("header", True).option(
+        "encoding", "UTF-8" if want_bom else encoding
+    ).csv(path)
+    if want_bom:
+        import glob
+
+        for part in glob.glob(f"{path}/*.csv"):
+            with open(part, "rb") as f:
+                data = f.read()
+            if not data.startswith(b"\xef\xbb\xbf"):
+                with open(part, "wb") as f:
+                    f.write(b"\xef\xbb\xbf" + data)
 
 
 def append_dedup(new_rows: DataFrame, existing: DataFrame | None, keys: list[str]) -> DataFrame:
