@@ -1,0 +1,83 @@
+"""Skew-helper equivalence tests + hypothesis property tests (SURVEY §5:
+the property-based layer the reference lacks)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from youbike_etl_pipeline_spark.operators.skew import salted_group_agg, salted_join
+from youbike_etl_pipeline_spark.sources.readers import read_events
+from youbike_etl_pipeline_spark.operators.windows import interpolate_linear
+
+
+def test_salted_group_agg_matches_plain(spark, sf_small):
+    ev = read_events(spark, sf_small)
+    plain = {
+        (r["user_id"],): (r["n"], r["mx"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count("value").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    salted = {
+        (r["user_id"],): (r["n"], r["mx"])
+        for r in salted_group_agg(
+            ev, ["user_id"], {"n": ("value", "count"), "mx": ("value", "max")}, n_salts=8
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_join_matches_plain(spark, sf_small):
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    nation_of = spark.read.parquet(f"{sf_small}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    plain = (
+        orders.join(nation_of, "o_custkey")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(orders, nation_of, on="o_custkey", n_salts=8)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    values=st.lists(
+        st.one_of(st.none(), st.floats(min_value=-100, max_value=100, allow_nan=False)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_interpolation_matches_pandas_property(spark_prop, values):
+    """Window-based linear interpolation == pandas interpolate().ffill().bfill()
+    for arbitrary null patterns (the SURVEY §7 exactness risk)."""
+    pdf = pd.DataFrame({"k": ["a"] * len(values), "t": range(len(values)), "v": values})
+    rows = [("a", i, None if v is None else float(v)) for i, v in enumerate(values)]
+    df = spark_prop.createDataFrame(rows, "k string, t int, v double")
+    got = (
+        interpolate_linear(df, key="k", ts="t", cols=["v"])
+        .orderBy("t")
+        .toPandas()["v"]
+        .tolist()
+    )
+    expected = [
+        float("nan") if pd.isna(v) else float(v)
+        for v in pd.to_numeric(pdf["v"]).interpolate("linear").ffill().bfill()
+    ]
+    got = [float("nan") if v is None or pd.isna(v) else float(v) for v in got]
+    assert got == pytest.approx(expected, nan_ok=True)
+
+
+@pytest.fixture(scope="module")
+def spark_prop(spark):
+    # hypothesis drives many tiny jobs; reuse the session fixture
+    return spark

@@ -1,0 +1,68 @@
+"""Skew mitigation for hot keys (SURVEY §4; 100 TB posture).
+
+AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on in the
+session factory) covers sort-merge joins at runtime. These helpers cover the
+cases AQE does not: skewed *aggregations* (one key dominating a groupBy) and
+skewed *broadcast-side* joins where the hot key must be spread manually.
+
+Salting pattern: append a salt in [0, n) to the hot key, aggregate partially
+per (key, salt) — map-side combine already shrinks each salt bucket — then
+re-aggregate per key. For joins, the small side is exploded ×n so every
+salted fact row still finds its match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, n_salts: int = 16, salt_col: str = "__salt") -> DataFrame:
+    """Uniform random salt in [0, n_salts) — used to split a hot key's rows
+    across ``n_salts`` reducers."""
+    return df.withColumn(salt_col, (F.rand(seed=42) * n_salts).cast("int"))
+
+
+def salted_group_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-stage skew-proof aggregation.
+
+    ``aggs`` maps output column → (input column, fn) with fn ∈
+    {sum, count, min, max}: the algebraic aggregates that re-combine exactly
+    (avg = sum/count composed by the caller). Stage 1 aggregates per
+    (keys, salt) — the hot key now spreads over ``n_salts`` reducers;
+    stage 2 combines the ≤ n_salts partials per key (tiny).
+    """
+    recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    salted = with_salt(df, n_salts)
+    stage1 = salted.groupBy(*keys, "__salt").agg(
+        *[first[fn](col).alias(out) for out, (col, fn) in aggs.items()]
+    )
+    stage2 = stage1.groupBy(*keys).agg(
+        *[recombine[fn](out).alias(out) for out, (_, fn) in aggs.items()]
+    )
+    return stage2
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side, explode the small side ×
+    ``n_salts`` so each salted partition finds its match, join on
+    (key, salt), drop the salt. Use when one key dominates ``big`` and the
+    join cannot broadcast (otherwise prefer ``F.broadcast``/AQE)."""
+    big_salted = with_salt(big, n_salts)
+    small_exploded = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = big_salted.join(small_exploded, on=[on, "__salt"], how=how)
+    return joined.drop("__salt")
