@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import shingle_hashes, tokens, word_shingles
+from .text import shingle_hashes, tokens, word_shingles_from_tokens
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -34,10 +34,22 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
-    """Inverted index: one row per (doc, distinct word-k-shingle)."""
-    return df.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), k)).alias("shingle")
+    """Inverted index: one row per (doc, distinct word-k-shingle). Tokens
+    are materialized as a projection first so the shingle lambda reads an
+    O(1) array reference (see word_shingles_from_tokens)."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    return toks.select(
+        F.col(id_col), F.explode(word_shingles_from_tokens(F.col("__toks"), k)).alias("shingle")
     )
+
+
+def shingle_hash_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """One row per (doc, xxhash64(shingle)) — MinHash/verify input, built on
+    the materialized-token projection."""
+    idx = shingle_index(df, text_col, id_col, k)
+    return idx.select(F.col(id_col), F.xxhash64("shingle").alias("sh"))
 
 
 def ngram_jaccard_pairs(
@@ -91,9 +103,7 @@ def minhash_signatures(
     """MinHash signature per document: for seed i, min over shingles of
     xxhash64(shingle, seed=i). Computed as one explode + hash-agg of
     ``num_hashes`` mins — a single shuffle on the doc id."""
-    exploded = df.select(
-        F.col(id_col), F.explode(shingle_hashes(F.col(text_col), k)).alias("sh")
-    )
+    exploded = shingle_hash_index(df, text_col, id_col, k)
     mins = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
     ]
@@ -153,14 +163,17 @@ def minhash_lsh_dedup(
     verify join touches candidate pairs, not all pairs)."""
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
     cands = minhash_lsh_candidates(sigs, id_col, bands)
-    idx = df.select(F.col(id_col), F.explode(shingle_hashes(F.col(text_col), k)).alias("sh"))
+    idx = shingle_hash_index(df, text_col, id_col, k)
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    # candidate pairs are the small side: broadcast them ONCE into the a-side
+    # index (referencing `cands` in several joins would re-evaluate the whole
+    # signature+banding subtree per reference), then equi-join the b-side on
+    # (id_b, shingle-hash) to count intersections — candidate-local work only.
     a = idx.toDF("id_a", "sh")
     b = idx.toDF("id_b", "sh")
+    expanded = a.join(F.broadcast(cands), "id_a")  # (id_a, sh, id_b)
     inter = (
-        a.join(F.broadcast(cands.select("id_a").distinct()), "id_a")
-        .join(b.join(F.broadcast(cands.select("id_b").distinct()), "id_b"), "sh")
-        .join(cands, ["id_a", "id_b"])
+        expanded.join(b, ["id_b", "sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
