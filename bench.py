@@ -27,6 +27,8 @@ from youbike_etl_pipeline_spark.session import get_spark  # noqa: E402
 HEADLINE = [
     "flagship_segment_health",
     "a1_tpch_q1_pricing_summary",
+    "q3_shipping_priority",
+    "window_frames",
     "j1_fact_dim_revenue",
     "j2_hour_bucket_join",
     "j5_nearest_neighbor_join",

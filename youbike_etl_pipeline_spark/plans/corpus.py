@@ -1846,6 +1846,162 @@ def m8_kmeans_hour_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Query-shape round-out: Q3 join pipeline, set ops, window frames, from_json,
+# approximate sketches
+# ===========================================================================
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+           {SQL_DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY 1, 2, 3
+    """,
+    survey_rows="J1,P6,A1 (TPC-H Q3 shape)",
+    description="Selective filter + 3-way join + group: the classic "
+    "filter-pushdown/join-order pipeline.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        agg.decimal_sum(revenue).alias("revenue")
+    )
+
+
+@register(
+    "set_operations",
+    """
+    WITH with_orders AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    rich AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 5000)
+    SELECT 'union' AS op, (SELECT COUNT(*) FROM (SELECT k FROM with_orders UNION SELECT k FROM rich)) AS n
+    UNION ALL
+    SELECT 'intersect', (SELECT COUNT(*) FROM (SELECT k FROM with_orders INTERSECT SELECT k FROM rich))
+    UNION ALL
+    SELECT 'except', (SELECT COUNT(*) FROM (SELECT k FROM with_orders EXCEPT SELECT k FROM rich))
+    """,
+    survey_rows="set ops (SURVEY §2.3 'free in Spark' note)",
+    description="UNION / INTERSECT / EXCEPT distinct semantics.",
+)
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k")).distinct()
+    rich = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    u = orders.union(rich).distinct().count()
+    i = orders.intersect(rich).count()
+    x = orders.exceptAll(rich.distinct()).distinct().count()
+    return spark.createDataFrame(
+        [("union", u), ("intersect", i), ("except", x)], "op string, n long"
+    )
+
+
+@register(
+    "window_frames",
+    f"""
+    WITH w AS (
+      SELECT user_id, ts, event_id, value,
+             SUM(CAST(value AS DECIMAL(27,6)))
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_dec,
+             AVG(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
+             NTILE(4) OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS quartile
+      FROM events
+    )
+    SELECT user_id, quartile,
+           COUNT(*) AS n,
+           {SQL_DAVG('ma3')} AS mean_ma3,
+           CAST(MAX(running_dec) AS DOUBLE) AS max_running
+    FROM w GROUP BY 1, 2
+    """,
+    survey_rows="W1,W6 (frame/ntile extensions, SURVEY §2.5 note)",
+    description="Running decimal sum (unbounded frame), 3-row moving "
+    "average (bounded frame), ntile quartiles.",
+)
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    wq = Window.partitionBy("user_id").orderBy(F.col("value").asc(), F.col("event_id").asc())
+    enriched = (
+        ev.withColumn(
+            "running_dec",
+            F.sum(F.col("value").cast("decimal(27,6)")).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .withColumn("ma3", F.avg("value").over(w.rowsBetween(-2, 0)))
+        .withColumn("quartile", F.ntile(4).over(wq))
+    )
+    return enriched.groupBy("user_id", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        agg.decimal_avg(F.col("ma3")).alias("mean_ma3"),
+        F.max("running_dec").cast("double").alias("max_running"),
+    )
+
+
+@register(
+    "f_json_struct",
+    """
+    SELECT (CAST(json_extract_string(props, '$.k') AS INTEGER) // 10) % 10 AS k_decade,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k
+    FROM events GROUP BY 1
+    """,
+    survey_rows="F-json (SURVEY §2.6 note: engine exposes from_json)",
+    description="from_json with explicit schema -> struct field math (the "
+    "raw source IS JSON; flattening stays in the engine, not pandas).",
+)
+def f_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    parsed = ev.withColumn("props_struct", F.from_json("props", schema))
+    k = F.col("props_struct.k")
+    return (
+        parsed.withColumn("k_decade", (k / 10).cast("int") % 10)
+        .groupBy("k_decade")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(k).alias("sum_k"))
+    )
+
+
+@register(
+    "approx_sketches",
+    None,  # approximate by design — accuracy bounds tested in tests/
+    survey_rows="A12 approx (SURVEY §2.4 note)",
+    description="approx_count_distinct (HLL) + percentile_approx — the "
+    ">TB swap-ins for exact distinct/percentile.",
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+        F.expr("percentile(value, 0.5)").alias("exact_median"),
+    )
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
