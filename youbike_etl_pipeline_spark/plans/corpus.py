@@ -66,6 +66,9 @@ def oracle_sql() -> dict[str, str]:
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver runs queries in its own session: pin UTC so timestamp
+    # semantics match the DuckDB oracle regardless of host timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         return read_events(spark, sf_dir)
     return read_parquet_table(spark, sf_dir, name)
@@ -1998,6 +2001,68 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("exact_users"),
         F.percentile_approx("value", 0.5).alias("approx_median"),
         F.expr("percentile(value, 0.5)").alias("exact_median"),
+    )
+
+
+# ===========================================================================
+# Subquery shapes (free in Spark SQL; demonstrated for the corpus)
+# ===========================================================================
+
+
+@register(
+    "sq_scalar_subquery",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_above
+    FROM customer
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    GROUP BY c_mktsegment
+    """,
+    survey_rows="subqueries (SURVEY §2.3 'free in Spark' family)",
+    description="Scalar subquery in a predicate: customers above the global "
+    "mean balance.",
+)
+def sq_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("corpus_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n_above
+        FROM corpus_customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM corpus_customer)
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "sq_correlated_exists",
+    f"""
+    SELECT n.n_name, COUNT(*) AS n_big_spenders
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    GROUP BY n.n_name
+    """,
+    survey_rows="subqueries (correlated EXISTS)",
+    description="Correlated EXISTS with a predicate — planned as a "
+    "left-semi join (SQL API surface of the engine).",
+)
+def sq_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("corpus_customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("corpus_nation")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("corpus_orders")
+    return spark.sql(
+        """
+        SELECT n.n_name, COUNT(*) AS n_big_spenders
+        FROM corpus_customer c JOIN corpus_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE EXISTS (
+          SELECT 1 FROM corpus_orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+        )
+        GROUP BY n.n_name
+        """
     )
 
 
