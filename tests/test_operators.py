@@ -178,3 +178,36 @@ def test_minmax_roundtrip(spark):
     assert [r["x"] for r in scaled.orderBy("x").collect()] == [0.0, 0.5, 1.0]
     back = minmax_inverse(scaled, bounds)
     assert [r["x"] for r in back.orderBy("x").collect()] == [1.0, 3.0, 5.0]
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_small):
+    from youbike_etl_pipeline_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    q = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = [r["vec_id"] for r in cosine_topk(base, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(base, q, k=10, n_centroids=8, n_probe=4).collect()]
+    # probing half the cells should recover most of the exact top-10
+    assert len(set(approx) & set(exact)) >= 6, (approx, exact)
+    # full probe = exact
+    full = [r["vec_id"] for r in ivf_topk(base, q, k=10, n_centroids=8, n_probe=8).collect()]
+    assert full == exact
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("u", base, 1),
+        ("u", base + datetime.timedelta(minutes=10), 2),
+        ("u", base + datetime.timedelta(minutes=50), 3),  # 40-min gap → new session
+        ("u", base + datetime.timedelta(minutes=60), 4),
+        ("v", base, 5),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, event_id int")
+    from youbike_etl_pipeline_spark.operators.windows import sessionize
+
+    out = {r["event_id"]: r["session_id"] for r in sessionize(df, "k", "ts", 30.0, ["event_id"]).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}

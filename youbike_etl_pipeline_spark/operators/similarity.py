@@ -205,3 +205,55 @@ def lsh_near_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition vectors into KMeans cells
+    (the inverted file), then scan only the ``n_probe`` cells whose
+    centroids are most similar to the query.
+
+    The cell assignment is the expensive, once-per-corpus step (reusable
+    across queries — at 100 TB it would be a materialized column the table
+    is partitioned by, so a probe reads n_probe/n_centroids of the data
+    with partition pruning). Recall < 1 by construction; raise ``n_probe``
+    toward ``n_centroids`` for exactness.
+    """
+    from ..ml.clustering import kmeans_cluster_embeddings
+
+    assignments = kmeans_cluster_embeddings(df, vec_col, id_col, k=n_centroids, seed=seed)
+    tagged = df.join(assignments, id_col)
+    # centroid similarity to the query, computed on the tiny centroid set
+    centroids = (
+        tagged.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.aggregate(
+                    F.collect_list(F.col(vec_col).cast("array<double>")),
+                    F.array(*[F.lit(0.0) for _ in range(len(query_vec))]),
+                    lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+                ),
+                lambda x: x / F.count(F.lit(1)),
+            ).alias("centroid")
+        )
+    )
+    q = _query_lit(query_vec)
+    probe = (
+        centroids.withColumn("sim", cosine_similarity(F.col("centroid"), q))
+        .orderBy(F.col("sim").desc())
+        .limit(n_probe)
+        .select("cluster")
+    )
+    candidates = tagged.join(F.broadcast(probe), "cluster")
+    scored = candidates.select(
+        F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine")
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)

@@ -135,6 +135,30 @@ def deterministic_sample(df: DataFrame, key: str, modulus: int = 10, bucket: int
     return df.filter((F.col(key) % modulus) == bucket)
 
 
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_minutes: float = 30.0,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Sessionization: assign a session id per (key, activity burst) where a
+    new session starts when the gap since the previous event exceeds
+    ``gap_minutes`` (the classic lag + conditional cumsum composition —
+    SURVEY §2.8 'session windows are free extensions').
+
+    One shuffle on ``key``; the streaming twin is
+    ``F.session_window(ts, gap)`` in streaming/ingest.py."""
+    w = series_window(key, ts, *(tiebreak or []))
+    prev_ts = F.lag(ts).over(w)
+    gap_s = F.col(ts).cast("double") - prev_ts.cast("double")
+    is_new = F.when(prev_ts.isNull() | (gap_s > gap_minutes * 60.0), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
 def hour_bucket(ts: Column) -> Column:
     """Hour flooring (W4) — ``date_trunc('hour', ts)``
     (reference ``dt.floor('h')``, ``notebooks/03_data_merge.ipynb:L79``)."""

@@ -2067,6 +2067,83 @@ def sq_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Sessionization + IVF ANN
+# ===========================================================================
+
+
+@register(
+    "w9_sessionization",
+    f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR (epoch(ts) - epoch(LAG(ts) OVER w)) > 1800.0
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions,
+           COUNT(*) AS n_events,
+           {SQL_DSUM('value')} AS sum_value
+    FROM sess GROUP BY user_id
+    """,
+    survey_rows="§2.8 session windows,W1",
+    description="Sessionization via lag + conditional cumsum (30-min gap): "
+    "sessions/events per user. Streaming twin: F.session_window.",
+)
+def w9_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sess = ow.sessionize(ev, key="user_id", ts="ts", gap_minutes=30.0, tiebreak=["event_id"])
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        agg.decimal_sum("value").alias("sum_value"),
+    )
+
+
+@register(
+    "st3_streaming_session_window",
+    None,  # session_window start/end depend on watermarking; rows-only
+    survey_rows="§2.8 session windows (streaming)",
+    description="Structured Streaming F.session_window(30 min gap) "
+    "aggregation run to completion — the stateful streaming twin of w9.",
+)
+def st3_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import read_events_stream, run_stream_to_memory
+
+    events = read_events_stream(spark, sf_dir)
+    agg_df = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("user_id", F.col("sw.start").alias("session_start"), "n")
+    )
+    return run_stream_to_memory(agg_df, output_mode="complete")
+
+
+@register(
+    "s4_ivf_topk",
+    None,  # approximate (probed cells); recall tested vs exact in tests/
+    survey_rows="ext:similarity-ivf",
+    description="IVF approximate top-k: KMeans cells + n_probe nearest "
+    "cells scanned (partition-pruned at scale).",
+)
+def s4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    out = ivf_topk(emb.filter(F.col("vec_id") != 0), qvec, k=10, n_centroids=8, n_probe=4)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
