@@ -2144,6 +2144,78 @@ def s4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Gold-merge composite: the reference's §3.2 dataflow as one oracle query
+# ===========================================================================
+
+
+@register(
+    "gold_wide_pipeline",
+    f"""
+    WITH monthly AS (
+      SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_key,
+             {SQL_DAVG('o_totalprice')} AS month_avg_price
+      FROM orders GROUP BY 1
+    ),
+    gold AS (
+      SELECT l.l_orderkey, l.l_linenumber, p.p_brand,
+             CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) AS month_key,
+             m.month_avg_price,
+             CASE WHEN l.l_quantity > 0
+                  THEN l.l_extendedprice / l.l_quantity END AS unit_price,
+             CASE WHEN o.o_totalprice < 100000 THEN 'Shortage' ELSE 'Normal' END AS risk_label
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      LEFT JOIN monthly m ON CAST(date_trunc('month', o.o_orderdate) AS TIMESTAMP) = m.month_key
+    )
+    SELECT p_brand, risk_label,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(FLOOR(unit_price * 1000000) AS DECIMAL(27,0))) AS DOUBLE)
+             / COUNT(unit_price) / 1000000.0 AS mean_unit_price,
+           {SQL_DAVG('month_avg_price')} AS mean_month_avg
+    FROM gold GROUP BY 1, 2
+    """,
+    survey_rows="J1,J2,F3,F6,A1 (gold merge composite, SURVEY §3.2)",
+    description="The reference's merge->gold dataflow as one query: fact ⋈ "
+    "broadcast dim ⋈ time-bucketed aggregate (weather analogue) with "
+    "derived ratio + risk label, then group stats over the wide table.",
+)
+def gold_wide_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalar import shortage_label
+    from ..operators.joins import fact_dim_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month_key")
+    ).agg(agg.decimal_avg("o_totalprice").alias("month_avg_price"))
+    gold = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("month_key", F.date_trunc("month", "o_orderdate"))
+        .join(F.broadcast(monthly), "month_key", "left")
+        .withColumn(
+            "unit_price",
+            F.when(F.col("l_quantity") > 0, F.col("l_extendedprice") / F.col("l_quantity")),
+        )
+        .withColumn("risk_label", shortage_label(F.col("o_totalprice"), threshold=100000))
+    )
+    return gold.groupBy("p_brand", "risk_label").agg(
+        F.count(F.lit(1)).alias("n"),
+        # unit_price is a dyadic quotient (price / 2^k quantities) whose exact
+        # decimal expansion can end in ...5 at any scale — rounding-mode ties
+        # across engines. Floor at micro-precision instead (tie-free).
+        (
+            F.sum(F.floor(F.col("unit_price") * 1000000).cast("decimal(27,0)")).cast("double")
+            / F.count("unit_price")
+            / 1000000.0
+        ).alias("mean_unit_price"),
+        agg.decimal_avg(F.col("month_avg_price")).alias("mean_month_avg"),
+    )
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
