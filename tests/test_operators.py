@@ -211,3 +211,21 @@ def test_sessionize_gap_semantics(spark):
 
     out = {r["event_id"]: r["session_id"] for r in sessionize(df, "k", "ts", 30.0, ["event_id"]).collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+
+def test_stateful_stream_matches_batch(spark, sf_small):
+    from youbike_etl_pipeline_spark.sources.readers import read_events
+    from youbike_etl_pipeline_spark.streaming.stateful import running_user_stats_stream
+
+    got = {
+        r["user_id"]: (r["running_max"], r["n"])
+        for r in running_user_stats_stream(spark, sf_small).collect()
+    }
+    expected = {
+        r["user_id"]: (r["mx"], r["n"])
+        for r in read_events(spark, sf_small)
+        .groupBy("user_id")
+        .agg(F.max("value").alias("mx"), F.count("value").alias("n"))
+        .collect()
+    }
+    assert got == expected

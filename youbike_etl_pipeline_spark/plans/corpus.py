@@ -1460,7 +1460,31 @@ def t5_char_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t6_quality_scores",
-    None,  # heuristic composite — mechanism-checked (rows-only)
+    """
+    WITH f AS (
+      SELECT lang,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             len(regexp_extract_all(lower(text), '\\bthe\\b'))
+               + len(regexp_extract_all(lower(text), '\\band\\b'))
+               + len(regexp_extract_all(lower(text), '\\bof\\b'))
+               + len(regexp_extract_all(lower(text), '\\bto\\b'))
+               + len(regexp_extract_all(lower(text), '\\ba\\b')) AS n_stop
+      FROM documents
+    ),
+    q AS (
+      SELECT lang,
+             (LEAST(n_tokens / 100.0, 1.0)
+              + (1.0 - LEAST(COALESCE(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars END, 0.0) * 5.0, 1.0))
+              + LEAST(COALESCE(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens END, 0.0) * 4.0, 1.0)
+             ) / 3.0 AS quality
+      FROM f
+    )
+    SELECT lang, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(27,6))) AS DOUBLE) / COUNT(quality), 6) AS mean_quality
+    FROM q GROUP BY lang
+    """,
     survey_rows="ext:quality-score",
     description="Composite document quality scoring (length/punct/stopword).",
 )
@@ -2213,6 +2237,73 @@ def gold_wide_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_unit_price"),
         agg.decimal_avg(F.col("month_avg_price")).alias("mean_month_avg"),
     )
+
+
+# ===========================================================================
+# M7 closed-form simple OLS + custom stateful streaming
+# ===========================================================================
+
+
+@register(
+    "m7_simple_ols",
+    """
+    WITH s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(CAST(l_discount AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sy,
+             CAST(FLOOR(SUM(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_discount AS DECIMAL(19,6))) * 1000000) AS DOUBLE) / 1000000.0 AS sxx,
+             CAST(FLOOR(SUM(CAST(l_discount AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)))) AS DOUBLE) AS sxy,
+             CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(19,6)) * CAST(l_extendedprice AS DECIMAL(19,6)))) AS DOUBLE) AS syy
+      FROM lineitem
+    )
+    SELECT n,
+           ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+           ROUND(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * (sx / n), 4) AS intercept,
+           ROUND(((sxy - sx * sy / n) * (sxy - sx * sy / n))
+                 / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 8) AS r2
+    FROM s
+    """,
+    survey_rows="M7",
+    description="Simple OLS closed-form from exact sufficient sums: slope, "
+    "intercept, r2 = corr^2 (the single-feature member of the model-evolution "
+    "ladder; RFormula covers the multi-feature ones).",
+)
+def m7_simple_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_discount"), F.col("l_extendedprice")
+    d196 = "decimal(19,6)"
+    s = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        agg.decimal_sum(x).alias("sx"),
+        agg.decimal_sum(y).alias("sy"),
+        (F.floor(F.sum(x.cast(d196) * x.cast(d196)) * 1000000).cast("double") / 1000000.0).alias("sxx"),
+        F.floor(F.sum(x.cast(d196) * y.cast(d196))).cast("double").alias("sxy"),
+        F.floor(F.sum(y.cast(d196) * y.cast(d196))).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    cov = sxy - sx * sy / n
+    varx = sxx - sx * sx / n
+    vary = syy - sy * sy / n
+    return s.select(
+        n,
+        F.round(cov / varx, 6).alias("slope"),
+        F.round(sy / n - cov / varx * (sx / n), 4).alias("intercept"),
+        F.round((cov * cov) / (varx * vary), 8).alias("r2"),
+    )
+
+
+@register(
+    "st4_stateful_running_max",
+    None,  # custom stateful streaming — not SQL-expressible by contract
+    survey_rows="§2.8 custom stateful (applyInPandasWithState)",
+    description="Custom stateful streaming operator: per-user running max & "
+    "count maintained in explicit GroupState across micro-batches.",
+)
+def st4_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.stateful import running_user_stats_stream
+
+    return running_user_stats_stream(spark, sf_dir)
 
 
 # ===========================================================================
