@@ -1598,12 +1598,32 @@ def s2_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
+def _lsh_oracle_sql() -> str:
+    """Generate the DuckDB mirror of lsh_bucket: same LCG hyperplane
+    constants, same left-assoc dot-product fold, same sign→bit packing."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, seed=42)
+    bits = []
+    for i, plane in enumerate(planes):
+        dot = " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * {w!r}" for j, w in enumerate(plane)
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+    SELECT ({bucket}) AS bucket, COUNT(*) AS n
+    FROM embeddings GROUP BY 1
+    """
+
+
 @register(
     "s3_lsh_ann_buckets",
-    None,  # recall-bearing approximate structure; verified in tests vs s2
+    None,  # oracle attached below (needs plane constants generated)
     survey_rows="ext:similarity-lsh",
     description="Random-hyperplane LSH bucketing for ANN: bucket histogram "
-    "(the IVF/LSH scale path for s1/s2).",
+    "(the IVF/LSH scale path for s1/s2). Oracle mirrors the deterministic "
+    "hyperplanes and fold order in generated SQL.",
 )
 def s3_lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import _hyperplanes, lsh_bucket
@@ -1615,6 +1635,9 @@ def s3_lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+CORPUS["s3_lsh_ann_buckets"].oracle = _lsh_oracle_sql()
 
 
 @register(
