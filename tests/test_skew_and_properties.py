@@ -81,3 +81,46 @@ def test_interpolation_matches_pandas_property(spark_prop, values):
 def spark_prop(spark):
     # hypothesis drives many tiny jobs; reuse the session fixture
     return spark
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    left_ts=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=15),
+    right_ts=st.lists(st.integers(min_value=0, max_value=50), min_size=0, max_size=8),
+)
+def test_asof_join_matches_merge_asof_property(spark_prop, left_ts, right_ts):
+    """Custom as-of join == pandas merge_asof for arbitrary timestamp sets
+    (including duplicates on the left, empty right, and exact-tie matches)."""
+    from youbike_etl_pipeline_spark.operators.joins import asof_join
+
+    left = pd.DataFrame(
+        {"k": ["g"] * len(left_ts), "t": sorted(left_ts), "x": range(len(left_ts))}
+    )
+    right_unique = sorted(set(right_ts))
+    right = pd.DataFrame(
+        {"k": ["g"] * len(right_unique), "rt": right_unique,
+         "r": [float(v * 10) for v in right_unique]}
+    )
+    ldf = spark_prop.createDataFrame(left, "k string, t int, x int")
+    rdf = (
+        spark_prop.createDataFrame(right, "k string, rt int, r double")
+        if len(right)
+        else spark_prop.createDataFrame([], "k string, rt int, r double")
+    )
+    got = (
+        asof_join(ldf, rdf, on="k", left_ts="t", right_ts="rt", right_values=["r"])
+        .orderBy("t", "x")
+        .toPandas()
+    )
+    if len(right):
+        expected = pd.merge_asof(
+            left.sort_values(["t", "x"]),
+            right.rename(columns={"rt": "t"}).sort_values("t"),
+            on="t",
+            by="k",
+        )
+        exp_r = [None if pd.isna(v) else v for v in expected["r"]]
+    else:
+        exp_r = [None] * len(left)
+    got_r = [None if pd.isna(v) else v for v in got["r"]]
+    assert got_r == exp_r

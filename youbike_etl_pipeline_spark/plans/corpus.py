@@ -2330,6 +2330,59 @@ def st4_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Batch ANN: top-k per query row
+# ===========================================================================
+
+
+@register(
+    "s5_topk_per_query",
+    """
+    WITH base AS (
+      SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+      FROM embeddings
+    ),
+    qs AS (SELECT * FROM base WHERE vec_id < 5),
+    vs AS (SELECT * FROM base WHERE vec_id >= 5),
+    norms AS (
+      SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nn FROM base GROUP BY 1
+    ),
+    dots AS (
+      SELECT qs.vec_id AS query_id, vs.vec_id AS vec_id,
+             SUM(CAST(vs.x AS DOUBLE) * CAST(qs.x AS DOUBLE)) AS dot
+      FROM vs JOIN qs ON vs.i = qs.i GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT query_id, d.vec_id,
+             d.dot / (SQRT(nv.nn) * SQRT(nq.nn)) AS cos_raw
+      FROM dots d
+      JOIN norms nv ON d.vec_id = nv.vec_id
+      JOIN norms nq ON d.query_id = nq.vec_id
+    )
+    SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cosine, rank FROM (
+      SELECT query_id, vec_id, cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+    survey_rows="ext:similarity-topk-batch",
+    description="Batch ANN: top-3 neighbors for each of 5 query vectors — "
+    "broadcast query batch, per-query ranking window.",
+)
+def s5_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk_per_query
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base = emb.filter(F.col("vec_id") >= 5)
+    out = cosine_topk_per_query(base, queries_df, k=3)
+    return out.withColumn("cosine", F.round("cosine", 6)).withColumn(
+        "rank", F.col("rank").cast("long")
+    )
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
