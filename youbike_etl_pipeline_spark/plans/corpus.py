@@ -2383,6 +2383,110 @@ def s5_topk_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# CDC / MERGE and data-quality validation
+# ===========================================================================
+
+
+@register(
+    "cdc_merge_upsert",
+    f"""
+    WITH changes AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal * 1.1 AS c_acctbal, c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name, c_nationkey, 0.0, 'NEW'
+      FROM customer WHERE c_custkey % 97 = 0
+    ),
+    merged AS (
+      SELECT * FROM customer t
+      WHERE NOT EXISTS (SELECT 1 FROM changes ch WHERE ch.c_custkey = t.c_custkey)
+      UNION ALL
+      SELECT * FROM changes
+    )
+    SELECT c_mktsegment, COUNT(*) AS n, {SQL_DSUM('c_acctbal')} AS total_bal
+    FROM merged GROUP BY c_mktsegment
+    """,
+    survey_rows="S9 (MERGE generalization; guide 'CDC/SCD2' pattern)",
+    description="SCD1 MERGE emulation (update matched + insert new via "
+    "anti-join+union) applied to a synthetic changeset, then aggregated.",
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import merge_upsert
+
+    cust = _t(spark, sf_dir, "customer")
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.col("c_acctbal") * 1.1
+    )
+    inserts = (
+        cust.filter(F.col("c_custkey") % 97 == 0)
+        .withColumn("c_custkey", F.col("c_custkey") + 1000000)
+        .withColumn("c_acctbal", F.lit(0.0))
+        .withColumn("c_mktsegment", F.lit("NEW"))
+    )
+    merged = merge_upsert(cust, updates.unionByName(inserts), keys=["c_custkey"])
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), agg.decimal_sum("c_acctbal").alias("total_bal")
+    )
+
+
+@register(
+    "dq_validate_constraints",
+    """
+    WITH agg AS (
+      SELECT COUNT(*) AS n_rows,
+             SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS q_null,
+             SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50) THEN 1 ELSE 0 END) AS q_range,
+             SUM(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.08) THEN 1 ELSE 0 END) AS d_range,
+             SUM(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A', 'N') THEN 1 ELSE 0 END) AS rf_set
+      FROM lineitem
+    )
+    SELECT c."constraint", a.n_rows, c.n_violations,
+           c.n_violations * 1.0 / a.n_rows AS violation_rate
+    FROM agg a, LATERAL (VALUES
+      ('l_quantity_not_null', a.q_null),
+      ('l_quantity_in_range', a.q_range),
+      ('l_discount_in_range', a.d_range),
+      ('l_returnflag_in_set', a.rf_set)
+    ) AS c("constraint", n_violations)
+    """,
+    survey_rows="ext:data-quality (fail-fast validation generalized)",
+    description="Declarative constraint report in ONE scan: null/range/set "
+    "checks over the fact table (some constraints deliberately violated).",
+)
+def dq_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import in_range, in_set, not_null, validate
+
+    li = _t(spark, sf_dir, "lineitem")
+    return validate(
+        li,
+        [
+            not_null("l_quantity"),
+            in_range("l_quantity", 1, 50),
+            in_range("l_discount", 0.0, 0.08),  # deliberately tight: violations > 0
+            in_set("l_returnflag", ["A", "N"]),  # 'R' rows violate
+        ],
+    )
+
+
+@register(
+    "dq_check_unique",
+    """
+    SELECT 'l_orderkey_l_linenumber_unique' AS "constraint",
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS n_violations,
+           (COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber))) * 1.0 / COUNT(*) AS violation_rate
+    FROM lineitem
+    """,
+    survey_rows="ext:data-quality,S8",
+    description="Candidate-key uniqueness report (the dedup-key audit).",
+)
+def dq_check_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quality import check_unique
+
+    return check_unique(_t(spark, sf_dir, "lineitem"), ["l_orderkey", "l_linenumber"])
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
