@@ -229,3 +229,29 @@ def test_stateful_stream_matches_batch(spark, sf_small):
         .collect()
     }
     assert got == expected
+
+
+def test_range_band_join_matches_inequality_join(spark, sf_small):
+    from youbike_etl_pipeline_spark.operators.joins import range_band_join
+    from youbike_etl_pipeline_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_small)
+    bands = spark.createDataFrame(
+        [("a", 0.0, 37.5), ("b", 37.5, 200.0), ("c", 200.0, 600.0)],
+        "band string, lo double, hi double",
+    )
+    got = (
+        range_band_join(ev, bands, value_col="value")
+        .groupBy("band").count().collect()
+    )
+    expected = (
+        ev.join(bands, (ev.value >= bands.lo) & (ev.value < bands.hi))
+        .groupBy("band").count().collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+    # and the bucketed formulation avoids the nested-loop join
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        range_band_join(ev, bands, value_col="value").explain("simple")
+    assert "BroadcastNestedLoopJoin" not in buf.getvalue()

@@ -1,0 +1,63 @@
+"""Streaming failure semantics (SURVEY §2.8): restart from checkpoint
+resumes at the committed offset — already-processed files are not reprocessed,
+newly arrived files are."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from youbike_etl_pipeline_spark.sources.readers import read_events
+
+
+def _write_slice(ev, lo, hi, path):
+    ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).withColumn(
+        "ts", F.col("ts").cast("long")
+    ).write.mode("overwrite").parquet(path)
+
+
+def test_checkpoint_restart_processes_each_file_once(spark, sf_small, tmp_path):
+    src = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    out_rows: list = []
+
+    ev = read_events(spark, sf_small)
+    # stage 1: first file arrives
+    _write_slice(ev, 0, 400, f"{src}/batch1")
+    schema = "event_id long, ts long, user_id long, event_type string, value double, props string"
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        counts = stream.groupBy(F.lit(1).alias("one")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("id_sum")
+        )
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("recovery_out")
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table("recovery_out").collect()
+
+    first = run_once()
+    n1 = first[0]["n"]
+    assert n1 == ev.filter(F.col("event_id") < 400).count()
+
+    # stage 2: a new file arrives while the stream is down; restart resumes
+    # from the checkpoint and processes ONLY what's new (complete-mode counts
+    # reflect total state, which would double if batch1 were re-read)
+    _write_slice(ev, 400, 10**9, f"{src}/batch2")
+    second = run_once()
+    n2 = second[0]["n"]
+    assert n2 == ev.count()  # exactly once: 400-slice not double-counted
+    assert second[0]["id_sum"] == ev.agg(F.sum("event_id")).collect()[0][0]

@@ -173,3 +173,46 @@ def asof_join(
         *[F.col(f"__lrow.{c}").alias(c) for c in lcols],
         *[F.col(f"__c_{c}").alias(c) for c in right_values],
     )
+
+
+def range_band_join(
+    fact: DataFrame,
+    bands: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float | None = None,
+) -> DataFrame:
+    """Range (theta) join: match each fact row to the band with
+    ``lo <= value < hi`` (SURVEY §2.3 notes the reference lacks range joins;
+    Spark plans a naive inequality join as a nested-loop cross product).
+
+    Scalable formulation: discretize the range key into fixed-width buckets,
+    explode each band into the buckets it overlaps, equi-join fact rows on
+    their bucket, then re-check the exact predicate. The join becomes a
+    hash join on the bucket id — no cross product. ``bucket_width`` defaults
+    to the minimum band width (every band overlaps ≥1 bucket).
+
+    Bands must be non-overlapping for one-row-out semantics (otherwise rows
+    multiply, matching SQL semantics of the equivalent inequality join).
+    """
+    if bucket_width is None:
+        bucket_width = float(
+            bands.agg(F.min(F.col(hi_col) - F.col(lo_col))).collect()[0][0]
+        )
+    w = float(bucket_width)
+    banded = bands.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / w).cast("long"),
+                F.floor((F.col(hi_col) - 1e-9) / w).cast("long"),
+            )
+        ),
+    )
+    keyed = fact.withColumn("__bucket", F.floor(F.col(value_col) / w).cast("long"))
+    return (
+        keyed.join(F.broadcast(banded), on="__bucket", how="inner")
+        .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
+        .drop("__bucket")
+    )

@@ -2487,6 +2487,67 @@ def dq_check_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Range join + unpivot
+# ===========================================================================
+
+
+@register(
+    "j8_range_band_join",
+    f"""
+    WITH bands AS (
+      SELECT * FROM (VALUES
+        ('micro', 0.0, 50.0), ('small', 50.0, 150.0),
+        ('mid', 150.0, 300.0), ('large', 300.0, 1000.0)
+      ) AS b(band, lo, hi)
+    )
+    SELECT b.band, COUNT(*) AS n, {SQL_DSUM('e.value')} AS sum_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+    survey_rows="J2 (range-join generalization, SURVEY §2.3 note)",
+    description="Range (theta) join via bucket discretization + equi-join + "
+    "exact re-check — hash join instead of a nested-loop cross product.",
+)
+def j8_range_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("micro", 0.0, 50.0), ("small", 50.0, 150.0), ("mid", 150.0, 300.0), ("large", 300.0, 1000.0)],
+        "band string, lo double, hi double",
+    )
+    joined = oj.range_band_join(ev, bands, value_col="value")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"), agg.decimal_sum("value").alias("sum_value")
+    )
+
+
+@register(
+    "a6b_unpivot_melt",
+    """
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(CASE WHEN l_linestatus = 'F' THEN l_quantity END AS DECIMAL(27,6))) AS DOUBLE) AS qty_f,
+             CAST(SUM(CAST(CASE WHEN l_linestatus = 'O' THEN l_quantity END AS DECIMAL(27,6))) AS DOUBLE) AS qty_o
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, status, qty FROM wide
+    UNPIVOT (qty FOR status IN (qty_f AS 'F', qty_o AS 'O'))
+    """,
+    survey_rows="A6 inverse (unpivot/stack, guide 'Pivot / unpivot')",
+    description="Unpivot (melt): wide per-status quantity columns back to "
+    "long form via stack().",
+)
+def a6b_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        agg.decimal_sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))).alias("qty_f"),
+        agg.decimal_sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))).alias("qty_o"),
+    )
+    return wide.selectExpr(
+        "l_returnflag", "stack(2, 'F', qty_f, 'O', qty_o) as (status, qty)"
+    ).filter(F.col("qty").isNotNull())
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
