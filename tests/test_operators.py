@@ -255,3 +255,56 @@ def test_range_band_join_matches_inequality_join(spark, sf_small):
     with contextlib.redirect_stdout(buf):
         range_band_join(ev, bands, value_col="value").explain("simple")
     assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+
+
+def test_ml_pipeline_save_load_roundtrip(spark, sf_small, tmp_path):
+    """S11: model-artifact sink via pyspark.ml native persistence."""
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+
+    li = spark.read.parquet(f"{sf_small}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_discount"
+    )
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(inputCols=["l_quantity", "l_discount"], outputCol="features"),
+            KMeans(k=3, seed=42, featuresCol="features", predictionCol="cluster"),
+        ]
+    )
+    model = pipe.fit(li)
+    path = str(tmp_path / "pipeline_model")
+    model.write().overwrite().save(path)
+    reloaded = PipelineModel.load(path)
+    a = model.transform(li).select("l_orderkey", "cluster").collect()
+    b = reloaded.transform(li).select("l_orderkey", "cluster").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_grid_nn_join_matches_brute_force(spark):
+    """Grid-bucketed NN == exact cross-product NN on synthetic points,
+    including a far-away left point exercising the fallback path."""
+    import random
+
+    from youbike_etl_pipeline_spark.operators.joins import grid_nn_join, nearest_mrt_distance
+
+    rng = random.Random(7)
+    stations = [
+        (f"s{i}", 25.0 + rng.random() * 0.05, 121.5 + rng.random() * 0.05)
+        for i in range(60)
+    ] + [("far", 24.0, 120.0)]  # no grid neighbors -> fallback
+    mrt = [(f"m{i}", 25.0 + rng.random() * 0.05, 121.5 + rng.random() * 0.05) for i in range(12)]
+    sdf = spark.createDataFrame(stations, "station_no string, lat double, lng double")
+    mdf = spark.createDataFrame(mrt, "name string, lat double, lng double")
+
+    exact = {
+        r["station_no"]: r["dist_to_mrt"]
+        for r in nearest_mrt_distance(sdf, mdf.select("lat", "lng")).collect()
+    }
+    grid = {
+        r["station_no"]: r["dist_nn"]
+        for r in grid_nn_join(sdf, mdf, "station_no", cell_deg=0.02).collect()
+    }
+    assert set(grid) == set(exact)
+    for k in exact:
+        assert grid[k] == pytest.approx(exact[k], rel=1e-12), k

@@ -216,3 +216,75 @@ def range_band_join(
         .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
         .drop("__bucket")
     )
+
+
+def grid_nn_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    cell_deg: float = 0.01,
+    lat_col: str = "lat",
+    lng_col: str = "lng",
+) -> DataFrame:
+    """Grid-cell nearest-neighbor join — the 100 TB scale path for J5
+    (SURVEY §4: "at scale, add a geohash/grid-cell pre-bucketing join").
+
+    Both point sets are bucketed into ``cell_deg``-sized lat/lng cells; each
+    right point is replicated into its 3×3 cell neighborhood, so a left
+    point's candidates are exactly the right points within one cell of it —
+    an equi-join on the cell id instead of a cross product. Left points
+    whose neighborhood is empty fall back to the exact broadcast cross
+    product (correctness guarantee for sparse regions; at real scale the
+    fallback set is a vanishing fraction).
+
+    Exactness caveat: a neighbor can be missed only if the true NN lies
+    farther than one cell away while a non-NN candidate exists in the
+    neighborhood; with ``cell_deg`` ≥ the expected NN distance this does not
+    occur — pick the cell size from the right-side density (documented
+    contract; the fallback covers empty neighborhoods, not mis-ranking).
+    """
+    lat_cell = F.floor(F.col(lat_col) / cell_deg).cast("long")
+    lng_cell = F.floor(F.col(lng_col) / cell_deg).cast("long")
+
+    lkeyed = left.withColumn("__cell_lat", lat_cell).withColumn("__cell_lng", lng_cell)
+    offsets = [(i, j) for i in (-1, 0, 1) for j in (-1, 0, 1)]
+    r_pts = right.select(
+        F.col(lat_col).alias("__rlat"), F.col(lng_col).alias("__rlng")
+    )
+    replicated = r_pts.withColumn(
+        "__off",
+        F.explode(F.array(*[F.struct(F.lit(i).alias("i"), F.lit(j).alias("j")) for i, j in offsets])),
+    ).select(
+        (F.floor(F.col("__rlat") / cell_deg).cast("long") + F.col("__off.i")).alias("__cell_lat"),
+        (F.floor(F.col("__rlng") / cell_deg).cast("long") + F.col("__off.j")).alias("__cell_lng"),
+        "__rlat",
+        "__rlng",
+    )
+    cand = lkeyed.join(F.broadcast(replicated), on=["__cell_lat", "__cell_lng"], how="inner")
+    d = haversine_m(
+        F.col(lat_col).cast("double"), F.col(lng_col).cast("double"),
+        F.col("__rlat"), F.col("__rlng"),
+    )
+    near = cand.withColumn("__d", d).groupBy(*left.columns).agg(F.min("__d").alias("dist_nn"))
+
+    # fallback: left rows with an empty 3x3 neighborhood get the exact scan
+    uncovered = lkeyed.join(
+        F.broadcast(replicated.select("__cell_lat", "__cell_lng").distinct()),
+        on=["__cell_lat", "__cell_lng"],
+        how="left_anti",
+    ).drop("__cell_lat", "__cell_lng")
+    if uncovered.isEmpty():
+        return near
+    far = (
+        uncovered.crossJoin(F.broadcast(r_pts))
+        .withColumn(
+            "__d",
+            haversine_m(
+                F.col(lat_col).cast("double"), F.col(lng_col).cast("double"),
+                F.col("__rlat"), F.col("__rlng"),
+            ),
+        )
+        .groupBy(*left.columns)
+        .agg(F.min("__d").alias("dist_nn"))
+    )
+    return near.unionByName(far)

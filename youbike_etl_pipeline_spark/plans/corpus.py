@@ -2548,6 +2548,36 @@ def a6b_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Sliding windows (batch F.window with slide)
+# ===========================================================================
+
+
+@register(
+    "w10_sliding_windows",
+    f"""
+    WITH starts AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, value FROM events
+      UNION ALL
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR, value FROM events
+    )
+    SELECT win_start, COUNT(*) AS n, {SQL_DSUM('value')} AS sum_value
+    FROM starts GROUP BY win_start
+    """,
+    survey_rows="W4 (sliding-window extension, SURVEY §2.8 windows)",
+    description="Sliding 2h/1h windows: each event contributes to the two "
+    "overlapping windows (F.window with slide; batch and streaming share "
+    "the operator).",
+)
+def w10_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"), agg.decimal_sum("value").alias("sum_value"))
+        .select(F.col("win.start").alias("win_start"), "n", "sum_value")
+    )
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
