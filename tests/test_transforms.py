@@ -69,3 +69,30 @@ def test_upsert_insert_if_absent(spark):
     new = upsert_insert_if_absent(incoming, existing, "station_no")
     rows = new.collect()
     assert len(rows) == 1 and rows[0]["station_no"] == "s2"
+
+
+def test_rename_synonyms_guarded(spark):
+    from youbike_etl_pipeline_spark.operators.relational import rename_synonyms
+
+    df = spark.createDataFrame([("x", "y", 1)], "sno string, StationUID string, v int")
+    out = rename_synonyms(df)
+    # first synonym wins; second is left alone to avoid duplicate targets
+    assert out.columns == ["station_no", "StationUID", "v"]
+
+
+def test_coerce_numeric_invalid_to_null(spark):
+    from youbike_etl_pipeline_spark.operators.relational import coerce_numeric
+
+    df = spark.createDataFrame([("1.5",), ("oops",), (None,)], "x string")
+    vals = [r["x"] for r in coerce_numeric(df, ["x"]).collect()]
+    assert vals == [1.5, None, None]
+
+
+def test_dedup_by_key_deterministic_survivor(spark):
+    from youbike_etl_pipeline_spark.operators.relational import dedup_by_key
+
+    df = spark.createDataFrame(
+        [("k", 3, "c"), ("k", 1, "a"), ("k", 2, "b")], "key string, ord int, v string"
+    )
+    out = dedup_by_key(df, ["key"], order_by=["ord"]).collect()
+    assert len(out) == 1 and out[0]["v"] == "a"

@@ -2578,6 +2578,39 @@ def w10_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Fuzzy string matching (edit distance)
+# ===========================================================================
+
+
+@register(
+    "t9_levenshtein_pairs",
+    """
+    WITH d AS (SELECT doc_id, lang, substr(text, 1, 40) AS prefix FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.prefix, b.prefix) AS edit_dist
+    FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE levenshtein(a.prefix, b.prefix) <= 12
+    """,
+    survey_rows="ext:dedup-fuzzy (edit distance)",
+    description="Fuzzy near-dup pairs by Levenshtein distance over text "
+    "prefixes, blocked by language (blocking keeps the pair space "
+    "linear-ish; at scale block on shingle buckets instead).",
+)
+def t9_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 40).alias("prefix")
+    )
+    a = docs.toDF("id_a", "lang", "prefix_a")
+    b = docs.toDF("id_b", "lang", "prefix_b")
+    pairs = a.join(b, "lang").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn("edit_dist", F.levenshtein("prefix_a", "prefix_b"))
+        .filter(F.col("edit_dist") <= 12)
+        .select("id_a", "id_b", "edit_dist")
+    )
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
