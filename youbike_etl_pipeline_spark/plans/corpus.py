@@ -2611,6 +2611,86 @@ def t9_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Sampling/rank/array round-out
+# ===========================================================================
+
+
+@register(
+    "w11_stratified_systematic_sample",
+    f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id ASC) AS rn
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n, {SQL_DSUM('value')} AS sum_value
+    FROM ranked WHERE rn % 10 = 1 GROUP BY event_type
+    """,
+    survey_rows="W7 (stratified extension)",
+    description="Stratified systematic sample: every 10th row per stratum "
+    "under a deterministic ordering (df.sampleBy is the statistical variant).",
+)
+def w11_stratified_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") % 10 == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), agg.decimal_sum("value").alias("sum_value"))
+    )
+
+
+@register(
+    "a13_percent_rank_cume_dist",
+    """
+    WITH r AS (
+      SELECT c_mktsegment, c_custkey,
+             PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS pr,
+             CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS cd
+      FROM customer
+    )
+    SELECT c_mktsegment,
+           COUNT(CASE WHEN pr >= 0.9 THEN 1 END) AS n_top_decile,
+           ROUND(MAX(CASE WHEN cd <= 0.5 THEN pr END), 6) AS median_pr
+    FROM r GROUP BY c_mktsegment
+    """,
+    survey_rows="W6 (percent_rank/cume_dist extensions)",
+    description="Distribution-rank windows: percent_rank and cume_dist per "
+    "group with unique tie-breaks.",
+)
+def a13_percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    r = cust.withColumn("pr", F.percent_rank().over(w)).withColumn(
+        "cd", F.cume_dist().over(w)
+    )
+    return r.groupBy("c_mktsegment").agg(
+        F.count(F.when(F.col("pr") >= 0.9, 1)).alias("n_top_decile"),
+        F.round(F.max(F.when(F.col("cd") <= 0.5, F.col("pr"))), 6).alias("median_pr"),
+    )
+
+
+@register(
+    "a14_sorted_array_agg",
+    """
+    SELECT user_id, list_sort(list(DISTINCT event_type)) AS event_types
+    FROM events GROUP BY user_id
+    """,
+    survey_rows="array-agg (SURVEY §2.6 note: array ops exposed)",
+    description="Sorted distinct array aggregation per group (collect_set + "
+    "array_sort).",
+)
+def a14_sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("event_types")
+    )
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
