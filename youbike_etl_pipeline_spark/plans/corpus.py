@@ -2691,6 +2691,90 @@ def a14_sorted_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# KS two-sample test + stream-stream join
+# ===========================================================================
+
+
+@register(
+    "m11_ks_two_sample",
+    """
+    WITH flagged AS (
+      SELECT o_totalprice AS v,
+             CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS in_a
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    per_value AS (
+      SELECT v, SUM(in_a) AS ca, SUM(1 - in_a) AS cb FROM flagged GROUP BY v
+    ),
+    totals AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM per_value),
+    ecdf AS (
+      SELECT SUM(ca) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / t.n_a AS fa,
+             SUM(cb) OVER (ORDER BY v ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 1.0 / t.n_b AS fb
+      FROM per_value, totals t
+    )
+    SELECT t.n_a, t.n_b, ROUND(MAX(ABS(fa - fb)), 6) AS ks_d
+    FROM ecdf, totals t GROUP BY t.n_a, t.n_b
+    """,
+    survey_rows="M-family extension: two-sample KS via window ECDFs",
+    description="Kolmogorov-Smirnov two-sample statistic (BUILDING vs rest) "
+    "from cumulative window sums over distinct values - no collect.",
+)
+def m11_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..stats.inference import ks_two_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    out = ks_two_sample(joined, "c_mktsegment", "o_totalprice", "BUILDING")
+    return out.withColumn("ks_d", F.round("ks_d", 6))
+
+
+@register(
+    "st5_stream_stream_join",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_id FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, COUNT(*) AS n_pairs
+    FROM purchases p JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.c_ts BETWEEN p.p_ts - INTERVAL 1 HOUR AND p.p_ts
+    GROUP BY p.user_id
+    """,
+    survey_rows="§2.8 stream-stream join (time-bounded)",
+    description="Stream-stream inner join with watermarks: purchases joined "
+    "to same-user clicks within the preceding hour, run to completion over "
+    "the finite source - matches the batch range-join oracle.",
+)
+def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import read_events_stream, run_stream_to_memory
+
+    ev = read_events_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    )
+    out = run_stream_to_memory(joined, output_mode="append")
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 

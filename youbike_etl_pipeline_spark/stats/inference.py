@@ -283,6 +283,36 @@ def moment_stats(df: DataFrame, group_col: str | None, value_col: str) -> DataFr
     )
 
 
+def ks_two_sample(
+    df: DataFrame, group_col: str, value_col: str, group_a: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic: group_a vs the rest.
+
+    D = max over distinct values v of |ECDF_a(v) − ECDF_b(v)|, computed with
+    cumulative window sums over the ordered distinct values — one shuffle +
+    one ordered pass, no collect. (scipy's ks_2samp p-value can be applied
+    driver-side to the scalar D.)"""
+    from pyspark.sql import Window
+
+    in_a = (F.col(group_col) == group_a).cast("int")
+    per_value = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(in_a).alias("ca"), F.sum(1 - in_a).alias("cb")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    totals = per_value.agg(F.sum("ca"), F.sum("cb")).collect()[0]
+    n_a, n_b = totals[0], totals[1]
+    ecdf = per_value.select(
+        "v",
+        (F.sum("ca").over(w) / F.lit(n_a)).alias("fa"),
+        (F.sum("cb").over(w) / F.lit(n_b)).alias("fb"),
+    )
+    return ecdf.agg(
+        F.lit(n_a).alias("n_a"),
+        F.lit(n_b).alias("n_b"),
+        F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks_d"),
+    )
+
+
 # ------------------------------------------------------------------
 # Driver-side p-value helpers (scipy-gated; operate on collected scalars)
 # ------------------------------------------------------------------
