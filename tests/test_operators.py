@@ -308,3 +308,44 @@ def test_grid_nn_join_matches_brute_force(spark):
     assert set(grid) == set(exact)
     for k in exact:
         assert grid[k] == pytest.approx(exact[k], rel=1e-12), k
+
+
+def test_connected_components_dedup_clusters(spark, sf_small):
+    """Pairs → clusters: components must match a driver-side union-find on
+    the same edge set, and every doc maps to its cluster minimum."""
+    from youbike_etl_pipeline_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    edge_list = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+
+    # reference union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edge_list:
+        union(a, b)
+    expected = {x: find(x) for x in parent}
+
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    # paired docs map to the union-find root; unpaired map to themselves
+    for doc, canon in got.items():
+        assert canon == expected.get(doc, doc)
+    assert edge_list  # the fixture really has near-dup pairs

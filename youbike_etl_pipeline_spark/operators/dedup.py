@@ -250,3 +250,67 @@ def simhash_pairs(
     return cands.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
         "id_a", "id_b", "hamming"
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (node, component)
+    where component = min node id in the cluster.
+
+    Turns PAIRS (from Jaccard/MinHash/SimHash/cosine) into dedup CLUSTERS so
+    each group keeps one canonical document. Iterative min-label
+    propagation: each node adopts the smallest label among itself and its
+    neighbors until fixpoint — O(diameter) joins, each an equi-join on the
+    node id (near-dup clusters are shallow, so few iterations). Labels are
+    checkpointed per iteration to break lineage growth.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Full dedup assignment: every document mapped to its cluster's
+    canonical (min-id) survivor; documents in no pair survive as themselves."""
+    comp = connected_components(pairs)
+    return df.select(F.col(id_col)).join(
+        comp, df[id_col] == comp.node, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+    )
