@@ -349,3 +349,22 @@ def test_connected_components_dedup_clusters(spark, sf_small):
     for doc, canon in got.items():
         assert canon == expected.get(doc, doc)
     assert edge_list  # the fixture really has near-dup pairs
+
+
+def test_batch_predict_sequences_fake_and_stub(spark):
+    from youbike_etl_pipeline_spark.ml.inference import batch_predict_sequences
+    from youbike_etl_pipeline_spark.operators.windows import sequence_windows
+
+    df = spark.createDataFrame(
+        [("s1", i, float(i * 2)) for i in range(6)], "station_no string, t int, value double"
+    )
+    seq = sequence_windows(df, key="station_no", ts="t", feature_cols=["value"], time_steps=3)
+    preds = batch_predict_sequences(seq, id_cols=("station_no",), fake=True).collect()
+    # fake predictor = mean of the 3-step window's value feature
+    assert len(preds) == 3
+    assert preds[0]["prediction"] == pytest.approx((0.0 + 2.0 + 4.0) / 3)
+    # strict mode marks the real-model call site (torch absent here)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="torch|NotImplementedError"):
+        batch_predict_sequences(seq, id_cols=("station_no",), fake=False).collect()

@@ -136,3 +136,12 @@ def shingle_hashes(text: Column, k: int = 3) -> Column:
     """64-bit hashes of the distinct word k-shingles (xxhash64) — the
     rolling-hash fingerprint set used by MinHash."""
     return F.transform(word_shingles(text, k), lambda s: F.xxhash64(s))
+
+
+def normalize_text(text: Column) -> Column:
+    """Training-data text normalization: lowercase, strip control chars,
+    squash runs of whitespace, trim — the standard pre-dedup cleanup pass
+    (pure regexp expressions, codegen'd)."""
+    cleaned = F.regexp_replace(text, r"[\x00-\x1f]", " ")
+    squashed = F.regexp_replace(cleaned, r"\s+", " ")
+    return F.trim(F.lower(squashed))

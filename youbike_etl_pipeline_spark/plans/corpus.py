@@ -2828,6 +2828,42 @@ def t10_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Text normalization
+# ===========================================================================
+
+
+@register(
+    "t11_text_normalize",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             trim(lower(regexp_replace(regexp_replace(text, '[\\x00-\\x1f]', ' ', 'g'), '\\s+', ' ', 'g'))) AS ntext
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT ntext) AS n_distinct_after,
+           SUM(length(ntext)) AS total_chars,
+           MIN(md5(ntext)) AS min_hash
+    FROM norm
+    """,
+    survey_rows="ext:text-normalize (pre-dedup cleanup)",
+    description="Text normalization pass (lowercase, control-char strip, "
+    "whitespace squash, trim) with post-normalization dedup accounting.",
+)
+def t11_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = docs.select(normalize_text(F.col("text")).alias("ntext"))
+    return norm.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("ntext").alias("n_distinct_after"),
+        F.sum(F.length("ntext")).alias("total_chars"),
+        F.min(F.md5("ntext")).alias("min_hash"),
+    )
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
