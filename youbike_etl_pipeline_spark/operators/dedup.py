@@ -72,6 +72,9 @@ def ngram_jaccard_pairs(
             F.col("df") <= max_doc_freq
         )
         idx = idx.join(keep.select("shingle"), "shingle")
+    # the index feeds three subtrees (sizes + both self-join sides);
+    # materialize it once instead of re-running tokenize+shingle per use
+    idx = idx.localCheckpoint(eager=True)
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
     a = idx.toDF("id_a", "shingle")
     b = idx.toDF("id_b", "shingle")
@@ -163,7 +166,8 @@ def minhash_lsh_dedup(
     verify join touches candidate pairs, not all pairs)."""
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
     cands = minhash_lsh_candidates(sigs, id_col, bands)
-    idx = shingle_hash_index(df, text_col, id_col, k)
+    # index feeds sizes + both verify sides: materialize once
+    idx = shingle_hash_index(df, text_col, id_col, k).localCheckpoint(eager=True)
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # candidate pairs are the small side: broadcast them ONCE into the a-side
     # index (referencing `cands` in several joins would re-evaluate the whole
