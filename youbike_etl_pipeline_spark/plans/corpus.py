@@ -2864,6 +2864,82 @@ def t11_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# IQR outliers + time-range window frames
+# ===========================================================================
+
+
+@register(
+    "dq2_iqr_outliers",
+    f"""
+    WITH q AS (
+      SELECT event_type,
+             QUANTILE_CONT(value, 0.25) AS q1,
+             QUANTILE_CONT(value, 0.75) AS q3
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n,
+           COUNT(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                        OR e.value > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 END) AS n_outliers,
+           {SQL_DAVG('LEAST(GREATEST(e.value, q.q1 - 1.5 * (q.q3 - q.q1)), q.q3 + 1.5 * (q.q3 - q.q1))')} AS winsorized_mean
+    FROM events e JOIN q ON e.event_type = q.event_type
+    GROUP BY e.event_type
+    """,
+    survey_rows="M10 (IQR whiskers) + ext:data-quality",
+    description="Boxplot-whisker outlier report per group: IQR bounds from "
+    "exact quantiles, outlier counts, winsorized mean (clipping cleanup).",
+)
+def dq2_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    q = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    joined = ev.join(F.broadcast(q), "event_type")
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    clipped = F.least(F.greatest(F.col("value"), lo), hi)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when((F.col("value") < lo) | (F.col("value") > hi), 1)).alias("n_outliers"),
+        agg.decimal_avg(clipped).alias("winsorized_mean"),
+    )
+
+
+@register(
+    "w12_time_range_frame",
+    f"""
+    WITH framed AS (
+      SELECT user_id, event_id,
+             COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+             ) AS n_last_hour
+      FROM events
+    )
+    SELECT user_id, MAX(n_last_hour) AS max_burst,
+           {SQL_DAVG('n_last_hour')} AS mean_burst
+    FROM framed GROUP BY user_id
+    """,
+    survey_rows="W1 range-frame extension (time-based frames)",
+    description="Time-range window frame: per event, activity count within "
+    "the trailing hour (RANGE on epoch seconds) -> burst stats per user.",
+)
+def w12_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, 0)
+    )
+    framed = ev.withColumn("n_last_hour", F.count(F.lit(1)).over(w))
+    return framed.groupBy("user_id").agg(
+        F.max("n_last_hour").alias("max_burst"),
+        agg.decimal_avg(F.col("n_last_hour")).alias("mean_burst"),
+    )
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
