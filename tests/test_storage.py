@@ -51,3 +51,22 @@ def test_json_roundtrip_with_schema(spark, sf_small, tmp_path):
     src.write.mode("overwrite").json(path)
     back = spark.read.schema(src.schema).json(path)  # schema-first, no inference
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_merge_schema_evolution(spark, sf_small, tmp_path):
+    """Schema evolution: reading a table whose partitions were written with
+    different (widening) schemas via mergeSchema."""
+    base = spark.read.parquet(f"{sf_small}/region.parquet")
+    out = str(tmp_path / "evolving")
+    base.write.mode("overwrite").parquet(f"{out}/v1")
+    base.withColumn("r_population", F.col("r_regionkey") * 1000).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/v2")
+    merged = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(out)
+    assert "r_population" in merged.columns
+    rows = merged.collect()
+    assert len(rows) == base.count() * 2
+    # old-schema rows surface the new column as null
+    assert sum(1 for r in rows if r["r_population"] is None) == base.count()

@@ -2940,6 +2940,46 @@ def w12_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Deterministic train/val/test splitting
+# ===========================================================================
+
+
+@register(
+    "t12_train_val_test_split",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id, n_chars,
+             ((doc_id % 2147483648) * 48271) % 2147483647 % 100 AS bucket
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n,
+           SUM(n_chars) AS total_chars
+    FROM hashed GROUP BY 1
+    """,
+    survey_rows="ext:train-split (deterministic 80/10/10)",
+    description="Deterministic id-hash train/val/test split (Lehmer-style "
+    "multiplicative hash, overflow-safe to 2^63) - reproducible across "
+    "runs, engines and partitionings, unlike randomSplit.",
+)
+def t12_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") % 2147483648) * 48271) % 2147483647 % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
