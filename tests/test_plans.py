@@ -51,10 +51,26 @@ def test_dimension_joins_broadcast(spark, sf_small):
     assert "SortMergeJoin" not in txt
 
 
-def test_nn_join_is_hash_agg_not_sort(spark, sf_small):
+def test_nn_join_has_no_pair_explosion(spark, sf_small):
+    # j5 uses the O(n log n) sort-merge NN: no cross product of any kind
     txt = plan_text(CORPUS["j5_nearest_neighbor_join"].fn(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_generic_nn_operator_is_hash_agg_not_sort(spark, sf_small):
+    # the generic (arbitrary-distance) NN operator: cross product reduced by
+    # a primitive-buffer HashAggregate, never a SortAggregate
+    from pyspark.sql import functions as F
+
+    from youbike_etl_pipeline_spark.operators.joins import nearest_neighbor_join
+
+    supp = spark.read.parquet(f"{sf_small}/supplier.parquet").select("s_suppkey", "s_acctbal")
+    part = spark.read.parquet(f"{sf_small}/part.parquet").select("p_partkey", "p_retailprice")
+    dist = F.abs(F.col("s_acctbal") - F.col("p_retailprice"))
+    nn = nearest_neighbor_join(supp, part, "s_suppkey", dist, right_keep=["p_partkey"])
+    txt = plan_text(nn)
     assert "HashAggregate" in txt
-    # the 20M-row cross product must not flow into a SortAggregate
     assert "SortAggregate" not in txt
     assert "BroadcastNestedLoopJoin" in txt
 

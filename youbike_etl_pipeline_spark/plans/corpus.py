@@ -369,15 +369,16 @@ def j4b_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFram
     "arg-min window (the dist_to_mrt shape on numeric distance).",
 )
 def j5_nearest_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # prune both sides before the cross product — the payload struct the
-    # arg-min aggregation carries is what the whole 20M-row product pays for
+    # 1-D metric → the O(n log n) sort-merge NN (the cross-product variant
+    # scales O(L×R): 92× slower at a 10× blow-up — see SCALING.md)
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
-    dist = F.abs(F.col("s_acctbal") - F.col("p_retailprice"))
-    nn = oj.nearest_neighbor_join(supp, part, "s_suppkey", dist, right_keep=["p_partkey"])
+    nn = oj.numeric_nn_join(
+        supp, part, "s_suppkey", "s_acctbal", "p_partkey", "p_retailprice"
+    )
     return nn.select(
         "s_suppkey",
-        F.col("p_partkey").alias("nn_partkey"),
+        F.col("nn_p_partkey").alias("nn_partkey"),
         F.round("nn_distance", 6).alias("nn_dist"),
     )
 

@@ -38,7 +38,9 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's ns→us cast)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = read_parquet_table(spark, sf_dir, "events")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def read_json_records(spark: SparkSession, records: list[dict], schema: T.StructType) -> DataFrame:
