@@ -2157,10 +2157,28 @@ def w9_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st3_streaming_session_window",
-    None,  # session_window start/end depend on watermarking; rows-only
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR (epoch(ts) - epoch(LAG(ts) OVER w)) > 1800.0
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marked
+    )
+    SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, COUNT(*) AS n
+    FROM sess GROUP BY user_id, sid
+    """,
     survey_rows="§2.8 session windows (streaming)",
     description="Structured Streaming F.session_window(30 min gap) "
-    "aggregation run to completion — the stateful streaming twin of w9.",
+    "aggregation run to completion — equals the batch lag+cumsum "
+    "sessionization oracle over the finite source.",
 )
 def st3_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.ingest import read_events_stream, run_stream_to_memory
@@ -2977,6 +2995,54 @@ def t12_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.withColumn("split", split)
         .groupBy("split")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+# ===========================================================================
+# Weighted aggregation + k-fold assignment
+# ===========================================================================
+
+
+@register(
+    "a15_weighted_mean",
+    f"""
+    SELECT l_returnflag,
+           {SQL_DSUM('l_quantity')} AS total_weight,
+           {SQL_DSUM('l_quantity * l_discount')} / ({SQL_DSUM('l_quantity')}) AS weighted_mean_disc,
+           {SQL_DAVG('l_discount')} AS unweighted_mean_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    survey_rows="A1 weighted extension",
+    description="Quantity-weighted mean discount per flag (exact decimal "
+    "numerator/denominator) vs the unweighted mean.",
+)
+def a15_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wsum = agg.decimal_sum(F.col("l_quantity") * F.col("l_discount"))
+    tw = agg.decimal_sum("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        tw.alias("total_weight"),
+        (wsum / tw).alias("weighted_mean_disc"),
+        agg.decimal_avg("l_discount").alias("unweighted_mean_disc"),
+    )
+
+
+@register(
+    "t13_kfold_assignment",
+    """
+    SELECT ((doc_id % 2147483648) * 48271) % 2147483647 % 5 AS fold,
+           COUNT(*) AS n, SUM(n_chars) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+    survey_rows="ext:train-split (k-fold)",
+    description="Deterministic 5-fold cross-validation assignment (same "
+    "Lehmer id-hash family as the train/val/test split).",
+)
+def t13_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    fold = ((F.col("doc_id") % 2147483648) * 48271) % 2147483647 % 5
+    return docs.withColumn("fold", fold).groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("total_chars")
     )
 
 
