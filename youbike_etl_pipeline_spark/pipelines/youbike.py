@@ -157,3 +157,53 @@ def tableau_master_dataset(gold: DataFrame, out_path: str | None = None) -> Data
     if out_path:
         write_csv(out, out_path, single_file=True, encoding="UTF-8-SIG")
     return out
+
+
+def run_ingest_cli(argv: list[str] | None = None) -> int:
+    """CLI twin of the reference's ``etl_job.py`` main loop, batch form:
+
+        python -m youbike_etl_pipeline_spark.pipelines.youbike \\
+            --snapshot-json snapshot.json --warehouse /path/wh
+
+    Reads one API snapshot (a JSON array of station records), applies the
+    ingest tick against the existing warehouse (anti-join dim upsert +
+    dedup fact append), and appends the new rows as parquet. Re-running on
+    the same snapshot is a no-op — the reference's idempotence, file-based.
+    The 10-minute cron loop stays external (Airflow/cron/systemd), exactly
+    like the reference's scheduler split.
+    """
+    import argparse
+    import json
+    import os
+
+    from ..session import get_spark
+
+    parser = argparse.ArgumentParser(description=run_ingest_cli.__doc__)
+    parser.add_argument("--snapshot-json", required=True, help="JSON array of raw station records")
+    parser.add_argument("--warehouse", required=True, help="output dir (station_info/ station_status/)")
+    args = parser.parse_args(argv)
+
+    spark = get_spark(app_name="youbike-ingest")
+    with open(args.snapshot_json, encoding="utf-8") as f:
+        records = json.load(f)
+
+    info_path = os.path.join(args.warehouse, "station_info")
+    status_path = os.path.join(args.warehouse, "station_status")
+    existing_info = (
+        spark.read.parquet(info_path) if os.path.exists(info_path) else None
+    )
+    existing_status = (
+        spark.read.parquet(status_path) if os.path.exists(status_path) else None
+    )
+    new_info, new_status = ingest_snapshot(spark, records, existing_info, existing_status)
+    n_info, n_status = new_info.count(), new_status.count()
+    if n_info:
+        new_info.write.mode("append").parquet(info_path)
+    if n_status:
+        new_status.write.mode("append").parquet(status_path)
+    print(json.dumps({"new_stations": n_info, "new_status_rows": n_status}))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via CLI
+    raise SystemExit(run_ingest_cli())
