@@ -3047,6 +3047,120 @@ def t13_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Null-safe join, first/last windows, gaps-and-islands streaks
+# ===========================================================================
+
+
+@register(
+    "j9_null_safe_join",
+    """
+    WITH a AS (
+      SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS k
+      FROM documents
+    ),
+    b AS (
+      SELECT lang AS k, COUNT(*) AS n_lang
+      FROM documents GROUP BY lang
+      UNION ALL SELECT NULL, -1
+    )
+    SELECT a.k, b.n_lang, COUNT(*) AS n
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    GROUP BY a.k, b.n_lang
+    """,
+    survey_rows="J-family: null-safe equality (<=>)",
+    description="Null-safe equi-join: NULL keys match NULL (eqNullSafe / "
+    "IS NOT DISTINCT FROM) - the semantics plain equi-joins silently drop.",
+)
+def j9_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 != 0, F.col("lang")).alias("k"),
+    )
+    b = docs.groupBy(F.col("lang").alias("k")).agg(F.count(F.lit(1)).alias("n_lang")).unionByName(
+        spark.createDataFrame([(None, -1)], "k string, n_lang long")
+    )
+    joined = a.join(b, a["k"].eqNullSafe(b["k"]), "inner")
+    return joined.groupBy(a["k"], "n_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "w13_first_last_value",
+    f"""
+    WITH framed AS (
+      SELECT user_id, value,
+             FIRST_VALUE(value) OVER w AS day_open,
+             LAST_VALUE(value) OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                     ORDER BY ts ASC, event_id ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS day_close
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, date_trunc('day', ts)
+                   ORDER BY ts ASC, event_id ASC)
+    )
+    SELECT user_id, COUNT(*) AS n,
+           {SQL_DAVG('day_close - day_open')} AS mean_day_drift
+    FROM framed GROUP BY user_id
+    """,
+    survey_rows="W-family: first_value/last_value frames",
+    description="Opening/closing value per (user, day) via first_value and "
+    "an unbounded-following last_value frame; daily drift aggregated.",
+)
+def w13_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("day", F.date_trunc("day", "ts"))
+    w = Window.partitionBy("user_id", "day").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    framed = ev.withColumn("day_open", F.first("value").over(w)).withColumn(
+        "day_close",
+        F.last("value").over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)),
+    )
+    return framed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        agg.decimal_avg(F.col("day_close") - F.col("day_open")).alias("mean_day_drift"),
+    )
+
+
+@register(
+    "w14_longest_streak",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, (value < 50.0) AS is_low,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, (value < 50.0) ORDER BY ts ASC, event_id ASC) AS rn_in_state
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, COUNT(*) AS streak_len
+      FROM flagged WHERE is_low
+      GROUP BY user_id, rn - rn_in_state
+    )
+    SELECT user_id, MAX(streak_len) AS longest_low_streak, COUNT(*) AS n_streaks
+    FROM islands GROUP BY user_id
+    """,
+    survey_rows="W-family: gaps-and-islands (consecutive-run detection)",
+    description="Longest consecutive run of low readings per user via the "
+    "row_number-difference gaps-and-islands technique (the shortage-streak "
+    "shape over the reference's filling-rate series).",
+)
+def w14_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("is_low", F.col("value") < 50.0)
+    w_all = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_state = Window.partitionBy("user_id", "is_low").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    flagged = ev.withColumn("rn", F.row_number().over(w_all)).withColumn(
+        "rn_in_state", F.row_number().over(w_state)
+    )
+    islands = (
+        flagged.filter(F.col("is_low"))
+        .groupBy("user_id", (F.col("rn") - F.col("rn_in_state")).alias("island"))
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+    )
+    return islands.groupBy("user_id").agg(
+        F.max("streak_len").alias("longest_low_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
