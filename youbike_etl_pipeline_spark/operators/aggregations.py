@@ -66,6 +66,27 @@ def decimal_avg(col: Column | str, scale: int = 6) -> Column:
     return F.sum(c.cast(f"decimal(27,{scale})")).cast("double") / F.count(c)
 
 
+def decimal_avg_q4(col: Column | str) -> Column:
+    """Quantized mean for DERIVED double columns (differences, products,
+    window results): floor(x·10⁴) summed exactly, then /count/10⁴.
+
+    Why not :func:`decimal_avg`: engines that implement double→decimal by
+    multiplying in double flip the rounded tick with probability
+    ≈ |x|·10^scale / 2^53 per row — a *per-row-count* budget. At scale 6 a
+    ~500-magnitude derived value flips ~once per 20k rows (observed at
+    sf0.1); at scale 4 the window shrinks 100× (safe to ~10⁸ rows). Source
+    columns with short decimal expansions don't hit this; derived values
+    with full 53-bit expansions do. The mean is quantized at 1e-4 —
+    identical in both engines by construction.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(F.floor(c * 10000).cast("decimal(27,0)")).cast("double")
+        / F.count(c)
+        / 10000.0
+    )
+
+
 def group_stats(
     df: DataFrame,
     group_col: str,

@@ -83,6 +83,15 @@ def SQL_DAVG(expr: str, scale: int = 6) -> str:
     return f"{SQL_DSUM(expr, scale)} / COUNT({expr})"
 
 
+def SQL_DAVG_Q4(expr: str) -> str:
+    """Mirror of aggregations.decimal_avg_q4 — quantized mean for derived
+    doubles (see its docstring for the per-row-count portability budget)."""
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * 10000) AS DECIMAL(27,0))) AS DOUBLE)"
+        f" / COUNT({expr}) / 10000.0"
+    )
+
+
 # ===========================================================================
 # Flagship — the reference's "district operational health" query (SURVEY §7)
 # mapped onto the driver star schema: lineitem⋈orders⋈customer →
@@ -293,7 +302,7 @@ def j1_fact_dim_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type,
            COUNT(*) AS n,
-           {SQL_DAVG('ABS(e.value - h.hourly_avg)')} AS mean_abs_dev
+           {SQL_DAVG_Q4('ABS(e.value - h.hourly_avg)')} AS mean_abs_dev
     FROM events e
     JOIN hourly h ON date_trunc('hour', e.ts) = h.hour_key
     GROUP BY e.event_type
@@ -310,7 +319,7 @@ def j2_hour_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = oj.hour_bucket_join(ev, hourly, fact_ts="ts", hourly_ts="hour_key", how="inner")
     dev = F.abs(F.col("value") - F.col("hourly_avg"))
     return joined.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), agg.decimal_avg(dev).alias("mean_abs_dev")
+        F.count(F.lit(1)).alias("n"), agg.decimal_avg_q4(dev).alias("mean_abs_dev")
     )
 
 
@@ -441,7 +450,7 @@ def a6_pivot_user_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            COUNT(value_lag1) AS n_deltas,
-           {SQL_DAVG('ABS(value - value_lag1)')} AS mean_abs_delta
+           {SQL_DAVG_Q4('ABS(value - value_lag1)')} AS mean_abs_delta
     FROM lagged GROUP BY user_id
     """,
     survey_rows="W1,W3",
@@ -454,7 +463,7 @@ def w1_lag_delta_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = F.abs(F.col("value") - F.col("value_lag1"))
     return lagged.groupBy("user_id").agg(
         F.count("value_lag1").alias("n_deltas"),
-        agg.decimal_avg(delta).alias("mean_abs_delta"),
+        agg.decimal_avg_q4(delta).alias("mean_abs_delta"),
     )
 
 
@@ -686,7 +695,7 @@ def a10_argmax_peak_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, v3 + v2 + v1 AS wsum FROM lagged
       WHERE v3 IS NOT NULL AND v2 IS NOT NULL AND v1 IS NOT NULL
     )
-    SELECT user_id, COUNT(*) AS n_windows, {SQL_DAVG('wsum')} AS mean_wsum
+    SELECT user_id, COUNT(*) AS n_windows, {SQL_DAVG_Q4('wsum')} AS mean_wsum
     FROM seqs GROUP BY user_id
     """,
     survey_rows="W2,W3",
@@ -702,7 +711,7 @@ def w2_sequence_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         seq.withColumn("wsum", wsum)
         .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_windows"), agg.decimal_avg(F.col("wsum")).alias("mean_wsum"))
+        .agg(F.count(F.lit(1)).alias("n_windows"), agg.decimal_avg_q4(F.col("wsum")).alias("mean_wsum"))
     )
 
 
@@ -867,7 +876,7 @@ def p10_ffill_per_series(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS vi
       FROM br
     )
-    SELECT user_id, COUNT(vi) AS n_filled, {SQL_DAVG('vi')} AS mean_vi
+    SELECT user_id, COUNT(vi) AS n_filled, {SQL_DAVG_Q4('vi')} AS mean_vi
     FROM interp GROUP BY user_id
     """,
     survey_rows="P11",
@@ -880,7 +889,7 @@ def p11_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     filled = ow.interpolate_linear(ev, key="user_id", ts="ts", cols=["v"], tiebreak=["event_id"])
     return filled.groupBy("user_id").agg(
-        F.count("v").alias("n_filled"), agg.decimal_avg(F.col("v")).alias("mean_vi")
+        F.count("v").alias("n_filled"), agg.decimal_avg_q4(F.col("v")).alias("mean_vi")
     )
 
 
@@ -1698,7 +1707,7 @@ def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_id % 50 = 0
     )
     SELECT grp, COUNT(cp_value) AS n_matched,
-           {SQL_DAVG('value - cp_value')} AS mean_delta
+           {SQL_DAVG_Q4('value - cp_value')} AS mean_delta
     FROM (
       SELECT e.grp, e.value, c.cp_value
       FROM ev e ASOF LEFT JOIN cps c ON e.grp = c.grp AND e.ts >= c.cp_ts
@@ -1725,7 +1734,7 @@ def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("grp").agg(
         F.count("cp_value").alias("n_matched"),
-        agg.decimal_avg(F.col("value") - F.col("cp_value")).alias("mean_delta"),
+        agg.decimal_avg_q4(F.col("value") - F.col("cp_value")).alias("mean_delta"),
     )
 
 
@@ -1980,7 +1989,7 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, quartile,
            COUNT(*) AS n,
-           {SQL_DAVG('ma3')} AS mean_ma3,
+           {SQL_DAVG_Q4('ma3')} AS mean_ma3,
            CAST(MAX(running_dec) AS DOUBLE) AS max_running
     FROM w GROUP BY 1, 2
     """,
@@ -2004,7 +2013,7 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return enriched.groupBy("user_id", "quartile").agg(
         F.count(F.lit(1)).alias("n"),
-        agg.decimal_avg(F.col("ma3")).alias("mean_ma3"),
+        agg.decimal_avg_q4(F.col("ma3")).alias("mean_ma3"),
         F.max("running_dec").cast("double").alias("max_running"),
     )
 
@@ -2236,9 +2245,9 @@ def s4_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p_brand, risk_label,
            COUNT(*) AS n,
-           CAST(SUM(CAST(FLOOR(unit_price * 1000000) AS DECIMAL(27,0))) AS DOUBLE)
-             / COUNT(unit_price) / 1000000.0 AS mean_unit_price,
-           {SQL_DAVG('month_avg_price')} AS mean_month_avg
+           CAST(SUM(CAST(FLOOR(unit_price * 10000) AS DECIMAL(27,0))) AS DOUBLE)
+             / COUNT(unit_price) / 10000.0 AS mean_unit_price,
+           {SQL_DAVG_Q4('month_avg_price')} AS mean_month_avg
     FROM gold GROUP BY 1, 2
     """,
     survey_rows="J1,J2,F3,F6,A1 (gold merge composite, SURVEY §3.2)",
@@ -2272,12 +2281,8 @@ def gold_wide_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unit_price is a dyadic quotient (price / 2^k quantities) whose exact
         # decimal expansion can end in ...5 at any scale — rounding-mode ties
         # across engines. Floor at micro-precision instead (tie-free).
-        (
-            F.sum(F.floor(F.col("unit_price") * 1000000).cast("decimal(27,0)")).cast("double")
-            / F.count("unit_price")
-            / 1000000.0
-        ).alias("mean_unit_price"),
-        agg.decimal_avg(F.col("month_avg_price")).alias("mean_month_avg"),
+        agg.decimal_avg_q4(F.col("unit_price")).alias("mean_unit_price"),
+        agg.decimal_avg_q4(F.col("month_avg_price")).alias("mean_month_avg"),
     )
 
 
@@ -2900,7 +2905,7 @@ def t11_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n,
            COUNT(CASE WHEN e.value < q.q1 - 1.5 * (q.q3 - q.q1)
                         OR e.value > q.q3 + 1.5 * (q.q3 - q.q1) THEN 1 END) AS n_outliers,
-           {SQL_DAVG('LEAST(GREATEST(e.value, q.q1 - 1.5 * (q.q3 - q.q1)), q.q3 + 1.5 * (q.q3 - q.q1))')} AS winsorized_mean
+           {SQL_DAVG_Q4('LEAST(GREATEST(e.value, q.q1 - 1.5 * (q.q3 - q.q1)), q.q3 + 1.5 * (q.q3 - q.q1))')} AS winsorized_mean
     FROM events e JOIN q ON e.event_type = q.event_type
     GROUP BY e.event_type
     """,
@@ -2921,7 +2926,7 @@ def dq2_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.count(F.when((F.col("value") < lo) | (F.col("value") > hi), 1)).alias("n_outliers"),
-        agg.decimal_avg(clipped).alias("winsorized_mean"),
+        agg.decimal_avg_q4(clipped).alias("winsorized_mean"),
     )
 
 
@@ -3098,7 +3103,7 @@ def j9_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ORDER BY ts ASC, event_id ASC)
     )
     SELECT user_id, COUNT(*) AS n,
-           {SQL_DAVG('day_close - day_open')} AS mean_day_drift
+           {SQL_DAVG_Q4('day_close - day_open')} AS mean_day_drift
     FROM framed GROUP BY user_id
     """,
     survey_rows="W-family: first_value/last_value frames",
@@ -3114,7 +3119,7 @@ def w13_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return framed.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
-        agg.decimal_avg(F.col("day_close") - F.col("day_open")).alias("mean_day_drift"),
+        agg.decimal_avg_q4(F.col("day_close") - F.col("day_open")).alias("mean_day_drift"),
     )
 
 
