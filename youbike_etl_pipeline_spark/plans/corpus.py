@@ -3166,6 +3166,85 @@ def w14_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# TPC-H Q5 shape + sub-word token counting
+# ===========================================================================
+
+
+@register(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n.n_name,
+           {SQL_DSUM('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND c.c_nationkey = s.s_nationkey
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    """,
+    survey_rows="J1 (TPC-H Q5: 6-way join + correlated-nation predicate)",
+    description="Local supplier volume: six-table join with the customer-"
+    "nation = supplier-nation correlation, region filter pushed down.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(sup), l.l_suppkey == sup.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("n_name").agg(
+        agg.decimal_sum(revenue).alias("revenue"), F.count(F.lit(1)).alias("n_items")
+    )
+
+
+_WT_EXPR = "len(regexp_extract_all(text, '[a-zA-Z0-9_]+|[^a-zA-Z0-9_\\s]'))"
+
+
+@register(
+    "t14_word_token_count",
+    f"""
+    SELECT lang,
+           SUM({_WT_EXPR}) AS total_subword_tokens,
+           {SQL_DAVG(_WT_EXPR)} AS mean_subword_tokens
+    FROM documents GROUP BY lang
+    """,
+    survey_rows="ext:token-counting (BPE-ish regex)",
+    description="Sub-word-ish token counting: word chars plus punctuation "
+    "splits (the BPE-proxy regex from SURVEY's token-counting row).",
+)
+def t14_word_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z0-9_]+|[^a-zA-Z0-9_\s]"), 0))
+    return (
+        docs.withColumn("nt", n_tok)
+        .groupBy("lang")
+        .agg(
+            F.sum("nt").alias("total_subword_tokens"),
+            agg.decimal_avg(F.col("nt").cast("double")).alias("mean_subword_tokens"),
+        )
+    )
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
