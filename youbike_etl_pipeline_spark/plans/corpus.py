@@ -3245,6 +3245,57 @@ def t14_word_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# HAVING + boolean aggregates
+# ===========================================================================
+
+
+@register(
+    "a17_having_filter",
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders, {SQL_DSUM('o_totalprice')} AS total_spent
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+    survey_rows="A-family: post-aggregation HAVING (TPC-H Q18 shape)",
+    description="Large-customer detection: group + HAVING threshold on the "
+    "aggregate (filter above the aggregation in the plan).",
+)
+def a17_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            agg.decimal_sum("o_totalprice").alias("total_spent"),
+        )
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+@register(
+    "a18_bool_aggregates",
+    """
+    SELECT user_id,
+           BOOL_OR(event_type = 'purchase') AS ever_purchased,
+           BOOL_AND(value < 450.0) AS always_below_450,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id
+    """,
+    survey_rows="A-family: boolean aggregates (ANY/ALL semantics)",
+    description="bool_or / bool_and per group: EXISTS/FORALL folded into "
+    "one aggregation pass.",
+)
+def a18_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.bool_or(F.col("event_type") == "purchase").alias("ever_purchased"),
+        F.bool_and(F.col("value") < 450.0).alias("always_below_450"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
