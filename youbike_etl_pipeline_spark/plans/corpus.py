@@ -3296,6 +3296,92 @@ def a18_bool_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# Grouping sets, PII masking, robust statistics
+# ===========================================================================
+
+
+@register(
+    "a19_grouping_sets",
+    f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {SQL_DSUM('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+    """,
+    survey_rows="A-family: explicit GROUPING SETS",
+    description="Explicit grouping sets (two independent marginal rollups "
+    "in one pass) - distinct from rollup/cube lattices.",
+)
+def a19_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("corpus_lineitem_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) AS sum_qty
+        FROM corpus_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        """
+    )
+
+
+@register(
+    "t15_pii_masking",
+    """
+    WITH masked AS (
+      SELECT doc_id,
+             regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS redacted,
+             len(regexp_extract_all(text, '[0-9]+')) AS n_redactions
+      FROM documents
+    )
+    SELECT SUM(n_redactions) AS total_redactions,
+           COUNT(CASE WHEN n_redactions > 0 THEN 1 END) AS docs_touched,
+           SUM(length(redacted)) AS total_chars_after,
+           MIN(md5(redacted)) AS min_hash
+    FROM masked
+    """,
+    survey_rows="ext:pii-redaction (training-data cleanup)",
+    description="PII-style masking pass: numeric spans redacted with a "
+    "placeholder token; redaction accounting + content-hash parity.",
+)
+def t15_pii_masking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    masked = docs.select(
+        F.regexp_replace("text", "[0-9]+", "<NUM>").alias("redacted"),
+        F.size(F.regexp_extract_all("text", F.lit("[0-9]+"), 0)).alias("n_redactions"),
+    )
+    return masked.agg(
+        F.sum("n_redactions").alias("total_redactions"),
+        F.count(F.when(F.col("n_redactions") > 0, 1)).alias("docs_touched"),
+        F.sum(F.length("redacted")).alias("total_chars_after"),
+        F.min(F.md5("redacted")).alias("min_hash"),
+    )
+
+
+@register(
+    "m12_median_absolute_deviation",
+    """
+    WITH med AS (SELECT event_type, QUANTILE_CONT(value, 0.5) AS m FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           ROUND(MIN(med.m), 6) AS median,
+           ROUND(QUANTILE_CONT(ABS(e.value - med.m), 0.5), 6) AS mad
+    FROM events e JOIN med ON e.event_type = med.event_type
+    GROUP BY e.event_type
+    """,
+    survey_rows="M-family: robust dispersion (MAD)",
+    description="Median absolute deviation per group: two-pass exact "
+    "medians (broadcast per-group median, then median of deviations).",
+)
+def m12_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("m"))
+    joined = ev.join(F.broadcast(med), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.round(F.min("m"), 6).alias("median"),
+        F.round(F.expr("percentile(abs(value - m), 0.5)"), 6).alias("mad"),
+    )
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
