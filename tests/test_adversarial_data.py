@@ -1,0 +1,151 @@
+"""Seed-robustness parity: adversarial synthetic tables.
+
+The driver regenerates the testdata parquet each round with a fresh seed, so
+a query that hash-matches on today's data can fail on tomorrow's (this is
+exactly how f12/t3/t5 went driver-red in round 1 while passing locally).
+These tests re-run the text/rounding corpus queries on hand-built tables
+containing every edge the generators could plausibly emit: empty and
+whitespace-only documents, CJK, combining accents, emoji, control chars,
+exact .5 rounding boundaries, and negative values.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from youbike_etl_pipeline_spark.plans.corpus import CORPUS
+
+ADV_DOCS = [
+    # (doc_id, text, lang, source)
+    (0, "", "en", "web"),
+    (10, "   ", "en", "web"),
+    (20, "\t\n  \r", "de", "web"),
+    (30, "the quick brown fox and the lazy dog", "en", "book"),
+    (40, "中文文本沒有空格也沒有標點符號", "zh", "web"),
+    (50, "café déjà vu", "fr", "web"),  # precomposed accents
+    (60, "café déjà vu", "fr", "web"),  # combining accents
+    (70, "emoji \U0001f600 and more \U0001f680 text", "en", "social"),
+    (80, "der die und das ist, oder?", "de", "book"),
+    (90, "el que y la de -- punct!!! ???", "es", "web"),
+    (100, "a", "en", "web"),
+    (110, "word", "en", "web"),
+    (120, "tab\tseparated\ttokens here", "en", "log"),
+    (130, "trailing spaces   ", "en", "log"),
+    (140, "   leading spaces", "en", "log"),
+]
+
+ADV_EVENTS = [
+    # (event_id, user_id, event_type, value): exact .5 boundaries around the
+    # corpus's value-250.0 shift, negatives, and sub-integer noise
+    (1, 1, "view", 250.5),
+    (2, 1, "view", 252.5),
+    (3, 1, "view", 249.5),  # value-250 = -0.5 → clamp
+    (4, 2, "click", 247.5),  # -2.5 → clamp
+    (5, 2, "click", 250.0),
+    (6, 2, "click", 1250.5),
+    (7, 3, "buy", 0.0),
+    (8, 3, "buy", 251.49999999999997),
+    (9, 3, "buy", 250.50000000000003),
+    (10, 3, "buy", 499.5),
+]
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("advdata")
+    docs = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in ADV_DOCS], pa.int64()),
+            "text": pa.array([r[1] for r in ADV_DOCS], pa.string()),
+            "lang": pa.array([r[2] for r in ADV_DOCS], pa.string()),
+            "source": pa.array([r[3] for r in ADV_DOCS], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in ADV_DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(docs, os.path.join(d, "documents.parquet"))
+    events = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in ADV_EVENTS], pa.int64()),
+            "ts": pa.array(
+                [1700000000000000000 + i * 10**9 for i in range(len(ADV_EVENTS))],
+                pa.timestamp("ns"),
+            ),
+            "user_id": pa.array([r[1] for r in ADV_EVENTS], pa.int64()),
+            "event_type": pa.array([r[2] for r in ADV_EVENTS], pa.string()),
+            "value": pa.array([r[3] for r in ADV_EVENTS], pa.float64()),
+            "props": pa.array(["{}"] * len(ADV_EVENTS), pa.string()),
+        }
+    )
+    pq.write_table(events, os.path.join(d, "events.parquet"))
+    return str(d)
+
+
+def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _cells_equal(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return fa == fb
+    return a == b
+
+
+ADV_QUERIES = [
+    "f12_clamp_round",
+    "t3_token_stats",
+    "t4_lang_id_confusion",
+    "t5_char_fingerprint",
+    "t6_quality_scores",
+]
+
+
+@pytest.mark.parametrize("name", ADV_QUERIES)
+def test_adversarial_parity(spark, adv_dir, name):
+    spec = CORPUS[name]
+    sdf = spec.fn(spark, adv_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(adv_dir)
+    res = con.execute(spec.oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: cols {sorted(scols)} vs {sorted(dcols)}"
+    assert len(srows) == len(drows), f"{name}: rows {len(srows)} vs {len(drows)}"
+
+    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+    order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+
+    def key(v):
+        return (v is None, str(type(v)), str(v))
+
+    ns = sorted(
+        [tuple(r[i] for i in order_s) for r in srows],
+        key=lambda r: tuple(key(v) for v in r),
+    )
+    nd = sorted(
+        [tuple(r[i] for i in order_d) for r in drows],
+        key=lambda r: tuple(key(v) for v in r),
+    )
+    for i, (rs, rd) in enumerate(zip(ns, nd)):
+        for j, (a, b) in enumerate(zip(rs, rd)):
+            assert _cells_equal(a, b), (
+                f"{name}: row {i} col {sorted(scols)[j]}: spark={a!r} duck={b!r}"
+            )

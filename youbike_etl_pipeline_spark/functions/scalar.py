@@ -86,5 +86,13 @@ def to_utc_from_tz(ts: Column, tz: str = "Asia/Taipei") -> Column:
 
 
 def clamp_round_nonneg(x: Column) -> Column:
-    """``max(0, int(round(x)))`` (F12) — reference ``api/app/main.py:199``."""
-    return F.greatest(F.lit(0), F.round(x).cast("int"))
+    """``max(0, int(round(x)))`` (F12) — reference ``api/app/main.py:199``.
+
+    Rounding is spelled ``floor(x + 0.5)`` rather than ``round(x)``: engines
+    disagree on .5 ties (HALF_UP vs banker's varies by DuckDB version), and
+    the driver's events data lands on exact .5 boundaries (90 rows at
+    sf0.01). ``floor`` is tie-free and bit-identical everywhere; negatives
+    are clamped to 0 either way, so the only behavior pinned down is the
+    cross-engine tie rule.
+    """
+    return F.greatest(F.lit(0), F.floor(x + F.lit(0.5)).cast("int"))

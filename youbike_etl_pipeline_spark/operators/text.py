@@ -38,8 +38,18 @@ def word_token_count(text: Column) -> Column:
 
 
 def marker_count(text: Column, word: str) -> Column:
-    """Occurrences of a marker word with word boundaries."""
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit(rf"\b{word}\b"), 0))
+    """Occurrences of a marker word, counted by token equality.
+
+    Deliberately NOT ``\\b<word>\\b``: word-boundary semantics around
+    combining marks differ between Java regex and RE2 (a decomposed
+    ``"déjà"`` contains a literal ``de`` that RE2 bounds but Java does not),
+    so ``\\b`` counting is engine-dependent on accented text. Splitting on
+    the explicit codepoint class ``[^a-z]+`` and counting exact token
+    matches is bit-identical across engines (SQL mirror:
+    ``len(list_filter(regexp_split_to_array(lower(text),'[^a-z]+'),
+    x -> x = '<word>'))``)."""
+    toks = F.split(F.lower(text), "[^a-z]+")
+    return F.size(F.filter(toks, lambda t: t == word))
 
 
 def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column:
@@ -97,12 +107,19 @@ def quality_score(text: Column) -> Column:
 
 
 def char_fingerprint(text: Column, modulus: int = 1_000_000_007) -> Column:
-    """Position-weighted character fingerprint: Σ (pos+1)·ascii(char) mod m.
+    """Position-weighted character fingerprint: Σ (pos+1)·ascii(char) mod m,
+    over the printable-ASCII projection of the text.
 
-    A SQL-portable simplification of a polynomial rolling hash (the
-    full-strength per-shingle variant is :func:`shingle_hashes`, built on
-    xxhash64). Runs as posexplode + hash-agg — scales with the shuffle."""
-    chars = F.split(text, "")
+    Non-ASCII is stripped first (identical ``[^ -~]`` regexp on every
+    engine): per-character splitting is where engines disagree — Spark
+    splits codepoints while DuckDB's ``string_split`` works on grapheme
+    clusters, so combining accents or CJK shift every later position. The
+    ASCII projection makes the character sequence, and therefore the
+    fingerprint, engine- and seed-independent. A SQL-portable
+    simplification of a polynomial rolling hash (the full-strength
+    per-shingle variant is :func:`shingle_hashes`, built on xxhash64)."""
+    clean = F.regexp_replace(text, "[^ -~]", "")
+    chars = F.split(clean, "")
     weighted = F.transform(chars, lambda ch, i: (i + 1) * F.ascii(ch))
     return F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x) % modulus
 

@@ -92,6 +92,19 @@ def SQL_DAVG_Q4(expr: str) -> str:
     )
 
 
+def SQL_Q6(expr: str) -> str:
+    """Tie-free 6-dp output quantization: FLOOR, not ROUND. Rational
+    quotients of integer/money sums land on exact .5 ties at any ROUND
+    scale, and half-rule behavior is an engine/version detail; FLOOR is
+    deterministic everywhere. Mirror of the Spark-side :func:`q6`."""
+    return f"FLOOR(({expr}) * 1000000) / 1000000.0"
+
+
+def q6(c) -> "F.Column":
+    """Spark mirror of :func:`SQL_Q6` (floor-quantize a double to 6 dp)."""
+    return F.floor(c * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
+
+
 # ===========================================================================
 # Flagship — the reference's "district operational health" query (SURVEY §7)
 # mapped onto the driver star schema: lineitem⋈orders⋈customer →
@@ -1008,12 +1021,13 @@ def f8_f10_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f12_clamp_round",
     """
     SELECT event_type,
-           SUM(GREATEST(0, CAST(ROUND(value - 250.0) AS INTEGER))) AS sum_clamped,
-           MAX(GREATEST(0, CAST(ROUND(value - 250.0) AS INTEGER))) AS max_clamped
+           SUM(GREATEST(0, CAST(FLOOR(value - 250.0 + 0.5) AS INTEGER))) AS sum_clamped,
+           MAX(GREATEST(0, CAST(FLOOR(value - 250.0 + 0.5) AS INTEGER))) AS max_clamped
     FROM events GROUP BY event_type
     """,
     survey_rows="F12",
-    description="Clamp/round: max(0, int(round(x))) as greatest+round+cast.",
+    description="Clamp/round: max(0, int(round(x))) with the tie-free "
+    "floor(x+0.5) rule on both engines (HALF_UP vs banker's varies).",
 )
 def f12_clamp_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.scalar import clamp_round_nonneg
@@ -1139,19 +1153,22 @@ def m2_m3_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT k, "N",
-           sg - sx_tot * sx_tot / "N" AS ss_between,
-           sxx_tot - sg AS ss_within,
-           ((sg - sx_tot * sx_tot / "N") / (k - 1))
-             / ((sxx_tot - sg) / ("N" - k)) AS f_stat,
-           (sg - sx_tot * sx_tot / "N")
-             / ((sg - sx_tot * sx_tot / "N") + (sxx_tot - sg)) AS eta_sq,
+           FLOOR(sg - sx_tot * sx_tot / "N") AS ss_between,
+           FLOOR(sxx_tot - sg) AS ss_within,
+           {SQL_Q6('''((sg - sx_tot * sx_tot / "N") / (k - 1))
+             / ((sxx_tot - sg) / ("N" - k))''')} AS f_stat,
+           {SQL_Q6('''(sg - sx_tot * sx_tot / "N")
+             / ((sg - sx_tot * sx_tot / "N") + (sxx_tot - sg))''')} AS eta_sq,
            k - 1 AS df_between,
            "N" - k AS df_within
     FROM t
     """,
     survey_rows="M4",
     description="One-way ANOVA F + eta-squared, closed-form SSB/SSW from "
-    "re-aggregated exact per-group sums.",
+    "re-aggregated exact per-group sums; derived doubles floor-quantized "
+    "(ss_* to integers, f_stat/eta_sq to 6 dp) so engine-level ulp noise "
+    "cannot flip the driver hash (round-1 lesson: data is reseeded per "
+    "round, so outputs must be robust to any seed).",
 )
 def m4_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..stats.inference import anova_oneway
@@ -1159,7 +1176,17 @@ def m4_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-    return anova_oneway(joined, "c_mktsegment", "o_totalprice")
+    out = anova_oneway(joined, "c_mktsegment", "o_totalprice")
+    return out.select(
+        "k",
+        "N",
+        F.floor("ss_between").cast("double").alias("ss_between"),
+        F.floor("ss_within").cast("double").alias("ss_within"),
+        q6(F.col("f_stat")).alias("f_stat"),
+        q6(F.col("eta_sq")).alias("eta_sq"),
+        "df_between",
+        "df_within",
+    )
 
 
 @register(
@@ -1193,7 +1220,7 @@ def m5_tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "m6_chi_square_independence",
-    """
+    f"""
     WITH obs AS (
       SELECT c.c_mktsegment, o.o_orderstatus, COUNT(*) AS observed
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1210,20 +1237,30 @@ def m5_tukey_hsd_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     resid AS (
       SELECT *, (observed - expected) / SQRT(expected) AS residual FROM cells
     ),
+    chi AS (
+      SELECT *,
+             CAST(SUM(CAST(FLOOR(residual * residual * 100000000) AS DECIMAL(27,0))) OVER ()
+                  AS DOUBLE) / 100000000.0 AS chi2_raw
+      FROM resid
+    ),
     dims AS (
       SELECT COUNT(DISTINCT c_mktsegment) AS r_cnt, COUNT(DISTINCT o_orderstatus) AS c_cnt
       FROM obs
     )
-    SELECT c_mktsegment, o_orderstatus, observed, expected, n_total, residual,
-           ROUND(SUM(residual * residual) OVER (), 6) AS chi2,
+    SELECT c_mktsegment, o_orderstatus, observed,
+           {SQL_Q6("expected")} AS expected,
+           n_total,
+           {SQL_Q6("residual")} AS residual,
+           {SQL_Q6("chi2_raw")} AS chi2,
            CAST((d.r_cnt - 1) * (d.c_cnt - 1) AS BIGINT) AS dof,
-           ROUND(SQRT(SUM(residual * residual) OVER ()
-                      / (n_total * (LEAST(d.r_cnt, d.c_cnt) - 1))), 6) AS cramers_v
-    FROM resid CROSS JOIN dims d
+           {SQL_Q6("SQRT(chi2_raw / (n_total * (LEAST(d.r_cnt, d.c_cnt) - 1)))")} AS cramers_v
+    FROM chi CROSS JOIN dims d
     """,
     survey_rows="M6,A7",
     description="Chi-square independence: long-form observed/expected/"
-    "standardized residuals + chi2 and Cramer's V via window totals.",
+    "standardized residuals + chi2 and Cramer's V via window totals. χ² is "
+    "an exact decimal sum of quantized residual² (partition-order proof); "
+    "every derived double is floor-quantized to 6 dp on both engines.",
 )
 def m6_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..stats.inference import chi_square_independence
@@ -1232,8 +1269,16 @@ def m6_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
     joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
     out = chi_square_independence(joined, "c_mktsegment", "o_orderstatus")
-    return out.withColumn("chi2", F.round("chi2", 6)).withColumn(
-        "cramers_v", F.round("cramers_v", 6)
+    return out.select(
+        "c_mktsegment",
+        "o_orderstatus",
+        "observed",
+        q6(F.col("expected")).alias("expected"),
+        "n_total",
+        q6(F.col("residual")).alias("residual"),
+        q6(F.col("chi2")).alias("chi2"),
+        "dof",
+        q6(F.col("cramers_v")).alias("cramers_v"),
     )
 
 
@@ -1371,7 +1416,17 @@ def t2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
 
 
-_TOK_EXPR = "len(regexp_split_to_array(trim(text), '\\s+'))"
+# empty tokens are filtered to mirror Spark-side tokens() exactly: on
+# empty/whitespace-only text, regexp_split_to_array yields [''] (1 token)
+# while Spark's filtered split yields [] — a seed with an empty doc would
+# otherwise flip the hash
+_TOK_EXPR = "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))"
+
+
+def _SQL_MARK(word: str) -> str:
+    """Marker-word count by token equality — mirror of text.marker_count
+    (``\\b`` boundaries around combining marks are engine-dependent)."""
+    return f"len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x = '{word}'))"
 _PUNCT_EXPR = "len(regexp_extract_all(text, '[^\\w\\s]'))"
 
 @register(
@@ -1407,24 +1462,18 @@ def t3_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t4_lang_id_confusion",
-    """
+    f"""
     WITH scores AS (
       SELECT lang,
-             len(regexp_extract_all(lower(text), '\\bder\\b')) + len(regexp_extract_all(lower(text), '\\bdie\\b'))
-               + len(regexp_extract_all(lower(text), '\\bund\\b')) + len(regexp_extract_all(lower(text), '\\bdas\\b'))
-               + len(regexp_extract_all(lower(text), '\\bist\\b')) AS s_de,
-             len(regexp_extract_all(lower(text), '\\bthe\\b')) + len(regexp_extract_all(lower(text), '\\band\\b'))
-               + len(regexp_extract_all(lower(text), '\\bof\\b')) + len(regexp_extract_all(lower(text), '\\bto\\b'))
-               + len(regexp_extract_all(lower(text), '\\ba\\b')) AS s_en,
-             len(regexp_extract_all(lower(text), '\\bel\\b')) + len(regexp_extract_all(lower(text), '\\bla\\b'))
-               + len(regexp_extract_all(lower(text), '\\bde\\b')) + len(regexp_extract_all(lower(text), '\\bque\\b'))
-               + len(regexp_extract_all(lower(text), '\\by\\b')) AS s_es,
-             len(regexp_extract_all(lower(text), '\\ble\\b')) + len(regexp_extract_all(lower(text), '\\bla\\b'))
-               + len(regexp_extract_all(lower(text), '\\bet\\b')) + len(regexp_extract_all(lower(text), '\\bles\\b'))
-               + len(regexp_extract_all(lower(text), '\\bdes\\b')) AS s_fr
+             regexp_matches(text, '[一-鿿]') AS has_cjk,
+             {" + ".join(_SQL_MARK(w) for w in ["der", "die", "und", "das", "ist"])} AS s_de,
+             {" + ".join(_SQL_MARK(w) for w in ["the", "and", "of", "to", "a"])} AS s_en,
+             {" + ".join(_SQL_MARK(w) for w in ["el", "la", "de", "que", "y"])} AS s_es,
+             {" + ".join(_SQL_MARK(w) for w in ["le", "la", "et", "les", "des"])} AS s_fr
       FROM documents
     )
-    SELECT CASE WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+    SELECT CASE WHEN has_cjk THEN 'zh'
+                WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
                 WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
                 WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
                 WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
@@ -1451,15 +1500,21 @@ def t4_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t5_char_fingerprint",
     """
+    WITH c AS (
+      SELECT doc_id, regexp_replace(text, '[^ -~]', '', 'g') AS ctext
+      FROM documents WHERE doc_id % 10 = 0
+    )
     SELECT doc_id,
-           (SELECT SUM(ord * ascii(ch)) % 1000000007
-            FROM (SELECT unnest(string_split(text,'')) AS ch,
-                         generate_subscripts(string_split(text,''),1) AS ord)) AS fingerprint
-    FROM documents WHERE doc_id % 10 = 0
+           (SELECT COALESCE(SUM(ord * ascii(ch)), 0) % 1000000007
+            FROM (SELECT unnest(string_split(ctext,'')) AS ch,
+                         generate_subscripts(string_split(ctext,''),1) AS ord)) AS fingerprint
+    FROM c
     """,
     survey_rows="ext:fingerprint",
-    description="Position-weighted character fingerprint (rolling-hash "
-    "simplification; xxhash64 shingle fingerprints are the scale variant).",
+    description="Position-weighted character fingerprint over the "
+    "printable-ASCII projection (codepoint-vs-grapheme split semantics "
+    "differ across engines; rolling-hash simplification — xxhash64 shingle "
+    "fingerprints are the scale variant).",
 )
 def t5_char_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import char_fingerprint
@@ -1470,17 +1525,13 @@ def t5_char_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t6_quality_scores",
-    """
+    f"""
     WITH f AS (
       SELECT lang,
-             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
              length(text) AS n_chars,
              len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
-             len(regexp_extract_all(lower(text), '\\bthe\\b'))
-               + len(regexp_extract_all(lower(text), '\\band\\b'))
-               + len(regexp_extract_all(lower(text), '\\bof\\b'))
-               + len(regexp_extract_all(lower(text), '\\bto\\b'))
-               + len(regexp_extract_all(lower(text), '\\ba\\b')) AS n_stop
+             {" + ".join(_SQL_MARK(w) for w in ["the", "and", "of", "to", "a"])} AS n_stop
       FROM documents
     ),
     q AS (

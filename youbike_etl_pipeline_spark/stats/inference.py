@@ -235,7 +235,19 @@ def chi_square_independence(df: DataFrame, row_col: str, col_col: str) -> DataFr
         expected.alias("expected"),
         n.alias("n_total"),
     ).withColumn("residual", (F.col("observed") - F.col("expected")) / F.sqrt("expected"))
-    chi2 = F.sum(F.col("residual") * F.col("residual")).over(w_all)
+    # χ² as an exact associative sum (residual² floor-quantized at 1e-8 and
+    # summed in decimal): a raw double window-sum is partition-order
+    # dependent, so its low bits vary with shuffle layout/thread count
+    chi2 = (
+        F.sum(
+            F.floor(F.col("residual") * F.col("residual") * F.lit(100000000.0)).cast(
+                "decimal(27,0)"
+            )
+        )
+        .over(w_all)
+        .cast("double")
+        / F.lit(100000000.0)
+    )
     r_cnt = F.size(F.collect_set(row_col).over(w_all))
     c_cnt = F.size(F.collect_set(col_col).over(w_all))
     return (
