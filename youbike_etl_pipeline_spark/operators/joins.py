@@ -297,6 +297,7 @@ def numeric_nn_join(
     left_val: str,
     right_id: str,
     right_val: str,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """1-D nearest-neighbor join in O(n log n): for each left row, the right
     row minimizing |left_val − right_val|, ties broken by smaller right id.
@@ -305,37 +306,72 @@ def numeric_nn_join(
     O(L×R) — measured 92× slower at a 10× blow-up (SCALING.md). On a sorted
     1-D axis the nearest neighbor is *adjacent in the merged sort order*, so:
     collapse right to distinct values (keeping the min id per value — the
-    tie-break), union both sides tagged, sort by value once, carry the
-    previous right value forward and the next right value backward, and pick
-    the closer of the two. One shuffle, two window passes, zero pairs.
+    tie-break), union both sides tagged, sort by value, carry the previous
+    right value forward and the next right value backward, and pick the
+    closer of the two.
 
-    The global window here is a single-partition sort — fine up to ~10⁷
-    rows; beyond that, ``repartitionByRange`` on the value with boundary-row
-    exchange is the standard refinement (same algorithm per range).
+    Scale: the sort runs as PARALLEL range-bucketed windows, not one global
+    window. Bucket boundaries are approximate quantiles of the distinct
+    right values (deduped, so skew cannot produce empty ranges); each right
+    value is replicated to its two neighbor buckets. Every deduped boundary
+    is an actual right value, so a left row in bucket b always sees its
+    nearest-below right value inside b (boundary b−1 lives there) and its
+    nearest-above inside b or b+1 — the ±1 replication makes each bucket's
+    window self-contained. One shuffle on the bucket id, no single-partition
+    exchange, carries O(rows/bucket) memory — this is the boundary-row
+    exchange the 100 TB plan needs.
     """
     rvals = right.groupBy(F.col(right_val).alias("__v")).agg(
         F.min(right_id).alias("__rid")
     )
+    if n_buckets is None:
+        n_buckets = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    # driver-side scalar list: ≤ n_buckets−1 cut points from a GK sketch,
+    # not a data collect
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bnds = sorted(set(rvals.stat.approxQuantile("__v", probs, 0.001))) if probs else []
+    if bnds:
+        bnd_arr = F.array(*[F.lit(float(b)) for b in bnds])
+        bucket = F.size(F.filter(bnd_arr, lambda b: b <= F.col("__v")))
+    else:
+        bucket = F.lit(0)
     l_tagged = left.select(
         F.col(left_val).alias("__v"),
         F.lit(1).alias("__is_left"),
         F.struct(*left.columns).alias("__lrow"),
         F.lit(None).cast(rvals.schema["__rid"].dataType).alias("__rid"),
-    )
-    r_tagged = rvals.select(
-        "__v",
-        F.lit(0).alias("__is_left"),
-        F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
-        "__rid",
+    ).withColumn("__b", bucket)
+    r_tagged = (
+        rvals.select(
+            "__v",
+            F.lit(0).alias("__is_left"),
+            F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
+            "__rid",
+        )
+        .withColumn("__b0", bucket)
+        .withColumn(
+            "__b",
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.array(F.col("__b0") - 1, F.col("__b0"), F.col("__b0") + 1),
+                        lambda b: (b >= 0) & (b <= len(bnds)),
+                    )
+                )
+            ),
+        )
+        .drop("__b0")
     )
     u = l_tagged.unionByName(r_tagged)
     # right rows sort before left at equal value → exact matches are found
     fwd = (
-        Window.orderBy(F.col("__v").asc(), F.col("__is_left").asc())
+        Window.partitionBy("__b")
+        .orderBy(F.col("__v").asc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     bwd = (
-        Window.orderBy(F.col("__v").desc(), F.col("__is_left").asc())
+        Window.partitionBy("__b")
+        .orderBy(F.col("__v").desc(), F.col("__is_left").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = (

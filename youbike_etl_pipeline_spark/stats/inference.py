@@ -300,28 +300,61 @@ def ks_two_sample(
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov statistic: group_a vs the rest.
 
-    D = max over distinct values v of |ECDF_a(v) − ECDF_b(v)|, computed with
-    cumulative window sums over the ordered distinct values — one shuffle +
-    one ordered pass, no collect. (scipy's ks_2samp p-value can be applied
-    driver-side to the scalar D.)"""
+    D = max over distinct values v of |ECDF_a(v) − ECDF_b(v)|.
+
+    Scale: the cumulative counts run as range-bucketed windows (quantile
+    boundaries over the distinct values, one hash shuffle on the bucket id),
+    not one global single-partition sort — distinct doubles can be ~n. The
+    classic two-phase prefix sum: intra-bucket cumulative counts, plus
+    per-bucket offsets from a window over the tiny bucket-totals frame
+    (≤ n_buckets rows — single partition there is free). (scipy's ks_2samp
+    p-value can be applied driver-side to the scalar D.)"""
     from pyspark.sql import Window
 
     in_a = (F.col(group_col) == group_a).cast("int")
     per_value = df.groupBy(F.col(value_col).alias("v")).agg(
         F.sum(in_a).alias("ca"), F.sum(1 - in_a).alias("cb")
     )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    totals = per_value.agg(F.sum("ca"), F.sum("cb")).collect()[0]
-    n_a, n_b = totals[0], totals[1]
-    ecdf = per_value.select(
-        "v",
-        (F.sum("ca").over(w) / F.lit(n_a)).alias("fa"),
-        (F.sum("cb").over(w) / F.lit(n_b)).alias("fb"),
+    n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bnds = (
+        sorted(set(per_value.stat.approxQuantile("v", probs, 0.001))) if probs else []
     )
-    return ecdf.agg(
-        F.lit(n_a).alias("n_a"),
-        F.lit(n_b).alias("n_b"),
-        F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks_d"),
+    if bnds:
+        bnd_arr = F.array(*[F.lit(float(b)) for b in bnds])
+        bucketed = per_value.withColumn(
+            "__b", F.size(F.filter(bnd_arr, lambda b: b <= F.col("v")))
+        )
+    else:
+        bucketed = per_value.withColumn("__b", F.lit(0))
+    w_intra = (
+        Window.partitionBy("__b").orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = bucketed.select(
+        "v",
+        "__b",
+        F.sum("ca").over(w_intra).alias("cum_a"),
+        F.sum("cb").over(w_intra).alias("cum_b"),
+    )
+    bucket_totals = bucketed.groupBy("__b").agg(
+        F.sum("ca").alias("ta"), F.sum("cb").alias("tb")
+    )
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_totals.select(
+        "__b",
+        F.coalesce(F.sum("ta").over(w_off), F.lit(0)).alias("off_a"),
+        F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("off_b"),
+        F.sum("ta").over(Window.partitionBy()).alias("n_a"),
+        F.sum("tb").over(Window.partitionBy()).alias("n_b"),
+    )
+    ecdf = cum.join(F.broadcast(offsets), "__b").select(
+        "n_a",
+        "n_b",
+        ((F.col("off_a") + F.col("cum_a")) / F.col("n_a")).alias("fa"),
+        ((F.col("off_b") + F.col("cum_b")) / F.col("n_b")).alias("fb"),
+    )
+    return ecdf.groupBy("n_a", "n_b").agg(
+        F.max(F.abs(F.col("fa") - F.col("fb"))).alias("ks_d")
     )
 
 
