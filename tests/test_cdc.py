@@ -55,6 +55,27 @@ def test_scd2_versioning(spark):
     assert rows[(4, "brandnew", True)] == (300, None)   # first version for new key
 
 
+def test_scd2_multiple_changes_per_key_collapse_to_latest(spark):
+    """A batch carrying several change rows for one key must not fan out the
+    join: only the latest change (by change_ts) applies, yielding exactly one
+    open version and one close row."""
+    history = spark.createDataFrame(
+        [(1, "v1", 100, None, True)],
+        "k int, attr string, effective_from long, effective_to long, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [(1, "mid", 200), (1, "final", 300), (1, "early", 150)],
+        "k int, attr string, change_ts long",
+    )
+    out = scd2_apply(history, changes, keys=["k"], tracked_cols=["attr"]).collect()
+    assert len(out) == 2
+    open_rows = [r for r in out if r["is_current"]]
+    closed_rows = [r for r in out if not r["is_current"]]
+    assert len(open_rows) == 1 and open_rows[0]["attr"] == "final"
+    assert open_rows[0]["effective_from"] == 300
+    assert len(closed_rows) == 1 and closed_rows[0]["effective_to"] == 300
+
+
 def test_scd2_null_safe_tracking(spark):
     history = spark.createDataFrame(
         [(1, None, 100, None, True)],

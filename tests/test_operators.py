@@ -125,6 +125,41 @@ def test_simhash_runs_and_is_symmetric_free(spark, sf_small):
     assert all(r["id_a"] < r["id_b"] for r in pairs)
 
 
+def test_blocked_all_pairs_matches_blas(spark, sf_small):
+    """The distributed (no-collect) exact path returns the same pair set and
+    cosines as the broadcast BLAS path."""
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    blas = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, threshold=0.3, method="blas").collect()
+    }
+    blocked = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.3, method="blocked"
+        ).collect()
+    }
+    assert set(blas) == set(blocked)
+    for k, v in blas.items():
+        assert blocked[k] == pytest.approx(v, abs=1e-12)
+
+
+def test_auto_routes_large_tables_away_from_collect(spark, sf_small):
+    """method='auto' must not collect a table larger than the broadcast cap."""
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
+    out = embedding_near_dup_pairs(emb, threshold=0.3, max_broadcast_rows=1)
+    # plan should be the blocked applyInPandas (FlatMapGroupsInPandas), not
+    # a mapInPandas over a driver-collected broadcast
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    rows = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.3, method="blas").collect()
+    }
+    assert rows == exact
+
+
 def test_lsh_near_dup_subset_of_exact(spark, sf_small):
     emb = spark.read.parquet(f"{sf_small}/embeddings.parquet")
     exact = {
@@ -229,6 +264,28 @@ def test_stateful_stream_matches_batch(spark, sf_small):
         .collect()
     }
     assert got == expected
+
+
+def test_range_band_join_rejects_degenerate_bands(spark):
+    from youbike_etl_pipeline_spark.operators.joins import range_band_join
+
+    fact = spark.createDataFrame([(1, 5.0)], "id int, value double")
+    zero_width = spark.createDataFrame([(0.0, 0.0, "z")], "lo double, hi double, band string")
+    with pytest.raises(ValueError, match="degenerate band"):
+        range_band_join(fact, zero_width, value_col="value")
+    with pytest.raises(ValueError, match="bucket_width"):
+        range_band_join(fact, zero_width, value_col="value", bucket_width=0.0)
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    from youbike_etl_pipeline_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "x")], "k int, v string")
+    small = spark.createDataFrame([(1, "d")], "k int, d string")
+    with pytest.raises(ValueError, match="unsupported"):
+        salted_join(big, small, on="k", how="right")
+    with pytest.raises(ValueError, match="unsupported"):
+        salted_join(big, small, on="k", how="full")
 
 
 def test_range_band_join_matches_inequality_join(spark, sf_small):
@@ -351,8 +408,12 @@ def test_connected_components_dedup_clusters(spark, sf_small):
     assert edge_list  # the fixture really has near-dup pairs
 
 
-def test_batch_predict_sequences_fake_and_stub(spark):
-    from youbike_etl_pipeline_spark.ml.inference import batch_predict_sequences
+def test_batch_predict_sequences_fake_and_real(spark):
+    from youbike_etl_pipeline_spark.ml.inference import (
+        batch_predict_sequences,
+        lstm_forward,
+        seeded_lstm_weights,
+    )
     from youbike_etl_pipeline_spark.operators.windows import sequence_windows
 
     df = spark.createDataFrame(
@@ -363,8 +424,115 @@ def test_batch_predict_sequences_fake_and_stub(spark):
     # fake predictor = mean of the 3-step window's value feature
     assert len(preds) == 3
     assert preds[0]["prediction"] == pytest.approx((0.0 + 2.0 + 4.0) / 3)
-    # strict mode marks the real-model call site (torch absent here)
-    import pytest as _pytest
+    # real mode: the distributed numpy LSTM must match a local forward pass
+    import numpy as np
 
-    with _pytest.raises(Exception, match="torch|NotImplementedError"):
-        batch_predict_sequences(seq, id_cols=("station_no",), fake=False).collect()
+    w = seeded_lstm_weights(input_dim=1)
+    real = batch_predict_sequences(seq, id_cols=("station_no",), fake=False, weights=w)
+    got = sorted(r["prediction"] for r in real.collect())
+    windows = [[0.0, 2.0, 4.0], [2.0, 4.0, 6.0], [4.0, 6.0, 8.0]]
+    want = sorted(
+        float(lstm_forward(np.array(win, dtype=np.float64).reshape(1, 3, 1), w)[0])
+        for win in windows
+    )
+    assert got == pytest.approx(want, abs=0.0)  # bit-identical, same math
+
+
+def test_lstm_forward_zero_weights_analytic():
+    """All-zero weights: every gate is sigmoid(0)=0.5 / tanh(0)=0, so c and
+    h stay 0 and the output is exactly b_out for ANY input."""
+    import numpy as np
+
+    from youbike_etl_pipeline_spark.ml.inference import LSTMWeights, lstm_forward
+
+    h = 4
+    w = LSTMWeights(
+        w_ih=np.zeros((4 * h, 2)),
+        w_hh=np.zeros((4 * h, h)),
+        b_ih=np.zeros(4 * h),
+        b_hh=np.zeros(4 * h),
+        w_out=np.zeros((1, h)),
+        b_out=np.array([2.5]),
+    )
+    x = np.arange(2 * 3 * 2, dtype=np.float64).reshape(2, 3, 2)
+    assert lstm_forward(x, w).tolist() == [2.5, 2.5]
+
+
+def test_lstm_forward_one_step_hand_computed():
+    """Independent scalar re-derivation of one LSTM step (H=D=T=1)."""
+    import math
+
+    import numpy as np
+
+    from youbike_etl_pipeline_spark.ml.inference import LSTMWeights, lstm_forward
+
+    w = LSTMWeights(
+        w_ih=np.ones((4, 1)),
+        w_hh=np.zeros((4, 1)),
+        b_ih=np.zeros(4),
+        b_hh=np.zeros(4),
+        w_out=np.array([[2.0]]),
+        b_out=np.array([0.25]),
+    )
+    x = np.array([[[0.5]]])
+    sig = 1.0 / (1.0 + math.exp(-0.5))
+    g = math.tanh(0.5)
+    c = sig * g
+    expected = 2.0 * (sig * math.tanh(c)) + 0.25
+    assert lstm_forward(x, w)[0] == pytest.approx(expected, rel=1e-15)
+
+
+def test_lstm_reference_pipeline_semantics():
+    """End-to-end snapshot scoring mirrors the reference serving path
+    (api/app/main.py:160-199): scale -> tile x3 -> LSTM -> inverse-scale
+    via the first feature -> clamp/round. With zero weights and b_out=0.5
+    the scaled prediction is exactly 0.5, so the output is
+    round(0.5*(max0-min0)+min0) clamped at 0."""
+    import numpy as np
+
+    from youbike_etl_pipeline_spark.ml.inference import (
+        LSTMWeights,
+        predict_from_features,
+    )
+
+    h = 3
+    w = LSTMWeights(
+        w_ih=np.zeros((4 * h, 4)),
+        w_hh=np.zeros((4 * h, h)),
+        b_ih=np.zeros(4 * h),
+        b_hh=np.zeros(4 * h),
+        w_out=np.zeros((1, h)),
+        b_out=np.array([0.5]),
+    )
+    feats = np.array([[12.0, 25.0, 0.0, 0.0], [3.0, 18.0, 5.0, 2.0]])
+    fmin = np.array([0.0, -10.0, 0.0, 0.0])
+    fmax = np.array([30.0, 40.0, 50.0, 3.0])
+    preds = predict_from_features(feats, w, fmin, fmax)
+    # scaled prediction 0.5 -> 0.5*(30-0)+0 = 15 for every row
+    assert preds.tolist() == [15, 15]
+
+
+def test_lstm_batch_predict_distributed_matches_local(spark):
+    import numpy as np
+
+    from youbike_etl_pipeline_spark.ml.inference import (
+        lstm_batch_predict,
+        predict_from_features,
+        seeded_lstm_weights,
+    )
+
+    rows = [(i, float(i % 30), 15.0 + i % 10, float(i % 4), float(i % 3)) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "station_no int, bikes double, temp double, rain double, rain_cat double"
+    ).repartition(4)
+    w = seeded_lstm_weights(input_dim=4)
+    fmin, fmax = [0.0, 0.0, 0.0, 0.0], [30.0, 30.0, 4.0, 3.0]
+    out = lstm_batch_predict(
+        df, w, fmin, fmax, feature_cols=("bikes", "temp", "rain", "rain_cat"),
+        id_cols=("station_no",),
+    )
+    got = {r["station_no"]: r["predicted_next"] for r in out.collect()}
+    feats = np.array([r[1:] for r in rows])
+    want = predict_from_features(feats, w, np.array(fmin), np.array(fmax))
+    assert got == {rows[i][0]: int(want[i]) for i in range(len(rows))}
+    assert all(v >= 0 for v in got.values())

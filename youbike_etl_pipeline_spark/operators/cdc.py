@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -78,7 +78,21 @@ def scd2_apply(
         F.col(effective_ts_col).alias("cur_from"),
         F.col(end_ts_col).alias("cur_to"),
     )
-    chg_side = changes.select(
+    # one change row per key: a batch can legitimately carry several change
+    # events for the same key, and joining them all would fan out the
+    # full_outer join into multiple open is_current versions. Keep the
+    # latest by change_ts (ties: arbitrary-but-deterministic via row_number
+    # ordering on the tracked columns) — intermediate versions within one
+    # batch are collapsed, matching MERGE semantics.
+    w_latest = Window.partitionBy(*keys).orderBy(
+        F.col(change_ts_col).desc(), *[F.col(c).desc_nulls_last() for c in tracked_cols]
+    )
+    latest_changes = (
+        changes.withColumn("__rn", F.row_number().over(w_latest))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    chg_side = latest_changes.select(
         *keys,
         F.lit(True).alias("__chg_present"),
         *[F.col(c).alias(f"chg_{c}") for c in tracked_cols],

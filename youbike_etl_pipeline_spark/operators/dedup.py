@@ -71,7 +71,9 @@ def ngram_jaccard_pairs(
         keep = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
             F.col("df") <= max_doc_freq
         )
-        idx = idx.join(keep.select("shingle"), "shingle")
+        # re-select: the equi-join moves the key column first, and the
+        # positional toDF renames below depend on (id, shingle) order
+        idx = idx.join(keep.select("shingle"), "shingle").select(id_col, "shingle")
     # the index feeds three subtrees (sizes + both self-join sides);
     # materialize it once instead of re-running tokenize+shingle per use
     idx = idx.localCheckpoint(eager=True)
@@ -102,11 +104,14 @@ def minhash_signatures(
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 32,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signature per document: for seed i, min over shingles of
     xxhash64(shingle, seed=i). Computed as one explode + hash-agg of
-    ``num_hashes`` mins — a single shuffle on the doc id."""
-    exploded = shingle_hash_index(df, text_col, id_col, k)
+    ``num_hashes`` mins — a single shuffle on the doc id. Pass a prebuilt
+    (ideally checkpointed) ``shingle_hash_index`` as ``index`` to share the
+    tokenize+shingle work with a downstream verify step."""
+    exploded = index if index is not None else shingle_hash_index(df, text_col, id_col, k)
     mins = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)
     ]
@@ -163,11 +168,14 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH: banded candidates verified by exact
     Jaccard of shingle-hash sets (semi-joined to candidates only, so the
-    verify join touches candidate pairs, not all pairs)."""
-    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes)
-    cands = minhash_lsh_candidates(sigs, id_col, bands)
-    # index feeds sizes + both verify sides: materialize once
+    verify join touches candidate pairs, not all pairs).
+
+    The shingle-hash index is built and checkpointed ONCE and shared by the
+    signature step and the verify step — previously each rebuilt the
+    tokenize+shingle subtree, which was ~11% of the whole bench."""
     idx = shingle_hash_index(df, text_col, id_col, k).localCheckpoint(eager=True)
+    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, index=idx)
+    cands = minhash_lsh_candidates(sigs, id_col, bands)
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     # candidate pairs are the small side: broadcast them ONCE into the a-side
     # index (referencing `cands` in several joins would re-evaluate the whole

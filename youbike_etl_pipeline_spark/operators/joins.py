@@ -197,10 +197,17 @@ def range_band_join(
     multiply, matching SQL semantics of the equivalent inequality join).
     """
     if bucket_width is None:
-        bucket_width = float(
-            bands.agg(F.min(F.col(hi_col) - F.col(lo_col))).collect()[0][0]
-        )
+        min_width = bands.agg(F.min(F.col(hi_col) - F.col(lo_col))).collect()[0][0]
+        if min_width is None or float(min_width) <= 0.0:
+            raise ValueError(
+                f"range_band_join: degenerate band (min {hi_col}-{lo_col} = "
+                f"{min_width!r}); every band needs {lo_col} < {hi_col}, or pass "
+                "an explicit bucket_width > 0"
+            )
+        bucket_width = float(min_width)
     w = float(bucket_width)
+    if w <= 0.0:
+        raise ValueError(f"range_band_join: bucket_width must be > 0, got {w}")
     banded = bands.withColumn(
         "__bucket",
         F.explode(

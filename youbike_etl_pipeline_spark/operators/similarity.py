@@ -77,30 +77,49 @@ def normalize(vec: Column) -> Column:
     return F.when(n > 0, F.transform(vec.cast("array<double>"), lambda x: x / n))
 
 
+#: rows above which the exact all-pairs operator refuses to collect/broadcast
+#: the table (500k × 64 dims × 8 B ≈ 256 MB — the same smallness contract as
+#: a broadcast-join side) and routes to the block-partitioned path instead
+MAX_BROADCAST_ROWS = 500_000
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     method: str = "auto",
+    max_broadcast_rows: int = MAX_BROADCAST_ROWS,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold — the exact baseline. At corpus
-    scale switch to :func:`lsh_near_dup_pairs` (bucketed).
+    scale prefer :func:`lsh_near_dup_pairs` (bucketed, approximate with
+    exact verify).
 
     ``method='expr'``: pure Catalyst — vectors unit-normalized once (norms
     are NOT recomputed per pair), then a broadcast self-join with a single
-    dot per pair. ``method='blas'`` (default when numpy is available): the
-    right side is collected+broadcast as a matrix (same smallness contract
-    as any broadcast join) and each Arrow batch of the left side does one
-    BLAS matmul — 1-2 orders faster for dense all-pairs.
+    dot per pair. ``method='blas'``: the right side is collected+broadcast
+    as a matrix and each Arrow batch of the left side does one BLAS
+    matmul — 1-2 orders faster for dense all-pairs, but driver-bounded.
+    ``method='blocked'``: no collect anywhere — rows are hashed into B
+    blocks, each row is replicated to its B block-pairs, and every (bi,bj)
+    group does a local matmul; shuffle volume O(n·B), executor memory
+    O(n/B·dim) — the 100 TB-safe exact formulation.
+
+    ``method='auto'`` guards the driver: BLAS only when the table is
+    counted to fit the broadcast contract (≤ ``max_broadcast_rows``),
+    otherwise the blocked path. The unguarded full-table ``collect()`` that
+    used to be the default is gone.
     """
     if method == "auto":
         try:
             import numpy  # noqa: F401
 
-            method = "blas"
+            n = df.count()
+            method = "blas" if n <= max_broadcast_rows else "blocked"
         except ImportError:  # pragma: no cover
             method = "expr"
+    if method == "blocked":
+        return _near_dup_pairs_blocked(df, threshold, vec_col, id_col)
     if method == "blas":
         return _near_dup_pairs_blas(df, threshold, vec_col, id_col)
     normed = df.select(F.col(id_col), normalize(F.col(vec_col)).alias("nvec"))
@@ -150,6 +169,87 @@ def _near_dup_pairs_blas(
             )
 
     return df.select(id_col, vec_col).mapInPandas(
+        fn, schema="id_a long, id_b long, cosine double"
+    )
+
+
+def _near_dup_pairs_blocked(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str,
+    id_col: str,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Distributed exact all-pairs: triangle block join, no driver collect.
+
+    Rows hash into ``B`` blocks; each row is shipped to every block-pair it
+    participates in (``(b, j)`` for ``j ≥ b`` and ``(i, b)`` for ``i ≤ b`` —
+    B copies per row), and each (bi, bj) group computes its cross/triangle
+    matmul locally with numpy. Every unordered row pair lands in exactly one
+    group, so the output has no duplicates. Shuffle is O(n·B·dim); per-task
+    memory is two blocks (~2n/B rows) — pick ``B ≈ sqrt(parallelism)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if n_blocks is None:
+        shuf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        n_blocks = max(2, int(shuf**0.5))
+    b = F.pmod(F.xxhash64(F.col("__id")), F.lit(n_blocks))
+    pairs_of = F.array(
+        *[
+            F.struct(
+                F.least(b, F.lit(j)).alias("bi"), F.greatest(b, F.lit(j)).alias("bj")
+            )
+            for j in range(n_blocks)
+        ]
+    )
+    exploded = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"))
+        .withColumn("__own", b)
+        .withColumn("__bp", F.explode(F.array_distinct(pairs_of)))
+        .select("__id", "__vec", "__own", "__bp.bi", "__bp.bj")
+    )
+
+    def fn(key, pdf):
+        bi, bj = key
+        left = pdf[pdf["__own"] == bi]
+        ids_l = left["__id"].to_numpy(dtype=np.int64)
+        mat_l = np.array([list(v) for v in left["__vec"]], dtype=np.float64)
+        if len(ids_l) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        nl = np.linalg.norm(mat_l, axis=1, keepdims=True)
+        nl[nl == 0] = 1.0
+        mat_l = mat_l / nl
+        if bi == bj:
+            ids_r, mat_r = ids_l, mat_l
+        else:
+            right = pdf[pdf["__own"] == bj]
+            ids_r = right["__id"].to_numpy(dtype=np.int64)
+            mat_r = np.array([list(v) for v in right["__vec"]], dtype=np.float64)
+            if len(ids_r) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+                )
+            nr = np.linalg.norm(mat_r, axis=1, keepdims=True)
+            nr[nr == 0] = 1.0
+            mat_r = mat_r / nr
+        sims = mat_l @ mat_r.T
+        ai, rj = np.where(sims >= threshold)
+        la, rb = ids_l[ai], ids_r[rj]
+        if bi == bj:
+            # triangle: each unordered pair appears as both (i,j) and (j,i);
+            # keep the ordered half
+            keep = la < rb
+            id_a, id_b, cos = la[keep], rb[keep], sims[ai, rj][keep]
+        else:
+            # cross: each pair appears exactly once — orient by id
+            id_a, id_b, cos = np.minimum(la, rb), np.maximum(la, rb), sims[ai, rj]
+        return pd.DataFrame({"id_a": id_a, "id_b": id_b, "cosine": cos})
+
+    return exploded.groupBy("bi", "bj").applyInPandas(
         fn, schema="id_a long, id_b long, cosine double"
     )
 

@@ -59,7 +59,17 @@ def salted_join(
     """Skew-proof equi-join: salt the big side, explode the small side ×
     ``n_salts`` so each salted partition finds its match, join on
     (key, salt), drop the salt. Use when one key dominates ``big`` and the
-    join cannot broadcast (otherwise prefer ``F.broadcast``/AQE)."""
+    join cannot broadcast (otherwise prefer ``F.broadcast``/AQE).
+
+    Only ``inner``/``left``/``left_semi``/``left_anti`` are supported: the
+    small side is replicated ×``n_salts``, so right/full joins would emit
+    ``n_salts`` copies of every unmatched small-side row."""
+    if how not in ("inner", "left", "left_outer", "left_semi", "left_anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the exploded small side "
+            "duplicates unmatched rows under right/full semantics; use "
+            "inner/left/left_semi/left_anti"
+        )
     big_salted = with_salt(big, n_salts)
     small_exploded = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -1451,14 +1451,18 @@ def t1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH shing AS (
       SELECT DISTINCT doc_id, s FROM (
         SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
-        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words
+              FROM documents),
              LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i)
       )
     ),
-    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY 1),
+    keep AS (SELECT s FROM shing GROUP BY s HAVING COUNT(*) <= 100),
+    capped AS (SELECT shing.doc_id, shing.s FROM shing JOIN keep USING (s)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b, n_common, ca.n AS n_a, cb.n AS n_b,
@@ -1470,12 +1474,18 @@ def t1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     survey_rows="ext:dedup-ngram-jaccard",
     description="Near-dup pairs by word-3-gram Jaccard >= 0.5 via inverted "
-    "shingle index self-join (the exact verify of MinHash LSH).",
+    "shingle index self-join (the exact verify of MinHash LSH). The graded "
+    "query carries the max_doc_freq=100 skew cap: shingles shared by >100 "
+    "docs add no discrimination but square the index self-join — uncapped, "
+    "the 10x blow-up measured 53.9x (SCALING.md). Tokenization mirrors "
+    "Spark tokens() (\\s+ split, empties filtered).",
 )
 def t2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.5, max_doc_freq=100
+    )
 
 
 # empty tokens are filtered to mirror Spark-side tokens() exactly: on
@@ -1888,6 +1898,39 @@ def ml2_regression_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.sparkSession.createDataFrame(
         [(r["formula"], float(round(r["r2"], 6)), r["n"]) for r in results],
         schema="formula string, r2 double, n long",
+    )
+
+
+@register(
+    "ml3_lstm_batch_inference",
+    None,  # numpy LSTM recurrence — rows-only (not SQL-expressible); the
+    # forward pass itself is pinned by analytic unit tests (zero-weight,
+    # hand-computed step, distributed==local equality)
+    survey_rows="M11",
+    description="Real numpy-LSTM batch scoring over per-user event "
+    "snapshots, mirroring the reference serving path "
+    "(api/app/main.py:160-199): min-max scale -> tile x3 sequence -> LSTM "
+    "forward -> inverse-scale -> clamp/round. mapInPandas, weights "
+    "broadcast once, one (B,T,D) matmul chain per Arrow batch.",
+)
+def ml3_lstm_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.inference import lstm_batch_predict, seeded_lstm_weights
+
+    ev = _t(spark, sf_dir, "events")
+    feats = ev.groupBy("user_id").agg(
+        agg.decimal_avg(F.col("value")).alias("mean_value"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.max("value").alias("max_value"),
+        F.avg(F.hour("ts").cast("double")).alias("mean_hour"),
+    )
+    w = seeded_lstm_weights(input_dim=4, hidden_dim=8, seed=7)
+    return lstm_batch_predict(
+        feats,
+        w,
+        feat_min=[0.0, 0.0, 0.0, 0.0],
+        feat_max=[500.0, 200.0, 500.0, 23.0],
+        feature_cols=("mean_value", "n_events", "max_value", "mean_hour"),
+        id_cols=("user_id",),
     )
 
 
