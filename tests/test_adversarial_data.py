@@ -112,6 +112,8 @@ ADV_QUERIES = [
     "t4_lang_id_confusion",
     "t5_char_fingerprint",
     "t6_quality_scores",
+    "t16_contamination_check",
+    "t17_repetition_ratio",
 ]
 
 

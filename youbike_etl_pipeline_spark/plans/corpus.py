@@ -3537,6 +3537,115 @@ def m12_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+_SQL_WORDS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+
+
+@register(
+    "t16_contamination_check",
+    f"""
+    WITH labeled AS (
+      SELECT doc_id,
+             CASE WHEN ((doc_id % 2147483648) * 48271) % 2147483647 % 100 < 80 THEN 'train'
+                  WHEN ((doc_id % 2147483648) * 48271) % 2147483647 % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split,
+             {_SQL_WORDS} AS words
+      FROM documents
+    ),
+    shing AS (
+      SELECT DISTINCT doc_id, split, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+      FROM labeled, LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i)
+    ),
+    train_sh AS (SELECT DISTINCT s FROM shing WHERE split = 'train'),
+    ev AS (
+      SELECT shing.split, shing.s,
+             s IN (SELECT s FROM train_sh) AS hit
+      FROM shing WHERE split <> 'train'
+    )
+    SELECT split,
+           COUNT(*) AS n_shingles,
+           SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS n_overlapping,
+           CASE WHEN COUNT(*) > 0 THEN
+             FLOOR(SUM(CASE WHEN hit THEN 1 ELSE 0 END) * 1.0 / COUNT(*) * 1000000) / 1000000.0
+           END AS contamination_rate
+    FROM ev GROUP BY split
+    """,
+    survey_rows="ext:contamination-check (train/eval n-gram overlap)",
+    description="Eval-set contamination audit: fraction of each held-out "
+    "split's distinct word-3-grams that also occur anywhere in the train "
+    "split (the standard pre-training leakage check). Deterministic "
+    "Lehmer-hash split (t12); the shingle membership test is a broadcast "
+    "left-semi-style join on the shingle string — equi-join, no pairs.",
+)
+def t16_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import shingle_index
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = ((F.col("doc_id") % 2147483648) * 48271) % 2147483647 % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    idx = shingle_index(docs, "text", "doc_id", k=3).withColumn("split", split)
+    train_sh = idx.filter(F.col("split") == "train").select("shingle").distinct()
+    ev = idx.filter(F.col("split") != "train")
+    hits = ev.join(
+        train_sh.withColumn("__hit", F.lit(1)), "shingle", "left"
+    )
+    n_over = F.sum(F.when(F.col("__hit").isNotNull(), 1).otherwise(0))
+    n_total = F.count(F.lit(1))
+    return hits.groupBy("split").agg(
+        n_total.alias("n_shingles"),
+        n_over.alias("n_overlapping"),
+        F.when(n_total > 0, q6(n_over * 1.0 / n_total)).alias("contamination_rate"),
+    )
+
+
+@register(
+    "t17_repetition_ratio",
+    f"""
+    WITH w AS (SELECT doc_id, lang, {_SQL_WORDS} AS words FROM documents),
+    tot AS (SELECT doc_id, lang, GREATEST(len(words) - 2, 0) AS n_total FROM w),
+    shing AS (
+      SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+      FROM w, LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i)
+    ),
+    dcnt AS (SELECT doc_id, COUNT(*) AS n_distinct FROM shing GROUP BY 1)
+    SELECT lang,
+           SUM(n_total) AS total_grams,
+           SUM(COALESCE(n_distinct, 0)) AS distinct_grams,
+           CASE WHEN SUM(n_total) > 0 THEN
+             FLOOR((1 - SUM(COALESCE(n_distinct, 0)) * 1.0 / SUM(n_total)) * 1000000) / 1000000.0
+           END AS repetition_ratio
+    FROM tot LEFT JOIN dcnt USING (doc_id) GROUP BY lang
+    """,
+    survey_rows="ext:repetition-ratio (compression-proxy quality signal)",
+    description="Per-language n-gram repetition ratio: 1 - distinct/total "
+    "word-3-grams — the cheap compression-proxy used to flag boilerplate/"
+    "spam docs before training. Pure column expressions (no shuffle beyond "
+    "the final group-by): total grams from the token count, distinct grams "
+    "from the deduped in-row shingle array.",
+)
+def t17_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens, word_shingles_from_tokens
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", tokens(F.col("text")).alias("__toks")
+    )
+    per_doc = docs.select(
+        "lang",
+        F.greatest(F.size("__toks") - 2, F.lit(0)).alias("n_total"),
+        F.size(word_shingles_from_tokens(F.col("__toks"), 3)).alias("n_distinct"),
+    )
+    tg = F.sum("n_total")
+    dg = F.sum("n_distinct")
+    return per_doc.groupBy("lang").agg(
+        tg.alias("total_grams"),
+        dg.alias("distinct_grams"),
+        F.when(tg > 0, q6(1 - dg * 1.0 / tg)).alias("repetition_ratio"),
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
