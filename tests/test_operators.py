@@ -180,6 +180,74 @@ def test_cosine_topk_self_similarity(spark, sf_small):
     assert top[0]["vec_id"] == 0 and top[0]["cosine"] == pytest.approx(1.0)
 
 
+def test_real_ppm_bmp_decode_roundtrip():
+    """Pure-numpy PPM/BMP decode: encode a known image, decode it back,
+    and check exact pixel + feature values — no codec library involved."""
+    import numpy as np
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        _real_feature,
+        decode_bmp,
+        decode_image,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    assert (decode_image(encode_ppm(img)) == img).all()
+
+    # hand-built 24-bit BMP (2x2, bottom-up, padded rows)
+    import struct as _s
+
+    px = {  # (row, col) -> RGB
+        (0, 0): (255, 0, 0), (0, 1): (0, 255, 0),
+        (1, 0): (0, 0, 255), (1, 1): (10, 20, 30),
+    }
+    row_bytes = (2 * 3 + 3) & ~3  # 8
+    pixel_data = b""
+    for r in (1, 0):  # bottom-up storage
+        row = b""
+        for c in (0, 1):
+            rgb = px[(r, c)]
+            row += bytes([rgb[2], rgb[1], rgb[0]])  # BGR on disk
+        pixel_data += row + b"\x00" * (row_bytes - len(row))
+    header = b"BM" + _s.pack("<IHHI", 54 + len(pixel_data), 0, 0, 54)
+    header += _s.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixel_data), 0, 0, 0, 0)
+    bmp = header + pixel_data
+    out = decode_bmp(bmp)
+    for (r, c), rgb in px.items():
+        assert tuple(out[r, c]) == rgb
+
+    feats = _real_feature(img)
+    assert feats[0] == 7.0 and feats[1] == 5.0  # width, height
+    assert feats[2] == pytest.approx(float(img[:, :, 0].mean()))
+    assert len(feats) == 8
+
+
+def test_decode_image_features_real_path_in_spark(spark):
+    """PPM payloads flow through the distributed decode and produce exact
+    per-channel statistics; unknown payloads still use the fake path."""
+    import numpy as np
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        _real_feature,
+        decode_image_features,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = {i: rng.integers(0, 256, (4, 6, 3), dtype=np.uint8) for i in range(6)}
+    rows = [(i, bytearray(encode_ppm(img))) for i, img in imgs.items()]
+    rows.append((99, bytearray(b"not an image at all")))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(3)
+    got = {r["doc_id"]: r["feature"] for r in decode_image_features(df).collect()}
+    for i, img in imgs.items():
+        assert got[i] == pytest.approx(_real_feature(img), abs=0.0)
+    assert len(got[99]) == 8  # fake fallback, schema-compatible
+
+
 def test_multimodal_strict_stub_raises(spark, sf_small):
     from youbike_etl_pipeline_spark.operators.multimodal import (
         attach_media_columns,

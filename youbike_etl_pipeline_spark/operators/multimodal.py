@@ -2,11 +2,12 @@
 
 Media travel as opaque ``binary`` columns with a typed metadata struct —
 the Spark-side contract (schema, partitioning, Arrow batch shape) is real
-and tested; the actual codec step is STUBBED because no image/audio
-libraries exist in this container. Each decode UDF either raises
-``NotImplementedError`` (strict mode) or produces a deterministic fake
-(test mode) with the exact schema a real decoder would emit, so swapping in
-Pillow/torchaudio later changes one function body, not the pipeline.
+and tested. The decode step is REAL for uncompressed formats that need no
+codec library — PPM (P6) and 24-bit BMP are parsed with pure numpy
+(:func:`decode_image`) — and codec-gated for compressed formats
+(JPEG/PNG raise ``NotImplementedError`` until Pillow/opencv exist in the
+environment). A deterministic fake remains for payloads with no parseable
+format so pipeline plumbing stays testable end-to-end.
 
 Scale posture: decode runs in ``mapInPandas`` (Arrow-batched, one pass,
 no shuffle); per-item fan-out (frame sampling) uses the same iterator to
@@ -15,8 +16,10 @@ yield more rows than it consumes.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -67,6 +70,128 @@ def attach_media_columns(df: DataFrame, text_col: str = "text", id_col: str = "d
     )
 
 
+def encode_ppm(img: "np.ndarray") -> bytes:
+    """(H, W, 3) uint8 → binary PPM (P6) payload — the test-fixture inverse
+    of :func:`decode_ppm`."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> "np.ndarray":
+    """Parse a binary PPM (P6): ASCII header ``P6 <w> <h> <maxval>`` with
+    whitespace/comments, then raw RGB triplets. Pure numpy, no codec lib."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # tokenize header: three ints after the magic, '#' comments to EOL
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> "np.ndarray":
+    """Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER): bottom-up rows,
+    BGR triplets, rows padded to 4 bytes. Pure numpy, no codec lib."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if header_size < 40 or bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_offset
+    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        rows = rows[::-1]
+    return rows[:, :, ::-1]  # BGR → RGB
+
+
+def _real_feature(img: "np.ndarray") -> list[float]:
+    """Per-channel mean/std + dimensions — the classic cheap image-quality
+    feature block (8 values, matching the fake path's dim)."""
+    f = img.astype(np.float64)
+    return [
+        float(img.shape[1]),
+        float(img.shape[0]),
+        *(float(x) for x in f.mean(axis=(0, 1))),
+        *(float(x) for x in f.std(axis=(0, 1))),
+    ]
+
+
+def decode_image(payload: bytes, fmt: str | None = None) -> "np.ndarray":
+    """Dispatch decode by sniffed/declared format. Real for PPM/BMP;
+    ``NotImplementedError`` for compressed formats (the codec-gated path)."""
+    if payload[:2] == b"P6" or fmt == "ppm":
+        return decode_ppm(payload)
+    if payload[:2] == b"BM" or fmt == "bmp":
+        return decode_bmp(payload)
+    if fmt in ("png", "jpg", "jpeg", "webp") or payload[:4] in (
+        b"\x89PNG",
+        b"\xff\xd8\xff\xe0",
+    ):
+        raise NotImplementedError(
+            f"decoding {fmt or 'compressed image'} requires a codec library "
+            "(Pillow/opencv) — not available in this environment"
+        )
+    raise ValueError("unrecognized image payload")
+
+
+def attach_ppm_payloads(
+    df: DataFrame, id_col: str = "doc_id", width: int = 16, height: int = 12
+) -> DataFrame:
+    """Give every row a REAL decodable image payload: a deterministic PPM
+    whose pixels derive from the row id (seeded per-row generator). This is
+    the test-fixture source for the real decode path — production replaces
+    it with a ``binaryFile`` read from object storage."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                rng = np.random.default_rng(int(did))
+                img = rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+                payloads.append(bytearray(encode_ppm(img)))
+                metas.append(
+                    {
+                        "media_type": "image",
+                        "format": "ppm",
+                        "width": width,
+                        "height": height,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
+
+    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a decoded-image feature vector: byte-sum
     folded per dimension. Replace with a real decode+embed when codecs are
@@ -88,23 +213,33 @@ def decode_image_features(
 ) -> DataFrame:
     """Image decode + feature extraction via ``mapInPandas`` (Arrow batches).
 
-    ``strict=True`` raises ``NotImplementedError`` — the marked stub for the
-    real codec path (Pillow/opencv absent in this container). Otherwise the
-    deterministic fake keeps the distributed plumbing testable end-to-end.
+    Payloads in an uncompressed format (PPM/BMP) are REALLY decoded
+    (:func:`decode_image`, pure numpy) into per-channel mean/std features.
+    Other payloads: ``strict=True`` raises ``NotImplementedError`` (the
+    codec-gated path — compressed formats need Pillow/opencv), otherwise
+    the deterministic fake keeps the plumbing testable end-to-end.
     """
+
+    def one(payload: bytes) -> list[float] | None:
+        if payload is None:
+            return None
+        try:
+            return _real_feature(decode_image(payload))
+        except (ValueError, IndexError, struct.error):
+            if strict:
+                raise NotImplementedError(
+                    "compressed/unknown image decode requires a codec library "
+                    "(Pillow/opencv) — not available in this environment"
+                ) from None
+            return _fake_feature(payload, dim)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if strict:
-                raise NotImplementedError(
-                    "image decode requires a codec library (Pillow/opencv) — "
-                    "not available in this environment; stubbed by contract"
-                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "n_bytes": pdf[payload_col].map(lambda b: 0 if b is None else len(b)).astype("int64"),
-                    "feature": pdf[payload_col].map(lambda b: _fake_feature(b, dim)),
+                    "feature": pdf[payload_col].map(one),
                 }
             )
 

@@ -1800,19 +1800,24 @@ def mm1_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm2_decode_features",
-    None,  # mapInPandas stub path — schema/partitioning contract check
+    None,  # numpy image decode — rows-only (not SQL-expressible); pixel
+    # exactness is pinned by test_real_ppm_bmp_decode_roundtrip
     survey_rows="ext:multimodal-decode",
-    description="Arrow-batched mapInPandas decode stub: deterministic fake "
-    "features with the real schema/batch shape.",
+    description="REAL image decode in Arrow-batched mapInPandas: "
+    "deterministic PPM payloads attached per doc, parsed with the pure-"
+    "numpy P6 decoder (no codec lib), per-channel mean/std features out. "
+    "Compressed formats stay codec-gated (NotImplementedError).",
 )
 def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import attach_media_columns, decode_image_features
+    from ..operators.multimodal import attach_ppm_payloads, decode_image_features
 
-    docs = _t(spark, sf_dir, "documents")
-    media = attach_media_columns(docs)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = attach_ppm_payloads(docs)
     feats = decode_image_features(media)
     return feats.select(
-        "doc_id", "n_bytes", F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum")
+        "doc_id",
+        "n_bytes",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
     )
 
 
@@ -3644,6 +3649,122 @@ def t17_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         dg.alias("distinct_grams"),
         F.when(tg > 0, q6(1 - dg * 1.0 / tg)).alias("repetition_ratio"),
     )
+
+
+@register(
+    "q18_large_volume_customers",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 150
+    )
+    SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {SQL_DSUM("l.l_quantity")} AS total_qty
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+    survey_rows="A1,J1,a17 (TPC-H Q18 shape)",
+    description="Large-volume customers (TPC-H Q18): HAVING-gated "
+    "aggregation feeding a semi join back into the fact — Spark plans the "
+    "IN-subquery as a left-semi hash join on the pre-aggregated key set, "
+    "so the big fact⋈fact never materializes unfiltered.",
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(agg.decimal_sum(F.col("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    filtered = orders.join(
+        big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi"
+    )
+    joined = filtered.join(li, filtered.o_orderkey == li.l_orderkey).join(
+        F.broadcast(cust), filtered.o_custkey == cust.c_custkey
+    )
+    return joined.groupBy(
+        "c_name", "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).agg(agg.decimal_sum(F.col("l_quantity")).alias("total_qty"))
+
+
+@register(
+    "dq3_table_diff",
+    """
+    WITH a AS (SELECT o_orderkey AS k, md5(concat_ws('|', o_orderstatus, o_orderpriority,
+                      CAST(o_totalprice AS VARCHAR))) AS row_hash
+               FROM orders WHERE o_orderkey % 3 <> 0),
+    b AS (SELECT o_orderkey AS k, md5(concat_ws('|', o_orderstatus, o_orderpriority,
+                      CAST(o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 1.0 ELSE 0.0 END AS VARCHAR))) AS row_hash
+          FROM orders WHERE o_orderkey % 5 <> 0)
+    SELECT 'only_in_a' AS diff_kind, COUNT(*) AS n
+    FROM a WHERE k NOT IN (SELECT k FROM b)
+    UNION ALL
+    SELECT 'only_in_b', COUNT(*) FROM b WHERE k NOT IN (SELECT k FROM a)
+    UNION ALL
+    SELECT 'changed', COUNT(*)
+    FROM a JOIN b USING (k) WHERE a.row_hash <> b.row_hash
+    UNION ALL
+    SELECT 'identical', COUNT(*)
+    FROM a JOIN b USING (k) WHERE a.row_hash = b.row_hash
+    """,
+    survey_rows="ext:table-diff (reconciliation audit)",
+    description="Snapshot reconciliation: key-level diff of two table "
+    "versions via per-row md5 content hashes — added/removed/changed/"
+    "identical counts. One shuffle per side on the key; the content "
+    "compare rides the same join (the pattern behind CDC backfills and "
+    "migration verification). Here the two 'versions' are deterministic "
+    "slices of orders so the oracle is self-contained.",
+)
+def dq3_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    row_hash = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            F.col("o_totalprice").cast("string"),
+        )
+    )
+    a = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"), row_hash.alias("hash_a")
+    )
+    # version B perturbs every 7th key's price so the diff has real
+    # 'changed' rows; the hash compare is within-engine only (classification
+    # outcomes, not hash bytes, are what the oracle checks)
+    hash_b = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("o_orderstatus"),
+            F.col("o_orderpriority"),
+            (
+                F.col("o_totalprice")
+                + F.when(F.col("o_orderkey") % 7 == 0, 1.0).otherwise(0.0)
+            ).cast("string"),
+        )
+    )
+    b = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        F.col("o_orderkey").alias("k"), hash_b.alias("hash_b")
+    )
+    only_a = a.join(b, "k", "left_anti").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_in_a").alias("diff_kind"), "n"
+    )
+    only_b = b.join(a, "k", "left_anti").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("only_in_b").alias("diff_kind"), "n"
+    )
+    both = a.join(b, "k")
+    changed = both.filter(F.col("hash_a") != F.col("hash_b")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("changed").alias("diff_kind"), "n")
+    identical = both.filter(F.col("hash_a") == F.col("hash_b")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("identical").alias("diff_kind"), "n")
+    return only_a.unionByName(only_b).unionByName(changed).unionByName(identical)
 
 
 # ===========================================================================
