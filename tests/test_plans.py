@@ -93,6 +93,54 @@ def test_topk_no_global_sort(spark, sf_small):
     assert "TakeOrderedAndProject" in txt
 
 
+def test_numeric_nn_join_has_no_single_partition_window(spark, sf_small):
+    """The 1-D NN join must run range-bucketed windows (partitioned by the
+    bucket id), never a global single-partition sort — the round-1
+    scale-killer this plan shape guards against."""
+    from youbike_etl_pipeline_spark.plans.corpus import CORPUS
+
+    plan = (
+        CORPUS["j5_nearest_neighbor_join"]
+        .fn(spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_ks_ecdf_no_large_single_partition_window(spark, sf_small):
+    """KS ECDF cumulative counts are bucketed; the only single-partition
+    exchange allowed is over the tiny bucket-totals frame."""
+    from youbike_etl_pipeline_spark.stats.inference import ks_two_sample
+
+    ev = spark.read.parquet(f"{sf_small}/orders.parquet")
+    plan = (
+        ks_two_sample(ev, "o_orderstatus", "o_totalprice", "O")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the per-value window must be hash-partitioned on the bucket id
+    assert "windowspecdefinition(__b" in plan
+
+
+def test_q18_semi_join_before_fact_join(spark, sf_small):
+    """Q18's IN-subquery plans as a semi join on the pre-aggregated key set,
+    so the fact join only sees filtered orders."""
+    from youbike_etl_pipeline_spark.plans.corpus import CORPUS
+
+    plan = (
+        CORPUS["q18_large_volume_customers"]
+        .fn(spark, sf_small)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+
+
 def test_asof_join_single_shuffle_no_range_explosion(spark, sf_small):
     txt = plan_text(CORPUS["j7_asof_join"].fn(spark, sf_small))
     assert "CartesianProduct" not in txt and "BroadcastNestedLoopJoin" not in txt

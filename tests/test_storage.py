@@ -70,3 +70,55 @@ def test_merge_schema_evolution(spark, sf_small, tmp_path):
     assert len(rows) == base.count() * 2
     # old-schema rows surface the new column as null
     assert sum(1 for r in rows if r["r_population"] is None) == base.count()
+
+
+def test_compaction_reduces_file_count_and_sorts(spark, sf_small, tmp_path):
+    """50 tiny fragments compact into the size-derived file count; rows
+    survive exactly; sortWithinPartitions clusters values inside each file."""
+    import os
+
+    from youbike_etl_pipeline_spark.sources.writers import compact_parquet
+
+    ev = read_events(spark, sf_small)
+    src = str(tmp_path / "fragmented")
+    ev.repartition(50).write.parquet(src)
+    n_src = len([f for f in os.listdir(src) if f.endswith(".parquet")])
+    assert n_src == 50
+
+    dest = str(tmp_path / "compacted")
+    n_out = compact_parquet(spark, src, dest, target_file_bytes=1 << 30, sort_cols=["ts"])
+    files = [f for f in os.listdir(dest) if f.endswith(".parquet")]
+    assert len(files) == n_out and n_out < 5
+    back = spark.read.parquet(dest)
+    assert back.count() == ev.count()
+    # per-file clustering: each file's rows are ts-sorted
+    for f in files:
+        pdf = spark.read.parquet(os.path.join(dest, f)).select("ts").toPandas()
+        assert pdf["ts"].is_monotonic_increasing
+
+
+def test_write_bucketed_join_has_no_exchange(spark, sf_small, tmp_path):
+    from youbike_etl_pipeline_spark.sources.writers import write_bucketed
+
+    orders = spark.read.parquet(f"{sf_small}/orders.parquet")
+    li = (
+        spark.read.parquet(f"{sf_small}/lineitem.parquet")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+    )
+    write_bucketed(orders, "wb_orders", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    write_bucketed(li, "wb_li", ["o_orderkey"], num_buckets=8, sort_cols=["o_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the SMJ path (at sf_small everything fits a broadcast, which
+        # would bypass bucket co-location and hide what's being proven)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a = spark.table("wb_orders")
+        b = spark.table("wb_li")
+        joined = a.join(b, "o_orderkey")
+        plan = _plan(joined, "simple")
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS wb_orders")
+        spark.sql("DROP TABLE IF EXISTS wb_li")

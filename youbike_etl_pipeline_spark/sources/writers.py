@@ -10,7 +10,9 @@ and broadcast the existing-keys side when it is small.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -21,6 +23,50 @@ def write_parquet(df: DataFrame, path: str, mode: str = "append", partition_by: 
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (hash-clustered storage): a later equi-join or
+    aggregation on ``bucket_cols`` between tables bucketed the same way runs
+    with ZERO shuffle (verified in ``tests/test_scale_features.py``). The
+    100 TB co-location strategy: pay the shuffle once at write time, reuse
+    the partitioning for every downstream join."""
+    writer = df.write.format("parquet").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.mode(mode).saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction (the OPTIMIZE pattern): size the output file
+    count from the source's actual bytes, rewrite with optional
+    ``sortWithinPartitions`` clustering so per-file column min/max stats are
+    tight (row-group skipping on later reads). Returns the output file
+    count. Listing goes through the Hadoop FS API, so any scheme (s3a/gs/
+    hdfs/file) works; the data itself never touches the driver."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    total_bytes = fs.getContentSummary(hpath).getLength()
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(src_path).repartition(n_files)
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    df.write.mode("overwrite").parquet(dest_path)
+    return n_files
 
 
 def write_csv(df: DataFrame, path: str, single_file: bool = False, encoding: str = "UTF-8") -> None:
