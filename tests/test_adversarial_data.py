@@ -108,6 +108,8 @@ def _cells_equal(a, b) -> bool:
 
 ADV_QUERIES = [
     "f12_clamp_round",
+    "f1_f2_tz_normalize",
+    "m12_median_absolute_deviation",
     "t3_token_stats",
     "t4_lang_id_confusion",
     "t5_char_fingerprint",

@@ -122,3 +122,47 @@ def test_write_bucketed_join_has_no_exchange(spark, sf_small, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS wb_orders")
         spark.sql("DROP TABLE IF EXISTS wb_li")
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from youbike_etl_pipeline_spark.sources.writers import zorder_value
+
+    df = spark.createDataFrame([(3.0, 0.0), (0.0, 3.0), (3.0, 3.0)], "x double, y double")
+    # 2-bit quantization over [0,3]: x=3->0b11, y=3->0b11
+    z = df.select(
+        zorder_value([F.col("x"), F.col("y")], [0.0, 0.0], [3.0, 3.0], bits=2).alias("z")
+    ).collect()
+    # interleave x into even bit positions, y into odd:
+    # (x=11, y=00) -> 0b0101 = 5 ; (x=00, y=11) -> 0b1010 = 10 ; both -> 15
+    assert [r["z"] for r in z] == [5, 10, 15]
+
+
+def test_zorder_write_clusters_both_dimensions(spark, sf_small, tmp_path):
+    """Per-file (max-min) spans of BOTH z-ordered columns must be far
+    tighter than a layout sorted by an unrelated column — the property that
+    makes parquet row-group skipping work for either predicate."""
+    import os
+
+    from youbike_etl_pipeline_spark.sources.writers import zorder_write
+
+    ev = read_events(spark, sf_small).select("user_id", "value", "ts")
+    naive = str(tmp_path / "naive")
+    ev.repartitionByRange(8, "ts").write.parquet(naive)  # time-clustered layout
+    zpath = str(tmp_path / "zordered")
+    zorder_write(ev, zpath, ["user_id", "value"], n_files=8)
+
+    def mean_span_product(path):
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        prods = []
+        for f in files:
+            pdf = spark.read.parquet(os.path.join(path, f)).toPandas()
+            if len(pdf) < 2:
+                continue
+            su = pdf["user_id"].max() - pdf["user_id"].min()
+            sv = pdf["value"].max() - pdf["value"].min()
+            prods.append(float(su) * float(sv))
+        return sum(prods) / len(prods)
+
+    assert spark.read.parquet(zpath).count() == ev.count()
+    # z-ordered files cover a fraction of the (user_id x value) area
+    assert mean_span_product(zpath) < 0.5 * mean_span_product(naive)

@@ -69,6 +69,66 @@ def compact_parquet(
     return n_files
 
 
+def zorder_value(
+    cols: list[F.Column],
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 16,
+) -> F.Column:
+    """Morton (Z-order) key: each column quantized to ``bits`` levels over
+    its [min, max] range, then bit-interleaved. Points close in EVERY
+    dimension get close z-values, so range-partitioning + sorting by z
+    clusters multi-dimensional locality into the same files — the layout
+    trick behind Delta/Iceberg OPTIMIZE ZORDER. Pure integer expressions
+    (shift/or), codegen'd; the bit loop is plan construction, not per-row
+    Python."""
+    k = len(cols)
+    quantized = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = (hi - lo) or 1.0
+        q = F.floor((c.cast("double") - F.lit(lo)) / F.lit(span) * F.lit((1 << bits) - 1))
+        q = F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), q)).cast("long")
+        quantized.append(q)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * k + i))
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet write: range-partition + sort on the Morton
+    key of ``cols`` so every output file covers a tight hyper-rectangle of
+    the key space — point/range predicates on ANY of the z-ordered columns
+    skip most row groups via parquet min/max stats. Column ranges come from
+    one min/max aggregation (driver-side scalars, not data)."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
+    row = df.agg(*aggs).collect()[0]
+    mins = [row[2 * i] for i in range(len(cols))]
+    maxs = [row[2 * i + 1] for i in range(len(cols))]
+    z = zorder_value([F.col(c) for c in cols], mins, maxs, bits)
+    out = df.withColumn("__z", z)
+    if n_files is None:
+        n_files = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    (
+        out.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_csv(df: DataFrame, path: str, single_file: bool = False, encoding: str = "UTF-8") -> None:
     """CSV sink (S10). ``single_file=True`` matches the reference's one-file
     ``to_csv`` exports (``notebooks/03_data_merge.ipynb:L91``) — only for
