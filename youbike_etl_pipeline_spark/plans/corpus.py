@@ -3767,6 +3767,42 @@ def dq3_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return only_a.unionByName(only_b).unionByName(changed).unionByName(identical)
 
 
+@register(
+    "skew_salted_agg",
+    """
+    SELECT event_type,
+           SUM(CAST(value AS DECIMAL(27,6))) AS total_value,
+           COUNT(*) AS n,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+    survey_rows="ext:skew-mitigation (salted two-stage aggregation)",
+    description="Two-stage salted aggregation over the hot event_type keys: "
+    "stage 1 aggregates per (key, salt) spreading each hot key over 16 "
+    "reducers, stage 2 recombines the algebraic partials. The oracle is the "
+    "PLAIN single-stage SQL — salting must be semantically invisible, which "
+    "is exactly what the hash-compare proves. Decimal sums keep the "
+    "recombine exact (double partials would drift with salt count).",
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_group_agg
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(27,6)")
+    )
+    out = salted_group_agg(
+        ev,
+        keys=["event_type"],
+        aggs={
+            "total_value": ("value_dec", "sum"),
+            "n": ("value", "count"),
+            "max_value": ("value", "max"),
+        },
+        n_salts=16,
+    )
+    return out.select("event_type", "total_value", "n", "max_value")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
