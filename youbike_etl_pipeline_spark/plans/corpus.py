@@ -3803,6 +3803,121 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "total_value", "n", "max_value")
 
 
+@register(
+    "st6_foreachbatch_upsert",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events WHERE event_id % 10 <> 0
+    GROUP BY event_type
+    """,
+    survey_rows="§2.8 foreachBatch upsert, S9",
+    description="foreachBatch anti-join upsert run as a REAL stream: "
+    "micro-batches dedup on the key and anti-join the pre-existing key set "
+    "(event_id % 10 == 0 rows simulate already-loaded data), the appended "
+    "remainder is aggregated. The oracle is the batch equivalent — "
+    "streaming upsert semantics must equal one big anti-join.",
+)
+def st6_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import read_events_stream, upsert_foreach_batch
+
+    stream = read_events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+    existing = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 10 == 0)
+        .select("event_id")
+    )
+    sink: list = []
+    upsert_foreach_batch(stream, existing, ["event_id"], sink)
+    rows = [r for _, batch in sink for r in batch]
+    upserted = spark.createDataFrame(
+        rows, schema="event_id long, event_type string, value double"
+    )
+    return upserted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        agg.decimal_sum(F.col("value")).alias("total_value"),
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+    survey_rows="J-family outer join + A12 (TPC-H Q13 shape)",
+    description="Customer order-count distribution (TPC-H Q13): left outer "
+    "join with an ON-clause filter on the right side (customers with zero "
+    "matching orders count as 0), then a second aggregation over the "
+    "first's output — the double-group-by shape.",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "q20_supplier_part_chain",
+    f"""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey, {SQL_DSUM("l_quantity")} AS qty
+      FROM lineitem WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      GROUP BY 1, 2
+    ),
+    eligible AS (
+      SELECT DISTINCT s.l_suppkey
+      FROM shipped s JOIN part p ON s.l_partkey = p.p_partkey
+      WHERE p.p_name LIKE '%green%' AND s.qty > 50
+    )
+    SELECT su.s_name, su.s_acctbal, n.n_name
+    FROM supplier su
+    JOIN nation n ON su.s_nationkey = n.n_nationkey
+    WHERE su.s_suppkey IN (SELECT l_suppkey FROM eligible)
+    """,
+    survey_rows="semi-join chain + like filter (TPC-H Q20 shape)",
+    description="Suppliers with surplus of a part family (TPC-H Q20): "
+    "aggregate-then-filter feeding a DISTINCT key set consumed as a semi "
+    "join — the nested-subquery chain Spark plans as two hash joins plus a "
+    "left-semi, never a correlated per-row probe.",
+)
+def q20_supplier_part_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        agg.decimal_sum(F.col("l_quantity")).alias("qty")
+    )
+    eligible = (
+        shipped.filter(F.col("qty") > 50)
+        .join(F.broadcast(part), shipped.l_partkey == part.p_partkey)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(
+            eligible.withColumnRenamed("l_suppkey", "s_suppkey"), "s_suppkey", "left_semi"
+        )
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select("s_name", "s_acctbal", "n_name")
+    )
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
