@@ -435,6 +435,21 @@ def test_grid_nn_join_matches_brute_force(spark):
         assert grid[k] == pytest.approx(exact[k], rel=1e-12), k
 
 
+def test_connected_components_long_chain_converges_fast(spark):
+    """A 60-node chain must resolve to one component well within max_iter:
+    pointer jumping gives O(log diameter) rounds (plain neighbor-min would
+    need 60 and silently truncate at 20)."""
+    from youbike_etl_pipeline_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a long, id_b long"
+    )
+    comp = connected_components(pairs, max_iter=10)
+    rows = comp.collect()
+    assert len(rows) == 61
+    assert all(r["component"] == 0 for r in rows)
+
+
 def test_connected_components_dedup_clusters(spark, sf_small):
     """Pairs → clusters: components must match a driver-side union-find on
     the same edge set, and every doc maps to its cluster minimum."""

@@ -271,11 +271,14 @@ def connected_components(
     where component = min node id in the cluster.
 
     Turns PAIRS (from Jaccard/MinHash/SimHash/cosine) into dedup CLUSTERS so
-    each group keeps one canonical document. Iterative min-label
-    propagation: each node adopts the smallest label among itself and its
-    neighbors until fixpoint — O(diameter) joins, each an equi-join on the
-    node id (near-dup clusters are shallow, so few iterations). Labels are
-    checkpointed per iteration to break lineage growth.
+    each group keeps one canonical document. Each iteration combines
+    neighbor-min propagation with POINTER JUMPING (take the label of your
+    current label), so the min label spreads ~2^i hops after i iterations —
+    O(log diameter) rounds instead of O(diameter), which matters when a
+    fresh seed plants duplicate CHAINS rather than isolated pairs. Labels
+    are checkpointed per iteration to break lineage growth; raises if the
+    fixpoint is not reached within ``max_iter`` (silent truncation would
+    return wrong clusters).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -291,16 +294,30 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+        stepped = labels.join(neighbor_min, labels.node == neighbor_min.src, "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+            ).alias("component"),
+        )
+        # pointer jumping: adopt the label of the current label node
+        jumped = (
+            stepped.alias("u")
+            .join(
+                stepped.select(
+                    F.col("node").alias("lnode"), F.col("component").alias("lcomp")
+                ),
+                F.col("u.component") == F.col("lnode"),
+                "left",
+            )
             .select(
-                "node",
+                F.col("u.node").alias("node"),
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                    F.col("u.component"), F.coalesce(F.col("lcomp"), F.col("u.component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
         )
+        updated = jumped.localCheckpoint(eager=True)
         changed = (
             updated.alias("u")
             .join(labels.alias("l"), "node")
@@ -310,8 +327,11 @@ def connected_components(
         )
         labels = updated
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within {max_iter} iterations "
+        "(component diameter > 2^iterations — raise max_iter)"
+    )
 
 
 def dedup_clusters(

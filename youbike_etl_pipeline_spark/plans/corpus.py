@@ -2967,17 +2967,21 @@ def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t10_dedup_clusters",
     """
-    WITH shing AS (
+    WITH RECURSIVE shing AS (
       SELECT DISTINCT doc_id, s FROM (
         SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
-        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words
+              FROM documents),
              LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i)
       )
     ),
-    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY 1),
+    keep AS (SELECT s FROM shing GROUP BY s HAVING COUNT(*) <= 100),
+    capped AS (SELECT shing.doc_id, shing.s FROM shing JOIN keep USING (s)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-      FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
     pairs AS (
@@ -2985,30 +2989,33 @@ def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
       WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.5
     ),
-    -- near-dup clusters in this corpus are planted doc pairs, so the
-    -- transitive closure equals one hop: component = min over the direct
-    -- neighborhood (the union-find equivalence test proves this holds; the
-    -- Spark side runs full iterative label propagation regardless)
     nodes AS (
       SELECT id_a AS node, id_b AS nbr FROM pairs
       UNION ALL SELECT id_b, id_a FROM pairs
     ),
-    comp AS (
-      SELECT node, LEAST(node, MIN(nbr)) AS component FROM nodes GROUP BY node
-    )
+    -- exact transitive closure: a doc's component is the min label
+    -- REACHABLE through any chain of near-dup edges (duplicate chains
+    -- like 0~17~34 are real under fresh seeds; one-hop min is wrong there)
+    reach AS (
+      SELECT DISTINCT node, node AS label FROM nodes
+      UNION
+      SELECT n.node, r.label FROM nodes n JOIN reach r ON n.nbr = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
     SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
     """,
     survey_rows="ext:dedup-clusters (connected components)",
     description="Near-dup pairs -> dedup clusters via iterative min-label "
     "propagation (connected components); every doc mapped to its cluster's "
-    "canonical min-id survivor.",
+    "canonical min-id survivor. Oracle computes the exact closure with a "
+    "recursive CTE; tokenization and the doc-freq skew cap mirror t2.",
 )
 def t10_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import dedup_clusters, ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5, max_doc_freq=100)
     return dedup_clusters(docs, pairs)
 
 
