@@ -123,6 +123,11 @@ DOC_EVENT_QUERIES = [
     "f12_clamp_round",
     "f1_f2_tz_normalize",
     "m12_median_absolute_deviation",
+    "m10_histogram_bins",
+    "m10b_group_quartiles",
+    "dq2_iqr_outliers",
+    "window_frames",
+    "j9_null_safe_join",
     "w4_w5_calendar_buckets",
     "a5_top1_event_type_per_user",
     "a10_argmax_peak_hour",

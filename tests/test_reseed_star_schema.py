@@ -1,0 +1,295 @@
+"""Reseed parity over the full star schema.
+
+Companion to ``test_reseed_parity.py`` (documents/events): regenerates the
+TPC-H-ish tables — region/nation/customer/supplier/part/orders/lineitem/
+embeddings — in the driver generator's shape under a fresh seed and replays
+every oracle query against DuckDB. This is the strongest local defense for
+the money-derived statistics queries (m-family, flagship, q-family): their
+decimal-sum parity must hold for ANY 2-decimal seed, not just today's.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from youbike_etl_pipeline_spark.plans.corpus import CORPUS
+
+SEGMENTS = ["MACHINERY", "BUILDING", "FURNITURE", "AUTOMOBILE", "HOUSEHOLD"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+STATUSES = ["O", "F", "P"]
+REGIONS = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+ADJ = ["cold", "small", "large", "hot", "red", "green", "blue", "shiny"]
+NOUN = ["widget", "bolt", "gear", "cog", "pipe", "valve"]
+PTYPES = ["ECONOMY", "PROMO", "STANDARD"]
+
+
+def _money(rng, lo, hi, n):
+    return np.round(rng.uniform(lo, hi, n), 2)
+
+
+def _write_star(d: str, seed: int) -> None:
+    rng = np.random.default_rng(seed)
+    n_cust, n_supp, n_part, n_ord, n_li, n_emb = 150, 10, 200, 1500, 6000, 500
+
+    pq.write_table(
+        pa.table(
+            {
+                "r_regionkey": pa.array(range(5), pa.int32()),
+                "r_name": pa.array(REGIONS, pa.string()),
+            }
+        ),
+        os.path.join(d, "region.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array(range(25), pa.int32()),
+                "n_name": pa.array([f"NATION_{i}" for i in range(25)], pa.string()),
+                "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+            }
+        ),
+        os.path.join(d, "nation.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(range(n_cust), pa.int64()),
+                "c_name": pa.array(
+                    [f"Customer#{i:09d}" for i in range(n_cust)], pa.string()
+                ),
+                "c_nationkey": pa.array(
+                    rng.integers(0, 25, n_cust).astype("int32"), pa.int32()
+                ),
+                "c_acctbal": pa.array(_money(rng, -1000, 10000, n_cust), pa.float64()),
+                "c_mktsegment": pa.array(
+                    [SEGMENTS[int(x)] for x in rng.integers(0, 5, n_cust)], pa.string()
+                ),
+            }
+        ),
+        os.path.join(d, "customer.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array(range(n_supp), pa.int64()),
+                "s_name": pa.array(
+                    [f"Supplier#{i:09d}" for i in range(n_supp)], pa.string()
+                ),
+                "s_nationkey": pa.array(
+                    rng.integers(0, 25, n_supp).astype("int32"), pa.int32()
+                ),
+                "s_acctbal": pa.array(_money(rng, -1000, 10000, n_supp), pa.float64()),
+            }
+        ),
+        os.path.join(d, "supplier.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array(range(n_part), pa.int64()),
+                "p_name": pa.array(
+                    [
+                        f"{ADJ[int(a)]} {NOUN[int(b)]}"
+                        for a, b in zip(
+                            rng.integers(0, len(ADJ), n_part),
+                            rng.integers(0, len(NOUN), n_part),
+                        )
+                    ],
+                    pa.string(),
+                ),
+                "p_brand": pa.array(
+                    [f"Brand#{int(x)}" for x in rng.integers(1, 25, n_part)], pa.string()
+                ),
+                "p_type": pa.array(
+                    [PTYPES[int(x)] for x in rng.integers(0, 3, n_part)], pa.string()
+                ),
+                "p_size": pa.array(
+                    rng.integers(1, 50, n_part).astype("int32"), pa.int32()
+                ),
+                "p_retailprice": pa.array(
+                    np.round(900 + 0.1 * np.arange(n_part), 2), pa.float64()
+                ),
+            }
+        ),
+        os.path.join(d, "part.parquet"),
+    )
+    base_us = 788918400_000_000  # 1995-01-01 in microseconds
+    odate = base_us + rng.integers(0, 2400, n_ord) * 86_400_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(range(n_ord), pa.int64()),
+                "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+                "o_orderstatus": pa.array(
+                    [STATUSES[int(x)] for x in rng.integers(0, 3, n_ord)], pa.string()
+                ),
+                "o_totalprice": pa.array(_money(rng, 1000, 500000, n_ord), pa.float64()),
+                "o_orderdate": pa.array(odate, pa.timestamp("us")),
+                "o_orderpriority": pa.array(
+                    [PRIORITIES[int(x)] for x in rng.integers(0, 5, n_ord)], pa.string()
+                ),
+            }
+        ),
+        os.path.join(d, "orders.parquet"),
+    )
+    lkey = rng.integers(0, n_ord, n_li)
+    sdate = base_us + rng.integers(1, 2500, n_li) * 86_400_000_000
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array(lkey, pa.int64()),
+                "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+                "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+                "l_linenumber": pa.array(
+                    rng.integers(1, 8, n_li).astype("int32"), pa.int32()
+                ),
+                "l_quantity": pa.array(
+                    rng.integers(1, 51, n_li).astype("float64"), pa.float64()
+                ),
+                "l_extendedprice": pa.array(_money(rng, 900, 105000, n_li), pa.float64()),
+                "l_discount": pa.array(
+                    np.round(rng.integers(0, 11, n_li) / 100.0, 2), pa.float64()
+                ),
+                "l_tax": pa.array(
+                    np.round(rng.integers(0, 9, n_li) / 100.0, 2), pa.float64()
+                ),
+                "l_returnflag": pa.array(
+                    [["N", "A", "R"][int(x)] for x in rng.integers(0, 3, n_li)],
+                    pa.string(),
+                ),
+                "l_linestatus": pa.array(
+                    [["O", "F"][int(x)] for x in rng.integers(0, 2, n_li)], pa.string()
+                ),
+                "l_shipdate": pa.array(sdate, pa.timestamp("us")),
+            }
+        ),
+        os.path.join(d, "lineitem.parquet"),
+    )
+    emb = rng.normal(0, 0.1, (n_emb, 64)).astype(np.float32)
+    # plant near-duplicates for the similarity queries
+    for i in range(0, n_emb, 25):
+        if i + 1 < n_emb:
+            emb[i + 1] = emb[i] + rng.normal(0, 0.001, 64).astype(np.float32)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n_emb), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, v)) for v in emb], pa.list_(pa.float32())
+                ),
+                "label": pa.array(
+                    rng.integers(0, 10, n_emb).astype("int32"), pa.int32()
+                ),
+            }
+        ),
+        os.path.join(d, "embeddings.parquet"),
+    )
+
+
+@pytest.fixture(scope="module")
+def star_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("star4242"))
+    _write_star(d, seed=4242)
+    return d
+
+
+#: oracle queries over the star schema (documents/events ones live in
+#: test_reseed_parity.py; streaming ones need the events table)
+STAR_QUERIES = [
+    "flagship_segment_health",
+    "a1_tpch_q1_pricing_summary",
+    "q3_shipping_priority",
+    "q13_customer_order_distribution",
+    "q18_large_volume_customers",
+    "q20_supplier_part_chain",
+    "q5_local_supplier_volume",
+    "j1_fact_dim_revenue",
+    "j4_anti_join_customers_without_orders",
+    "j4b_semi_join_active_customers",
+    "j5_nearest_neighbor_join",
+    "j6_lookup_join",
+    "m1_group_confidence_intervals",
+    "m2_m3_welch_ttest",
+    "m4_anova_oneway",
+    "m5_tukey_hsd_pairs",
+    "m6_chi_square_independence",
+    "m7_simple_ols",
+    "m9_moment_stats",
+    "m11_ks_two_sample",
+    "a3_describe_block",
+    "a7_crosstab_counts",
+    "a9_rollup_hierarchy",
+    "a12_count_distinct",
+    "a15_weighted_mean",
+    "dq_validate_constraints",
+    "dq_check_unique",
+    "dq3_table_diff",
+    "gold_wide_pipeline",
+    "set_operations",
+    "sq_scalar_subquery",
+    "sq_correlated_exists",
+    "s1_cosine_topk",
+    "s2_embedding_near_dup",
+    "s3_lsh_ann_buckets",
+    "s5_topk_per_query",
+    "f13_minmax_scale",
+    "cdc_merge_upsert",
+]
+
+
+def _cells_equal(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return fa == fb
+    return a == b
+
+
+@pytest.mark.parametrize("name", STAR_QUERIES)
+def test_star_reseed_parity(spark, star_dir, name):
+    spec = CORPUS[name]
+    if spec.oracle is None:
+        pytest.skip("rows-only query")
+    sdf = spec.fn(spark, star_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb.connect()
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "embeddings",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(star_dir, t)}.parquet')"
+        )
+    res = con.execute(spec.oracle)
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: cols differ"
+    assert len(srows) == len(drows), f"{name}: rows {len(srows)} vs {len(drows)}"
+
+    def norm(rows, cols):
+        order = sorted(range(len(cols)), key=lambda i: cols[i])
+        key = lambda v: (v is None, str(type(v)), str(v))  # noqa: E731
+        return sorted(
+            [tuple(r[i] for i in order) for r in rows],
+            key=lambda r: tuple(key(v) for v in r),
+        )
+
+    for i, (rs, rd) in enumerate(zip(norm(srows, scols), norm(drows, dcols))):
+        for j, (a, b) in enumerate(zip(rs, rd)):
+            assert _cells_equal(a, b), (
+                f"{name}: row {i} col {sorted(scols)[j]}: spark={a!r} duck={b!r}"
+            )
