@@ -46,6 +46,13 @@ HEADLINE = [
     "t7_minhash_lsh_dedup",
     "s1_cosine_topk",
     "s2_embedding_near_dup",
+    # round-2 additions (keys only ever append — BENCH_HISTORY.jsonl stays
+    # comparable across rounds)
+    "q13_customer_order_distribution",
+    "q18_large_volume_customers",
+    "t10_dedup_clusters",
+    "t16_contamination_check",
+    "ml3_lstm_batch_inference",
 ]
 
 

@@ -435,19 +435,40 @@ def test_grid_nn_join_matches_brute_force(spark):
         assert grid[k] == pytest.approx(exact[k], rel=1e-12), k
 
 
-def test_connected_components_long_chain_converges_fast(spark):
-    """A 60-node chain must resolve to one component well within max_iter:
-    pointer jumping gives O(log diameter) rounds (plain neighbor-min would
-    need 60 and silently truncate at 20)."""
+@pytest.mark.parametrize("small_graph_edges", [200_000, 0], ids=["driver-uf", "distributed"])
+def test_connected_components_long_chain_converges_fast(spark, small_graph_edges):
+    """A 60-node chain must resolve to one component on BOTH paths: the
+    driver union-find (small graphs) and the distributed pointer-jumping
+    loop (O(log diameter) rounds — plain neighbor-min would need 60 and
+    silently truncate)."""
     from youbike_etl_pipeline_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(60)], "id_a long, id_b long"
     )
-    comp = connected_components(pairs, max_iter=10)
+    comp = connected_components(pairs, max_iter=10, small_graph_edges=small_graph_edges)
     rows = comp.collect()
     assert len(rows) == 61
     assert all(r["component"] == 0 for r in rows)
+
+
+def test_connected_components_paths_agree(spark):
+    """Driver union-find and the distributed loop return identical labels on
+    a random multi-cluster graph."""
+    import random
+
+    from youbike_etl_pipeline_spark.operators.dedup import connected_components
+
+    rnd = random.Random(5)
+    edges = [(rnd.randrange(0, 80), rnd.randrange(0, 80)) for _ in range(60)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    uf = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    dist = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, small_graph_edges=0).collect()
+    }
+    assert uf == dist
 
 
 def test_connected_components_dedup_clusters(spark, sf_small):

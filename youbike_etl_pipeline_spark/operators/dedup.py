@@ -264,8 +264,44 @@ def simhash_pairs(
     )
 
 
+#: edge count below which the component computation runs as driver-side
+#: union-find: a 256-edge graph costs 5+ distributed iterations (2 jobs
+#: each) but microseconds locally — same size-based routing as a broadcast
+#: join. Near-dup graphs are far smaller than their corpora, but the
+#: distributed loop remains the path for graphs that outgrow the driver.
+SMALL_GRAPH_EDGES = 200_000
+
+
+def _union_find_components(edges: list[tuple], spark) -> DataFrame:
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN label so the canonical id matches the
+            # distributed min-label propagation exactly
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, schema="node long, component long")
+
+
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → (node, component)
     where component = min node id in the cluster.
@@ -280,11 +316,23 @@ def connected_components(
     fixpoint is not reached within ``max_iter`` (silent truncation would
     return wrong clusters).
     """
+    # materialize the pair pipeline ONCE before anything references it: the
+    # src/dst union below reads `pairs` twice, and the loop (or union-find
+    # collect) reads the edges repeatedly — without checkpoints the whole
+    # upstream shingle-index self-join re-runs per reference
+    pairs = pairs.select(id_a, id_b).localCheckpoint(eager=True)
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    n_edges = edges.count()
+    if n_edges <= small_graph_edges:
+        pair_edges = [
+            (r["src"], r["dst"]) for r in edges.filter(F.col("src") < F.col("dst")).collect()
+        ]
+        return _union_find_components(pair_edges, pairs.sparkSession)
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
