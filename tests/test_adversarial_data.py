@@ -116,6 +116,8 @@ ADV_QUERIES = [
     "t6_quality_scores",
     "t16_contamination_check",
     "t17_repetition_ratio",
+    "t18_char_entropy",
+    "t19_bigram_lm",
 ]
 
 

@@ -120,6 +120,8 @@ DOC_EVENT_QUERIES = [
     "t15_pii_masking",
     "t16_contamination_check",
     "t17_repetition_ratio",
+    "t18_char_entropy",
+    "t19_bigram_lm",
     "f12_clamp_round",
     "f1_f2_tz_normalize",
     "m12_median_absolute_deviation",

@@ -3925,6 +3925,118 @@ def q20_supplier_part_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "t18_char_entropy",
+    f"""
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(regexp_replace(text, '[^ -~]', '', 'g'), '')) AS ch
+      FROM documents WHERE length(regexp_replace(text, '[^ -~]', '', 'g')) > 0
+    ),
+    freq AS (
+      SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, SUM(c) AS n FROM freq GROUP BY 1),
+    ent AS (
+      SELECT f.doc_id,
+             -SUM((f.c * 1.0 / t.n) * LN(f.c * 1.0 / t.n)) / LN(2) AS entropy
+      FROM freq f JOIN tot t USING (doc_id)
+      GROUP BY f.doc_id
+    ),
+    docs AS (SELECT doc_id, lang FROM documents)
+    SELECT d.lang, COUNT(e.entropy) AS n_docs,
+           {SQL_Q6(SQL_DAVG(SQL_Q6("e.entropy")))} AS mean_entropy
+    FROM docs d JOIN ent e USING (doc_id)
+    GROUP BY d.lang
+    """,
+    survey_rows="ext:char-entropy (perplexity-proxy quality signal)",
+    description="Per-document character-level Shannon entropy over the "
+    "printable-ASCII projection (the cheap perplexity proxy used to flag "
+    "gibberish/low-information docs), averaged per language. Per-doc "
+    "entropies are floor-quantized to 6 dp BEFORE the mean so the rational "
+    "p·log p sums cannot tie differently across engines; explode + two "
+    "hash aggregations, no Python.",
+)
+def t18_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    clean = F.regexp_replace(F.col("text"), "[^ -~]", "")
+    chars = (
+        docs.select("doc_id", "lang", clean.alias("ctext"))
+        .filter(F.length("ctext") > 0)
+        .select("doc_id", "lang", F.explode(F.split(F.col("ctext"), "")).alias("ch"))
+    )
+    freq = chars.groupBy("doc_id", "lang", "ch").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id")
+    p = F.col("c") / F.sum("c").over(w)
+    ent = (
+        freq.withColumn("p", p)
+        .groupBy("doc_id", "lang")
+        .agg((-F.sum(F.col("p") * F.log(F.col("p"))) / F.log(F.lit(2.0))).alias("entropy"))
+    )
+    # quantize per-doc entropies to 6 dp, then an EXACT decimal mean —
+    # a raw double AVG would be partition-order dependent in the low bits
+    return ent.groupBy("lang").agg(
+        F.count("entropy").alias("n_docs"),
+        q6(agg.decimal_avg(q6(F.col("entropy")))).alias("mean_entropy"),
+    )
+
+
+@register(
+    "t19_bigram_lm",
+    """
+    WITH toks AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT words[i] AS w1, words[i+1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(words)-1)) AS i)
+    ),
+    pair_counts AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigrams GROUP BY 1, 2),
+    uni AS (SELECT w1, SUM(c12) AS c1 FROM pair_counts GROUP BY 1),
+    ranked AS (
+      SELECT p.w1, p.w2, p.c12, u.c1,
+             FLOOR(p.c12 * 1.0 / u.c1 * 1000000) / 1000000.0 AS cond_p,
+             ROW_NUMBER() OVER (ORDER BY p.c12 DESC, p.w1, p.w2) AS rn
+      FROM pair_counts p JOIN uni u USING (w1)
+    )
+    SELECT w1, w2, c12, c1, cond_p FROM ranked WHERE rn <= 50
+    """,
+    survey_rows="ext:ngram-lm (bigram conditional probabilities)",
+    description="Tiny corpus language model: bigram counts + conditional "
+    "probabilities P(w2|w1)=c12/c1, top-50 by frequency with a total "
+    "deterministic tie-break. The n-gram-counting shape behind LM data "
+    "prep; two hash aggregations and a top-k (TakeOrderedAndProject), "
+    "conditional probabilities floor-quantized.",
+)
+def t19_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(tokens(F.lower(F.col("text"))).alias("words"))
+    n = F.size("words")
+    idx = F.sequence(F.lit(0), F.greatest(n - 2, F.lit(-1)))
+    bigrams = toks.filter(n >= 2).select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("words"), i + 1).alias("w1"),
+                    F.element_at(F.col("words"), i + 2).alias("w2"),
+                ),
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    pair_counts = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = pair_counts.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    ranked = (
+        pair_counts.join(uni, "w1")
+        .withColumn("cond_p", q6(F.col("c12") * 1.0 / F.col("c1")))
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(50)
+    )
+    return ranked.select("w1", "w2", "c12", "c1", "cond_p")
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
