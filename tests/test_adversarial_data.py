@@ -11,7 +11,6 @@ exact .5 rounding boundaries, and negative values.
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
@@ -19,6 +18,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from youbike_etl_pipeline_spark.parity import diff_frames, spark_to_pandas
 from youbike_etl_pipeline_spark.plans.corpus import CORPUS
 
 ADV_DOCS = [
@@ -95,17 +95,6 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _cells_equal(a, b) -> bool:
-    if a is None or b is None:
-        return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        fa, fb = float(a), float(b)
-        if math.isnan(fa) or math.isnan(fb):
-            return math.isnan(fa) and math.isnan(fb)
-        return fa == fb
-    return a == b
-
-
 ADV_QUERIES = [
     "f12_clamp_round",
     "f1_f2_tz_normalize",
@@ -125,33 +114,10 @@ ADV_QUERIES = [
 def test_adversarial_parity(spark, adv_dir, name):
     spec = CORPUS[name]
     sdf = spec.fn(spark, adv_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    spark_pd = spark_to_pandas(sdf.collect(), sdf.columns)
 
     con = _duck(adv_dir)
-    res = con.execute(spec.oracle)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    duck_pd = con.execute(spec.oracle).df()
 
-    assert sorted(scols) == sorted(dcols), f"{name}: cols {sorted(scols)} vs {sorted(dcols)}"
-    assert len(srows) == len(drows), f"{name}: rows {len(srows)} vs {len(drows)}"
-
-    order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-    order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-
-    def key(v):
-        return (v is None, str(type(v)), str(v))
-
-    ns = sorted(
-        [tuple(r[i] for i in order_s) for r in srows],
-        key=lambda r: tuple(key(v) for v in r),
-    )
-    nd = sorted(
-        [tuple(r[i] for i in order_d) for r in drows],
-        key=lambda r: tuple(key(v) for v in r),
-    )
-    for i, (rs, rd) in enumerate(zip(ns, nd)):
-        for j, (a, b) in enumerate(zip(rs, rd)):
-            assert _cells_equal(a, b), (
-                f"{name}: row {i} col {sorted(scols)[j]}: spark={a!r} duck={b!r}"
-            )
+    diff = diff_frames(spark_pd, duck_pd)
+    assert diff is None, f"{name}: {diff}"

@@ -248,6 +248,25 @@ def test_decode_image_features_real_path_in_spark(spark):
     assert len(got[99]) == 8  # fake fallback, schema-compatible
 
 
+def test_decode_features_png_magic_nonstrict_degrades(spark):
+    """A compressed-format payload (PNG magic) must NOT crash the job when
+    strict=False: decode_image raises NotImplementedError, and the wrapper
+    degrades to the deterministic fake (round-2 advice)."""
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        decode_image_features,
+    )
+
+    png = bytearray(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    jpg = bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    df = spark.createDataFrame(
+        [(1, png), (2, jpg)], "doc_id long, payload binary"
+    )
+    got = decode_image_features(df).collect()  # strict=False default
+    assert len(got) == 2 and all(len(r["feature"]) == 8 for r in got)
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        decode_image_features(df, strict=True).collect()
+
+
 def test_multimodal_strict_stub_raises(spark, sf_small):
     from youbike_etl_pipeline_spark.operators.multimodal import (
         attach_media_columns,
@@ -469,6 +488,26 @@ def test_connected_components_paths_agree(spark):
         for r in connected_components(pairs, small_graph_edges=0).collect()
     }
     assert uf == dist
+
+
+def test_connected_components_string_ids_and_self_loops(spark):
+    """Both routing paths must return identical (node, component) sets AND
+    types for non-long ids, and keep nodes whose only edge is a self-loop
+    (round-2 advice: the small path hardcoded long and dropped them)."""
+    from youbike_etl_pipeline_spark.operators.dedup import connected_components
+
+    edges = [("a", "b"), ("b", "c"), ("x", "y"), ("solo", "solo")]
+    pairs = spark.createDataFrame(edges, "id_a string, id_b string")
+    small = connected_components(pairs)
+    dist = connected_components(pairs, small_graph_edges=0)
+    assert small.schema == dist.schema
+    s = {(r["node"], r["component"]) for r in small.collect()}
+    d = {(r["node"], r["component"]) for r in dist.collect()}
+    assert s == d
+    assert s == {
+        ("a", "a"), ("b", "a"), ("c", "a"),
+        ("x", "x"), ("y", "x"), ("solo", "solo"),
+    }
 
 
 def test_connected_components_dedup_clusters(spark, sf_small):

@@ -1,15 +1,19 @@
-"""Driver-scale parity gate: every oracle query hash-compared at sf0.01.
+"""Driver-scale parity gate: every oracle query compared at sf0.01.
 
-The driver grades at sf0.01 while the always-on local gate
-(``test_parity.py``) runs at sf0.001 — the round-1 failures (f12/m4/m6/
-t3/t5) were exactly scale/seed-dependent drift that passed small and failed
-big. This module mirrors the driver's compare (sorted columns, sorted rows,
-exact float equality) at the driver's scale.
+CORRECTED DIAGNOSIS (round-2 judge): the round-1/2 driver failures
+(f12/m4/m6/t3/t5, then t11-t15 etc.) were NOT seed- or scale-dependent
+float drift — the values were identical on every seed. The driver's hash is
+*type-sensitive*: DuckDB ``SUM(INTEGER)`` → HUGEINT → pandas float64
+(``"14579.0"``) vs Spark BIGINT → int64 (``"14579"``). The old local gates
+coerced ``float(a) == float(b)`` across types, normalizing exactly the
+difference the driver hashes, so the class shipped twice. This module (and
+``test_parity.py`` at sf0.001) now uses the driver-strict pandas-stringified
+compare from :mod:`youbike_etl_pipeline_spark.parity` — int64 vs float64 is
+a FAILURE even when equal-valued.
 
 Gated behind ``SPARK_GRAFT_SF01=1`` because it adds ~3 minutes: run it
-before every round-end (the verify skill lists it), or use
-``python tools/driver_sim.py`` which is the same check as a standalone
-script with per-query timing.
+before every round-end, or use ``python tools/driver_sim.py`` which is the
+same check as a standalone script with per-query timing.
 """
 
 from __future__ import annotations
@@ -18,7 +22,8 @@ import os
 
 import pytest
 
-from tests.test_parity import ORACLE_SPECS, _cells_equal, _duck, _normalize
+from tests.test_parity import ORACLE_SPECS, _duck
+from youbike_etl_pipeline_spark.parity import diff_frames, spark_to_pandas
 
 pytestmark = pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_SF01") != "1",
@@ -30,20 +35,10 @@ pytestmark = pytest.mark.skipif(
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])
 def test_oracle_parity_sf01(spark, spec, sf_medium):
     spark_df = spec.fn(spark, sf_medium)
-    spark_cols = spark_df.columns
-    spark_rows = [tuple(r) for r in spark_df.collect()]
+    spark_pd = spark_to_pandas(spark_df.collect(), spark_df.columns)
 
     con = _duck(sf_medium)
-    res = con.execute(spec.oracle)
-    duck_cols = [d[0] for d in res.description]
-    duck_rows = res.fetchall()
+    duck_pd = con.execute(spec.oracle).df()
 
-    assert sorted(spark_cols) == sorted(duck_cols)
-    assert len(spark_rows) == len(duck_rows)
-    ns, nd = _normalize(spark_rows, spark_cols), _normalize(duck_rows, duck_cols)
-    for i, (rs, rd) in enumerate(zip(ns, nd)):
-        for j, (a, b) in enumerate(zip(rs, rd)):
-            assert _cells_equal(a, b), (
-                f"{spec.name}: cell mismatch row {i} col {sorted(spark_cols)[j]}: "
-                f"spark={a!r} duck={b!r}"
-            )
+    diff = diff_frames(spark_pd, duck_pd)
+    assert diff is None, f"{spec.name}: {diff}"

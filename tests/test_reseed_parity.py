@@ -12,7 +12,6 @@ that reads only those tables.
 from __future__ import annotations
 
 import json
-import math
 import os
 
 import duckdb
@@ -21,6 +20,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from youbike_etl_pipeline_spark.parity import diff_frames, spark_to_pandas
 from youbike_etl_pipeline_spark.plans.corpus import CORPUS
 
 WORDS = (
@@ -142,25 +142,13 @@ DOC_EVENT_QUERIES = [
 ]
 
 
-def _cells_equal(a, b) -> bool:
-    if a is None or b is None:
-        return a is None and b is None
-    if isinstance(a, float) or isinstance(b, float):
-        fa, fb = float(a), float(b)
-        if math.isnan(fa) or math.isnan(fb):
-            return math.isnan(fa) and math.isnan(fb)
-        return fa == fb
-    return a == b
-
-
 @pytest.mark.parametrize("name", DOC_EVENT_QUERIES)
 def test_reseed_parity(spark, reseed_dir, name):
     spec = CORPUS[name]
     if spec.oracle is None:
         pytest.skip("rows-only query")
     sdf = spec.fn(spark, reseed_dir)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    spark_pd = spark_to_pandas(sdf.collect(), sdf.columns)
 
     con = duckdb.connect()
     for t in ("documents", "events"):
@@ -168,23 +156,7 @@ def test_reseed_parity(spark, reseed_dir, name):
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(reseed_dir, t)}.parquet')"
         )
-    res = con.execute(spec.oracle)
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    duck_pd = con.execute(spec.oracle).df()
 
-    assert sorted(scols) == sorted(dcols), f"{name}: cols differ"
-    assert len(srows) == len(drows), f"{name}: rows {len(srows)} vs {len(drows)}"
-
-    def norm(rows, cols):
-        order = sorted(range(len(cols)), key=lambda i: cols[i])
-        key = lambda v: (v is None, str(type(v)), str(v))  # noqa: E731
-        return sorted(
-            [tuple(r[i] for i in order) for r in rows],
-            key=lambda r: tuple(key(v) for v in r),
-        )
-
-    for i, (rs, rd) in enumerate(zip(norm(srows, scols), norm(drows, dcols))):
-        for j, (a, b) in enumerate(zip(rs, rd)):
-            assert _cells_equal(a, b), (
-                f"{name}: row {i} col {sorted(scols)[j]}: spark={a!r} duck={b!r}"
-            )
+    diff = diff_frames(spark_pd, duck_pd)
+    assert diff is None, f"{name}: {diff}"

@@ -137,6 +137,27 @@ def test_zorder_value_interleaves_bits(spark):
     assert [r["z"] for r in z] == [5, 10, 15]
 
 
+def test_zorder_high_dim_no_sign_bit_wrap(spark):
+    """k*bits > 63 must auto-reduce bits instead of wrapping shifts mod 64
+    (round-2 advice: k=4 @ 16 bits reaches the sign bit; k=5 wraps). The
+    resulting z must stay non-negative and order-preserving on the
+    diagonal."""
+    from youbike_etl_pipeline_spark.sources.writers import zorder_value
+
+    k = 5
+    rows = [tuple(float(v) for _ in range(k)) for v in range(8)]
+    cols = ", ".join(f"c{i} double" for i in range(k))
+    df = spark.createDataFrame(rows, cols)
+    z = df.select(
+        zorder_value(
+            [F.col(f"c{i}") for i in range(k)], [0.0] * k, [7.0] * k, bits=16
+        ).alias("z")
+    ).collect()
+    vals = [r["z"] for r in z]
+    assert all(v >= 0 for v in vals)  # sign bit untouched
+    assert vals == sorted(vals) and len(set(vals)) == len(vals)
+
+
 def test_zorder_write_clusters_both_dimensions(spark, sf_small, tmp_path):
     """Per-file (max-min) spans of BOTH z-ordered columns must be far
     tighter than a layout sorted by an unrelated column — the property that

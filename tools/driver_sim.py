@@ -1,8 +1,18 @@
-import os, sys, math, time, json
-sys.path.insert(0, "/root/repo")
+"""Standalone replica of the driver's correctness gate (driver-strict).
+
+Usage: python tools/driver_sim.py [query ...]   # default: all queries
+Env: SIM_SF (default sf0.01), SIM_MASTER, SIM_SHUF, SIM_SPLIT.
+
+Materializes both sides as pandas (DuckDB via .df() so HUGEINT → float64 is
+visible) and compares canonical stringified cells — no cross-type numeric
+coercion, mirroring the driver's hash.
+"""
+import os, sys, time, json
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import __spark_entry__ as e
 from pyspark.sql import SparkSession
+from youbike_etl_pipeline_spark.parity import diff_frames, spark_to_pandas
 
 SF = os.environ.get("SIM_SF", "/root/testdata/sf0.01")
 conf = (SparkSession.builder.master(os.environ.get("SIM_MASTER","local[8]"))
@@ -20,18 +30,6 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     if os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-def norm(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    key=lambda v:(v is None,str(type(v)),str(v))
-    return sorted([tuple(r[i] for i in order) for r in rows], key=lambda r: tuple(key(v) for v in r))
-def eq(a,b):
-    if a is None or b is None: return a is None and b is None
-    if isinstance(a,float) or isinstance(b,float):
-        fa,fb=float(a),float(b)
-        if math.isnan(fa) or math.isnan(fb): return math.isnan(fa) and math.isnan(fb)
-        return fa==fb
-    return a==b
-
 qs, osql = e.queries(), e.oracle_sql()
 names = sys.argv[1:] or list(qs)
 results = {}
@@ -41,22 +39,16 @@ for name in names:
     status, detail = "PASS", ""
     try:
         sdf = qs[name](spark, SF)
-        scols = sdf.columns; srows=[tuple(r) for r in sdf.collect()]
+        spark_pd = spark_to_pandas(sdf.collect(), sdf.columns)
         if name in osql:
-            res = con.execute(osql[name]); dcols=[d[0] for d in res.description]; drows=res.fetchall()
-            if sorted(scols)!=sorted(dcols): status,detail="SCHEMA",f"{sorted(scols)} vs {sorted(dcols)}"
-            elif len(srows)!=len(drows): status,detail="ROWS",f"{len(srows)} vs {len(drows)}"
-            else:
-                ns,nd = norm(srows,scols), norm(drows,dcols)
-                for i,(rs,rd) in enumerate(zip(ns,nd)):
-                    for j,(a,b) in enumerate(zip(rs,rd)):
-                        if not eq(a,b):
-                            status,detail="HASH",f"row{i} {sorted(scols)[j]}: {a!r} vs {b!r}"; break
-                    if status!="PASS": break
+            duck_pd = con.execute(osql[name]).df()
+            diff = diff_frames(spark_pd, duck_pd)
+            if diff is not None:
+                status, detail = "HASH", diff
         else:
             status = "ROWSONLY"
     except Exception as ex:
-        status, detail = "ERROR", f"{type(ex).__name__}: {str(ex)[:150]}"
+        status, detail = "ERROR", f"{type(ex).__name__}: {str(ex)[:200]}"
     dt = time.time()-t0
     results[name] = (status, round(dt,2), detail)
     print(f"{name}: {status} {dt:.1f}s {detail}", flush=True)

@@ -272,7 +272,14 @@ def simhash_pairs(
 SMALL_GRAPH_EDGES = 200_000
 
 
-def _union_find_components(edges: list[tuple], spark) -> DataFrame:
+def _union_find_components(edges: list[tuple], spark, id_type) -> DataFrame:
+    """Driver-side union-find over a collected edge list. ``id_type`` is the
+    Spark DataType of the node ids, so string/other non-long ids produce the
+    same (node, component) schema as the distributed path. Self-loop edges
+    register their node without a union, matching the distributed path's
+    treatment of nodes whose only edge is a self-loop."""
+    from pyspark.sql import types as T
+
     parent: dict = {}
 
     def find(x):
@@ -286,6 +293,8 @@ def _union_find_components(edges: list[tuple], spark) -> DataFrame:
     for a, b in edges:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
+        if a == b:
+            continue
         ra, rb = find(a), find(b)
         if ra != rb:
             # union by MIN label so the canonical id matches the
@@ -293,7 +302,10 @@ def _union_find_components(edges: list[tuple], spark) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(rows, schema="node long, component long")
+    schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("component", id_type)]
+    )
+    return spark.createDataFrame(rows, schema=schema)
 
 
 def connected_components(
@@ -329,10 +341,15 @@ def connected_components(
     )
     n_edges = edges.count()
     if n_edges <= small_graph_edges:
+        # keep src <= dst (not <): self-loop-only nodes must still appear in
+        # the output, as they do on the distributed path
         pair_edges = [
-            (r["src"], r["dst"]) for r in edges.filter(F.col("src") < F.col("dst")).collect()
+            (r["src"], r["dst"])
+            for r in edges.filter(F.col("src") <= F.col("dst")).collect()
         ]
-        return _union_find_components(pair_edges, pairs.sparkSession)
+        return _union_find_components(
+            pair_edges, pairs.sparkSession, edges.schema["src"].dataType
+        )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )

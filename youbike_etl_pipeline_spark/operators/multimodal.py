@@ -225,6 +225,13 @@ def decode_image_features(
             return None
         try:
             return _real_feature(decode_image(payload))
+        except NotImplementedError:
+            # decode_image's codec-gated path (PNG/JPEG magic): only strict
+            # mode propagates it — non-strict degrades to the deterministic
+            # fake so a mixed-format corpus doesn't crash the whole job
+            if strict:
+                raise
+            return _fake_feature(payload, dim)
         except (ValueError, IndexError, struct.error):
             if strict:
                 raise NotImplementedError(

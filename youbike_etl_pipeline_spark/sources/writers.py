@@ -81,8 +81,16 @@ def zorder_value(
     clusters multi-dimensional locality into the same files — the layout
     trick behind Delta/Iceberg OPTIMIZE ZORDER. Pure integer expressions
     (shift/or), codegen'd; the bit loop is plan construction, not per-row
-    Python."""
+    Python.
+
+    ``k * bits`` must fit in the 63 value bits of a Java long: with the
+    default ``bits=16`` the interleaved shift reaches ``b*k + i = 63`` at
+    k=4 (sign bit) and wraps mod 64 beyond that, silently scrambling
+    high-order z-bits. Auto-reduces ``bits`` to ``63 // k`` (clustering
+    degrades gracefully; wrong interleaving does not)."""
     k = len(cols)
+    if k * bits > 63:
+        bits = 63 // k
     quantized = []
     for c, lo, hi in zip(cols, mins, maxs):
         span = (hi - lo) or 1.0
