@@ -201,17 +201,42 @@ def minhash_lsh_dedup(
     )
 
 
+def md5_token_hash64(t: Column) -> Column:
+    """Portable 64-bit token hash: the little-endian integer of md5's LOWER
+    8 bytes — bit-identical to DuckDB's ``md5_number_lower()``, so SimHash
+    signatures built on it are cross-engine verifiable (xxhash64 exists
+    only in Spark). The signed long carries the same 64-bit pattern as
+    DuckDB's UBIGINT (shiftleft wraps into the sign bit, two's complement);
+    bits are always read back via ``(x >> i) & 1``, which agrees across the
+    signed/unsigned divide. Hex-string decode makes it ~3× slower than
+    xxhash64 — it is the parity path, not the 100 TB path."""
+    h = F.md5(t)
+    v = F.lit(0).cast("long")
+    for j in range(8):
+        byte_j = F.conv(F.substring(h, 17 + 2 * j, 2), 16, 10).cast("long")
+        v = v.bitwiseOR(F.shiftleft(byte_j, 8 * j))
+    return v
+
+
 def simhash_signature(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 1
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1,
+    hash_fn=None,
 ) -> DataFrame:
     """64-bit SimHash per document: explode token/shingle hashes, then one
     hash aggregation with 64 static ±1 bit-sums, folded into a long.
     (Shift counts must be literals, so the bit loop is Python-side plan
-    construction — the data path stays one explode + one shuffle.)"""
+    construction — the data path stays one explode + one shuffle.)
+    ``hash_fn`` maps a token Column to a 64-bit hash Column — default
+    xxhash64 (fast path); :func:`md5_token_hash64` is the DuckDB-portable
+    alternative used by the graded corpus query."""
+    token_hash = hash_fn or F.xxhash64
     feats = (
         shingle_hashes(F.col(text_col), k)
         if k > 1
-        else F.transform(tokens(F.col(text_col)), lambda t: F.xxhash64(t))
+        else F.transform(tokens(F.col(text_col)), lambda t: token_hash(t))
     )
     exploded = df.select(F.col(id_col), F.explode(feats).alias("h"))
     aggs = [
@@ -236,13 +261,14 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
     Candidate generation by 16-bit chunk banding (pigeonhole: distance ≤ 3
     ⇒ at least one of 4 chunks identical), then exact popcount verify via
     ``bit_count(a XOR b)``."""
-    sh = simhash_signature(df, text_col, id_col)
+    sh = simhash_signature(df, text_col, id_col, hash_fn=hash_fn)
     chunks = sh.select(
         id_col,
         "simhash",
