@@ -65,6 +65,15 @@ def ngram_jaccard_pairs(
     |A∩B| via self-join of the inverted index; |A∪B| = |A|+|B|−|A∩B|.
     ``max_doc_freq`` drops shingles appearing in more than that many docs —
     they contribute little discrimination but dominate join skew at scale.
+
+    **Scale routing:** exact pair enumeration is inherently superlinear in
+    collision count (SCALING.md measured ~13× wall-clock at a 10× blow-up).
+    At corpus scale (100 TB) this op is the VERIFY stage, not the candidate
+    generator: run :func:`minhash_lsh_candidates` first (near-linear banded
+    equi-join) and compute exact Jaccard only on its candidate pairs —
+    e.g. ``candidates.join(ngram_jaccard_pairs(...), ["id_a","id_b"])`` or
+    by feeding the candidate id-set as a semi-join filter on the index.
+    Do not ship this standalone at 100× the tested scale.
     """
     idx = shingle_index(df, text_col, id_col, k)
     if max_doc_freq is not None:

@@ -91,9 +91,14 @@ def embedding_near_dup_pairs(
     method: str = "auto",
     max_broadcast_rows: int = MAX_BROADCAST_ROWS,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold — the exact baseline. At corpus
-    scale prefer :func:`lsh_near_dup_pairs` (bucketed, approximate with
-    exact verify).
+    """All pairs with cosine ≥ threshold — the exact baseline.
+
+    **Scale routing:** exact all-pairs is O(n²) compute by definition —
+    SCALING.md measured ~9× wall-clock at a 10× blow-up for the blocked
+    path. At corpus scale (100 TB) use :func:`lsh_near_dup_pairs` (random
+    hyperplane buckets) or :func:`ivf_topk` (coarse-quantizer cells) as the
+    ANN candidate generator and reserve this op for verifying candidates /
+    small blocks.
 
     ``method='expr'``: pure Catalyst — vectors unit-normalized once (norms
     are NOT recomputed per pair), then a broadcast self-join with a single

@@ -20,6 +20,9 @@ Float determinism discipline (so Spark and DuckDB hash-match exactly):
 
 from __future__ import annotations
 
+import glob
+import json
+import os
 from collections.abc import Callable
 from dataclasses import dataclass, field
 
@@ -58,9 +61,9 @@ def register(
 
 
 #: Queries the driver has ACTUALLY hash-verified green (union of
-#: CORRECTNESS_r01.json and CORRECTNESS_r02.json hash_match==true rows —
-#: nothing else; the round-2 advice flagged that the old R1_VERIFIED set
-#: wrongly contained the six round-1 hash FAILURES).
+#: CORRECTNESS_r01/r02/r03.json hash_match==true rows — nothing else; the
+#: round-2 advice flagged that the old R1_VERIFIED set wrongly contained the
+#: six round-1 hash FAILURES).
 DRIVER_GREEN: frozenset[str] = frozenset(
     {
         "a10_argmax_peak_hour", "a12_count_distinct",
@@ -96,34 +99,59 @@ DRIVER_GREEN: frozenset[str] = frozenset(
         "w4_w5_calendar_buckets", "w6_rank_within_group",
         "w7_systematic_sample", "w8_top_k_limit", "w9_sessionization",
         "window_frames",
+        # r3 first-greens / re-greens (CORRECTNESS_r03.json hash_match rows)
+        "a14_sorted_array_agg", "dq3_table_diff", "dq_validate_constraints",
+        "f12_clamp_round", "f_json_struct", "m11_ks_two_sample",
+        "m4_anova_oneway", "m6_chi_square_independence",
+        "mm1_multimodal_binary", "q13_customer_order_distribution",
+        "q18_large_volume_customers", "q20_supplier_part_chain", "s4_ivf_topk",
+        "skew_salted_agg", "st4_stateful_running_max", "st6_foreachbatch_upsert",
+        "t11_text_normalize", "t12_train_val_test_split", "t13_kfold_assignment",
+        "t14_word_token_count", "t15_pii_masking", "t16_contamination_check",
+        "t17_repetition_ratio", "t18_char_entropy", "t19_bigram_lm",
+        "t3_token_stats", "t5_char_fingerprint", "t8_simhash_pairs",
     }
 )
 
 #: Queries whose Spark fn or oracle SQL changed THIS round — front-loaded so
 #: the driver re-grades exactly what changed (round-2 advice: never rotate a
-#: changed query out of the verification window). The 15 historical reds all
-#: had their oracle SQL re-typed (CAST(SUM(int) AS BIGINT) / array_join);
-#: t16/t17/t19/skew were latent members of the same class caught by the new
-#: driver-strict local gate.
+#: changed query out of the verification window). Round 4: the driver
+#: regenerated /root/testdata with events.ts as timestamp[us] (was
+#: TIMESTAMP(NANOS)); the streaming reader and two window queries hardcoded
+#: the nanos assumption and silently regressed (judge-verified red on current
+#: data despite green r2 grades). Both readers now branch on the footer dtype
+#: and normalize ts to session-tz TIMESTAMP (sources/readers.py::
+#: normalize_event_ts), so every events-backed query below is "fn changed"
+#: through its input contract.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    "f12_clamp_round", "m4_anova_oneway", "m6_chi_square_independence",
-    "t3_token_stats", "t5_char_fingerprint", "dq_validate_constraints",
-    "m11_ks_two_sample", "mm1_multimodal_binary", "f_json_struct",
-    "a14_sorted_array_agg", "t11_text_normalize", "t12_train_val_test_split",
-    "t13_kfold_assignment", "t14_word_token_count", "t15_pii_masking",
-    "t16_contamination_check", "t17_repetition_ratio", "t19_bigram_lm",
-    "skew_salted_agg",
-    # fn changed: exact-percentile family now size-routed to
-    # percentile_approx above the per-group memory bound (oracle unchanged —
-    # exact path still taken at graded scale, but re-grade to prove it)
-    "a3_describe_block", "m10b_group_quartiles",
-    "m12_median_absolute_deviation", "dq2_iqr_outliers",
-    # fn changed: t2/t10 now share one checkpointed pair graph per session
-    "t2_ngram_jaccard_pairs", "t10_dedup_clusters",
-    # rows-only → oracle upgrades (judge item 8): st4 final state == batch
-    # agg, s4 graded at full probe == exact, t8 on the md5-portable hash
-    "st4_stateful_running_max", "s4_ivf_topk", "t8_simhash_pairs",
+    # the five judge-verified regressions — must re-grade green first
+    "st1_streaming_hourly_counts", "st3_streaming_session_window",
+    "st5_stream_stream_join", "w9_sessionization", "w12_time_range_frame",
+    # same readers feed these (outputs were ts-scale-insensitive but the
+    # input path changed — re-grade to prove the normalized contract)
+    "st2_streaming_dedup", "st4_stateful_running_max",
+    "st6_foreachbatch_upsert",
 )
+
+
+def _last_graded_round() -> dict[str, int]:
+    """Per-query round of the most recent driver grade, read from the
+    committed ``CORRECTNESS_r*.json`` artifacts at the repo root. Used to
+    rotate the green tail: the driver's per-round window is finite, so
+    re-verification coverage is maximized by grading the STALEST greens
+    first (a query last graded in r1 ran against testdata that has since
+    been regenerated — exactly how the r4 streaming regression hid)."""
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    latest: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(os.path.basename(path)[len("CORRECTNESS_r"):-len(".json")])
+            graded = json.load(open(path))
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name in graded:
+            latest[name] = max(rnd, latest.get(name, 0))
+    return latest
 
 
 def _export_order() -> list[str]:
@@ -132,19 +160,22 @@ def _export_order() -> list[str]:
     1. changed-this-round (oracle or fn edited — MUST be re-graded),
     2. never-driver-green with an oracle, registration order,
     3. never-driver-green rows-only, registration order,
-    4. driver-green queries, registration order (the tail of the window
-       re-checks greens for regressions instead of hiding them).
+    4. driver-green queries, STALEST grade first (then registration order) —
+       the tail of the window re-checks greens for regressions, and rotating
+       by grade age means every green cycles back through within a few
+       rounds instead of the same recent ones being re-checked forever.
     """
     names = list(CORPUS)
     pos = {n: i for i, n in enumerate(names)}
     changed = {n: i for i, n in enumerate(CHANGED_THIS_ROUND)}
+    last = _last_graded_round()
 
     def rank(n: str) -> tuple:
         if n in changed:
-            return (0, changed[n])
+            return (0, changed[n], 0)
         if n not in DRIVER_GREEN:
-            return (1 if CORPUS[n].oracle is not None else 2, pos[n])
-        return (3, pos[n])
+            return (1 if CORPUS[n].oracle is not None else 2, pos[n], 0)
+        return (3, last.get(n, 0), pos[n])
 
     return sorted(names, key=rank)
 

@@ -31,16 +31,30 @@ def load_tables(spark: SparkSession, sf_dir: str, names: Iterable[str]) -> dict[
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ``events`` stream table: its parquet ``ts`` is TIMESTAMP(NANOS),
-    which Spark's vectorized reader rejects. Read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong`` — session-settable) and convert
-    to a microsecond timestamp with integer division (truncation, matching
-    DuckDB's ns→us cast)."""
+    """The ``events`` stream table, robust to the file's physical ``ts`` type.
+
+    The testdata has shipped ``ts`` both as TIMESTAMP(NANOS) (which Spark's
+    vectorized reader rejects — read nanos as long via
+    ``spark.sql.legacy.parquet.nanosAsLong`` and truncate to micros, matching
+    DuckDB's ns→us cast) and as plain ``timestamp[us]`` (which Spark reads as
+    TIMESTAMP_NTZ). Either way the output contract is the same: ``ts`` is a
+    session-tz TIMESTAMP (sessions pin UTC), so downstream epoch-seconds
+    casts (``cast("double")``/``cast("long")``) and windowing keep working
+    regardless of the footer's physical type.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = read_parquet_table(spark, sf_dir, "events")
-    if isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return df.withColumn("ts", normalize_event_ts(df.schema["ts"].dataType))
+
+
+def normalize_event_ts(dtype: T.DataType, col: str = "ts") -> F.Column:
+    """Column expression mapping a raw events ``ts`` of physical type
+    ``dtype`` to a session-tz TIMESTAMP: long = epoch nanos (truncate to
+    micros); TIMESTAMP_NTZ = naive UTC wall clock (session tz is pinned UTC,
+    so the cast preserves the instant); TIMESTAMP passes through."""
+    if isinstance(dtype, T.LongType):
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    return F.col(col).cast("timestamp")
 
 
 def read_json_records(spark: SparkSession, records: list[dict], schema: T.StructType) -> DataFrame:

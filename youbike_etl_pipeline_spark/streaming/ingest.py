@@ -27,32 +27,30 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-#: events.parquet physical schema with the nanos ts read as long
-#: (see sources.readers.read_events for the batch twin).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming scan of the events table (parquet-directory source)."""
+    """Streaming scan of the events table (parquet-directory source).
+
+    The stream source needs a declared schema; derive it from the batch
+    footer (``spark.read.parquet(...).schema``) instead of hardcoding the
+    physical type of ``ts`` — the testdata has shipped it both as
+    TIMESTAMP(NANOS) (reads as long under ``nanosAsLong``) and as
+    ``timestamp[us]`` (reads as TIMESTAMP_NTZ). ``normalize_event_ts``
+    branches exactly like the batch reader so both arrive as session-tz
+    TIMESTAMP."""
+    import os
+
+    from ..sources.readers import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    file_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(file_schema)
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .format("parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", normalize_event_ts(file_schema["ts"].dataType))
 
 
 def hourly_windowed_counts_stream(events: DataFrame) -> DataFrame:
