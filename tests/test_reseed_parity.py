@@ -70,18 +70,24 @@ def _gen_documents(seed: int, n: int = 300) -> pa.Table:
     )
 
 
-def _gen_events(seed: int, n: int = 2000) -> pa.Table:
+def _gen_events(seed: int, n: int = 2000, ts_unit: str = "ns") -> pa.Table:
     rng = np.random.default_rng(seed)
     base_ns = 1704067200_000_000_000  # 2024-01-01
     values = np.round(rng.uniform(0, 500, n), 2)
     # force .5 rounding boundaries around the corpus's value-250 shift
     values[:: 37] = np.floor(values[:: 37]) + 0.5
+    ts_ns = base_ns + np.cumsum(rng.integers(1, 10**9, n))
+    # the driver has shipped BOTH physical encodings (nanos through r3,
+    # micros since); exercise whichever this fixture was parametrized with
+    ts = (
+        pa.array(ts_ns, pa.timestamp("ns"))
+        if ts_unit == "ns"
+        else pa.array(ts_ns // 1000, pa.timestamp("us"))
+    )
     return pa.table(
         {
             "event_id": pa.array(range(n), pa.int64()),
-            "ts": pa.array(
-                base_ns + np.cumsum(rng.integers(1, 10**9, n)), pa.timestamp("ns")
-            ),
+            "ts": ts,
             "user_id": pa.array(rng.integers(0, 15, n), pa.int64()),
             "event_type": pa.array(
                 [EVENT_TYPES[int(x)] for x in rng.integers(0, 5, n)], pa.string()
@@ -95,11 +101,16 @@ def _gen_events(seed: int, n: int = 2000) -> pa.Table:
     )
 
 
-@pytest.fixture(scope="module", params=[1310, 7177], ids=["seedA", "seedB"])
+@pytest.fixture(
+    scope="module",
+    params=[(1310, "ns"), (7177, "us")],
+    ids=["seedA-nanos", "seedB-micros"],
+)
 def reseed_dir(request, tmp_path_factory):
-    d = tmp_path_factory.mktemp(f"reseed{request.param}")
-    pq.write_table(_gen_documents(request.param), os.path.join(d, "documents.parquet"))
-    pq.write_table(_gen_events(request.param), os.path.join(d, "events.parquet"))
+    seed, ts_unit = request.param
+    d = tmp_path_factory.mktemp(f"reseed{seed}")
+    pq.write_table(_gen_documents(seed), os.path.join(d, "documents.parquet"))
+    pq.write_table(_gen_events(seed, ts_unit=ts_unit), os.path.join(d, "events.parquet"))
     return str(d)
 
 
@@ -139,6 +150,16 @@ DOC_EVENT_QUERIES = [
     "st1_streaming_hourly_counts",
     "st2_streaming_dedup",
     "st6_foreachbatch_upsert",
+    # round-4 additions: the regressed window/streaming family + the new
+    # t7/mm2 oracles and t8 (absent from the original list)
+    "w9_sessionization",
+    "w12_time_range_frame",
+    "st3_streaming_session_window",
+    "st5_stream_stream_join",
+    "st4_stateful_running_max",
+    "t7_minhash_lsh_dedup",
+    "t8_simhash_pairs",
+    "mm2_decode_features",
 ]
 
 
