@@ -160,6 +160,12 @@ DOC_EVENT_QUERIES = [
     "t7_minhash_lsh_dedup",
     "t8_simhash_pairs",
     "mm2_decode_features",
+    # round-4 training-pipeline extensions over documents (e1 reads
+    # embeddings, which this harness doesn't generate)
+    "t20_context_chunking",
+    "t21_vocab_topk",
+    "t22_tfidf_top_terms",
+    "t23_sequence_packing",
 ]
 
 

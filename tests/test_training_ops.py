@@ -1,0 +1,122 @@
+"""Unit tests for the round-4 training-pipeline operators: context
+chunking, vocabulary, TF-IDF, int8 quantization, sequence packing."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from youbike_etl_pipeline_spark.operators.similarity import quantize_int8
+from youbike_etl_pipeline_spark.operators.text import (
+    chunk_spans,
+    pack_sequences,
+    tfidf_top_term,
+    vocab_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_spans_boundaries(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(["w"] * 5)),     # < window: one chunk [0,5)
+            (2, " ".join(["w"] * 512)),   # == window: one chunk [0,512)
+            (3, " ".join(["w"] * 513)),   # window+1: two chunks
+            (4, ""),                      # empty: no rows
+            (5, " ".join(["w"] * 1500)),  # ceil((1500-512)/448)+1 = 4 chunks
+        ],
+    )
+    out = chunk_spans(docs, window=512, stride=448)
+    got = {
+        r["doc_id"]: r["n"]
+        for r in out.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 5: 4}
+    spans = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_tok"], r["end_tok"])
+        for r in out.collect()
+    }
+    assert spans[(3, 0)] == (0, 512)
+    assert spans[(3, 1)] == (448, 513)  # overlap of 64, short tail
+    assert spans[(5, 3)] == (1344, 1500)
+
+
+def test_vocab_topk_order_and_df(spark):
+    docs = _docs(spark, [(1, "a a b"), (2, "a b c"), (3, "b z")])
+    rows = vocab_topk(docs, k=3).collect()
+    assert [(r["tok"], r["tf"], r["df"]) for r in rows] == [
+        ("a", 3, 2),
+        ("b", 3, 3),
+        ("c", 1, 1),
+    ]
+
+
+def test_tfidf_prefers_rare_terms(spark):
+    # "common" is in every doc (idf ~ 0); "rare" only in doc 1
+    docs = _docs(
+        spark,
+        [(1, "common rare common"), (2, "common common"), (3, "common x")],
+    )
+    out = {r["doc_id"]: (r["top_term"], r["score"]) for r in tfidf_top_term(docs).collect()}
+    assert out[1][0] == "rare"
+    expected = round(1 * math.log((3 + 1) / (1 + 1)), 6)
+    assert out[1][1] == pytest.approx(expected, abs=1e-9)
+
+
+def test_quantize_int8_roundtrip_and_edges(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 4.0]),     # absmax 4 → codes 32, -64, 127
+            (2, [0.0, 0.0, 0.0]),      # zero vector → scale 0, zero codes
+            (3, [-3.0]),               # single negative → code -127
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(emb).collect()}
+    assert out[1]["q"] == [32, -64, 127]
+    assert out[1]["q_sum"] == 32 - 64 + 127
+    assert out[1]["q_abs_sum"] == 32 + 64 + 127
+    assert out[2]["q"] == [0, 0, 0] and out[2]["scale"] == 0.0
+    assert out[3]["q"] == [-127]
+    # dequantization error bound: |x - q*scale| <= scale/2 for unclipped
+    scale = out[1]["scale"]
+    for x, q in zip([1.0, -2.0, 4.0], out[1]["q"]):
+        assert abs(x - q * scale) <= scale / 2 + 1e-12
+
+
+def test_pack_sequences_greedy(spark):
+    docs = spark.createDataFrame(
+        [
+            ("en", 1, 1000),
+            ("en", 2, 900),   # fits with 1 (1900)
+            ("en", 3, 200),   # 2100 > 2048 → new bin
+            ("en", 4, 5000),  # oversize → own bin, truncated to 2048
+            ("en", 5, 10),    # 4's bin is full (2048) → new bin
+            ("de", 6, 2048),  # exactly capacity
+            ("de", 7, 1),     # full bin → next
+        ],
+        "lang string, doc_id long, n_tok long",
+    )
+    out = {r["doc_id"]: r for r in pack_sequences(docs, capacity=2048).collect()}
+    assert (out[1]["bin_idx"], out[1]["offset_in_bin"]) == (0, 0)
+    assert (out[2]["bin_idx"], out[2]["offset_in_bin"]) == (0, 1000)
+    assert (out[3]["bin_idx"], out[3]["offset_in_bin"]) == (1, 0)
+    assert (out[4]["bin_idx"], out[4]["used_tok"]) == (2, 2048)
+    assert out[5]["bin_idx"] == 3
+    assert (out[6]["bin_idx"], out[7]["bin_idx"]) == (0, 1)
+
+
+def test_pack_sequences_is_distributed_per_group(spark):
+    # plan sanity: one shuffle on the group key, FlatMapGroupsInPandas node
+    docs = spark.createDataFrame(
+        [("en", i, 100) for i in range(50)] + [("de", 100 + i, 100) for i in range(50)],
+        "lang string, doc_id long, n_tok long",
+    )
+    plan = pack_sequences(docs, capacity=2048)._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan

@@ -362,3 +362,39 @@ def ivf_topk(
         F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine")
     )
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the standard
+    storage/serving compression for ANN indexes (4x smaller than float32,
+    SIMD-friendly dot products).
+
+    Per vector: ``scale = max|x| / 127`` (the de-quantization step), each
+    component ``q = clamp(round(x / scale), -127, 127)``. Pure array
+    expressions (transform/aggregate — codegen, no UDF, no shuffle); all
+    arithmetic in float64 so the rounding boundary is engine-identical.
+    Zero vectors get scale 0 and all-zero codes. Returns per-vector
+    ``scale``, the quantized array, and exact-integer quality checksums
+    (sum and sum-of-abs of codes) so a DuckDB oracle can verify the whole
+    quantization bit-for-bit."""
+    x = F.col(vec_col)
+    absmax = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    scale = (absmax / F.lit(127.0)).alias("scale")
+    q = F.when(absmax > 0, F.transform(
+        x,
+        lambda v: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(v.cast("double") * 127.0 / absmax).cast("int")),
+        ),
+    )).otherwise(F.transform(x, lambda v: F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        scale,
+        q.alias("q"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, v: a + v).alias("q_sum"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, v: a + F.abs(v)).alias("q_abs_sum"),
+    )

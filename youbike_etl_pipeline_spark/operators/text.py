@@ -162,3 +162,147 @@ def normalize_text(text: Column) -> Column:
     cleaned = F.regexp_replace(text, r"[\x00-\x1f]", " ")
     squashed = F.regexp_replace(cleaned, r"\s+", " ")
     return F.trim(F.lower(squashed))
+
+
+def chunk_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 512,
+    stride: int = 448,
+) -> DataFrame:
+    """Sliding context-window chunking: one output row per (doc, chunk),
+    with token-index bounds ``[start_tok, end_tok)`` — the standard
+    pretraining tokenize→window step (stride < window ⇒ overlap).
+
+    Pure ``sequence``+``posexplode`` fan-out (codegen, no UDF, no shuffle):
+    a doc with n tokens yields ``ceil(max(0, n-window)/stride)+1`` chunks;
+    the last chunk is the only one shorter than ``window``. Empty docs
+    yield no rows."""
+    n = F.col("__n_tok")
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.ceil(F.greatest(n - window, F.lit(0)) / F.lit(stride)).cast("int") + 1
+    )
+    toks_df = df.select(F.col(id_col), token_count(F.col(text_col)).alias("__n_tok"))
+    # guard the sequence: Spark's sequence(1, 0) yields a DESCENDING [1, 0],
+    # not an empty array, so 0-chunk (empty) docs must short-circuit
+    starts = F.when(
+        n_chunks >= 1,
+        F.transform(F.sequence(F.lit(1), n_chunks), lambda i: (i - 1) * stride),
+    ).otherwise(F.array().cast("array<int>"))
+    return toks_df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    ).withColumn("end_tok", F.least(F.col("start_tok") + window, F.col("n_tokens")))
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 50,
+) -> DataFrame:
+    """Corpus vocabulary: top-k whitespace tokens by total frequency with
+    document frequency — the vocabulary-building / OOV-analysis primitive.
+    One explode + one hash aggregation on the token (classic word-count;
+    map-side partial aggregation keeps the shuffle at |vocab|, not
+    |tokens|); top-k via ``TakeOrderedAndProject``. Deterministic order:
+    count desc, token asc."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    counts = tok.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct(id_col).alias("df"),
+    )
+    return counts.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(k)
+
+
+def tfidf_top_term(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top TF-IDF term: tf(t,d) · ln((N+1)/(df(t)+1)), ties
+    broken by term asc. Two hash aggregations (token stats, then argmax per
+    doc) and one broadcast of the scalar N — no quadratic blowup; df(t) is
+    corpus-global so the token aggregation is the only big shuffle. Scores
+    rounded to 6 (ln's last-ulp is engine-dependent)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+    tf = tok.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.countDistinct(id_col)).collect()[0][0]
+    scored = tf.join(dfreq, "tok").withColumn(
+        "score",
+        F.round(
+            F.col("tf") * F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)), 6
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, F.col("tok").alias("top_term"), "score")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    capacity: int = 2048,
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    len_col: str = "n_tok",
+) -> DataFrame:
+    """Greedy sequence packing: within each group, walk docs in ``id_col``
+    order and append each to the current bin unless it would overflow
+    ``capacity``, in which case a new bin starts — the standard pretraining
+    batch-packing step (maximize tokens per fixed-size context, preserve
+    document order). Docs longer than ``capacity`` occupy a bin alone,
+    truncated to ``capacity`` tokens.
+
+    The scan order makes this inherently sequential PER GROUP, so it runs
+    as ``applyInPandas`` (one shuffle on the group key, then a linear
+    in-memory pass per group — groups are language/source shards, each far
+    smaller than an executor). The cross-group fan-out is where the
+    parallelism lives at 100 TB; there is no global order dependence.
+
+    Output: one row per doc — (group, doc_id, used_tok, bin_idx,
+    offset_in_bin)."""
+    import pandas as pd
+
+    out_schema = (
+        f"{group_col} string, {id_col} long, used_tok long, "
+        "bin_idx long, offset_in_bin long"
+    )
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col)
+        bins, offsets, used = [], [], []
+        bin_idx, fill = 0, 0
+        first = True
+        for n in pdf[len_col]:
+            u = min(int(n), capacity)
+            if not first and fill + u > capacity:
+                bin_idx += 1
+                fill = 0
+            first = False
+            offsets.append(fill)
+            bins.append(bin_idx)
+            used.append(u)
+            fill += u
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col],
+                id_col: pdf[id_col],
+                "used_tok": used,
+                "bin_idx": bins,
+                "offset_in_bin": offsets,
+            }
+        )
+
+    return (
+        df.select(group_col, id_col, F.col(len_col))
+        .groupBy(group_col)
+        .applyInPandas(pack, schema=out_schema)
+    )

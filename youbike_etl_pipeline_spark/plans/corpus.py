@@ -4339,6 +4339,214 @@ def t19_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select("w1", "w2", "c12", "c1", "cond_p")
 
 
+
+# ===========================================================================
+# Round-4 training-pipeline extensions: chunking, vocab, TF-IDF,
+# embedding quantization, sequence packing
+# ===========================================================================
+
+
+@register(
+    "t20_context_chunking",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tok
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, lang, n_tok,
+             CASE WHEN n_tok <= 0 THEN 0
+                  ELSE CAST(CEIL(GREATEST(n_tok - 512, 0) / 448.0) AS BIGINT) + 1 END AS n_chunks
+      FROM toks
+    ),
+    spans AS (
+      SELECT doc_id, lang, n_tok, (i - 1) * 448 AS start_tok,
+             LEAST((i - 1) * 448 + 512, n_tok) AS end_tok
+      FROM chunks, LATERAL (SELECT unnest(generate_series(1, n_chunks)) AS i)
+    )
+    SELECT lang, COUNT(*) AS n_chunks,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           CAST(SUM(end_tok - start_tok) AS BIGINT) AS total_chunk_tokens,
+           CAST(MAX(end_tok - start_tok) AS BIGINT) AS max_chunk_tokens
+    FROM spans GROUP BY lang
+    """,
+    survey_rows="ext:context-chunking (tokenize->window for pretraining)",
+    description="Sliding context-window chunking (512-token windows, stride "
+    "448): per-language chunk counts and token totals. sequence+posexplode "
+    "fan-out, no UDF, no extra shuffle beyond the final group-by.",
+)
+def t20_context_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import chunk_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = chunk_spans(docs, window=512, stride=448).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return spans.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(F.col("end_tok") - F.col("start_tok")).alias("total_chunk_tokens"),
+        F.max(F.col("end_tok") - F.col("start_tok")).cast("long").alias("max_chunk_tokens"),
+    )
+
+
+@register(
+    "t21_vocab_topk",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM tok GROUP BY tok
+    )
+    SELECT tok, tf, df FROM counts ORDER BY tf DESC, tok ASC LIMIT 50
+    """,
+    survey_rows="ext:vocabulary building (word counts, doc freq, top-k)",
+    description="Corpus vocabulary: top-50 tokens by total frequency with "
+    "document frequency — explode + one hash agg (map-side partial "
+    "combine bounds the shuffle at |vocab|) + TakeOrderedAndProject.",
+)
+def t21_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import vocab_topk
+
+    return vocab_topk(_t(spark, sf_dir, "documents"), k=50)
+
+
+@register(
+    "t22_tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND(tf.tf * LN((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS score
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT doc_id, tok AS top_term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rn
+      FROM scored
+    )
+    SELECT doc_id, top_term, score FROM ranked WHERE rn = 1 AND doc_id % 7 = 0
+    """,
+    survey_rows="ext:tf-idf scoring (token stats -> per-doc argmax)",
+    description="Per-document top TF-IDF term (graded on the doc_id%7 "
+    "sample): two hash aggregations + per-doc window argmax; idf = "
+    "ln((N+1)/(df+1)), scores rounded to 6 (ln last-ulp is engine-"
+    "dependent, same discipline as the stddev family).",
+)
+def t22_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tfidf_top_term
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_term(docs).filter(F.col("doc_id") % 7 == 0)
+
+
+@register(
+    "e1_embedding_quantization",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS absmax,
+             embedding
+      FROM embeddings
+    ),
+    codes AS (
+      SELECT vec_id, absmax / 127.0 AS scale,
+             CASE WHEN absmax > 0 THEN
+               list_transform(embedding,
+                 x -> GREATEST(-127, LEAST(127, CAST(ROUND(CAST(x AS DOUBLE) * 127.0 / absmax) AS INTEGER))))
+             ELSE list_transform(embedding, x -> 0) END AS codes
+      FROM q
+    )
+    SELECT vec_id, ROUND(scale, 6) AS scale_r,
+           CAST(list_sum(codes) AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS q_abs_sum
+    FROM codes WHERE vec_id % 3 = 0
+    """,
+    survey_rows="ext:embedding quantization (int8 symmetric)",
+    description="Symmetric int8 quantization of the embedding column "
+    "(scale = max|x|/127, clamp round): per-vector scale + exact integer "
+    "code checksums, graded on the vec_id%3 sample. Pure array exprs "
+    "(transform/aggregate), no UDF, no shuffle.",
+)
+def e1_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 3 == 0)
+    q = quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale_r"),
+        "q_sum",
+        "q_abs_sum",
+    )
+
+
+@register(
+    "t23_sequence_packing",
+    """
+    WITH docs AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tok,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      FROM documents WHERE doc_id % 20 = 0
+    ),
+    packed AS (
+      WITH RECURSIVE rec(lang, rn, doc_id, used, bin_idx, fill) AS (
+        SELECT lang, rn, doc_id, LEAST(n_tok, 2048), 0, LEAST(n_tok, 2048)
+        FROM docs WHERE rn = 1
+        UNION ALL
+        SELECT d.lang, d.rn, d.doc_id, LEAST(d.n_tok, 2048),
+               CASE WHEN r.fill + LEAST(d.n_tok, 2048) > 2048
+                    THEN r.bin_idx + 1 ELSE r.bin_idx END,
+               CASE WHEN r.fill + LEAST(d.n_tok, 2048) > 2048
+                    THEN LEAST(d.n_tok, 2048) ELSE r.fill + LEAST(d.n_tok, 2048) END
+        FROM rec r JOIN docs d ON d.lang = r.lang AND d.rn = r.rn + 1
+      )
+      SELECT * FROM rec
+    )
+    SELECT lang, CAST(MAX(bin_idx) + 1 AS BIGINT) AS n_bins,
+           COUNT(*) AS n_docs,
+           CAST(SUM(used) AS BIGINT) AS total_used,
+           ROUND(CAST(SUM(used) AS DOUBLE) / ((MAX(bin_idx) + 1) * 2048), 6) AS fill_rate
+    FROM packed GROUP BY lang
+    """,
+    survey_rows="ext:sequence packing (greedy fixed-context batch packing)",
+    description="Greedy sequence packing into 2048-token bins per language "
+    "(docs in id order; oversize docs truncated to one bin) — "
+    "applyInPandas linear pass per group, one shuffle on the group key. "
+    "Graded on the doc_id%20 sample so the DuckDB recursive-CTE mirror "
+    "stays shallow; full-corpus behavior covered by unit tests.",
+)
+def t23_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import pack_sequences, token_count
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "lang", token_count(F.col("text")).alias("n_tok"))
+    )
+    packed = pack_sequences(docs, capacity=2048)
+    return packed.groupBy("lang").agg(
+        (F.max("bin_idx") + 1).alias("n_bins"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("used_tok").alias("total_used"),
+        F.round(
+            F.sum("used_tok") / ((F.max("bin_idx") + 1) * 2048.0), 6
+        ).alias("fill_rate"),
+    )
+
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
