@@ -61,6 +61,13 @@ HEADLINE = [
     "t10_dedup_clusters",
     "t16_contamination_check",
     "ml3_lstm_batch_inference",
+    # round-4 additions (keys only ever append)
+    "t20_context_chunking",
+    "t21_vocab_topk",
+    "t22_tfidf_top_terms",
+    "t23_sequence_packing",
+    "t24_mixture_resample",
+    "e1_embedding_quantization",
 ]
 
 

@@ -166,6 +166,7 @@ DOC_EVENT_QUERIES = [
     "t21_vocab_topk",
     "t22_tfidf_top_terms",
     "t23_sequence_packing",
+    "t24_mixture_resample",
 ]
 
 

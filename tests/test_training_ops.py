@@ -120,3 +120,27 @@ def test_pack_sequences_is_distributed_per_group(spark):
     )
     plan = pack_sequences(docs, capacity=2048)._jdf.queryExecution().executedPlan().toString()
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_mixture_resample_deterministic_and_capped(spark):
+    from youbike_etl_pipeline_spark.operators.text import mixture_resample
+
+    rows = [(i, "en" if i < 800 else "de") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    # target: en 50%, de 50% of the mix; de (200 docs of 1000 total) is
+    # under-represented -> cap at resolution (keep all); en downsampled
+    kept = mixture_resample(docs, {"en": (5, 10), "de": (5, 10)})
+    got = {r["lang"]: r for r in kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.max("__thresh").alias("t")).collect()}
+    assert got["de"]["t"] == 10000 and got["de"]["n"] == 200
+    # en threshold = floor(10000*5*1000/(10*800)) = 6250 -> roughly 62.5% kept
+    assert got["en"]["t"] == 6250
+    assert 0 < got["en"]["n"] < 800
+    # deterministic: same result on re-run
+    again = {r["lang"]: r["n"] for r in mixture_resample(docs, {"en": (5, 10), "de": (5, 10)})
+             .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert again == {l: got[l]["n"] for l in got}
+    # a group absent from the weights is dropped entirely
+    docs2 = docs.union(spark.createDataFrame([(5000, "xx")], "doc_id long, lang string"))
+    kept2 = mixture_resample(docs2, {"en": (5, 10), "de": (5, 10)})
+    assert kept2.filter(F.col("lang") == "xx").count() == 0

@@ -306,3 +306,49 @@ def pack_sequences(
         .groupBy(group_col)
         .applyInPandas(pack, schema=out_schema)
     )
+
+
+def mixture_resample(
+    df: DataFrame,
+    weights: dict[str, tuple[int, int]],
+    group_col: str = "lang",
+    id_col: str = "doc_id",
+    resolution: int = 10000,
+) -> DataFrame:
+    """Deterministic domain-mixture resampling: downsample each group so the
+    kept corpus approaches the target mixture ``weights`` (rational
+    ``num/den`` shares per group) — the data-mixing step in front of
+    pretraining.
+
+    Per group, the acceptance threshold is
+    ``min(resolution, floor(resolution·num·N_total / (den·N_group)))`` and
+    a doc is kept when its Lehmer hash bucket (``(id mod 2³¹)·48271 mod
+    (2³¹−1) mod resolution`` — the same portable splitter as the
+    train/val/test op) falls below it. All-integer arithmetic end-to-end,
+    so the selection is reproducible across engines, runs, and partitions
+    — no RNG, no sampleBy. Groups under-represented vs their target keep
+    everything (threshold caps at ``resolution``); a group absent from
+    ``weights`` is dropped. Two scans collapsed by a broadcast of the tiny
+    per-group count table."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_grp"))
+    total = df.count()
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in (kv[0], kv[1][0] * 1_000_000 + kv[1][1])]
+    )
+    packed = wmap[F.col(group_col)]
+    num = (packed / 1_000_000).cast("long")
+    den = (packed % 1_000_000).cast("long")
+    thresh = F.least(
+        F.lit(resolution).cast("long"),
+        F.expr(f"CAST({resolution} AS BIGINT) * __num * {total} div (__den * __n_grp)"),
+    )
+    bucket = (F.col(id_col) % F.lit(2**31)) * 48271 % F.lit(2**31 - 1) % resolution
+    return (
+        df.join(F.broadcast(counts), group_col)
+        .withColumn("__num", num)
+        .withColumn("__den", den)
+        .filter(F.col("__num").isNotNull())
+        .withColumn("__thresh", thresh)
+        .filter(bucket < F.col("__thresh"))
+        .drop("__n_grp", "__num", "__den")
+    )

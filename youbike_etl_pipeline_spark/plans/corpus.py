@@ -4547,6 +4547,49 @@ def t23_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "t24_mixture_resample",
+    """
+    WITH cnt AS (SELECT lang, COUNT(*) AS n_grp FROM documents GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n_tot FROM documents),
+    w(lang, num, den) AS (
+      VALUES ('en', 4, 10), ('de', 2, 10), ('fr', 2, 10), ('es', 1, 10), ('zh', 1, 10)
+    ),
+    th AS (
+      SELECT c.lang, c.n_grp,
+             LEAST(10000, (10000 * w.num * t.n_tot) // (w.den * c.n_grp)) AS thresh
+      FROM cnt c JOIN w USING (lang) CROSS JOIN tot t
+    )
+    SELECT th.lang, CAST(th.thresh AS BIGINT) AS thresh,
+           CAST(th.n_grp AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN ((d.doc_id % 2147483648) * 48271) % 2147483647 % 10000
+                              < th.thresh THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM th JOIN documents d USING (lang)
+    GROUP BY 1, 2, 3
+    """,
+    survey_rows="ext:domain-mixture resampling (deterministic downsample to target shares)",
+    description="Deterministic domain-mixture resampling: per-language "
+    "acceptance thresholds from rational target shares (en .4 / de .2 / "
+    "fr .2 / es .1 / zh .1), docs kept by Lehmer-hash bucket — all-integer "
+    "math, no RNG, reproducible across engines/partitions. One broadcast "
+    "of the tiny per-group count table; groups under target keep all.",
+)
+def t24_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import mixture_resample
+
+    weights = {"en": (4, 10), "de": (2, 10), "fr": (2, 10), "es": (1, 10), "zh": (1, 10)}
+    docs = _t(spark, sf_dir, "documents")
+    kept = mixture_resample(docs, weights)
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        kept.groupBy("lang")
+        .agg(F.max("__thresh").alias("thresh"), F.count(F.lit(1)).alias("n_kept"))
+        .join(counts, "lang")
+        .select("lang", "thresh", "n_total", "n_kept")
+    )
+
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
