@@ -3244,6 +3244,38 @@ def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+@register(
+    "st7_stream_static_join",
+    """
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           CAST(SUM(CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+    survey_rows="§2.8 stream-static join (dim enrichment on a stream)",
+    description="Stream-static join: the events stream enriched against the "
+    "static customer dim (broadcast — stateless per-batch, no watermark "
+    "state), run to completion over the finite source, then per-segment "
+    "event/user/purchase counts. The streaming twin of J1's "
+    "fact-broadcast-dim shape; matches the batch join oracle exactly.",
+)
+def st7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import read_events_stream, run_stream_to_memory
+
+    ev = read_events_stream(spark, sf_dir)
+    dim = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(dim), ev.user_id == F.col("c_custkey"))
+    out = run_stream_to_memory(joined, output_mode="append")
+    return out.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
+    )
+
+
+
 # ===========================================================================
 # Dedup clusters (connected components over near-dup pairs)
 # ===========================================================================
