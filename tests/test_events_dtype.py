@@ -140,3 +140,27 @@ def test_testdata_schema_canary(spark, sf_small):
     # and the batch reader must deliver the normalized contract on live data
     ev = read_events(spark, sf_small)
     assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+
+
+def test_documents_embeddings_schema_canary(sf_small):
+    """Same loudness for the other engine-assumed physical schemas: the
+    text/dedup corpus assumes documents' column types, and the similarity
+    corpus assumes embeddings is a list of floating-point values."""
+    docs = pq.read_schema(os.path.join(sf_small, "documents.parquet"))
+    for col, pred in {
+        "doc_id": pa.types.is_integer,
+        "text": pa.types.is_string,
+        "lang": pa.types.is_string,
+        "source": pa.types.is_string,
+        "n_chars": pa.types.is_integer,
+    }.items():
+        assert col in docs.names, f"SCHEMA DRIFT: documents.{col} missing ({docs.names})"
+        assert pred(docs.field(col).type), f"SCHEMA DRIFT: documents.{col} is {docs.field(col).type}"
+    emb = pq.read_schema(os.path.join(sf_small, "embeddings.parquet"))
+    assert "vec_id" in emb.names and "embedding" in emb.names, emb.names
+    assert pa.types.is_integer(emb.field("vec_id").type)
+    etype = emb.field("embedding").type
+    assert pa.types.is_list(etype) and pa.types.is_floating(etype.value_type), (
+        f"SCHEMA DRIFT: embeddings.embedding is {etype} — similarity corpus "
+        "assumes list<floating>; update functions/arrays.py casts if this moved"
+    )
