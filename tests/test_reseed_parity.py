@@ -167,6 +167,7 @@ DOC_EVENT_QUERIES = [
     "t22_tfidf_top_terms",
     "t23_sequence_packing",
     "t24_mixture_resample",
+    "t25_canonical_selection",
 ]
 
 

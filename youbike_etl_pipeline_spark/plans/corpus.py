@@ -4622,6 +4622,107 @@ def t24_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "t25_canonical_selection",
+    """
+    WITH RECURSIVE shing AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i)
+      )
+    ),
+    keep AS (SELECT s FROM shing GROUP BY s HAVING COUNT(*) <= 100),
+    capped AS (SELECT shing.doc_id, shing.s FROM shing JOIN keep USING (s)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN cnt ca ON id_a = ca.doc_id JOIN cnt cb ON id_b = cb.doc_id
+      WHERE n_common * 1.0 / (ca.n + cb.n - n_common) >= 0.5
+    ),
+    nodes AS (
+      SELECT id_a AS node, id_b AS nbr FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach AS (
+      SELECT DISTINCT node, node AS label FROM nodes
+      UNION
+      SELECT n.node, r.label FROM nodes n JOIN reach r ON n.nbr = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    f AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS n_tokens,
+             length(text) AS n_chars,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x = 'the'))
+             + len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x = 'and'))
+             + len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x = 'of'))
+             + len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x = 'to'))
+             + len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x = 'a')) AS n_stop
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, lang,
+             ROUND((LEAST(n_tokens / 100.0, 1.0)
+              + (1.0 - LEAST(COALESCE(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars END, 0.0) * 5.0, 1.0))
+              + LEAST(COALESCE(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens END, 0.0) * 4.0, 1.0)
+             ) / 3.0, 6) AS quality
+      FROM f
+    ),
+    member AS (
+      SELECT q.doc_id, q.lang, q.quality,
+             COALESCE(c.component, q.doc_id) AS cluster_id
+      FROM q LEFT JOIN comp c ON q.doc_id = c.node
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY cluster_id ORDER BY quality DESC, doc_id ASC
+             ) AS rn
+      FROM member
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+    FROM ranked GROUP BY lang
+    """,
+    survey_rows="ext:canonical selection (best-quality survivor per dedup cluster)",
+    description="Quality-aware canonical selection: per near-dup cluster "
+    "(t10's components, pair graph shared and checkpointed once per "
+    "session), keep the best-quality member (round-6 quality, doc_id "
+    "tie-break) and report kept/removed per language — the 'which copy "
+    "survives dedup' policy step. One window over the cluster id on top "
+    "of the shared graph; oracle recomputes the exact closure + quality "
+    "argmax.",
+)
+def t25_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters
+    from ..operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _ngram_pairs_shared(spark, sf_dir)
+    clusters = dedup_clusters(docs, pairs).select("doc_id", F.col("canonical_id").alias("cluster_id"))
+    q = docs.select(
+        "doc_id", "lang", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+    member = q.join(clusters, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    ranked = member.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("rn") == 1, 0).otherwise(1)).alias("n_removed"),
+    )
+
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
