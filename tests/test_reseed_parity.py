@@ -168,6 +168,7 @@ DOC_EVENT_QUERIES = [
     "t23_sequence_packing",
     "t24_mixture_resample",
     "t25_canonical_selection",
+    "mm3_audio_features",
 ]
 
 

@@ -144,3 +144,29 @@ def test_mixture_resample_deterministic_and_capped(spark):
     docs2 = docs.union(spark.createDataFrame([(5000, "xx")], "doc_id long, lang string"))
     kept2 = mixture_resample(docs2, {"en": (5, 10), "de": (5, 10)})
     assert kept2.filter(F.col("lang") == "xx").count() == 0
+
+
+def test_wav_roundtrip_and_decode_gates():
+    import numpy as np
+    import pytest as _pt
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        md5_samples,
+    )
+
+    x = md5_samples(42, 256)
+    rate, back = decode_wav(encode_wav(x, rate=8000))
+    assert rate == 8000 and np.array_equal(back, x)
+    # edge samples survive (two's-complement boundaries)
+    edge = np.array([-32768, 32767, 0, -1, 1], dtype=np.int16)
+    _, back2 = decode_wav(encode_wav(edge))
+    assert np.array_equal(back2, edge)
+    with _pt.raises(ValueError):
+        decode_wav(b"nonsense")
+    # non-PCM gate: patch the fmt audio-format field to 3 (IEEE float)
+    payload = bytearray(encode_wav(x))
+    payload[20:22] = (3).to_bytes(2, "little")
+    with _pt.raises(NotImplementedError):
+        decode_wav(bytes(payload))

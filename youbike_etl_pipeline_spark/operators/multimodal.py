@@ -292,3 +292,136 @@ def sample_frames(
             yield pd.DataFrame({"doc_id": out_ids, "frame_idx": out_idx, "frame_bytes": out_bytes})
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+def encode_wav(samples: "np.ndarray", rate: int = 16000) -> bytes:
+    """Mono 16-bit PCM RIFF/WAVE encoder (int16 samples) — the audio twin
+    of :func:`encode_ppm`; pure struct/numpy, no codec lib."""
+    data = samples.astype("<i2").tobytes()
+    n = len(data)
+    hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    return hdr + fmt + b"data" + struct.pack("<I", n) + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Parse a mono 16-bit PCM RIFF/WAVE payload → (sample_rate, int16
+    samples). Walks the chunk list (fmt/data may be preceded by LIST etc.);
+    compressed/float formats raise ``NotImplementedError`` (codec-gated,
+    same contract as compressed images)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if audio_fmt != 1:
+                raise NotImplementedError(
+                    f"WAV audio format {audio_fmt} (non-PCM) requires a codec library"
+                )
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    if bits != 16 or channels != 1:
+        raise NotImplementedError(f"only mono 16-bit PCM supported (got {channels}ch/{bits}bit)")
+    return rate, np.frombuffer(data, dtype="<i2")
+
+
+def md5_samples(doc_id: int, n_samples: int) -> "np.ndarray":
+    """Deterministic int16 PCM samples for a row id from the same md5 byte
+    stream as :func:`md5_pixels` — SQL-reconstructible, so the audio decode
+    pipeline is oracle-verifiable end-to-end."""
+    import hashlib
+
+    n = n_samples * 2
+    buf = b"".join(
+        hashlib.md5(f"{doc_id}:{b}".encode()).digest() for b in range((n + 15) // 16)
+    )
+    return np.frombuffer(buf[:n], dtype="<i2").copy()
+
+
+def attach_wav_payloads(
+    df: DataFrame, id_col: str = "doc_id", n_samples: int = 256, rate: int = 16000
+) -> DataFrame:
+    """Give every row a REAL decodable audio payload (mono PCM16 WAV with
+    :func:`md5_samples` content) — test-fixture source for the audio decode
+    path; production replaces it with a ``binaryFile`` read."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                payloads.append(bytearray(encode_wav(md5_samples(int(did), n_samples), rate)))
+                metas.append(
+                    {
+                        "media_type": "audio",
+                        "format": "wav",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": n_samples * 1000 // rate,
+                    }
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
+
+    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
+AUDIO_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio decode + features via ``mapInPandas``: REAL WAV parse
+    (:func:`decode_wav`), then peak / zero-crossing count (exact ints) and
+    RMS (float64, rounded by callers needing cross-engine equality)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, n_bytes, n_samp, peak, zc, rms = [], [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(did)
+                n_bytes.append(0 if payload is None else len(payload))
+                if payload is None:
+                    n_samp.append(None); peak.append(None); zc.append(None); rms.append(None)
+                    continue
+                _, x = decode_wav(bytes(payload))
+                xl = x.astype(np.int64)
+                n_samp.append(len(x))
+                peak.append(int(np.abs(xl).max()) if len(x) else 0)
+                zc.append(int(((xl[:-1] * xl[1:]) < 0).sum()) if len(x) > 1 else 0)
+                rms.append(float(np.sqrt((xl * xl).sum() / len(x))) if len(x) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_bytes": pd.array(n_bytes, dtype="int64"),
+                    "n_samples": pd.array(n_samp, dtype="Int64"),
+                    "peak": pd.array(peak, dtype="Int64"),
+                    "zero_crossings": pd.array(zc, dtype="Int64"),
+                    "rms": pd.array(rms, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=AUDIO_FEATURES)

@@ -4723,6 +4723,76 @@ def t25_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _mm3_audio_sql(n_samples: int = 256) -> str:
+    """DuckDB mirror of the mm3 audio fixture+decode pipeline: PCM16
+    samples are md5-digest bytes (little-endian int16 pairs), so the oracle
+    re-derives every sample with md5 hex-digit arithmetic and recomputes
+    peak / zero-crossings (exact ints) and RMS (exact-int sum, /256 is an
+    exact FP division, sqrt is correctly rounded — round-6 for safety)."""
+    n = n_samples * 2
+    blocks = (n + 15) // 16
+    header_len = 44  # RIFF(12) + fmt(24) + data header(8)
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+    hx AS (
+      SELECT d.doc_id, b.b, md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)) AS h
+      FROM d, (SELECT unnest(generate_series(0, {blocks - 1})) AS b) b
+    ),
+    bytes AS (
+      SELECT doc_id, (b * 16 + j.j) AS idx,
+             (strpos('0123456789abcdef', substr(h, 2 * j.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2 * j.j + 2, 1)) - 1) AS v
+      FROM hx, (SELECT unnest(generate_series(0, 15)) AS j) j
+      WHERE b * 16 + j.j < {n}
+    ),
+    samples AS (
+      SELECT lo.doc_id, lo.idx // 2 AS si,
+             CASE WHEN lo.v + 256 * hi.v >= 32768
+                  THEN lo.v + 256 * hi.v - 65536
+                  ELSE lo.v + 256 * hi.v END AS s
+      FROM bytes lo JOIN bytes hi
+        ON lo.doc_id = hi.doc_id AND hi.idx = lo.idx + 1
+      WHERE lo.idx % 2 = 0
+    ),
+    lagged AS (
+      SELECT doc_id, si, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY si) AS prev
+      FROM samples
+    )
+    SELECT doc_id,
+           CAST({header_len + n} AS BIGINT) AS n_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND s * prev < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)), 6) AS rms
+    FROM lagged GROUP BY doc_id
+    """
+
+
+@register(
+    "mm3_audio_features",
+    _mm3_audio_sql(),
+    survey_rows="ext:multimodal-audio (real WAV decode -> features)",
+    description="REAL audio decode in Arrow-batched mapInPandas: "
+    "deterministic mono PCM16 WAV payloads per doc (md5-byte samples), "
+    "parsed with the pure-struct/numpy RIFF walker (no codec lib), "
+    "peak / zero-crossing / RMS features out. Non-PCM formats stay "
+    "codec-gated (NotImplementedError). Oracle re-derives every sample "
+    "analytically — encode/decode/feature parity, the audio twin of mm2.",
+)
+def mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_wav_payloads, decode_audio_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    feats = decode_audio_features(attach_wav_payloads(docs))
+    return feats.select(
+        "doc_id", "n_bytes", "n_samples", "peak", "zero_crossings",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
