@@ -4793,6 +4793,124 @@ def mm3_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "q17_small_quantity_revenue",
+    """
+    WITH pa AS (
+      SELECT l_partkey, 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                               / COUNT(l_quantity)) AS qty_bound
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) / 7.0 AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem l
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_quantity < pa.qty_bound
+    GROUP BY p.p_brand
+    """,
+    survey_rows="TPC-H Q17 shape (correlated per-group average bound)",
+    description="TPC-H Q17 shape: revenue from small-quantity lineitems "
+    "(below 0.2x the part's average quantity), per brand. The correlated "
+    "scalar subquery decorrelates to one aggregation + two joins; the "
+    "per-part bound table is the join's small side. Decimal-exact sums.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    bounds = li.groupBy("l_partkey").agg(
+        (agg.decimal_avg(F.col("l_quantity")) * 0.2).alias("qty_bound")
+    )
+    small = li.join(bounds, "l_partkey").filter(F.col("l_quantity") < F.col("qty_bound"))
+    return (
+        small.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                   small.l_partkey == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            (agg.decimal_sum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    """
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE sn.n_name <> cn.n_name
+    GROUP BY 1, 2
+    """,
+    survey_rows="TPC-H Q7 shape (cross-nation volume)",
+    description="TPC-H Q7 shape: cross-nation trade volume — the fact-fact "
+    "orders x lineitem shuffle join with four broadcast dims (customer is "
+    "broadcast at test scale; on a cluster it co-partitions with orders), "
+    "filtered to supplier-nation != customer-nation.",
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = nation.toDF("cn_key", "cust_nation")
+    sn = nation.toDF("sn_key", "supp_nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy("supp_nation", "cust_nation").agg(
+        agg.decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    """
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_size BETWEEN 11 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_size BETWEEN 26 AND 50 AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+    survey_rows="TPC-H Q19 shape (disjunctive multi-table predicates)",
+    description="TPC-H Q19 shape: OR-of-ANDs predicates spanning both join "
+    "sides. Catalyst pushes the single-side residuals (l_quantity range "
+    "union, p_size range union) below the join and keeps the cross-side "
+    "disjunction as the join filter — the predicate-decomposition shape.",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_size")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (F.col("p_size").between(1, 10) & F.col("l_quantity").between(1, 20))
+        | (F.col("p_size").between(11, 25) & F.col("l_quantity").between(10, 30))
+        | (F.col("p_size").between(26, 50) & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        agg.decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
