@@ -54,11 +54,13 @@ def _gen_documents(seed: int, n: int = 300) -> pa.Table:
             text = "中文內容沒有空白 nor ascii words 中文"
         elif i % 53 == 0:
             text = "café déjà vu " + text  # combining accents
+        elif i % 59 == 58:
+            text = None  # NULL text — the next silent-generator-change class
         doc_ids.append(i)
         texts.append(text)
         langs.append(LANGS[int(rng.integers(0, len(LANGS)))])
         sources.append(f"src{int(rng.integers(0, 20))}")
-        n_chars.append(len(text))
+        n_chars.append(0 if text is None else len(text))
     return pa.table(
         {
             "doc_id": pa.array(doc_ids, pa.int64()),

@@ -57,6 +57,10 @@ def lang_id(text: Column, markers: dict[str, list[str]] | None = None) -> Column
     arg-max with deterministic tie-break (language code ascending); 'und'
     when no marker hits. CJK characters short-circuit to 'zh'."""
     markers = markers or LANG_MARKERS
+    # null-safe: a NULL text must land in 'und' through the normal path —
+    # without this, every marker score is NULL and the arg-max fold's
+    # three-valued logic diverges from the SQL mirror's CASE chain
+    text = F.coalesce(text, F.lit(""))
     scores: list[tuple[str, Column]] = []
     for lang, words in sorted(markers.items()):
         score = None

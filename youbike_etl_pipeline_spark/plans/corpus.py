@@ -134,6 +134,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # rows-only → full-oracle upgrades (round-4, judge item 6): t7 on the
     # portable universal-hash MinHash family; mm2 on md5-byte pixel fixtures
     "t7_minhash_lsh_dedup", "mm2_decode_features",
+    # fn+oracle changed: lang_id made null-safe on both sides (NULL text
+    # diverged through three-valued logic — found by the null-text probe)
+    "t4_lang_id_confusion",
 )
 
 
@@ -1623,14 +1626,15 @@ def t3_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "t4_lang_id_confusion",
     f"""
-    WITH scores AS (
+    WITH docs AS (SELECT lang, COALESCE(text, '') AS text FROM documents),
+    scores AS (
       SELECT lang,
              regexp_matches(text, '[一-鿿]') AS has_cjk,
              {" + ".join(_SQL_MARK(w) for w in ["der", "die", "und", "das", "ist"])} AS s_de,
              {" + ".join(_SQL_MARK(w) for w in ["the", "and", "of", "to", "a"])} AS s_en,
              {" + ".join(_SQL_MARK(w) for w in ["el", "la", "de", "que", "y"])} AS s_es,
              {" + ".join(_SQL_MARK(w) for w in ["le", "la", "et", "les", "des"])} AS s_fr
-      FROM documents
+      FROM docs
     )
     SELECT CASE WHEN has_cjk THEN 'zh'
                 WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
