@@ -75,9 +75,12 @@ def _gen_documents(seed: int, n: int = 300) -> pa.Table:
 def _gen_events(seed: int, n: int = 2000, ts_unit: str = "ns") -> pa.Table:
     rng = np.random.default_rng(seed)
     base_ns = 1704067200_000_000_000  # 2024-01-01
-    values = np.round(rng.uniform(0, 500, n), 2)
+    values = np.round(rng.uniform(0, 500, n), 2).astype(object)
     # force .5 rounding boundaries around the corpus's value-250 shift
-    values[:: 37] = np.floor(values[:: 37]) + 0.5
+    values[:: 37] = np.floor(values[:: 37].astype(float)) + 0.5
+    # NULL value/props — the null-semantics class (ntile ordering,
+    # count(col) vs COUNT(*), incomplete windows) found by the r4 probe
+    values[30::31] = None
     ts_ns = base_ns + np.cumsum(rng.integers(1, 10**9, n))
     # the driver has shipped BOTH physical encodings (nanos through r3,
     # micros since); exercise whichever this fixture was parametrized with
@@ -94,9 +97,10 @@ def _gen_events(seed: int, n: int = 2000, ts_unit: str = "ns") -> pa.Table:
             "event_type": pa.array(
                 [EVENT_TYPES[int(x)] for x in rng.integers(0, 5, n)], pa.string()
             ),
-            "value": pa.array(values, pa.float64()),
+            "value": pa.array(list(values), pa.float64()),
             "props": pa.array(
-                [json.dumps({"k": int(x)}) for x in rng.integers(0, 100, n)],
+                [None if i % 37 == 36 else json.dumps({"k": int(x)})
+                 for i, x in enumerate(rng.integers(0, 100, n))],
                 pa.string(),
             ),
         }

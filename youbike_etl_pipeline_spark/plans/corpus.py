@@ -137,6 +137,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # fn+oracle changed: lang_id made null-safe on both sides (NULL text
     # diverged through three-valued logic — found by the null-text probe)
     "t4_lang_id_confusion",
+    # null-semantics fixes from the null-events probe: ntile NULLS FIRST
+    # pinned in the oracle, complete-windows filter, COUNT(*) via a
+    # never-null column — all value-identical on null-free data
+    "window_frames", "w2_sequence_windows", "skew_salted_agg",
 )
 
 
@@ -859,6 +863,10 @@ def w2_sequence_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = ow.sequence_windows(
         ev, key="user_id", ts="ts", feature_cols=["value"], time_steps=3, tiebreak=["event_id"]
     )
+    # complete windows only: a NULL feature anywhere in the window makes it
+    # unusable as an LSTM sample — mirror of the oracle's v1/v2/v3 NOT NULL
+    has_null = F.size(F.filter("sequence", lambda x: x["value"].isNull())) > 0
+    seq = seq.filter(~has_null)
     wsum = F.aggregate("sequence", F.lit(0.0), lambda acc, x: acc + x["value"])
     return (
         seq.withColumn("wsum", wsum)
@@ -2415,7 +2423,8 @@ def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_dec,
              AVG(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3,
-             NTILE(4) OVER (PARTITION BY user_id ORDER BY value ASC, event_id ASC) AS quartile
+             NTILE(4) OVER (PARTITION BY user_id
+                            ORDER BY value ASC NULLS FIRST, event_id ASC) AS quartile
       FROM events
     )
     SELECT user_id, quartile,
@@ -4135,7 +4144,9 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys=["event_type"],
         aggs={
             "total_value": ("value_dec", "sum"),
-            "n": ("value", "count"),
+            # count a never-null column: the oracle is COUNT(*), and
+            # count(value) would under-count when value has NULLs
+            "n": ("event_id", "count"),
             "max_value": ("value", "max"),
         },
         n_salts=16,
