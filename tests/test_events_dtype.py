@@ -164,3 +164,16 @@ def test_documents_embeddings_schema_canary(sf_small):
         f"SCHEMA DRIFT: embeddings.embedding is {etype} — similarity corpus "
         "assumes list<floating>; update functions/arrays.py casts if this moved"
     )
+    # s3's generated hyperplane SQL embeds 64 per-dimension constants — a
+    # regenerated table with a different dim breaks it silently (NULL dots)
+    import duckdb
+
+    dims = duckdb.connect().execute(
+        f"SELECT DISTINCT len(embedding) FROM read_parquet("
+        f"'{os.path.join(sf_small, 'embeddings.parquet')}')"
+    ).fetchall()
+    assert dims == [(64,)], (
+        f"SCHEMA DRIFT: embedding dims {dims} != 64 — regenerate the "
+        "hyperplane constants in plans/corpus.py::_lsh_oracle_sql (s3) and "
+        "operators/similarity.py::_hyperplanes callers"
+    )
