@@ -87,6 +87,13 @@ def main() -> None:
 
     runs: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(repeats):
+        # clear session-shared materializations (t2/t10's checkpointed pair
+        # graph) so every repeat pays the true cost once, like a fresh
+        # session would — otherwise later repeats read a warm cache and the
+        # median under-reports steady-state work
+        from youbike_etl_pipeline_spark.plans import corpus as _corpus
+
+        _corpus._PAIR_GRAPH_CACHE.clear()
         for name in names:
             t0 = time.perf_counter()
             CORPUS[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()

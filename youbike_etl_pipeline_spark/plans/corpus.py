@@ -4926,6 +4926,46 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "f16_date_arithmetic",
+    """
+    WITH d AS (
+      SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+             day(o_orderdate) AS dom,
+             date_diff('day', CAST(o_orderdate AS DATE),
+                       last_day(CAST(o_orderdate AS DATE))) AS days_to_eom
+      FROM orders
+    )
+    SELECT yr, qtr, COUNT(*) AS n,
+           CAST(SUM(dom) AS BIGINT) AS sum_dom,
+           CAST(SUM(CASE WHEN days_to_eom = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_month_end,
+           CAST(SUM(CAST(days_to_eom AS DECIMAL(27,6))) AS DOUBLE) / COUNT(days_to_eom)
+             AS mean_days_to_eom
+    FROM d GROUP BY 1, 2
+    """,
+    survey_rows="F-date (calendar arithmetic: last_day/datediff/quarter)",
+    description="Date arithmetic breadth: per (year, quarter) order counts, "
+    "day-of-month sums, month-end hits, and mean days-to-end-of-month via "
+    "last_day + datediff — calendar functions whose engine semantics must "
+    "line up exactly (both engines day-truncate before differencing).",
+)
+def f16_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = o.select(
+        F.year("o_orderdate").alias("yr"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.datediff(F.last_day("o_orderdate"), F.col("o_orderdate")).alias("days_to_eom"),
+    )
+    return d.groupBy("yr", "qtr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dom").alias("sum_dom"),
+        F.sum(F.when(F.col("days_to_eom") == 0, 1).otherwise(0)).alias("n_month_end"),
+        agg.decimal_avg(F.col("days_to_eom")).alias("mean_days_to_eom"),
+    )
+
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
