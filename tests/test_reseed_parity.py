@@ -79,7 +79,14 @@ def _gen_events(seed: int, n: int = 2000, ts_unit: str = "ns") -> pa.Table:
     # force .5 rounding boundaries around the corpus's value-250 shift
     values[:: 37] = np.floor(values[:: 37].astype(float)) + 0.5
     # NULL value/props — the null-semantics class (ntile ordering,
-    # count(col) vs COUNT(*), incomplete windows) found by the r4 probe
+    # count(col) vs COUNT(*), incomplete windows) found by the r4 probe.
+    # NULL grouping KEYS (user_id/event_type) were probed too and are NOT
+    # in the matrix deliberately: a nullable int64 key column materializes
+    # as float64 in pandas on the DuckDB side ('0' vs '0.0'), which the
+    # driver's type-strict hash would flag regardless of engine agreement,
+    # and count-distinct-vs-dedup-count semantics over NULL keys are
+    # ambiguous. If the generator ever emits null keys, resolve those two
+    # contracts first (a10, st2).
     values[30::31] = None
     ts_ns = base_ns + np.cumsum(rng.integers(1, 10**9, n))
     # the driver has shipped BOTH physical encodings (nanos through r3,
@@ -175,6 +182,7 @@ DOC_EVENT_QUERIES = [
     "t24_mixture_resample",
     "t25_canonical_selection",
     "mm3_audio_features",
+    "w15_windowed_median",
 ]
 
 

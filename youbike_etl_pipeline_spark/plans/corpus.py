@@ -4966,6 +4966,50 @@ def f16_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "w15_windowed_median",
+    f"""
+    WITH w AS (
+      SELECT user_id,
+             list_sort(list_filter(
+               list(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+               x -> x IS NOT NULL)) AS vals
+      FROM events
+    ),
+    m AS (SELECT user_id, vals[3] AS med FROM w WHERE len(vals) = 5)
+    SELECT user_id, COUNT(*) AS n_windows,
+           {SQL_DAVG('med')} AS mean_med,
+           MAX(med) AS max_med
+    FROM m GROUP BY user_id
+    """,
+    survey_rows="W-ext (exact order statistic over a sliding frame)",
+    description="Exact trailing-5 median per user: collect the frame, sort "
+    "in-row, take the middle — engine-identical selection (no "
+    "interpolation semantics to disagree on), windows restricted to 5 "
+    "non-null values. The small-frame exact-median shape; large frames "
+    "route to percentile_approx per the a3/m10b size-routing.",
+)
+def w15_windowed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, 0)
+    )
+    # collect_list skips NULLs (mirrored by the oracle's list_filter)
+    vals = F.array_sort(F.collect_list("value").over(w))
+    med = ev.withColumn("vals", vals).filter(F.size("vals") == 5).select(
+        "user_id", F.element_at("vals", 3).alias("med")
+    )
+    return med.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        agg.decimal_avg(F.col("med")).alias("mean_med"),
+        F.max("med").alias("max_med"),
+    )
+
+
+
 # ===========================================================================
 # Driver contract
 # ===========================================================================
