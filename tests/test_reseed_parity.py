@@ -183,6 +183,9 @@ DOC_EVENT_QUERIES = [
     "t25_canonical_selection",
     "mm3_audio_features",
     "w15_windowed_median",
+    "j10_asof_join_forward",
+    "m13_pearson_sufficient_stats",
+    "j7_asof_join",
 ]
 
 

@@ -175,6 +175,56 @@ def asof_join(
     )
 
 
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_values: list[str],
+) -> DataFrame:
+    """Forward as-of join: for each left row, the NEXT right row with
+    ``right_ts >= left_ts`` within the same key (inclusive on ties) — the
+    "when is the next checkpoint/deployment/batch" direction.
+
+    Same single-shuffle union composition as :func:`asof_join`, mirrored:
+    ``first(value, ignorenulls=True)`` over a ``[CURRENT ROW, UNBOUNDED
+    FOLLOWING]`` frame carries each right value backward onto preceding
+    left rows; left rows sort before right rows on timestamp ties so an
+    equal-timestamp right row is inside the left row's frame."""
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*lcols).alias("__lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__rv_{c}") for c in right_values],
+    )
+    r_tagged = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(l_tagged.schema["__lrow"].dataType).alias("__lrow"),
+        *[F.col(c).alias(f"__rv_{c}") for c in right_values],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = unioned.select(
+        "__k",
+        "__side",
+        "__lrow",
+        *[F.first(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in right_values],
+    ).filter(F.col("__side") == 0)
+    return carried.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in lcols],
+        *[F.col(f"__c_{c}").alias(c) for c in right_values],
+    )
+
+
 def range_band_join(
     fact: DataFrame,
     bands: DataFrame,

@@ -141,6 +141,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # pinned in the oracle, complete-windows filter, COUNT(*) via a
     # never-null column — all value-identical on null-free data
     "window_frames", "w2_sequence_windows", "skew_salted_agg",
+    # fn+oracle changed: null-valued checkpoints filtered so ASOF row
+    # choice == first/last(ignorenulls) carry (same class, j7's mirror j10
+    # is new this round)
+    "j7_asof_join",
 )
 
 
@@ -2110,7 +2114,7 @@ def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH ev AS (SELECT user_id % 4 AS grp, ts, event_id, value FROM events),
     cps AS (
       SELECT user_id % 4 AS grp, ts AS cp_ts, value AS cp_value
-      FROM events WHERE event_id % 50 = 0
+      FROM events WHERE event_id % 50 = 0 AND value IS NOT NULL
     )
     SELECT grp, COUNT(cp_value) AS n_matched,
            {SQL_DAVG_Q4('value - cp_value')} AS mean_delta
@@ -2126,8 +2130,10 @@ def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j7_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").withColumn("grp", F.col("user_id") % 4)
+    # null-valued checkpoints filtered for the same ASOF-vs-ignorenulls
+    # alignment as j10 (see its comment)
     cps = (
-        ev.filter(F.col("event_id") % 50 == 0)
+        ev.filter((F.col("event_id") % 50 == 0) & F.col("value").isNotNull())
         .select("grp", F.col("ts").alias("cp_ts"), F.col("value").alias("cp_value"))
     )
     joined = oj.asof_join(
@@ -5006,6 +5012,109 @@ def w15_windowed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_windows"),
         agg.decimal_avg(F.col("med")).alias("mean_med"),
         F.max("med").alias("max_med"),
+    )
+
+
+
+@register(
+    "j10_asof_join_forward",
+    f"""
+    WITH ev AS (SELECT user_id % 4 AS grp, ts, event_id, value FROM events),
+    cps AS (
+      SELECT user_id % 4 AS grp, ts AS cp_ts, value AS cp_value
+      FROM events WHERE event_id % 50 = 0 AND value IS NOT NULL
+    )
+    SELECT grp, COUNT(cp_value) AS n_matched,
+           {SQL_DAVG_Q4('cp_value - value')} AS mean_delta
+    FROM (
+      SELECT e.grp, e.value, c.cp_value
+      FROM ev e ASOF LEFT JOIN cps c ON e.grp = c.grp AND e.ts <= c.cp_ts
+    ) GROUP BY grp
+    """,
+    survey_rows="J2 (as-of generalization, forward direction)",
+    description="Forward as-of join: each event matched to the NEXT "
+    "checkpoint >= ts per group — union + partitioned first-value "
+    "carry-backward, one shuffle (j7's mirror; DuckDB ASOF with <= is the "
+    "oracle).",
+)
+def j10_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("grp", F.col("user_id") % 4)
+    # a NULL-valued checkpoint is no checkpoint: ASOF picks the nearest ROW
+    # while first(ignorenulls) skips null VALUES — filtering aligns them
+    cps = (
+        ev.filter((F.col("event_id") % 50 == 0) & F.col("value").isNotNull())
+        .select("grp", F.col("ts").alias("cp_ts"), F.col("value").alias("cp_value"))
+    )
+    joined = oj.asof_join_forward(
+        ev.select("grp", "ts", "event_id", "value"),
+        cps,
+        on="grp",
+        left_ts="ts",
+        right_ts="cp_ts",
+        right_values=["cp_value"],
+    )
+    return joined.groupBy("grp").agg(
+        F.count("cp_value").alias("n_matched"),
+        agg.decimal_avg_q4(F.col("cp_value") - F.col("value")).alias("mean_delta"),
+    )
+
+
+
+@register(
+    "m13_pearson_sufficient_stats",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS xc,
+             epoch_us(ts) // 1000000 AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(xc * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM base GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_value_time
+    FROM stats
+    """,
+    survey_rows="M-ext (Pearson correlation, exact sufficient statistics)",
+    description="Pearson correlation of (value, event time) per event type "
+    "computed from EXACT integer sufficient statistics (cents + epoch "
+    "seconds summed in DECIMAL(38,0), so no accumulation-order drift), "
+    "with the float formula applied once to identical inputs on both "
+    "engines — bit-reproducible without Welford-vs-two-pass concerns. "
+    "One map-side-combining aggregation; no second pass over the data.",
+)
+def m13_pearson_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("xc"),
+        F.col("ts").cast("long").alias("y"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    stats = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("xc")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("xc") * F.col("xc")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+        dec(F.col("xc") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return stats.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(corr, 6).alias("corr_value_time"),
     )
 
 
