@@ -5120,6 +5120,326 @@ def m13_pearson_sufficient_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ===========================================================================
+# TPC-H round-out (round 4): Q4/Q6/Q8/Q10/Q14/Q15/Q22 shapes adapted to the
+# testdata's column subset (no partsupp / commitdate / receiptdate / phone —
+# the adaptations substitute semantically-equivalent predicates and keep the
+# plan shape the original exercises).
+# ===========================================================================
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    survey_rows="TPC-H Q6 shape (scan-filter-aggregate)",
+    description="TPC-H Q6 shape: pure scan-filter-aggregate with three "
+    "range predicates, no join. The whole query is one WholeStageCodegen "
+    "span over a pushed-down parquet scan — the canonical predicate-"
+    "pushdown benchmark. Decimal-exact revenue sum.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            agg.decimal_sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q4_order_priority_check",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+    survey_rows="TPC-H Q4 shape (EXISTS decorrelated to semi-join); J4b",
+    description="TPC-H Q4 shape: order-priority counts for orders with at "
+    "least one late-shipping lineitem (shipdate > orderdate + 30 days "
+    "substitutes for the reference's commitdate/receiptdate pair, which "
+    "the testdata lacks). The correlated EXISTS decorrelates to a LEFT "
+    "SEMI hash join on l_orderkey with the cross-table predicate as the "
+    "join condition — the semi-join-with-residual shape.",
+)
+def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@register(
+    "q8_national_market_share",
+    """
+    WITH asia_cust AS (
+      SELECT c.c_custkey FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'ASIA'
+    ),
+    rev AS (
+      SELECT EXTRACT(YEAR FROM o.o_orderdate) AS order_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN asia_cust ac ON o.o_custkey = ac.c_custkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      WHERE p.p_type = 'PROMO'
+    )
+    SELECT order_year,
+           ROUND(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE 0 END
+                                AS DECIMAL(27,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(27,6))) AS DOUBLE), 6) AS mkt_share,
+           COUNT(*) AS n_lines
+    FROM rev
+    GROUP BY order_year
+    """,
+    survey_rows="TPC-H Q8 shape (market share, conditional ratio agg); A4",
+    description="TPC-H Q8 shape: one nation's share of PROMO-part revenue "
+    "sold into ASIA-region customers, per order year. Five broadcast dims "
+    "hang off the orders x lineitem fact join; the share is a conditional-"
+    "sum / total-sum ratio in one aggregation pass (no self-join). "
+    "NATION_2 is an ASIA member in the synthetic nation table.",
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    asia_cust = (
+        cust.join(F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+                  cust.c_nationkey == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == region.r_regionkey)
+        .select("c_custkey")
+    )
+    sn = nation.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(asia_cust), orders.o_custkey == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    national = F.when(F.col("supp_nation") == "NATION_2", F.col("volume")).otherwise(F.lit(0.0))
+    return rev.groupBy("order_year").agg(
+        F.round(agg.decimal_sum(national) / agg.decimal_sum(F.col("volume")), 6).alias("mkt_share"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name, n.n_name, c.c_acctbal,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+             AS revenue_lost
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue_lost DESC, c.c_custkey
+    LIMIT 20
+    """,
+    survey_rows="TPC-H Q10 shape (top-k by aggregate); W8,A5",
+    description="TPC-H Q10 shape: top-20 customers by revenue lost to "
+    "returned lineitems in one order year. Aggregate-then-top-k: the sort "
+    "is over the (small) grouped result, TakeOrderedAndProject, with "
+    "c_custkey as the deterministic tie-break.",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            agg.decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue_lost")
+        )
+        .orderBy(F.desc("revenue_lost"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+    SELECT EXTRACT(MONTH FROM l.l_shipdate) AS ship_month,
+           ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p.p_type = 'PROMO'
+                                            THEN l.l_extendedprice * (1 - l.l_discount)
+                                            ELSE 0 END AS DECIMAL(27,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                                 AS DECIMAL(27,6))) AS DOUBLE), 6) AS promo_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+    survey_rows="TPC-H Q14 shape (conditional ratio over broadcast join); A4",
+    description="TPC-H Q14 shape: monthly percentage of revenue from "
+    "PROMO-type parts. Broadcast part dim into the filtered fact scan, "
+    "conditional-sum ratio in a single aggregation.",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return j.groupBy(F.month("l_shipdate").alias("ship_month")).agg(
+        F.round(100.0 * agg.decimal_sum(promo) / agg.decimal_sum(rev), 6).alias("promo_pct")
+    )
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    survey_rows="TPC-H Q15 shape (agg view + scalar-subquery max); SQ",
+    description="TPC-H Q15 shape: the supplier(s) with maximum quarterly "
+    "revenue. The revenue CTE is computed once; the scalar MAX subquery "
+    "becomes a one-row broadcast joined back against the same aggregate "
+    "(Spark reuses the exchange). Decimal-exact sums make the equality "
+    "comparison well-defined across engines.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        agg.decimal_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("mx"))
+        .join(F.broadcast(supp), rev.supplier_no == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) / COUNT(c_acctbal)
+               AS threshold
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT n.n_name, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT threshold FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n.n_name
+    """,
+    survey_rows="TPC-H Q22 shape (scalar subquery + NOT EXISTS anti-join); J4,SQ",
+    description="TPC-H Q22 shape: wealthy customers (above the positive-"
+    "balance mean) with no RECENT orders, counted per nation. Two "
+    "testdata adaptations: nation substitutes for the reference's "
+    "phone-prefix country code (absent), and 'never ordered' becomes "
+    "'no order since 2000-01-01' (every synthetic customer has at least "
+    "one lifetime order, which would make the original predicate "
+    "vacuously empty). Scalar-subquery broadcast filter + LEFT ANTI "
+    "hash join against the date-filtered orders + broadcast nation dim.",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    threshold = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(agg.decimal_avg(F.col("c_acctbal")).alias("threshold"))
+    )
+    recent = orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")).select(
+        "o_custkey"
+    )
+    rich = cust.join(F.broadcast(threshold)).filter(F.col("c_acctbal") > F.col("threshold"))
+    never_ordered = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        never_ordered.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            agg.decimal_sum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+    )
+
+
+# ===========================================================================
 # Driver contract
 # ===========================================================================
 
