@@ -182,6 +182,7 @@ DOC_EVENT_QUERIES = [
     "t24_mixture_resample",
     "t25_canonical_selection",
     "mm3_audio_features",
+    "mm4_frame_sample",
     "w15_windowed_median",
     "j10_asof_join_forward",
     "m13_pearson_sufficient_stats",

@@ -241,6 +241,21 @@ STAR_QUERIES = [
     "s5_topk_per_query",
     "f13_minmax_scale",
     "cdc_merge_upsert",
+    # round-4 TPC-H round-out (q7/q17/q19 + q4/q6/q8/q10/q14/q15/q22): their
+    # embedded constants (NATION_x names, PROMO p_type, 1995-2001 date
+    # windows, returnflag codes) must hold for any generator seed, not just
+    # today's /root/testdata
+    "q7_volume_shipping",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "q4_order_priority_check",
+    "q6_forecast_revenue",
+    "q8_national_market_share",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q22_global_sales_opportunity",
+    "e1_embedding_quantization",
 ]
 
 

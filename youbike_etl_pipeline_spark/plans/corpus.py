@@ -145,6 +145,19 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # choice == first/last(ignorenulls) carry (same class, j7's mirror j10
     # is new this round)
     "j7_asof_join",
+    # NEW this round (fn created ⇒ "changed"): keep them under the always-on
+    # sf0.01 gate (tests/test_parity_changed_sf01.py), not just the opt-in
+    # full mirror — a new query that only ever ran at sf0.001 locally is the
+    # same risk class as an edited one.
+    "t20_context_chunking", "t21_vocab_topk", "t22_tfidf_top_terms",
+    "t23_sequence_packing", "t24_mixture_resample", "t25_canonical_selection",
+    "e1_embedding_quantization", "st7_stream_static_join", "mm3_audio_features",
+    "q7_volume_shipping", "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates", "f16_date_arithmetic", "w15_windowed_median",
+    "j10_asof_join_forward", "m13_pearson_sufficient_stats",
+    "q4_order_priority_check", "q6_forecast_revenue",
+    "q8_national_market_share", "q10_returned_items", "q14_promo_revenue",
+    "q15_top_supplier", "q22_global_sales_opportunity", "mm4_frame_sample",
 )
 
 
@@ -5436,6 +5449,51 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             agg.decimal_sum(F.col("c_acctbal")).alias("totacctbal"),
         )
+    )
+
+
+@register(
+    "mm4_frame_sample",
+    """
+    WITH docs AS (
+      SELECT doc_id, hex(encode(text)) AS ph, octet_length(encode(text)) AS n
+      FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0
+    ),
+    frames AS (
+      SELECT d.doc_id, g.j AS frame_idx, substring(d.ph, g.j*128+1, 128) AS fh
+      FROM docs d, generate_series(0, 7) AS g(j)
+      WHERE g.j < GREATEST(1, d.n // 64)
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(length(fh) // 2 AS BIGINT) AS n_bytes, fh AS frame_hex
+    FROM frames
+    """,
+    survey_rows="multimodal video shape (frame sampling, row fan-out)",
+    description="Video-pipeline plumbing: payloads (utf-8 bytes standing in "
+    "for container bytes) are frame-sampled via mapInPandas — 64-byte "
+    "slices, up to 8 frames per payload, rows-out > rows-in through the "
+    "Arrow iterator (operators/multimodal.py::sample_frames; a real "
+    "keyframe decoder replaces the slicing, the distributed contract is "
+    "identical). The oracle mirrors the byte math on DuckDB's hex-string "
+    "side since its substring() does not accept BLOBs; frames are compared "
+    "as hex so the check is byte-exact. Reference parity: the reference "
+    "has no video path — this is the LLM-pipeline extension brief's "
+    "frame-sample op.",
+)
+def mm4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_media_columns, sample_frames
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull() & (F.col("doc_id") % 10 == 0))
+    )
+    media = attach_media_columns(docs)
+    frames = sample_frames(media, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.octet_length("frame_bytes").cast("long").alias("n_bytes"),
+        F.hex("frame_bytes").alias("frame_hex"),
     )
 
 
