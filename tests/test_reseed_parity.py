@@ -183,6 +183,8 @@ DOC_EVENT_QUERIES = [
     "t25_canonical_selection",
     "mm3_audio_features",
     "mm4_frame_sample",
+    "ev1_funnel_conversion",
+    "ev2_cohort_retention",
     "w15_windowed_median",
     "j10_asof_join_forward",
     "m13_pearson_sufficient_stats",

@@ -158,6 +158,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "q4_order_priority_check", "q6_forecast_revenue",
     "q8_national_market_share", "q10_returned_items", "q14_promo_revenue",
     "q15_top_supplier", "q22_global_sales_opportunity", "mm4_frame_sample",
+    "ev1_funnel_conversion", "ev2_cohort_retention",
 )
 
 
@@ -5494,6 +5495,117 @@ def mm4_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_idx",
         F.octet_length("frame_bytes").cast("long").alias("n_bytes"),
         F.hex("frame_bytes").alias("frame_hex"),
+    )
+
+
+@register(
+    "ev1_funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT 'step1_view' AS step, (SELECT COUNT(*) FROM v) AS n_users
+    UNION ALL SELECT 'step2_click', (SELECT COUNT(*) FROM c)
+    UNION ALL SELECT 'step3_purchase', (SELECT COUNT(*) FROM p)
+    """,
+    survey_rows="event analytics ext (ordered funnel); A12,W1",
+    description="Ordered funnel conversion view→click→purchase: users "
+    "counted at each step only if the step's FIRST occurrence follows the "
+    "previous step's first occurrence (strict event-order funnel, not "
+    "set-membership). Three user-keyed aggregations chained by joins — "
+    "all shuffles are on user_id, so on a cluster the three stages reuse "
+    "one hash partitioning; no window sort needed.",
+)
+def ev1_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    def step(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(label).alias("step"), "n_users"
+        )
+
+    return (
+        step(v, "step1_view")
+        .unionByName(step(c, "step2_click"))
+        .unionByName(step(p, "step3_purchase"))
+    )
+
+
+@register(
+    "ev2_cohort_retention",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('day', f.cohort_week, a.act_week) // 7 AS INT)
+             AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_active
+    FROM first_seen f
+    JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    survey_rows="event analytics ext (cohort retention); A12,W4",
+    description="Weekly cohort retention: users cohorted by the ISO week "
+    "of their first event; n_active = distinct cohort members active k "
+    "weeks later. Both date_trunc('week') implementations are Monday-"
+    "aligned so the day-difference is always a multiple of 7 and the "
+    "integer division is exact. Two user-keyed aggregations + one "
+    "user-keyed join — single partitioning reused; output is bounded by "
+    "weeks² regardless of input size.",
+)
+def ev2_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("act_week")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
     )
 
 
