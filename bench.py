@@ -68,6 +68,11 @@ HEADLINE = [
     "t23_sequence_packing",
     "t24_mixture_resample",
     "e1_embedding_quantization",
+    "q6_forecast_revenue",
+    "q8_national_market_share",
+    "ev1_funnel_conversion",
+    "ev2_cohort_retention",
+    "mm4_frame_sample",
 ]
 
 

@@ -185,6 +185,7 @@ DOC_EVENT_QUERIES = [
     "mm4_frame_sample",
     "ev1_funnel_conversion",
     "ev2_cohort_retention",
+    "t26_leakage_free_split",
     "w15_windowed_median",
     "j10_asof_join_forward",
     "m13_pearson_sufficient_stats",

@@ -158,7 +158,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "q4_order_priority_check", "q6_forecast_revenue",
     "q8_national_market_share", "q10_returned_items", "q14_promo_revenue",
     "q15_top_supplier", "q22_global_sales_opportunity", "mm4_frame_sample",
-    "ev1_funnel_conversion", "ev2_cohort_retention",
+    "ev1_funnel_conversion", "ev2_cohort_retention", "t26_leakage_free_split",
 )
 
 
@@ -3313,11 +3313,10 @@ def st7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Dedup clusters (connected components over near-dup pairs)
 # ===========================================================================
 
-
-@register(
-    "t10_dedup_clusters",
-    """
-    WITH RECURSIVE shing AS (
+#: DuckDB CTE chain computing the exact near-dup transitive closure
+#: (3-gram Jaccard >= 0.5, doc-freq cap 100) — shared by t10 and t26; the
+#: assembled t10 oracle is semantically unchanged from its graded r1 text.
+SQL_CLOSURE_CTES = """shing AS (
       SELECT DISTINCT doc_id, s FROM (
         SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
         FROM (SELECT doc_id,
@@ -3351,7 +3350,13 @@ def st7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION
       SELECT n.node, r.label FROM nodes n JOIN reach r ON n.nbr = r.node
     ),
-    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node)"""
+
+
+@register(
+    "t10_dedup_clusters",
+    f"""
+    WITH RECURSIVE {SQL_CLOSURE_CTES}
     SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
     """,
@@ -3369,6 +3374,56 @@ def t10_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization instead of re-running the shingle-index self-join
     pairs = _ngram_pairs_shared(spark, sf_dir)
     return dedup_clusters(docs, pairs)
+
+
+@register(
+    "t26_leakage_free_split",
+    f"""
+    WITH RECURSIVE {SQL_CLOSURE_CTES},
+    canon AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    hashed AS (
+      SELECT doc_id, canonical_id,
+             ((canonical_id % 2147483648) * 48271) % 2147483647 % 100 AS bucket
+      FROM canon
+    )
+    SELECT CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT canonical_id) AS n_clusters
+    FROM hashed GROUP BY 1
+    """,
+    survey_rows="ext:leakage-free split (cluster-aware t12)",
+    description="Train/val/test split keyed on the dedup-cluster canonical "
+    "id instead of the doc id: every near-duplicate cluster lands wholly "
+    "in one split, so eval sets cannot contain near-copies of training "
+    "docs (the contamination mode t16 detects, prevented at split time). "
+    "Same Lehmer hash as t12, same shared pair graph as t2/t10 — the "
+    "cluster pass adds nothing beyond t10's cost when run together.",
+)
+def t26_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _ngram_pairs_shared(spark, sf_dir)
+    canon = dedup_clusters(docs, pairs)
+    bucket = ((F.col("canonical_id") % 2147483648) * 48271) % 2147483647 % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        canon.withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("canonical_id").alias("n_clusters"),
+        )
+    )
 
 
 # ===========================================================================
