@@ -186,12 +186,15 @@ def _export_order() -> list[str]:
     """Window-steering that preserves the correctness gate's integrity:
 
     1. changed-this-round (oracle or fn edited — MUST be re-graded),
-    2. never-driver-green with an oracle, registration order,
-    3. never-driver-green rows-only, registration order,
-    4. driver-green queries, STALEST grade first (then registration order) —
-       the tail of the window re-checks greens for regressions, and rotating
-       by grade age means every green cycles back through within a few
-       rounds instead of the same recent ones being re-checked forever.
+    2. never-GRADED queries (no driver row in any CORRECTNESS artifact),
+       oracle-bearing before rows-only, registration order,
+    3. everything else — graded greens AND graded rows-only — STALEST grade
+       first (then registration order): the tail of the window re-checks
+       prior grades for regressions, and rotating by grade age means every
+       query cycles back through within a few rounds instead of the same
+       recent ones being re-checked forever. (Graded rows-only queries can
+       never upgrade by re-grading, so they rotate with the greens rather
+       than permanently occupying window slots ahead of them.)
     """
     names = list(CORPUS)
     pos = {n: i for i, n in enumerate(names)}
@@ -201,9 +204,9 @@ def _export_order() -> list[str]:
     def rank(n: str) -> tuple:
         if n in changed:
             return (0, changed[n], 0)
-        if n not in DRIVER_GREEN:
+        if n not in last:
             return (1 if CORPUS[n].oracle is not None else 2, pos[n], 0)
-        return (3, last.get(n, 0), pos[n])
+        return (3, last[n], pos[n])
 
     return sorted(names, key=rank)
 
