@@ -191,3 +191,56 @@ def test_stream_static_join_broadcasts_dim(spark, sf_small):
     dim = _t(spark, sf_small, "customer").select("c_custkey", "c_mktsegment")
     txt = plan_text(ev.join(F.broadcast(dim), ev.user_id == F.col("c_custkey")))
     assert "BroadcastHashJoin" in txt
+
+
+def test_q6_all_predicates_pushed_no_join(spark, sf_small):
+    """q6 is the canonical pushdown benchmark: every predicate must reach
+    the parquet scan and the plan must contain no join or exchange beyond
+    the final single-row aggregation."""
+    txt = plan_text(CORPUS["q6_forecast_revenue"].fn(spark, sf_small))
+    pushed = txt.split("PushedFilters")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not pushed: {pushed}"
+    assert "Join" not in txt
+
+
+def test_q4_semi_join_not_aggregate_dedup(spark, sf_small):
+    """q4's EXISTS must decorrelate to a LEFT SEMI hash join (one pass over
+    lineitem), not a distinct+inner-join."""
+    txt = plan_text(CORPUS["q4_order_priority_check"].fn(spark, sf_small))
+    assert "LeftSemi" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_q8_dims_broadcast_single_fact_shuffle(spark, sf_small):
+    """q8 joins five dims onto the orders x lineitem fact join: every dim
+    must broadcast; the only shuffle joins allowed are on the fact keys."""
+    txt = plan_text(CORPUS["q8_national_market_share"].fn(spark, sf_small))
+    assert txt.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_q10_topk_is_take_ordered(spark, sf_small):
+    """q10's ORDER BY + LIMIT over the grouped result must compile to
+    TakeOrderedAndProject, not a global sort."""
+    txt = plan_text(CORPUS["q10_returned_items"].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in txt
+
+
+def test_ev1_funnel_shuffles_only_on_user(spark, sf_small):
+    """ev1's three chained aggregations all hash-partition on user_id —
+    no other partitioning key may appear in any exchange."""
+    txt = plan_text(CORPUS["ev1_funnel_conversion"].fn(spark, sf_small))
+    for seg in txt.split("Exchange hashpartitioning(")[1:]:
+        key = seg.split(",")[0]
+        assert "user_id" in key, f"unexpected shuffle key: {key}"
+    assert "CartesianProduct" not in txt
+
+
+def test_mm4_frame_sample_no_shuffle(spark, sf_small):
+    """mm4 is scan -> mapInPandas fan-out -> project: a shuffle anywhere
+    means the fan-out stopped being partition-local."""
+    txt = plan_text(CORPUS["mm4_frame_sample"].fn(spark, sf_small))
+    assert "Exchange" not in txt
+    assert "MapInPandas" in txt or "mapInPandas" in txt.lower()
