@@ -186,6 +186,7 @@ DOC_EVENT_QUERIES = [
     "ev1_funnel_conversion",
     "ev2_cohort_retention",
     "t26_leakage_free_split",
+    "st8_streaming_sliding_counts",
     "w15_windowed_median",
     "j10_asof_join_forward",
     "m13_pearson_sufficient_stats",

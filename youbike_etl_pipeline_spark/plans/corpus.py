@@ -159,6 +159,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "q8_national_market_share", "q10_returned_items", "q14_promo_revenue",
     "q15_top_supplier", "q22_global_sales_opportunity", "mm4_frame_sample",
     "ev1_funnel_conversion", "ev2_cohort_retention", "t26_leakage_free_split",
+    "st8_streaming_sliding_counts",
 )
 
 
@@ -2256,6 +2257,36 @@ def st1_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_events_stream(spark, sf_dir)
     return run_stream_to_memory(hourly_windowed_counts_stream(events))
+
+
+@register(
+    "st8_streaming_sliding_counts",
+    """
+    WITH hops AS (
+      SELECT CAST(date_trunc('hour', ts) - INTERVAL (h) HOUR AS TIMESTAMP)
+               AS win_start,
+             event_type
+      FROM events, (SELECT 0 AS h UNION ALL SELECT 1) hop
+    )
+    SELECT win_start, event_type, COUNT(*) AS n
+    FROM hops GROUP BY 1, 2
+    """,
+    survey_rows="§2.8 windows (hopping/sliding)",
+    description="Structured Streaming HOPPING windows — 2-hour windows "
+    "sliding every 1 hour, so each event is counted in exactly two "
+    "overlapping windows (window('2 hours','1 hour') multi-assignment, "
+    "one read of the input; watermark bounds both open hops). The oracle "
+    "mirrors the assignment by unioning the two hop offsets per event.",
+)
+def st8_streaming_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import (
+        read_events_stream,
+        run_stream_to_memory,
+        sliding_windowed_counts_stream,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(sliding_windowed_counts_stream(events))
 
 
 @register(

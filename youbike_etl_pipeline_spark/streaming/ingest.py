@@ -64,6 +64,21 @@ def hourly_windowed_counts_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def sliding_windowed_counts_stream(events: DataFrame) -> DataFrame:
+    """Hopping (sliding) 2-hour windows every 1 hour: each event lands in
+    exactly two overlapping windows. The watermark bounds state for both
+    open hops at once — the multi-assignment is Spark's window() expansion,
+    not a self-union, so the input is still read once."""
+    return (
+        events.withWatermark("ts", "3 hours")
+        .groupBy(
+            F.window("ts", "2 hours", "1 hour").alias("win"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "n")
+    )
+
+
 def stream_dedup_counts(events: DataFrame) -> DataFrame:
     """Streaming exactly-once-ish dedup (S8 twin): dropDuplicates on the
     natural key, then per-type distinct-user counts."""
