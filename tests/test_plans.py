@@ -244,3 +244,64 @@ def test_mm4_frame_sample_no_shuffle(spark, sf_small):
     txt = plan_text(CORPUS["mm4_frame_sample"].fn(spark, sf_small))
     assert "Exchange" not in txt
     assert "MapInPandas" in txt or "mapInPandas" in txt.lower()
+
+
+def test_q2_groupwise_min_hash_aggs_and_broadcast_dims(spark, sf_small):
+    """q2's correlated-MIN decorrelation must be two hash aggregations plus
+    an equi-join back — no sort-based aggregate, no cartesian — and the
+    part/supplier/nation dims must broadcast."""
+    txt = plan_text(CORPUS["q2_min_cost_supplier"].fn(spark, sf_small))
+    assert "HashAggregate" in txt
+    assert txt.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_q9_single_fact_shuffle_dims_broadcast(spark, sf_small):
+    """q9 is a 5-way star join: part/supplier/nation broadcast, orders joins
+    on the orderkey shuffle — no SortMergeJoin on a dim, no cartesian."""
+    txt = plan_text(CORPUS["q9_product_type_profit"].fn(spark, sf_small))
+    assert txt.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in txt
+    # the part LIKE filter must reach the part scan, not run post-join
+    pushed_segments = txt.split("PushedFilters: [")[1:]
+    assert any("p_name" in seg.split("]")[0] for seg in pushed_segments) or (
+        "StringContains" in txt
+    )
+
+
+def test_q11_threshold_is_one_row_broadcast(spark, sf_small):
+    """q11's scalar threshold must arrive as a broadcast of the one-row
+    aggregate (BNLJ against a single-row build side), never a shuffle or a
+    driver collect baked into the plan as a literal."""
+    txt = plan_text(CORPUS["q11_important_part_value"].fn(spark, sf_small))
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_q12_single_join_single_agg(spark, sf_small):
+    """q12 must be exactly one join (lineitem x orders) and one aggregation
+    — the date-lateness predicate references both sides so it evaluates
+    post-join, but everything else stays a two-shuffle plan."""
+    txt = plan_text(CORPUS["q12_late_shipment_priority"].fn(spark, sf_small))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_q16_anti_join_then_distinct_count(spark, sf_small):
+    """q16's NOT IN must compile to a broadcast LEFT ANTI join (keys are
+    non-null), with the part attribute filters pushed to the part scan."""
+    txt = plan_text(CORPUS["q16_supplier_part_count"].fn(spark, sf_small))
+    assert "LeftAnti" in txt
+    assert "CartesianProduct" not in txt
+
+
+def test_q21_exists_pair_is_equi_joins_on_orderkey(spark, sf_small):
+    """q21's EXISTS / NOT EXISTS must both be orderkey equi-joins (semi +
+    anti) with the suppkey inequality as a join residual — a cartesian or
+    BNLJ here means the decorrelation degenerated to per-row probing."""
+    txt = plan_text(CORPUS["q21_suppliers_kept_waiting"].fn(spark, sf_small))
+    assert "LeftSemi" in txt
+    assert "LeftAnti" in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt

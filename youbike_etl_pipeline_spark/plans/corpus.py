@@ -160,6 +160,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "q15_top_supplier", "q22_global_sales_opportunity", "mm4_frame_sample",
     "ev1_funnel_conversion", "ev2_cohort_retention", "t26_leakage_free_split",
     "st8_streaming_sliding_counts",
+    # TPC-H completion — the last six of the 22 shapes (no-partsupp/no-
+    # receiptdate adaptations; see the round-4b corpus section)
+    "q2_min_cost_supplier", "q9_product_type_profit",
+    "q11_important_part_value", "q12_late_shipment_priority",
+    "q16_supplier_part_count", "q21_suppliers_kept_waiting",
 )
 
 
@@ -5695,6 +5700,301 @@ def ev2_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_offset"),
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+# ===========================================================================
+# TPC-H completion (round 4b): Q2/Q9/Q11/Q12/Q16/Q21 shapes — the last six
+# of the 22. The testdata has no partsupp table and no commit/receipt dates,
+# so the partsupp-driven predicates are re-derived from lineitem (unit price
+# = l_extendedprice / l_quantity as the supply-cost proxy; supplier-per-part
+# relationships from shipped lineitems) and "late" = shipped more than N
+# days after o_orderdate. Each adaptation preserves the plan shape the
+# original exercises (groupwise-min join-back, multi-way star join,
+# scalar-subquery HAVING, conditional counts, double-correlated EXISTS).
+# ===========================================================================
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2
+    ),
+    mc AS (SELECT l_partkey, MIN(unit_cost) AS min_cost FROM cost GROUP BY 1)
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, c.unit_cost AS min_cost
+    FROM cost c
+    JOIN mc ON c.l_partkey = mc.l_partkey AND c.unit_cost = mc.min_cost
+    JOIN part p ON p.p_partkey = c.l_partkey
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'STANDARD' AND p.p_size <= 10
+    """,
+    survey_rows="TPC-H Q2 shape (groupwise-min + join-back); A5,J1",
+    description="TPC-H Q2 shape: for each STANDARD small part, the "
+    "supplier(s) offering the minimum unit price (supply-cost proxy "
+    "derived from lineitem — no partsupp in the testdata). The correlated "
+    "MIN subquery becomes an aggregate-then-join-back on (partkey, "
+    "min_cost); the equality join on the float min is engine-exact because "
+    "MIN selects an existing division result, no re-arithmetic. Dims "
+    "broadcast; the only shuffle is the (partkey, suppkey) aggregation.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    mc = (
+        cost.groupBy("l_partkey")
+        .agg(F.min("unit_cost").alias("min_cost"))
+        .withColumnRenamed("l_partkey", "mc_partkey")  # break self-join lineage
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        cost.join(
+            mc,
+            (cost.l_partkey == mc.mc_partkey) & (cost.unit_cost == mc.min_cost),
+        )
+        .drop("mc_partkey")
+        .join(F.broadcast(part), cost.l_partkey == part.p_partkey)
+        .join(F.broadcast(supplier), cost.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.col("unit_cost").alias("min_cost"),
+        )
+    )
+
+
+@register(
+    "q9_product_type_profit",
+    f"""
+    SELECT n.n_name AS nation, EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+           {SQL_DSUM("l.l_extendedprice * (1 - l.l_discount) - 0.5 * p.p_retailprice * l.l_quantity")}
+             AS profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%bolt%'
+    GROUP BY 1, 2
+    """,
+    survey_rows="TPC-H Q9 shape (5-way star join + profit expr); J1,A1",
+    description="TPC-H Q9 shape: profit on the 'bolt' product family per "
+    "supplier nation per order year. Supply cost proxied as half retail "
+    "price times quantity (no partsupp). The part filter broadcasts into "
+    "the fact scan first (smallest selectivity), then orders joins on the "
+    "shuffle key; supplier and nation broadcast. Decimal-exact sum keeps "
+    "the profit expression engine-identical.",
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit_expr = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(agg.decimal_sum(profit_expr).alias("profit"))
+    )
+
+
+@register(
+    "q11_important_part_value",
+    """
+    WITH v AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS part_value
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey IN (3, 8, 12)
+      GROUP BY 1
+    )
+    SELECT l_partkey, part_value FROM v
+    WHERE part_value > (SELECT SUM(part_value) * 0.005 FROM v)
+    """,
+    survey_rows="TPC-H Q11 shape (agg + scalar-subquery HAVING); SQ,A1",
+    description="TPC-H Q11 shape: parts whose shipped value through a "
+    "nation group's suppliers exceeds 0.5% of that group's total (value "
+    "proxied from lineitem extendedprice — no partsupp availqty). The "
+    "scalar threshold is a one-row broadcast joined back against the same "
+    "aggregate, so the per-part frame is computed once and the exchange "
+    "reused; nothing is collected to the driver.",
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_extendedprice")
+    supp = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_nationkey").isin(3, 8, 12)
+    ).select("s_suppkey")
+    v = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(agg.decimal_sum(F.col("l_extendedprice")).alias("part_value"))
+    )
+    threshold = v.agg((F.sum("part_value") * 0.005).alias("thr"))
+    return (
+        v.join(F.broadcast(threshold), v.part_value > F.col("thr"))
+        .select("l_partkey", "part_value")
+    )
+
+
+@register(
+    "q12_late_shipment_priority",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+    GROUP BY 1
+    """,
+    survey_rows="TPC-H Q12 shape (join + conditional counts); A4,J2",
+    description="TPC-H Q12 shape: among lineitems shipped 60+ days after "
+    "the order date (lateness stands in for the absent receipt/commit "
+    "dates, linestatus for shipmode), how many belong to high- vs "
+    "low-priority orders. One shuffle join on orderkey, the date "
+    "comparison evaluated post-join (it references both sides), "
+    "conditional sums in a single aggregation.",
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 21, 28, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 1000.0)
+    GROUP BY 1, 2, 3
+    """,
+    survey_rows="TPC-H Q16 shape (anti-subquery + count-distinct); J4,A12",
+    description="TPC-H Q16 shape: how many distinct suppliers ship each "
+    "surviving (brand, type, size) part class, excluding a brand, a type, "
+    "and blacklisted suppliers (low account balance stands in for the "
+    "absent comment-complaints predicate; supplier-per-part derived from "
+    "lineitem — no partsupp). The NOT IN compiles to a broadcast anti "
+    "join (keys are non-null), then one shuffle on partkey and a "
+    "count-distinct over the class.",
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 21, 28, 36, 45)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_suppliers = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000.0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(bad_suppliers), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q21_suppliers_kept_waiting",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY 1
+    """,
+    survey_rows="TPC-H Q21 shape (correlated EXISTS + NOT EXISTS); J4,SQ",
+    description="TPC-H Q21 shape: suppliers who were the SOLE late shipper "
+    "on finished multi-supplier orders (late = shipped 90+ days after the "
+    "order date, standing in for receipt-past-commit). The correlated "
+    "EXISTS becomes a left-semi hash join on orderkey with the "
+    "suppkey-inequality as join condition, NOT EXISTS a left-anti on the "
+    "pre-filtered late set — both equi-joins on orderkey, no per-row "
+    "probes, no cartesian.",
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # late lineitems on finished orders, computed ONCE and reused by both
+    # the driving set (l1) and the NOT EXISTS probe (l3)
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            (F.col("o_orderstatus") == "F")
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3_orderkey"), F.col("l_suppkey").alias("o3_suppkey")
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (l1.l_orderkey == l2.o2_orderkey) & (l1.l_suppkey != l2.o2_suppkey),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (l1.l_orderkey == l3.o3_orderkey) & (l1.l_suppkey != l3.o3_suppkey),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supplier), waiting.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
 
 
