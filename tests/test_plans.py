@@ -305,3 +305,34 @@ def test_q21_exists_pair_is_equi_joins_on_orderkey(spark, sf_small):
     assert "LeftAnti" in txt
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_t27_sequences_single_user_shuffle(spark, sf_small):
+    """t27 must be one hash-partitioning on user_id feeding the array
+    aggregation — no join, no global sort (ordering happens inside each
+    group's collected array)."""
+    txt = plan_text(CORPUS["t27_user_event_sequences"].fn(spark, sf_small))
+    for seg in txt.split("Exchange hashpartitioning(")[1:]:
+        assert "user_id" in seg.split(",")[0]
+    assert "Join" not in txt
+    assert ", Sort " not in txt.split("Exchange")[0]  # no pre-shuffle global sort
+
+
+def test_t28_negative_sampling_pool_is_broadcast_not_cross_matrix(spark, sf_small):
+    """t28's candidate generation must be users x broadcast-pool (a bounded
+    BroadcastNestedLoopJoin), never a CartesianProduct over the full item
+    table, and the positives must arrive as an equi anti-join."""
+    txt = plan_text(CORPUS["t28_negative_sampling"].fn(spark, sf_small))
+    assert "CartesianProduct" not in txt
+    assert "LeftAnti" in txt
+    # the pool side of the cross product is a LIMIT-16 subtree
+    assert "BroadcastNestedLoopJoin" in txt or "BroadcastHashJoin" in txt
+
+
+def test_t29_adaptive_filter_single_source_shuffle(spark, sf_small):
+    """t29's rank window and the final aggregation both partition on
+    source — one logical key, no join."""
+    txt = plan_text(CORPUS["t29_adaptive_quality_filter"].fn(spark, sf_small))
+    for seg in txt.split("Exchange hashpartitioning(")[1:]:
+        assert "source" in seg.split(",")[0]
+    assert "Join" not in txt

@@ -191,6 +191,9 @@ DOC_EVENT_QUERIES = [
     "j10_asof_join_forward",
     "m13_pearson_sufficient_stats",
     "j7_asof_join",
+    # round-4c: sequence construction + group-relative quality filter
+    "t27_user_event_sequences",
+    "t29_adaptive_quality_filter",
 ]
 
 

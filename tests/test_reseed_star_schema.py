@@ -265,6 +265,9 @@ STAR_QUERIES = [
     "q12_late_shipment_priority",
     "q16_supplier_part_count",
     "q21_suppliers_kept_waiting",
+    # round-4c: pool-based negative sampling (md5-hex ordering must be
+    # engine-portable for any seed's key space)
+    "t28_negative_sampling",
 ]
 
 

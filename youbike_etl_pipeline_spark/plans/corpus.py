@@ -165,6 +165,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "q2_min_cost_supplier", "q9_product_type_profit",
     "q11_important_part_value", "q12_late_shipment_priority",
     "q16_supplier_part_count", "q21_suppliers_kept_waiting",
+    # training-pipeline extensions (round 4c): sequence construction,
+    # pool-based negative sampling, group-relative quality filtering
+    "t27_user_event_sequences", "t28_negative_sampling",
+    "t29_adaptive_quality_filter",
 )
 
 
@@ -5995,6 +5999,177 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         waiting.join(F.broadcast(supplier), waiting.l_suppkey == supplier.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ===========================================================================
+# Training-pipeline extensions (round 4c): sequence construction, negative
+# sampling, and group-relative quality filtering — the remaining data-prep
+# shapes a large-scale training pipeline runs that the corpus didn't yet
+# cover. All three are bounded-output aggregations (no unbounded collect).
+# ===========================================================================
+
+
+@register(
+    "t27_user_event_sequences",
+    """
+    SELECT user_id,
+           array_to_string(list_slice(list(event_type ORDER BY ts, event_id), 1, 50), ' ')
+             AS seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    survey_rows="ext:training sequence construction; A14,W3",
+    description="Per-user ordered behavior sequences for sequential-model "
+    "training: events sorted by (ts, event_id) within each user, truncated "
+    "to the first 50, emitted as a joined string (the driver's pandas "
+    "canonicalizer cannot hash list cells). One shuffle on user_id; the "
+    "sort happens inside each group's collected array, not as a global "
+    "sort. At 100 TB the per-user array is bounded by the truncation "
+    "window, so state stays O(users x 50), and heavy users cost sort-of-"
+    "their-own-events, not a repartition.",
+)
+def t27_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
+    return ev.groupBy("user_id").agg(
+        F.array_join(
+            F.slice(F.transform(ordered, lambda x: x["event_type"]), 1, 50), " "
+        ).alias("seq"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "t28_negative_sampling",
+    """
+    WITH pool AS (
+      SELECT p_partkey FROM part
+      ORDER BY md5(CAST(p_partkey AS VARCHAR)), p_partkey LIMIT 16
+    ),
+    positives AS (
+      SELECT DISTINCT o.o_custkey, l.l_partkey
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    cand AS (
+      SELECT c.c_custkey, p.p_partkey
+      FROM customer c CROSS JOIN pool p
+      WHERE NOT EXISTS (SELECT 1 FROM positives x
+                        WHERE x.o_custkey = c.c_custkey
+                          AND x.l_partkey = p.p_partkey)
+    ),
+    ranked AS (
+      SELECT c_custkey, p_partkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_custkey
+               ORDER BY md5(CAST(c_custkey AS VARCHAR) || '-'
+                            || CAST(p_partkey AS VARCHAR)), p_partkey) AS rnk
+      FROM cand
+    )
+    SELECT c_custkey, p_partkey AS neg_partkey, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+    survey_rows="ext:negative sampling (shared candidate pool); J4,W6",
+    description="Deterministic negative sampling for contrastive training "
+    "WITHOUT a users-by-items cross join: a shared 16-item candidate pool "
+    "(pseudo-randomly chosen by md5 hex order — portable across engines), "
+    "broadcast-crossed with users (linear in users, bounded by the pool), "
+    "anti-joined against observed (customer, part) interactions, then 5 "
+    "negatives per user by md5-ranked pseudo-random order. The full "
+    "user-by-item candidate matrix never materializes — the 100 TB cost "
+    "is |users| x pool, not |users| x |items|.",
+)
+def t28_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    pool = (
+        part.select("p_partkey")
+        .orderBy(F.md5(F.col("p_partkey").cast("string")), "p_partkey")
+        .limit(16)
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    positives = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_partkey").alias("p_partkey"),
+        )
+        .distinct()
+    )
+    cand = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .crossJoin(F.broadcast(pool))
+    )
+    rnd = F.md5(
+        F.concat_ws(
+            "-", F.col("c_custkey").cast("string"), F.col("p_partkey").cast("string")
+        )
+    )
+    w = Window.partitionBy("c_custkey").orderBy(rnd, "p_partkey")
+    return (
+        cand.join(positives, ["c_custkey", "p_partkey"], "left_anti")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select("c_custkey", F.col("p_partkey").alias("neg_partkey"), "rnk")
+    )
+
+
+@register(
+    "t29_adaptive_quality_filter",
+    r"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             len(list_distinct(regexp_extract_all(text, '\S+'))) * 1.0
+               / len(regexp_extract_all(text, '\S+')) AS score
+      FROM documents
+      WHERE len(regexp_extract_all(text, '\S+')) > 0
+    ),
+    ranked AS (
+      SELECT source, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY score DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n_total
+      FROM scored
+    )
+    SELECT source, CAST(MAX(n_total) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN rn * 2 <= n_total THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           ROUND(MIN(CASE WHEN rn * 2 <= n_total THEN score END), 6)
+             AS threshold_score
+    FROM ranked GROUP BY source
+    """,
+    survey_rows="ext:group-relative quality filter; W6,A4",
+    description="Source-adaptive quality filtering: keep each source's "
+    "best half by type-token ratio (distinct-token fraction). The cut is "
+    "RANK-based (row_number x 2 <= group size with a doc_id tie-break), "
+    "not a float threshold compare, so the kept set is deterministic even "
+    "when scores tie or the group median interpolates between values. One "
+    "shuffle on source for the window, then a group-sized aggregation.",
+)
+def t29_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all("text", F.lit(r"\S+"), 0)
+    scored = (
+        docs.withColumn("toks", toks)
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            "source",
+            (F.size(F.array_distinct("toks")) * F.lit(1.0) / F.size("toks")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("source")
+    ranked = scored.withColumn(
+        "rn", F.row_number().over(w.orderBy(F.desc("score"), "doc_id"))
+    ).withColumn("n_total", F.count(F.lit(1)).over(w))
+    kept = F.col("rn") * 2 <= F.col("n_total")
+    return ranked.groupBy("source").agg(
+        F.max("n_total").alias("n_total"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.round(F.min(F.when(kept, F.col("score"))), 6).alias("threshold_score"),
     )
 
 
