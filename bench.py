@@ -73,6 +73,13 @@ HEADLINE = [
     "ev1_funnel_conversion",
     "ev2_cohort_retention",
     "mm4_frame_sample",
+    # round-4b/4c additions (keys only ever append): the heaviest of the
+    # TPC-H completion six + the new training-pipeline shapes
+    "q9_product_type_profit",
+    "q21_suppliers_kept_waiting",
+    "t27_user_event_sequences",
+    "t28_negative_sampling",
+    "t29_adaptive_quality_filter",
 ]
 
 

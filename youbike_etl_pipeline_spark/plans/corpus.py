@@ -6088,8 +6088,17 @@ def t28_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # only pool-member parts can ever match the anti-join, so prune the
+    # interaction scan against the broadcast pool BEFORE the orders join —
+    # at 100 TB this turns "distinct over every interaction" into "distinct
+    # over interactions with 16 parts" (pool/|items| of the fact table)
     positives = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        li.join(
+            F.broadcast(pool.withColumnRenamed("p_partkey", "l_partkey")),
+            "l_partkey",
+            "left_semi",
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .select(
             F.col("o_custkey").alias("c_custkey"),
             F.col("l_partkey").alias("p_partkey"),
