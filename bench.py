@@ -80,6 +80,8 @@ HEADLINE = [
     "t27_user_event_sequences",
     "t28_negative_sampling",
     "t29_adaptive_quality_filter",
+    "w16_user_acquisition_curve",
+    "dq4_volume_anomalies",
 ]
 
 

@@ -111,9 +111,23 @@ def main() -> None:
     for name in QUERIES:
         times = []
         for d in dirs:
-            t0 = time.perf_counter()
-            CORPUS[name].fn(spark, d).write.mode("overwrite").format("noop").save()
-            times.append(time.perf_counter() - t0)
+            # min of 2 runs per cell: a single shot is dominated by JIT /
+            # GC / page-cache noise on this box (observed 5-25 s random
+            # spikes), which wrecks the slope column. The minimum is the
+            # right statistic for "how much work does this plan do".
+            best = float("inf")
+            for _ in range(2):
+                # cache-honest like bench.py: clear session-shared
+                # materializations (t2/t10's checkpointed pair graph) so
+                # every run pays the true cost — otherwise the min reads a
+                # warm checkpoint and reports cache latency, not plan work
+                from youbike_etl_pipeline_spark.plans import corpus as _corpus
+
+                _corpus._PAIR_GRAPH_CACHE.clear()
+                t0 = time.perf_counter()
+                CORPUS[name].fn(spark, d).write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            times.append(best)
         rows.append((name, times))
 
     print("# SCALING — wall-clock vs scale factor")
@@ -122,6 +136,7 @@ def main() -> None:
     print("is a synthetic 10× union of sf0.1 (ids re-keyed) ≈ 6M lineitem /")
     print("100k events rows. Judge the slope, not the constants: Spark's fixed")
     print("per-query overhead (~0.5-1s) dominates the small SFs.")
+    print("Each cell is the MIN of 2 runs (suppresses JIT/GC spikes).")
     print()
     print("| query | " + " | ".join(labels) + " | slope 0.1→10× |")
     print("|---|" + "---|" * (len(labels) + 1))
