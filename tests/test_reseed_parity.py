@@ -197,6 +197,9 @@ DOC_EVENT_QUERIES = [
     # round-4c: acquisition curve + volume anomalies (events-only)
     "w16_user_acquisition_curve",
     "dq4_volume_anomalies",
+    # round-4c: transition matrix + incremental rollup merge (events-only)
+    "ev3_transition_matrix",
+    "cdc2_incremental_rollup",
 ]
 
 

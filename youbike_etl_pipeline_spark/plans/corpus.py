@@ -169,7 +169,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # pool-based negative sampling, group-relative quality filtering
     "t27_user_event_sequences", "t28_negative_sampling",
     "t29_adaptive_quality_filter", "w16_user_acquisition_curve",
-    "dq4_volume_anomalies",
+    "dq4_volume_anomalies", "ev3_transition_matrix",
+    "cdc2_incremental_rollup",
 )
 
 
@@ -6266,6 +6267,86 @@ def dq4_volume_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.join(F.broadcast(stats), "event_type")
         .filter(z > 2.0)
         .select("event_type", "day", "n", F.round(z, 4).alias("z"))
+    )
+
+
+@register(
+    "ev3_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+    FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    """,
+    survey_rows="event analytics ext (behavior transitions); W1,A12",
+    description="User-behavior transition matrix: consecutive-event pairs "
+    "per user via LEAD over (ts, event_id), counted into the from->to "
+    "matrix — the Markov-chain input for behavior modeling. One shuffle "
+    "on user_id for the window, then a bounded |types|^2 aggregation.",
+)
+def ev3_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "cdc2_incremental_rollup",
+    f"""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           {SQL_DSUM("value")} AS sum_value,
+           {SQL_DAVG("value")} AS mean_value
+    FROM events GROUP BY event_type
+    """,
+    survey_rows="CDC ext: incremental aggregate maintenance; A1,S9",
+    description="Incremental rollup maintenance: the gold aggregate is "
+    "REBUILT by merging a base partial (event_id % 10 != 0) with a delta "
+    "partial (event_id % 10 == 0) via full-outer join + exact DECIMAL "
+    "partial-sum addition — the foreachBatch incremental-gold pattern in "
+    "batch form. The oracle is the full recompute, so a hash match PROVES "
+    "merge == recompute. Partials stay DECIMAL until after the merge "
+    "(double partial sums would drift a ulp vs the one-shot sum); only "
+    "the final projection casts to double.",
+)
+def cdc2_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    dec = F.col("value").cast(T.DecimalType(27, 6))
+
+    def partial(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias(f"n_{tag}"),
+            F.count("value").alias(f"nv_{tag}"),  # non-null count (mean's divisor)
+            F.sum(dec).alias(f"s_{tag}"),  # stays DECIMAL — exact merge
+        )
+
+    base = partial(ev.filter(F.pmod("event_id", F.lit(10)) != 0), "base")
+    delta = partial(ev.filter(F.pmod("event_id", F.lit(10)) == 0), "delta")
+    zero = F.lit(0).cast(T.DecimalType(27, 6))
+    merged = base.join(delta, "event_type", "full_outer").select(
+        "event_type",
+        (F.coalesce("n_base", F.lit(0)) + F.coalesce("n_delta", F.lit(0))).alias("n"),
+        (F.coalesce("nv_base", F.lit(0)) + F.coalesce("nv_delta", F.lit(0))).alias("nv"),
+        (F.coalesce("s_base", zero) + F.coalesce("s_delta", zero)).alias("s"),
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.col("s").cast("double").alias("sum_value"),
+        (F.col("s").cast("double") / F.col("nv")).alias("mean_value"),
     )
 
 
