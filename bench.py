@@ -82,6 +82,8 @@ HEADLINE = [
     "t29_adaptive_quality_filter",
     "w16_user_acquisition_curve",
     "dq4_volume_anomalies",
+    "ev3_transition_matrix",
+    "cdc2_incremental_rollup",
 ]
 
 

@@ -107,6 +107,14 @@ ADV_QUERIES = [
     "t17_repetition_ratio",
     "t18_char_entropy",
     "t19_bigram_lm",
+    # round-4c text/sequence queries: empty/whitespace-only docs must be
+    # dropped identically by both engines' \S+ tokenizers; the sequence
+    # and transition queries see the hand-built tiny event stream
+    "t29_adaptive_quality_filter",
+    "t27_user_event_sequences",
+    "ev3_transition_matrix",
+    "dq4_volume_anomalies",
+    "cdc2_incremental_rollup",
 ]
 
 
