@@ -389,3 +389,22 @@ def test_cdc2_merge_is_decimal_until_projection(spark, sf_small):
     # schema contract: exact merge feeds double output columns
     assert dict(df.dtypes)["sum_value"] == "double"
     assert dict(df.dtypes)["n"] == "bigint"
+
+
+def test_j11_overlap_join_is_bucket_equi_join(spark, sf_small):
+    """j11's interval self-join must arrive as an equi-join on the hour
+    bucket with the overlap predicate as a residual filter — a cartesian
+    or BNLJ means the grid decomposition degenerated to all-pairs."""
+    txt = plan_text(CORPUS["j11_interval_overlap_join"].fn(spark, sf_small))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "Join" in txt
+
+
+def test_dq5_every_relation_is_anti_join(spark, sf_small):
+    """dq5 audits 7 FK relations: each must be a LEFT ANTI join (6 of them
+    broadcast; lineitem->orders shuffles on the fact key) — no cartesian,
+    no inner-join + null-filter fallback."""
+    txt = plan_text(CORPUS["dq5_referential_integrity"].fn(spark, sf_small))
+    assert txt.count("LeftAnti") >= 7
+    assert "CartesianProduct" not in txt

@@ -200,6 +200,8 @@ DOC_EVENT_QUERIES = [
     # round-4c: transition matrix + incremental rollup merge (events-only)
     "ev3_transition_matrix",
     "cdc2_incremental_rollup",
+    # round-4c: session interval overlap self-join (events-only)
+    "j11_interval_overlap_join",
 ]
 
 

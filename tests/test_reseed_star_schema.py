@@ -268,6 +268,8 @@ STAR_QUERIES = [
     # round-4c: pool-based negative sampling (md5-hex ordering must be
     # engine-portable for any seed's key space)
     "t28_negative_sampling",
+    # round-4c: FK orphan audit (key spaces regenerate with the seed)
+    "dq5_referential_integrity",
 ]
 
 

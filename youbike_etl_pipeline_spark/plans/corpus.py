@@ -170,7 +170,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "t27_user_event_sequences", "t28_negative_sampling",
     "t29_adaptive_quality_filter", "w16_user_acquisition_curve",
     "dq4_volume_anomalies", "ev3_transition_matrix",
-    "cdc2_incremental_rollup",
+    "cdc2_incremental_rollup", "j11_interval_overlap_join",
+    "dq5_referential_integrity",
 )
 
 
@@ -6348,6 +6349,155 @@ def cdc2_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("double").alias("sum_value"),
         (F.col("s").cast("double") / F.col("nv")).alias("mean_value"),
     )
+
+
+@register(
+    "j11_interval_overlap_join",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR (epoch(ts) - epoch(LAG(ts) OVER w)) > 1800.0
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM marked
+    ),
+    intervals AS (
+      SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e
+      FROM sess GROUP BY 1, 2
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS n_copresent
+    FROM intervals a JOIN intervals b
+      ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e
+    GROUP BY 1, 2
+    """,
+    survey_rows="J-family ext: interval overlap self-join (co-presence); J5,W9",
+    description="Co-presence: pairs of users whose activity sessions (30-min "
+    "gap sessionization) overlap in time, with the count of overlapping "
+    "session pairs. The oracle brute-forces the interval self-join; the "
+    "Spark plan NEVER does — sessions explode onto an hour grid, the "
+    "self-join is an equi-join on the hour bucket (candidate pairs share a "
+    "covered hour by construction), pairs dedup on session ids, and the "
+    "exact overlap predicate filters bucket-mates that do not truly "
+    "overlap. Cost is sessions x bucket occupancy, not sessions^2; a hot "
+    "hour (everyone online) is a skew key AQE's skew-join splits.",
+)
+def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sess = ow.sessionize(ev, key="user_id", ts="ts", gap_minutes=30.0, tiebreak=["event_id"])
+    intervals = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    bucketed = intervals.select(
+        "user_id",
+        "session_id",
+        "s",
+        "e",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("s")),
+                F.date_trunc("hour", F.col("e")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    a = bucketed.select(
+        F.col("user_id").alias("user_a"), F.col("session_id").alias("sid_a"),
+        F.col("s").alias("s_a"), F.col("e").alias("e_a"), "bucket",
+    )
+    b = bucketed.select(
+        F.col("user_id").alias("user_b"), F.col("session_id").alias("sid_b"),
+        F.col("s").alias("s_b"), F.col("e").alias("e_b"), "bucket",
+    )
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("user_a") < F.col("user_b"))
+        # a session pair sharing several hour buckets appears once per
+        # shared bucket — dedup on the session ids before counting
+        .select("user_a", "sid_a", "user_b", "sid_b", "s_a", "e_a", "s_b", "e_b")
+        .distinct()
+        .filter((F.col("s_a") <= F.col("e_b")) & (F.col("s_b") <= F.col("e_a")))
+    )
+    return pairs.groupBy("user_a", "user_b").agg(
+        F.count(F.lit(1)).alias("n_copresent")
+    )
+
+
+@register(
+    "dq5_referential_integrity",
+    """
+    SELECT 'orders.custkey->customer' AS relation,
+           CAST(COUNT(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT) AS n_orphans
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem.orderkey->orders',
+           CAST(COUNT(*) FILTER (WHERE o.o_orderkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem.partkey->part',
+           CAST(COUNT(*) FILTER (WHERE p.p_partkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem.suppkey->supplier',
+           CAST(COUNT(*) FILTER (WHERE s.s_suppkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'customer.nationkey->nation',
+           CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'supplier.nationkey->nation',
+           CAST(COUNT(*) FILTER (WHERE n.n_nationkey IS NULL) AS BIGINT)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'nation.regionkey->region',
+           CAST(COUNT(*) FILTER (WHERE r.r_regionkey IS NULL) AS BIGINT)
+    FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    survey_rows="DQ ext: referential-integrity audit; J4,F15",
+    description="Star-schema referential-integrity audit: orphan counts for "
+    "every foreign-key relation in one result set. Each relation is a "
+    "LEFT ANTI join counted (dim side broadcast where small; the "
+    "lineitem->orders relation shuffles on the fact key) — the whole audit "
+    "is one pass per fact table and proves zero orphans deterministically.",
+)
+def dq5_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = {n: _t(spark, sf_dir, n) for n in
+         ("orders", "lineitem", "customer", "supplier", "nation", "region")}
+    relations = [
+        ("orders.custkey->customer", t["orders"], "o_custkey",
+         t["customer"], "c_custkey", True),
+        ("lineitem.orderkey->orders", t["lineitem"], "l_orderkey",
+         t["orders"], "o_orderkey", False),
+        ("lineitem.partkey->part", t["lineitem"], "l_partkey",
+         _t(spark, sf_dir, "part"), "p_partkey", True),
+        ("lineitem.suppkey->supplier", t["lineitem"], "l_suppkey",
+         t["supplier"], "s_suppkey", True),
+        ("customer.nationkey->nation", t["customer"], "c_nationkey",
+         t["nation"], "n_nationkey", True),
+        ("supplier.nationkey->nation", t["supplier"], "s_nationkey",
+         t["nation"], "n_nationkey", True),
+        ("nation.regionkey->region", t["nation"], "n_regionkey",
+         t["region"], "r_regionkey", True),
+    ]
+    out = None
+    for name, fact, fk, dim, pk, small in relations:
+        dim_keys = dim.select(F.col(pk).alias(fk))
+        orphans = fact.select(fk).join(
+            F.broadcast(dim_keys) if small else dim_keys, fk, "left_anti"
+        )
+        row = orphans.agg(F.count(F.lit(1)).alias("n_orphans")).select(
+            F.lit(name).alias("relation"), "n_orphans"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
 
 
 # ===========================================================================
