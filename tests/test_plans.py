@@ -408,3 +408,15 @@ def test_dq5_every_relation_is_anti_join(spark, sf_small):
     txt = plan_text(CORPUS["dq5_referential_integrity"].fn(spark, sf_small))
     assert txt.count("LeftAnti") >= 7
     assert "CartesianProduct" not in txt
+
+
+def test_w17_scaffold_reuses_user_partitioning_no_driver_calendar(spark, sf_small):
+    """w17's hour scaffold must be generated distributed (Generate/explode
+    of sequence()), never collected to the driver; every shuffle keys on
+    user_id (the hourly agg, span agg, scaffold join, fill window, and
+    rollup all share it)."""
+    txt = plan_text(CORPUS["w17_regular_grid_resample"].fn(spark, sf_small))
+    assert "Generate" in txt  # sequence+explode scaffold
+    assert "CartesianProduct" not in txt
+    keys = [seg.split(",")[0] for seg in txt.split("hashpartitioning(")[1:]]
+    assert keys and all("user_id" in k for k in keys), keys

@@ -202,6 +202,8 @@ DOC_EVENT_QUERIES = [
     "cdc2_incremental_rollup",
     # round-4c: session interval overlap self-join (events-only)
     "j11_interval_overlap_join",
+    # round-4c: regular-grid resample + forward fill (events-only)
+    "w17_regular_grid_resample",
 ]
 
 

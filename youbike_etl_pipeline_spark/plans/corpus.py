@@ -171,7 +171,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "t29_adaptive_quality_filter", "w16_user_acquisition_curve",
     "dq4_volume_anomalies", "ev3_transition_matrix",
     "cdc2_incremental_rollup", "j11_interval_overlap_join",
-    "dq5_referential_integrity",
+    "dq5_referential_integrity", "w17_regular_grid_resample",
 )
 
 
@@ -6498,6 +6498,80 @@ def dq5_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@register(
+    "w17_regular_grid_resample",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             COUNT(value) AS nv,
+             SUM(CAST(value AS DECIMAL(27,6))) AS s
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1),
+    scaffold AS (
+      SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM span
+    ),
+    joined AS (
+      SELECT sc.user_id, sc.h, hv.s
+      FROM scaffold sc LEFT JOIN hourly hv
+        ON sc.user_id = hv.user_id AND sc.h = hv.h
+    ),
+    filled AS (
+      SELECT user_id, h, s,
+             LAST_VALUE(s IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY h ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sf
+      FROM joined
+    )
+    SELECT user_id, CAST(h AS DATE) AS day,
+           CAST(COUNT(*) - COUNT(s) AS BIGINT) AS n_gap_hours,
+           CAST(SUM(sf) AS DOUBLE) AS sum_filled
+    FROM filled GROUP BY 1, 2
+    """,
+    survey_rows="TS ext: regular-grid resample + gap fill; P10,W4",
+    description="Resampling to a regular hourly grid: each user's series "
+    "gets a complete hour scaffold between its first and last active hour "
+    "(sequence + explode — generated distributed, never a driver-side "
+    "calendar), missing hours join as null and forward-fill from the last "
+    "observed hour; the per-day rollup counts gap hours and sums the "
+    "filled series. This is the regular-grid input the reference's LSTM "
+    "pipeline resamples to. Fill values stay DECIMAL end-to-end (the "
+    "hourly exact sum), so the filled-series sum is engine-exact with no "
+    "double->decimal rounding hazard. One user_id shuffle reused by the "
+    "aggregate, the scaffold join, the fill window, and the rollup.",
+)
+def w17_regular_grid_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    dec = F.col("value").cast(T.DecimalType(27, 6))
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(dec).alias("s"))
+    scaffold = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = scaffold.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.withColumn("sf", F.last("s", ignorenulls=True).over(w))
+    return filled.groupBy("user_id", F.col("h").cast("date").alias("day")).agg(
+        (F.count(F.lit(1)) - F.count("s")).alias("n_gap_hours"),
+        F.sum("sf").cast("double").alias("sum_filled"),
+    )
 
 
 # ===========================================================================
