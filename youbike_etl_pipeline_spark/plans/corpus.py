@@ -127,10 +127,6 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # the five judge-verified regressions — must re-grade green first
     "st1_streaming_hourly_counts", "st3_streaming_session_window",
     "st5_stream_stream_join", "w9_sessionization", "w12_time_range_frame",
-    # same readers feed these (outputs were ts-scale-insensitive but the
-    # input path changed — re-grade to prove the normalized contract)
-    "st2_streaming_dedup", "st4_stateful_running_max",
-    "st6_foreachbatch_upsert",
     # rows-only → full-oracle upgrades (round-4, judge item 6): t7 on the
     # portable universal-hash MinHash family; mm2 on md5-byte pixel fixtures
     "t7_minhash_lsh_dedup", "mm2_decode_features",
@@ -172,6 +168,13 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dq4_volume_anomalies", "ev3_transition_matrix",
     "cdc2_incremental_rollup", "j11_interval_overlap_join",
     "dq5_referential_integrity", "w17_regular_grid_resample",
+    # same readers feed these as the five regressions (outputs were
+    # ts-scale-insensitive — the judge re-verified st2 by hand — so these
+    # re-proof grades are deliberately LAST in the changed set: if the
+    # driver's window truncates anywhere, it should truncate here, not on
+    # a never-graded query)
+    "st2_streaming_dedup", "st4_stateful_running_max",
+    "st6_foreachbatch_upsert",
 )
 
 
