@@ -204,6 +204,8 @@ DOC_EVENT_QUERIES = [
     "j11_interval_overlap_join",
     # round-4c: regular-grid resample + forward fill (events-only)
     "w17_regular_grid_resample",
+    # round-4c: VARIANT extraction (the reseed matrix includes NULL props)
+    "f17_variant_extract",
 ]
 
 

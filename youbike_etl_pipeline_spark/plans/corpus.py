@@ -168,6 +168,7 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dq4_volume_anomalies", "ev3_transition_matrix",
     "cdc2_incremental_rollup", "j11_interval_overlap_join",
     "dq5_referential_integrity", "w17_regular_grid_resample",
+    "f17_variant_extract",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -6574,6 +6575,32 @@ def w17_regular_grid_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.groupBy("user_id", F.col("h").cast("date").alias("day")).agg(
         (F.count(F.lit(1)) - F.count("s")).alias("n_gap_hours"),
         F.sum("sf").cast("double").alias("sum_filled"),
+    )
+
+
+@register(
+    "f17_variant_extract",
+    """
+    SELECT event_type,
+           CAST(COUNT(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS n_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    survey_rows="F-family ext: semi-structured VARIANT extraction; F11,§2.9",
+    description="Schema-flexible semi-structured analytics via Spark 4's "
+    "VARIANT type: try_parse_json(props) -> try_variant_get('$.k') "
+    "extracts without declaring a struct schema up front (f_json_struct "
+    "is the schema-declared twin). try_* variants make malformed or "
+    "null JSON yield null instead of failing the batch — the oracle's "
+    "json_extract has the same null semantics. Single hash aggregation; "
+    "the variant decode runs JVM-side inside codegen, not in Python.",
+)
+def f17_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_k"),
+        F.sum(k).alias("sum_k"),
     )
 
 
