@@ -2879,6 +2879,15 @@ def st4_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_user_stats_stream(spark, sf_dir)
 
 
+# NB: a transformWithState twin of st4 exists (streaming/stateful.py::
+# running_minmax_stats_stream, the Spark-4 arbitrary-state API with named
+# ValueState variables) but is NOT registered as a corpus query: the TWS
+# Python runner needs `protobuf` (pyspark.sql.streaming.proto), which this
+# container lacks and cannot install. The processor's fold logic is
+# unit-tested directly; the streaming integration test skips without the
+# dependency (tests/test_streaming_recovery.py::test_transform_with_state*).
+
+
 # ===========================================================================
 # Batch ANN: top-k per query row
 # ===========================================================================
