@@ -172,3 +172,37 @@ def test_datasource_name_and_schema():
     assert SnapshotDataSource.name() == "youbike_snapshot"
     ds = SnapshotDataSource(options={"path": "/dev/null"})
     assert ds.schema() == RAW_STATION_SNAPSHOT
+
+
+def test_write_commit_protocol_round_trip(registered, snap_file, tmp_path):
+    out = str(tmp_path / "sink")
+    src = (
+        registered.read.format("youbike_snapshot")
+        .option("path", snap_file)
+        .option("numPartitions", 3)
+        .load()
+    )
+    src.write.format("youbike_snapshot").option("path", out).mode("append").save()
+
+    manifest = json.loads(open(os.path.join(out, "_MANIFEST.json")).read())
+    assert manifest["rows"] == 10
+    # every manifest file exists; no temp files survive the commit
+    names = sorted(os.listdir(out))
+    assert all(f in names for f in manifest["files"])
+    assert not any(n.startswith("_tmp_") for n in names)
+    # round-trip: the written files reread to the same snapshot
+    back = []
+    for f in manifest["files"]:
+        back.extend(json.load(open(os.path.join(out, f))))
+    assert sorted(r["sno"] for r in back) == sorted(r["sno"] for r in SNAP)
+
+
+def test_write_abort_leaves_nothing_visible(tmp_path):
+    from youbike_etl_pipeline_spark.sources.snapshot_datasource import SnapshotWriter
+
+    out = str(tmp_path / "aborted")
+    w = SnapshotWriter({"path": out}, overwrite=False)
+    msg = w.write(iter([tuple(r.values()) for r in SNAP[:3]]))
+    assert os.path.exists(msg.temp_file) and msg.rows == 3
+    w.abort([msg, None])
+    assert os.listdir(out) == []  # temp cleaned, no manifest written

@@ -33,14 +33,18 @@ import json
 import os
 from collections.abc import Iterator, Sequence
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     InputPartition,
     IsNotNull,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -78,6 +82,9 @@ class SnapshotDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> "SnapshotStreamReader":
         return SnapshotStreamReader(self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> "SnapshotWriter":
+        return SnapshotWriter(self.options, overwrite)
 
 
 class SnapshotPartition(InputPartition):
@@ -167,6 +174,65 @@ class SnapshotStreamReader(SimpleDataSourceStreamReader):
         for path in files[start["files_consumed"] : end["files_consumed"]]:
             for rec in _load_records(path):
                 yield _to_row(rec)
+
+
+@dataclass
+class SnapshotCommit(WriterCommitMessage):
+    """Per-task commit message: the temp file the task wrote + row count."""
+
+    temp_file: str
+    rows: int
+
+
+class SnapshotWriter(DataSourceWriter):
+    """JSON snapshot sink with an all-or-nothing commit protocol.
+
+    Each task writes its partition to ``_tmp_<uuid>.json`` and returns the
+    path in its commit message; the driver-side ``commit`` renames every
+    temp file into place and writes a ``_MANIFEST.json`` naming the visible
+    files + total rows — readers that honor the manifest never observe a
+    half-written dataset. ``abort`` deletes the temp files, so a failed
+    write leaves nothing visible. (The same protocol a JDBC/warehouse sink
+    runs with BEGIN/COMMIT; here made explicit on files.)
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("youbike_snapshot write requires a 'path' option")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> SnapshotCommit:
+        import uuid
+
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = os.path.join(self.dir, f"_tmp_{uuid.uuid4().hex}.json")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("[")
+            for row in iterator:
+                if n:
+                    fh.write(",")
+                json.dump(dict(zip(_FIELDS, row)), fh)
+                n += 1
+            fh.write("]")
+        return SnapshotCommit(temp_file=tmp, rows=n)
+
+    def commit(self, messages) -> None:
+        visible, total = [], 0
+        for i, msg in enumerate(m for m in messages if m is not None):
+            final = os.path.join(self.dir, f"part-{i:05d}.json")
+            os.replace(msg.temp_file, final)
+            visible.append(os.path.basename(final))
+            total += msg.rows
+        manifest = os.path.join(self.dir, "_MANIFEST.json")
+        with open(manifest, "w", encoding="utf-8") as fh:
+            json.dump({"files": visible, "rows": total}, fh)
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            if msg is not None and os.path.exists(msg.temp_file):
+                os.remove(msg.temp_file)
 
 
 def register(spark) -> None:
