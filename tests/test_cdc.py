@@ -85,3 +85,29 @@ def test_scd2_null_safe_tracking(spark):
     out = scd2_apply(history, changes, keys=["k"], tracked_cols=["attr"]).collect()
     # null == null is a no-op, not a change
     assert len(out) == 1 and out[0]["is_current"] and out[0]["effective_from"] == 100
+
+
+def test_observe_quality_single_pass_metrics(spark, sf_small):
+    """df.observe piggybacks the DQ counts on the production action — the
+    observed metrics must equal a standalone validate() report, with no
+    second scan issued by the caller."""
+    from youbike_etl_pipeline_spark.operators.quality import (
+        in_range,
+        not_null,
+        observe_quality,
+        validate,
+    )
+
+    ev = spark.read.parquet(f"{sf_small}/events.parquet")
+    constraints = [not_null("user_id"), in_range("value", 0.0, 100.0)]
+
+    observed_df, obs = observe_quality(ev, "dq_probe", constraints)
+    n_out = observed_df.filter("event_type = 'purchase'").count()  # the real job
+    metrics = obs.get
+    assert n_out > 0
+    assert metrics["n_rows"] == ev.count()
+
+    report = {r["constraint"]: r["n_violations"] for r in validate(ev, constraints).collect()}
+    assert metrics["viol_user_id_not_null"] == report["user_id_not_null"]
+    assert metrics["viol_value_in_range"] == report["value_in_range"]
+    assert metrics["viol_value_in_range"] > 0  # values exceed 100 in testdata

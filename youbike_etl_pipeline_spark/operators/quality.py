@@ -82,3 +82,30 @@ def check_unique(df: DataFrame, keys: list[str]) -> DataFrame:
             "violation_rate"
         ),
     )
+
+
+def observe_quality(
+    df: DataFrame, name: str, constraints: list[Constraint]
+) -> tuple[DataFrame, "Observation"]:
+    """Single-pass data-quality observability: piggyback violation counts on
+    whatever action the caller runs next (``df.observe``), instead of a
+    second scan over the data.
+
+    ``validate`` (above) answers "how bad is it" with its own aggregation
+    job; this attaches the same counts to the PRODUCTION query — at 100 TB
+    the difference is one full scan. Returns ``(df, observation)``; after
+    any action on ``df`` (or a descendant), ``observation.get`` holds
+    ``{"n_rows": ..., "viol_<constraint>": ...}``. Works on batch frames;
+    for streams use the same metrics via ``df.observe(name, *exprs)`` and
+    the StreamingQueryListener's ``observedMetrics``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    for c in constraints:
+        # Constraint.predicate is True ⇔ the row VIOLATES (see validate)
+        metrics.append(
+            F.sum(F.when(c.predicate, 1).otherwise(0)).alias(f"viol_{c.name}")
+        )
+    return df.observe(obs, *metrics), obs
