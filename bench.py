@@ -84,6 +84,10 @@ HEADLINE = [
     "dq4_volume_anomalies",
     "ev3_transition_matrix",
     "cdc2_incremental_rollup",
+    "j11_interval_overlap_join",
+    "dq5_referential_integrity",
+    "w17_regular_grid_resample",
+    "f17_variant_extract",
 ]
 
 
