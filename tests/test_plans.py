@@ -420,3 +420,23 @@ def test_w17_scaffold_reuses_user_partitioning_no_driver_calendar(spark, sf_smal
     assert "CartesianProduct" not in txt
     keys = [seg.split(",")[0] for seg in txt.split("hashpartitioning(")[1:]]
     assert keys and all("user_id" in k for k in keys), keys
+
+
+def test_a21_windows_run_over_customer_aggregate(spark, sf_small):
+    """a21's cumulative/total windows must consume the per-customer
+    aggregate (customers-per-nation sized), with broadcast dims and no
+    cartesian."""
+    txt = plan_text(CORPUS["a21_pareto_concentration"].fn(spark, sf_small))
+    assert "BroadcastHashJoin" in txt
+    assert "CartesianProduct" not in txt
+    assert "Window" in txt and "HashAggregate" in txt
+
+
+def test_m14_single_partition_window_only_on_digit_frame(spark, sf_small):
+    """m14's only single-partition exchange may carry the 9-row digit
+    frame — the raw orders scan must aggregate first."""
+    txt = plan_text(CORPUS["m14_benford_first_digit"].fn(spark, sf_small))
+    agg_pos = txt.find("HashAggregate")
+    win_pos = txt.find("Window")
+    assert agg_pos != -1 and win_pos != -1
+    assert "Join" not in txt

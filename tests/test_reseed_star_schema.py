@@ -270,6 +270,10 @@ STAR_QUERIES = [
     "t28_negative_sampling",
     # round-4c: FK orphan audit (key spaces regenerate with the seed)
     "dq5_referential_integrity",
+    # round-4 final: cumulative-share concentration + first-digit audit
+    # (both depend on the money distribution — must hold for any seed)
+    "a21_pareto_concentration",
+    "m14_benford_first_digit",
 ]
 
 

@@ -168,7 +168,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "dq4_volume_anomalies", "ev3_transition_matrix",
     "cdc2_incremental_rollup", "j11_interval_overlap_join",
     "dq5_referential_integrity", "w17_regular_grid_resample",
-    "f17_variant_extract",
+    "f17_variant_extract", "a21_pareto_concentration",
+    "m14_benford_first_digit",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -6432,11 +6433,14 @@ def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("user_a") < F.col("user_b"))
+        # overlap filter BEFORE the dedup: bucket-mates that don't truly
+        # overlap drop row-wise (cheap), so the distinct shuffles only the
+        # surviving pairs — and only their ids, not the interval bounds
+        .filter((F.col("s_a") <= F.col("e_b")) & (F.col("s_b") <= F.col("e_a")))
         # a session pair sharing several hour buckets appears once per
         # shared bucket — dedup on the session ids before counting
-        .select("user_a", "sid_a", "user_b", "sid_b", "s_a", "e_a", "s_b", "e_b")
+        .select("user_a", "sid_a", "user_b", "sid_b")
         .distinct()
-        .filter((F.col("s_a") <= F.col("e_b")) & (F.col("s_b") <= F.col("e_a")))
     )
     return pairs.groupBy("user_a", "user_b").agg(
         F.count(F.lit(1)).alias("n_copresent")
@@ -6610,6 +6614,111 @@ def f17_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(k).alias("n_k"),
         F.sum(k).alias("sum_k"),
+    )
+
+
+@register(
+    "a21_pareto_concentration",
+    """
+    WITH rev AS (
+      SELECT n.n_name, o.o_custkey,
+             SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS r
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT n_name, r,
+             SUM(r) OVER (PARTITION BY n_name ORDER BY r DESC, o_custkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_r,
+             SUM(r) OVER (PARTITION BY n_name) AS tot_r,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY r DESC, o_custkey) AS rn,
+             COUNT(*) OVER (PARTITION BY n_name) AS n_cust
+      FROM rev
+    )
+    SELECT n_name, CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+           CAST(MIN(CASE WHEN CAST(cum_r AS DOUBLE) / CAST(tot_r AS DOUBLE)
+                              >= 0.8 THEN rn END) AS BIGINT) AS n_top80
+    FROM ranked GROUP BY 1
+    """,
+    survey_rows="A-family ext: Pareto concentration (cumulative share); W6,A1",
+    description="Revenue concentration (the 80/20 curve): per nation, how "
+    "many of its customers account for 80% of revenue. Per-customer "
+    "revenue stays DECIMAL through the cumulative and total windows, so "
+    "the share division is an exact-over-exact double compare in both "
+    "engines. One shuffle on (nation, customer) for the aggregate, one on "
+    "nation for the windows; the windowed frame is customers-per-nation "
+    "sized, never raw orders.",
+)
+def a21_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(T.DecimalType(27, 6))).alias("r"))
+    )
+    by_nation = Window.partitionBy("n_name")
+    ordered = by_nation.orderBy(F.desc("r"), "o_custkey")
+    ranked = rev.select(
+        "n_name",
+        F.sum("r").over(
+            ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum_r"),
+        F.sum("r").over(by_nation).alias("tot_r"),
+        F.row_number().over(ordered).alias("rn"),
+        F.count(F.lit(1)).over(by_nation).alias("n_cust"),
+    )
+    share = F.col("cum_r").cast("double") / F.col("tot_r").cast("double")
+    return ranked.groupBy("n_name").agg(
+        F.max("n_cust").alias("n_customers"),
+        F.min(F.when(share >= 0.8, F.col("rn"))).alias("n_top80"),
+    )
+
+
+@register(
+    "m14_benford_first_digit",
+    """
+    WITH digits AS (
+      SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ),
+    counts AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY 1)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / SUM(n) OVER (), 6) AS observed_freq,
+           ROUND(LN(1.0 + 1.0 / digit) / LN(10.0), 6) AS benford_freq
+    FROM counts
+    """,
+    survey_rows="DQ ext: Benford first-digit audit; M10,F8",
+    description="Benford's-law first-digit audit on order totals (the "
+    "classic fabricated-numbers screen): observed vs expected "
+    "log10(1+1/d) frequency per leading digit. The digit comes from the "
+    "INTEGER part rendered as a string (bigint-to-string is identical "
+    "across engines — float log10 binning is not); the only windows run "
+    "over the 9-row digit frame.",
+)
+def m14_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    digit = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("int")
+    counts = orders.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    tot = F.sum("n").over(Window.partitionBy())
+    return counts.select(
+        "digit",
+        "n",
+        F.round(F.col("n") * 1.0 / tot, 6).alias("observed_freq"),
+        F.round(F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 6).alias(
+            "benford_freq"
+        ),
     )
 
 
