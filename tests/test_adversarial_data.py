@@ -115,6 +115,11 @@ ADV_QUERIES = [
     "ev3_transition_matrix",
     "dq4_volume_anomalies",
     "cdc2_incremental_rollup",
+    # interval/scaffold ops on the 10-event hand-built stream: single-event
+    # sessions (zero-length intervals) and a contiguous hour span
+    "j11_interval_overlap_join",
+    "w16_user_acquisition_curve",
+    "w17_regular_grid_resample",
 ]
 
 
