@@ -1,0 +1,74 @@
+"""100x scale probe: the second slope point for the scale-safe families.
+
+SCALING.md measures sf0.1 -> 10x; this probe adds 10x -> 100x for the
+operators advertised as the 100 TB routes (LSH dedup, grid/interval joins,
+scaffold resample, windowed sequences, star aggregations). A linear
+operator should land near 10x wall-clock between the two blow-ups (same 32
+cores, 10x the work); a quadratic one lands near 100x — which is exactly
+what the routing notes claim must NOT happen on these paths.
+
+Usage: python tools/scale100_probe.py [>> SCALING.md]
+Reuses the 10x dir built by scaling_report.py (rebuilds it if absent) and
+materializes the 100x dir under /tmp (events/docs/star re-keyed per copy,
+like the 10x harness — copies are disjoint, so per-key state and join
+fan-outs scale honestly).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from youbike_etl_pipeline_spark.plans.corpus import CORPUS  # noqa: E402
+from youbike_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+from scaling_report import blow_up_sf01  # noqa: E402
+
+QUERIES = [
+    "flagship_segment_health",
+    "a1_tpch_q1_pricing_summary",
+    "q21_suppliers_kept_waiting",
+    "a21_pareto_concentration",
+    "t1_exact_dedup",
+    "t7_minhash_lsh_dedup",
+    "t27_user_event_sequences",
+    "w16_user_acquisition_curve",
+    "w17_regular_grid_resample",
+    "ev3_transition_matrix",
+    "j11_interval_overlap_join",
+    "dq4_volume_anomalies",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale100-probe")
+    dir10 = "/tmp/spark_graft_sf1_synth"
+    dir100 = "/tmp/spark_graft_sf10_synth"
+    blow_up_sf01(spark, dir10, copies=10)
+    blow_up_sf01(spark, dir100, copies=100)
+
+    def run(name: str, d: str) -> float:
+        from youbike_etl_pipeline_spark.plans import corpus as _corpus
+
+        _corpus._PAIR_GRAPH_CACHE.clear()
+        t0 = time.perf_counter()
+        CORPUS[name].fn(spark, d).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    print()
+    print("## 100x probe (10x -> 100x of sf0.1; linear ~ 10x, quadratic ~ 100x)")
+    print()
+    print("| query | 10x | 100x | ratio |")
+    print("|---|---|---|---|")
+    for name in QUERIES:
+        run(name, dir10)  # warm codegen/page cache for this query shape
+        t10 = run(name, dir10)
+        t100 = run(name, dir100)
+        print(f"| {name} | {t10:.2f}s | {t100:.2f}s | {t100 / t10:.1f}x |")
+
+
+if __name__ == "__main__":
+    main()

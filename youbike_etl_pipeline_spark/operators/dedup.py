@@ -119,7 +119,14 @@ def minhash_signatures(
     xxhash64(shingle, seed=i). Computed as one explode + hash-agg of
     ``num_hashes`` mins — a single shuffle on the doc id. Pass a prebuilt
     (ideally checkpointed) ``shingle_hash_index`` as ``index`` to share the
-    tokenize+shingle work with a downstream verify step."""
+    tokenize+shingle work with a downstream verify step.
+
+    Scale routing (100x probe, SCALING.md): on a corpus with heavy EXACT
+    duplication, identical texts produce identical signatures, every LSH
+    bucket holds the whole duplicate cluster, and the candidate-pair
+    output grows with the square of the duplication factor — that is the
+    data's true answer, not a plan defect. Run :func:`exact_dedup` first
+    (flat 1.9x at the 100x blow-up) and MinHash only the survivors."""
     exploded = index if index is not None else shingle_hash_index(df, text_col, id_col, k)
     mins = [
         F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"h{i}") for i in range(num_hashes)

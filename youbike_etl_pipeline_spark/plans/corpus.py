@@ -6401,7 +6401,11 @@ def cdc2_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "covered hour by construction), pairs dedup on session ids, and the "
     "exact overlap predicate filters bucket-mates that do not truly "
     "overlap. Cost is sessions x bucket occupancy, not sessions^2; a hot "
-    "hour (everyone online) is a skew key AQE's skew-join splits.",
+    "hour (everyone online) is a skew key AQE's skew-join splits. Scale "
+    "caveat (100x probe): TRUE co-present pairs are quadratic in "
+    "concurrent users by definition — when bucket occupancy itself grows "
+    "with scale, cap the op (per-bucket pair limit or a coarser entity "
+    "grouping before pairing); the join shape cannot beat the output size.",
 )
 def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
