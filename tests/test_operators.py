@@ -679,3 +679,28 @@ def test_lstm_batch_predict_distributed_matches_local(spark):
     want = predict_from_features(feats, w, np.array(fmin), np.array(fmax))
     assert got == {rows[i][0]: int(want[i]) for i in range(len(rows))}
     assert all(v >= 0 for v in got.values())
+
+
+def test_lsh_bucket_cap_drops_duplicate_clusters(spark):
+    """max_bucket_size must drop the pathological bucket (a 50-copy exact
+    duplicate cluster) while keeping ordinary near-dup candidates — the
+    100x-probe backstop: pairs grow with occupancy^2, the cap bounds it."""
+    from youbike_etl_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    rows = [(i, "the same boilerplate text repeated everywhere") for i in range(50)]
+    rows += [(100, "a unique document about gardens and rivers flowing"),
+             (101, "a unique document about gardens and rivers running")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(df)
+
+    uncapped = minhash_lsh_candidates(sigs)
+    capped = minhash_lsh_candidates(sigs, max_bucket_size=10)
+
+    n_unc = uncapped.count()
+    assert n_unc >= 50 * 49 // 2  # the duplicate cluster is all-pairs
+    cap_pairs = {tuple(r) for r in capped.collect()}
+    assert (100, 101) in cap_pairs        # ordinary near-dups survive
+    assert all(a >= 100 for a, b in cap_pairs)  # the 50-cluster is gone
