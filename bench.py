@@ -88,6 +88,8 @@ HEADLINE = [
     "dq5_referential_integrity",
     "w17_regular_grid_resample",
     "f17_variant_extract",
+    "a21_pareto_concentration",
+    "m14_benford_first_digit",
 ]
 
 
