@@ -114,10 +114,21 @@ def _gen_events(seed: int, n: int = 2000, ts_unit: str = "ns") -> pa.Table:
     )
 
 
+def _seed_params():
+    """Two pinned seeds (one per ts encoding) + any extras from
+    SPARK_GRAFT_RESEED_SEEDS (comma-separated) — an escape hatch to prove
+    the corpus is not overfit to the pinned pair without editing tests."""
+    base = [(1310, "ns"), (7177, "us")]
+    extra = os.environ.get("SPARK_GRAFT_RESEED_SEEDS", "")
+    for i, s in enumerate(x for x in extra.split(",") if x.strip()):
+        base.append((int(s), "us" if i % 2 else "ns"))
+    return base
+
+
 @pytest.fixture(
     scope="module",
-    params=[(1310, "ns"), (7177, "us")],
-    ids=["seedA-nanos", "seedB-micros"],
+    params=_seed_params(),
+    ids=lambda p: f"seed{p[0]}-{p[1]}",
 )
 def reseed_dir(request, tmp_path_factory):
     seed, ts_unit = request.param

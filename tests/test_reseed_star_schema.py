@@ -193,10 +193,17 @@ def _write_star(d: str, seed: int) -> None:
     )
 
 
-@pytest.fixture(scope="module")
-def star_dir(tmp_path_factory):
-    d = str(tmp_path_factory.mktemp("star4242"))
-    _write_star(d, seed=4242)
+def _star_seeds():
+    """Pinned seed + extras from SPARK_GRAFT_RESEED_SEEDS (see the
+    documents/events twin in test_reseed_parity.py)."""
+    extra = os.environ.get("SPARK_GRAFT_RESEED_SEEDS", "")
+    return [4242] + [int(s) for s in extra.split(",") if s.strip()]
+
+
+@pytest.fixture(scope="module", params=_star_seeds(), ids=lambda s: f"seed{s}")
+def star_dir(tmp_path_factory, request):
+    d = str(tmp_path_factory.mktemp(f"star{request.param}"))
+    _write_star(d, seed=request.param)
     return d
 
 
