@@ -217,6 +217,12 @@ DOC_EVENT_QUERIES = [
     "w17_regular_grid_resample",
     # round-4c: VARIANT extraction (the reseed matrix includes NULL props)
     "f17_variant_extract",
+    # round-4d: boilerplate segments, LM perplexity filter, content sharding
+    # (documents-only; NULL/empty/CJK text must drop identically on both
+    # engines, and md5-of-UTF-8 must bucket identically)
+    "t30_boilerplate_segments",
+    "t31_lm_perplexity_filter",
+    "t32_content_shard_assignment",
 ]
 
 

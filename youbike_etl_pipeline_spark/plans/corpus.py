@@ -174,6 +174,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # projection (combining accents made the engines count edit distance
     # in different units — found by the fresh-seed reseed probe)
     "t9_levenshtein_pairs",
+    # round-4d additions (fn created ⇒ "changed"): sub-document boilerplate
+    # audit, trained-LM perplexity filter, content-addressed sharding
+    "t30_boilerplate_segments", "t31_lm_perplexity_filter",
+    "t32_content_shard_assignment",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -6737,6 +6741,241 @@ def m14_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(1.0 + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 6).alias(
             "benford_freq"
         ),
+    )
+
+
+# ===========================================================================
+# Round-4d training-pipeline extensions: corpus-level boilerplate-segment
+# detection, trained-LM perplexity filtering, content-addressed sharding
+# ===========================================================================
+
+
+@register(
+    "t30_boilerplate_segments",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    segs AS (
+      SELECT doc_id, source,
+             array_to_string(list_slice(words, (i - 1) * 4 + 1, (i - 1) * 4 + 4), ' ') AS seg
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, CAST(FLOOR(len(words) / 4.0) AS BIGINT))) AS i
+      )
+      WHERE len(words) >= 4
+    ),
+    seg_df AS (SELECT seg, COUNT(DISTINCT doc_id) AS dfreq FROM segs GROUP BY 1),
+    per_doc AS (
+      SELECT s.doc_id, s.source, COUNT(*) AS n_segs,
+             SUM(CASE WHEN d.dfreq >= 2 THEN 1 ELSE 0 END) AS n_boiler
+      FROM segs s JOIN seg_df d USING (seg) GROUP BY 1, 2
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_segs) AS BIGINT) AS total_segs,
+           CAST(SUM(n_boiler) AS BIGINT) AS boiler_segs,
+           CAST(SUM(CASE WHEN n_boiler = 0 THEN 1 ELSE 0 END) AS BIGINT) AS clean_docs,
+           FLOOR(SUM(n_boiler) * 1.0 / SUM(n_segs) * 1000000) / 1000000.0 AS boiler_frac
+    FROM per_doc GROUP BY 1
+    """,
+    survey_rows="ext:dedup-segment (sub-document boilerplate removal); P4,A12",
+    description="Sub-document (segment-level) duplication audit — the "
+    "RefinedWeb/CCNet 'repeated boilerplate' screen that document-level "
+    "dedup (t1/t7) cannot see: each doc is cut into fixed 4-token "
+    "segments, a segment appearing in >=2 distinct docs is boilerplate, "
+    "and per-source stats report how much of the corpus is repeated "
+    "chrome. Two hash aggregations plus one equi-join on the segment "
+    "string — no pair enumeration, so unlike t2 the cost is linear in "
+    "corpus size and survives 100 TB; the dfreq table is the only "
+    "intermediate and it shrinks with distinct-segment count.",
+)
+def t30_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    segs = (
+        docs.select("doc_id", "source", tokens(F.col("text")).alias("words"))
+        .withColumn("n_seg", F.floor(F.size("words") / F.lit(4)).cast("int"))
+        .filter(F.col("n_seg") >= 1)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_seg")),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("words"), (i - 1) * 4 + 1, 4)
+                    ),
+                )
+            ).alias("seg"),
+        )
+    )
+    seg_df = segs.groupBy("seg").agg(F.count_distinct("doc_id").alias("dfreq"))
+    per_doc = (
+        segs.join(seg_df, "seg")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.sum(F.when(F.col("dfreq") >= 2, 1).otherwise(0)).alias("n_boiler"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_segs").alias("total_segs"),
+        F.sum("n_boiler").alias("boiler_segs"),
+        F.sum(F.when(F.col("n_boiler") == 0, 1).otherwise(0)).alias("clean_docs"),
+        q6(F.sum("n_boiler") * 1.0 / F.sum("n_segs")).alias("boiler_frac"),
+    )
+
+
+#: t31 oracle fragments, composed outside the f-string for readability.
+#: The trailing ``+ 0.0`` canonicalizes IEEE negative zero: a doc whose
+#: every bigram is deterministic has avg(logp) = 0, and DuckDB's
+#: double-valued FLOOR preserves the sign bit of ``-(0.0)`` (→ '-0.0')
+#: where Spark's long-valued floor does not (→ '0.0'); (-0.0) + 0.0 is
+#: +0.0 in IEEE 754, on any engine. Found by the reseed probe.
+_T31_DOC_CE = "(" + SQL_Q6("-(" + SQL_DAVG("m.logp") + ")") + ") + 0.0"
+
+
+@register(
+    "t31_lm_perplexity_filter",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    bi AS (
+      SELECT doc_id, lang, words[i] AS w1, words[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(words) - 1)) AS i)
+      WHERE len(words) >= 2
+    ),
+    pc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+    uni AS (SELECT w1, SUM(c12) AS c1 FROM pc GROUP BY 1),
+    model AS (
+      SELECT p.w1, p.w2,
+             FLOOR(LN(p.c12 * 1.0 / u.c1) * 1000000) / 1000000.0 AS logp
+      FROM pc p JOIN uni u USING (w1)
+    ),
+    doc_ce AS (
+      SELECT b.doc_id, b.lang, {_T31_DOC_CE} AS ce
+      FROM bi b JOIN model m USING (w1, w2)
+      GROUP BY 1, 2
+    ),
+    mu AS (SELECT {SQL_DAVG('ce')} AS mu FROM doc_ce)
+    SELECT lang, COUNT(*) AS n_docs,
+           {SQL_Q6(SQL_DAVG('ce'))} AS mean_ce,
+           MIN(ce) AS min_ce, MAX(ce) AS max_ce,
+           CAST(SUM(CASE WHEN ce > (SELECT mu FROM mu) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged
+    FROM doc_ce GROUP BY 1
+    """,
+    survey_rows="ext:quality-filter (LM cross-entropy); A1,J1 train-then-score",
+    description="Perplexity-style quality filter: train the t19 word-bigram "
+    "LM on the corpus itself, then score every document by its mean "
+    "negative log-probability under that model and count docs above the "
+    "corpus mean (the CCNet 'LM filter' loop: train -> score -> cut). "
+    "Per-bigram log-probs and per-doc cross-entropies are floor-quantized "
+    "at 6 dp with exact decimal means between, so the transcendental LN "
+    "never meets an engine tie. Shape: two hash aggregations build the "
+    "model, one shuffle equi-join on (w1,w2) scores the corpus — the "
+    "model table is vocab-squared, far smaller than the corpus at scale — "
+    "and the corpus mean is a scalar broadcast, not a second pass.",
+)
+def t31_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", tokens(F.lower(F.col("text"))).alias("words")
+    )
+    n = F.size("words")
+    bi = (
+        toks.filter(n >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("words"), i + 1).alias("w1"),
+                        F.element_at(F.col("words"), i + 2).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "lang", "bg.w1", "bg.w2")
+    )
+    pc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = pc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    model = pc.join(uni, "w1").select(
+        "w1", "w2", q6(F.log(F.col("c12") * 1.0 / F.col("c1"))).alias("logp")
+    )
+    doc_ce = (
+        bi.join(model, ["w1", "w2"])
+        .groupBy("doc_id", "lang")
+        .agg(q6(-agg.decimal_avg(F.col("logp"))).alias("ce"))
+    )
+    mu = doc_ce.agg(agg.decimal_avg(F.col("ce")).alias("mu"))
+    return (
+        doc_ce.crossJoin(F.broadcast(mu))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            q6(agg.decimal_avg(F.col("ce"))).alias("mean_ce"),
+            F.min("ce").alias("min_ce"),
+            F.max("ce").alias("max_ce"),
+            F.sum(F.when(F.col("ce") > F.col("mu"), 1).otherwise(0)).alias(
+                "n_flagged"
+            ),
+        )
+    )
+
+
+@register(
+    "t32_content_shard_assignment",
+    """
+    WITH hashed AS (
+      SELECT doc_id, lang, n_chars, md5_number_lower(text) AS h
+      FROM documents
+    )
+    SELECT CAST(h % 16 AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(h % 1048576) AS BIGINT) AS checksum
+    FROM hashed GROUP BY 1
+    """,
+    survey_rows="ext:train-shard (content-addressed); S8,A12",
+    description="Content-addressed shard assignment for training-data "
+    "layout: shard = low 4 bits of a 64-bit content hash, so re-ingesting "
+    "the same corpus with different doc_ids lands every document on the "
+    "same shard (id-hash sharding, t12/t13, cannot promise that), plus a "
+    "per-shard balance/checksum audit. The graded query uses the "
+    "md5-derived portable hash (bit-identical to DuckDB md5_number_lower; "
+    "operators.dedup.md5_token_hash64) — xxhash64 is the production fast "
+    "path. Signed & 15 == unsigned % 16 on the shared bit pattern, so the "
+    "two engines bucket identically. Pure map + one hash aggregation: no "
+    "global sort, no skew (md5 is uniform), 100 TB-safe by construction.",
+)
+def t32_content_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_token_hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    h = md5_token_hash64(F.col("text"))
+    hashed = docs.select(
+        "lang",
+        "n_chars",
+        h.bitwiseAND(F.lit(15)).cast("long").alias("shard"),
+        h.bitwiseAND(F.lit(1048575)).alias("low20"),
+    )
+    return hashed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum("low20").alias("checksum"),
     )
 
 
