@@ -90,6 +90,12 @@ HEADLINE = [
     "f17_variant_extract",
     "a21_pareto_concentration",
     "m14_benford_first_digit",
+    # round-4d additions (keys only ever append)
+    "t30_boilerplate_segments",
+    "t31_lm_perplexity_filter",
+    "t32_content_shard_assignment",
+    "s6_semantic_dedup",
+    "t33_bpe_pair_merge",
 ]
 
 

@@ -223,6 +223,9 @@ DOC_EVENT_QUERIES = [
     "t30_boilerplate_segments",
     "t31_lm_perplexity_filter",
     "t32_content_shard_assignment",
+    # round-4d: BPE pair statistics (ASCII-projected — CJK/accent docs in
+    # the matrix prove the projection drops identically on both engines)
+    "t33_bpe_pair_merge",
 ]
 
 

@@ -175,9 +175,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # in different units — found by the fresh-seed reseed probe)
     "t9_levenshtein_pairs",
     # round-4d additions (fn created ⇒ "changed"): sub-document boilerplate
-    # audit, trained-LM perplexity filter, content-addressed sharding
+    # audit, trained-LM perplexity filter, content-addressed sharding,
+    # LSH-bucketed semantic dedup, BPE merge statistics
     "t30_boilerplate_segments", "t31_lm_perplexity_filter",
-    "t32_content_shard_assignment",
+    "t32_content_shard_assignment", "s6_semantic_dedup",
+    "t33_bpe_pair_merge",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -2051,6 +2053,98 @@ def s3_lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORPUS["s3_lsh_ann_buckets"].oracle = _lsh_oracle_sql()
+
+
+def _s6_oracle_sql(threshold: float = 0.32) -> str:
+    """DuckDB mirror of the full SemDeDup composition: the same generated
+    hyperplane-bucket expression as s3, within-bucket exact cosine like
+    s2's pair math, greedy lowest-id survivor selection, per-label rollup."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, seed=42)
+    bits = []
+    for i, plane in enumerate(planes):
+        dot = " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * {w!r}" for j, w in enumerate(plane)
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+    WITH pb AS (
+      SELECT vec_id, label, embedding, ({bucket}) AS bucket FROM embeddings
+    ),
+    e AS (
+      SELECT vec_id, bucket, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM pb
+    ),
+    norms AS (
+      SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nn
+      FROM e GROUP BY 1
+    ),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+      FROM e a JOIN e b
+        ON a.bucket = b.bucket AND a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    dropped AS (
+      SELECT DISTINCT d.id_b AS vec_id
+      FROM dots d
+      JOIN norms na ON d.id_a = na.vec_id
+      JOIN norms nb ON d.id_b = nb.vec_id
+      WHERE d.dot / (SQRT(na.nn) * SQRT(nb.nn)) >= {threshold!r}
+    )
+    SELECT label, COUNT(*) AS n_vectors,
+           CAST(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM pb LEFT JOIN dropped dr USING (vec_id)
+    GROUP BY 1
+    """
+
+
+@register(
+    "s6_semantic_dedup",
+    None,  # oracle attached below (needs plane constants generated)
+    survey_rows="ext:dedup-embedding-cosine (scale path); ext:similarity-lsh",
+    description="SemDeDup-style semantic dedup, end-to-end at the 100 TB "
+    "shape: LSH hyperplane buckets generate candidates (linear equi-join, "
+    "never all-pairs), exact cosine verifies within each bucket, and the "
+    "lowest-id member of every near-dup pair survives (greedy keep-one); "
+    "per-label kept/dropped rollup. Composes s3's bucketing with s2's "
+    "verify math — s2 alone is the quadratic exact baseline, this is the "
+    "one a 100 TB corpus actually runs. Recall < 1 by construction "
+    "(disagreeing buckets hide pairs); more bits or multi-probe trades "
+    "compute for recall. Oracle regenerates the hyperplane constants into "
+    "SQL, so bucketing + verify + survivorship is hash-checked end-to-end.",
+)
+def s6_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_near_dup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = lsh_near_dup_pairs(emb, dim=64, threshold=0.32, bits=8, seed=42)
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    per_label = (
+        emb.select("vec_id", "label")
+        .join(dropped.withColumn("is_dropped", F.lit(1)), "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("is_dropped").isNotNull(), 1).otherwise(0)).alias(
+                "n_dropped"
+            ),
+            F.sum(F.when(F.col("is_dropped").isNull(), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
+    )
+    return per_label
+
+
+CORPUS["s6_semantic_dedup"].oracle = _s6_oracle_sql()
 
 
 @register(
@@ -6932,6 +7026,65 @@ def t31_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "t33_bpe_pair_merge",
+    """
+    WITH w AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS w
+      FROM documents
+    ),
+    ch AS (
+      SELECT w, string_split(w, '') AS cs
+      FROM w WHERE length(w) >= 2 AND regexp_matches(w, '^[ -~]+$')
+    ),
+    pairs AS (
+      SELECT cs[i] AS c1, cs[i + 1] AS c2
+      FROM ch, LATERAL (SELECT unnest(generate_series(1, len(cs) - 1)) AS i)
+    ),
+    counts AS (SELECT c1, c2, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+    ranked AS (
+      SELECT c1, c2, n, ROW_NUMBER() OVER (ORDER BY n DESC, c1, c2) AS rn
+      FROM counts
+    )
+    SELECT c1, c2, n FROM ranked WHERE rn <= 30
+    """,
+    survey_rows="ext:tokenizer-training (BPE merge statistics); A12,W8",
+    description="The first BPE merge iteration — the statistic a tokenizer "
+    "trainer computes once per merge over the whole corpus: within-word "
+    "adjacent character-pair counts, top-30 with a total (count desc, "
+    "pair) tie-break. Restricted to all-printable-ASCII words so both "
+    "engines split characters identically (same projection rationale as "
+    "t18). Shape: explode to pairs -> one hash aggregation with map-side "
+    "combine -> TakeOrderedAndProject; the aggregate is alphabet-squared "
+    "sized, so per-merge cost at 100 TB is one linear pass regardless of "
+    "corpus size.",
+)
+def t33_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .filter((F.length("w") >= 2) & F.col("w").rlike("^[ -~]+$"))
+    )
+    cs = F.split(F.col("w"), "")
+    n = F.size(cs)
+    pairs = w.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.struct(
+                    F.element_at(cs, i + 1).alias("c1"),
+                    F.element_at(cs, i + 2).alias("c2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.c1", "p.c2")
+    counts = pairs.groupBy("c1", "c2").agg(F.count(F.lit(1)).alias("n"))
+    return counts.orderBy(F.desc("n"), "c1", "c2").limit(30)
 
 
 @register(
