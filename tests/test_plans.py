@@ -440,3 +440,49 @@ def test_m14_single_partition_window_only_on_digit_frame(spark, sf_small):
     win_pos = txt.find("Window")
     assert agg_pos != -1 and win_pos != -1
     assert "Join" not in txt
+
+
+def test_t30_segments_join_is_equi_not_cartesian(spark, sf_small):
+    """t30's boilerplate membership is one equi-join on the segment string
+    plus hash aggregations — pair enumeration (cartesian or BNLJ over
+    segments) would make it quadratic like t2."""
+    txt = plan_text(CORPUS["t30_boilerplate_segments"].fn(spark, sf_small))
+    assert "HashAggregate" in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_t31_corpus_mean_is_single_row_broadcast(spark, sf_small):
+    """t31's corpus-mean threshold must arrive as a 1-row broadcast
+    (BroadcastNestedLoopJoin over a scalar aggregate is fine), and model
+    scoring must be equi-joins — no cartesian over docs x model."""
+    txt = plan_text(CORPUS["t31_lm_perplexity_filter"].fn(spark, sf_small))
+    assert "CartesianProduct" not in txt
+    assert "HashAggregate" in txt
+
+
+def test_t32_sharding_is_map_plus_single_agg(spark, sf_small):
+    """t32 content sharding is a pure map + one aggregation: exactly one
+    shuffle key (the shard id), no joins, no sort."""
+    txt = plan_text(CORPUS["t32_content_shard_assignment"].fn(spark, sf_small))
+    keys = [seg.split(",")[0] for seg in txt.split("hashpartitioning(")[1:]]
+    assert keys and all("shard" in k for k in keys), keys
+    assert "Join" not in txt
+    assert "Sort" not in txt.replace("SortAggregate", "")
+
+
+def test_s6_semantic_dedup_joins_only_on_bucket_keys(spark, sf_small):
+    """s6's candidate generation must be an equi-join (bucket key) — the
+    whole point of the SemDeDup composition is that no operator ever sees
+    the all-pairs frame."""
+    txt = plan_text(CORPUS["s6_semantic_dedup"].fn(spark, sf_small))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_t33_bpe_counts_are_partial_agg_plus_topk(spark, sf_small):
+    """t33 is the word-count shape: map-side partial aggregation then a
+    TakeOrderedAndProject top-k — a global sort would be wrong."""
+    txt = plan_text(CORPUS["t33_bpe_pair_merge"].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in txt
+    assert "HashAggregate" in txt
