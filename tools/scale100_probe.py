@@ -7,7 +7,8 @@ operator should land near 10x wall-clock between the two blow-ups (same 32
 cores, 10x the work); a quadratic one lands near 100x — which is exactly
 what the routing notes claim must NOT happen on these paths.
 
-Usage: python tools/scale100_probe.py [>> SCALING.md]
+Usage: python tools/scale100_probe.py [query ...] [>> SCALING.md]
+(no args = the default advertised-route list below)
 Reuses the 10x dir built by scaling_report.py (rebuilds it if absent) and
 materializes the 100x dir under /tmp (events/docs/star re-keyed per copy,
 like the 10x harness — copies are disjoint, so per-key state and join
@@ -44,6 +45,7 @@ QUERIES = [
 
 
 def main() -> None:
+    names = sys.argv[1:] or QUERIES
     spark = get_spark(app_name="scale100-probe")
     dir10 = "/tmp/spark_graft_sf1_synth"
     dir100 = "/tmp/spark_graft_sf10_synth"
@@ -63,7 +65,7 @@ def main() -> None:
     print()
     print("| query | 10x | 100x | ratio |")
     print("|---|---|---|---|")
-    for name in QUERIES:
+    for name in names:
         run(name, dir10)  # warm codegen/page cache for this query shape
         t10 = run(name, dir10)
         t100 = run(name, dir100)

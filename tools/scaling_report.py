@@ -51,6 +51,12 @@ QUERIES = [
     "q21_suppliers_kept_waiting",
     "t27_user_event_sequences",
     "t28_negative_sampling",
+    # r4d additions: segment-dfreq equi-join (claims linear, unlike t2),
+    # train-then-score LM loop, map+agg sharding, bucketed semantic dedup
+    "t30_boilerplate_segments",
+    "t31_lm_perplexity_filter",
+    "t32_content_shard_assignment",
+    "s6_semantic_dedup",
 ]
 
 SCALE_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

@@ -6924,12 +6924,25 @@ def t30_boilerplate_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: t31 oracle fragments, composed outside the f-string for readability.
+#: The per-doc cross-entropy is a COUNT-WEIGHTED mean: bigram instances are
+#: pre-aggregated to per-doc (bigram, count) rows before the model join
+#: (dedup-before-join — the join input shrinks by the mean bigram
+#: multiplicity and the corpus is exploded once, not twice), so the mean is
+#: Σ(count·logp)/Σcount with the product taken in exact decimal (logp is
+#: already 6-dp-floored, so the decimal cast is exact within budget).
 #: The trailing ``+ 0.0`` canonicalizes IEEE negative zero: a doc whose
-#: every bigram is deterministic has avg(logp) = 0, and DuckDB's
+#: every bigram is deterministic has weighted-avg(logp) = 0, and DuckDB's
 #: double-valued FLOOR preserves the sign bit of ``-(0.0)`` (→ '-0.0')
 #: where Spark's long-valued floor does not (→ '0.0'); (-0.0) + 0.0 is
 #: +0.0 in IEEE 754, on any engine. Found by the reseed probe.
-_T31_DOC_CE = "(" + SQL_Q6("-(" + SQL_DAVG("m.logp") + ")") + ") + 0.0"
+_T31_DOC_CE = (
+    "("
+    + SQL_Q6(
+        "-(CAST(SUM(CAST(m.logp AS DECIMAL(27,6)) * b.cnt) AS DOUBLE)"
+        " / SUM(b.cnt))"
+    )
+    + ") + 0.0"
+)
 
 
 @register(
@@ -6945,7 +6958,11 @@ _T31_DOC_CE = "(" + SQL_Q6("-(" + SQL_DAVG("m.logp") + ")") + ") + 0.0"
       FROM toks, LATERAL (SELECT unnest(generate_series(1, len(words) - 1)) AS i)
       WHERE len(words) >= 2
     ),
-    pc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2),
+    bc AS (
+      SELECT doc_id, lang, w1, w2, COUNT(*) AS cnt
+      FROM bi GROUP BY 1, 2, 3, 4
+    ),
+    pc AS (SELECT w1, w2, CAST(SUM(cnt) AS BIGINT) AS c12 FROM bc GROUP BY 1, 2),
     uni AS (SELECT w1, SUM(c12) AS c1 FROM pc GROUP BY 1),
     model AS (
       SELECT p.w1, p.w2,
@@ -6954,7 +6971,7 @@ _T31_DOC_CE = "(" + SQL_Q6("-(" + SQL_DAVG("m.logp") + ")") + ") + 0.0"
     ),
     doc_ce AS (
       SELECT b.doc_id, b.lang, {_T31_DOC_CE} AS ce
-      FROM bi b JOIN model m USING (w1, w2)
+      FROM bc b JOIN model m USING (w1, w2)
       GROUP BY 1, 2
     ),
     mu AS (SELECT {SQL_DAVG('ce')} AS mu FROM doc_ce)
@@ -6972,10 +6989,12 @@ _T31_DOC_CE = "(" + SQL_Q6("-(" + SQL_DAVG("m.logp") + ")") + ") + 0.0"
     "corpus mean (the CCNet 'LM filter' loop: train -> score -> cut). "
     "Per-bigram log-probs and per-doc cross-entropies are floor-quantized "
     "at 6 dp with exact decimal means between, so the transcendental LN "
-    "never meets an engine tie. Shape: two hash aggregations build the "
-    "model, one shuffle equi-join on (w1,w2) scores the corpus — the "
-    "model table is vocab-squared, far smaller than the corpus at scale — "
-    "and the corpus mean is a scalar broadcast, not a second pass.",
+    "never meets an engine tie. Shape: bigram instances are pre-aggregated "
+    "to per-doc (bigram, count) rows (dedup-before-join — one explode, not "
+    "two, and the scoring join shrinks by the mean bigram multiplicity), "
+    "the model derives from those partials, the (w1,w2) equi-join scores a "
+    "count-weighted exact-decimal mean, and the corpus mean is a scalar "
+    "broadcast, not a second pass.",
 )
 def t31_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import tokens
@@ -7002,15 +7021,19 @@ def t31_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", "bg.w1", "bg.w2")
     )
-    pc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    bc = bi.groupBy("doc_id", "lang", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    pc = bc.groupBy("w1", "w2").agg(F.sum("cnt").alias("c12"))
     uni = pc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     model = pc.join(uni, "w1").select(
         "w1", "w2", q6(F.log(F.col("c12") * 1.0 / F.col("c1"))).alias("logp")
     )
+    wsum = F.sum(F.col("logp").cast("decimal(27,6)") * F.col("cnt")).cast("double")
     doc_ce = (
-        bi.join(model, ["w1", "w2"])
+        bc.join(model, ["w1", "w2"])
         .groupBy("doc_id", "lang")
-        .agg(q6(-agg.decimal_avg(F.col("logp"))).alias("ce"))
+        .agg(q6(-(wsum / F.sum("cnt"))).alias("ce"))
     )
     mu = doc_ce.agg(agg.decimal_avg(F.col("ce")).alias("mu"))
     return (
