@@ -114,6 +114,33 @@ def _gen_events(seed: int, n: int = 2000, ts_unit: str = "ns") -> pa.Table:
     )
 
 
+def _gen_embeddings(seed: int, n: int = 300, dim: int = 64) -> pa.Table:
+    """Embeddings in the driver's shape (vec_id, list<float>, label) with
+    the edge rows a regenerated generator could emit: exact-duplicate
+    vectors every 17th row (the near-dup signal), an all-zero vector every
+    29th row offset 13 (cosine undefined — the engines disagree about NaN
+    comparison semantics unless zero norms are excluded on both sides),
+    and a tiny-magnitude vector every 31st (norm > 0, no special casing).
+    vec_id 0..4 are query rows for s1/s4/s5 and stay non-degenerate."""
+    rng = np.random.default_rng(seed + 7)
+    vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    for i in range(n):
+        if i >= 17 and i % 17 == 0:
+            vecs[i] = vecs[i - 17]
+        elif i % 29 == 13:
+            vecs[i] = np.zeros(dim, np.float32)
+        elif i % 31 == 30:
+            vecs[i] = (vecs[i] * 1e-6).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([i % 10 for i in range(n)], pa.int32()),
+        }
+    )
+
+
 def _seed_params():
     """Two pinned seeds (one per ts encoding) + any extras from
     SPARK_GRAFT_RESEED_SEEDS (comma-separated) — an escape hatch to prove
@@ -135,6 +162,7 @@ def reseed_dir(request, tmp_path_factory):
     d = tmp_path_factory.mktemp(f"reseed{seed}")
     pq.write_table(_gen_documents(seed), os.path.join(d, "documents.parquet"))
     pq.write_table(_gen_events(seed, ts_unit=ts_unit), os.path.join(d, "events.parquet"))
+    pq.write_table(_gen_embeddings(seed), os.path.join(d, "embeddings.parquet"))
     return str(d)
 
 
@@ -226,6 +254,17 @@ DOC_EVENT_QUERIES = [
     # round-4d: BPE pair statistics (ASCII-projected — CJK/accent docs in
     # the matrix prove the projection drops identically on both engines)
     "t33_bpe_pair_merge",
+    # round-4d: the embeddings family on the new embeddings fixture —
+    # duplicate vectors must pair up and zero-norm vectors must be
+    # excluded identically (Spark NULL-cosine vs DuckDB NaN-compares-
+    # greater would otherwise diverge silently)
+    "s1_cosine_topk",
+    "s2_embedding_near_dup",
+    "s3_lsh_ann_buckets",
+    "s4_ivf_topk",
+    "s5_topk_per_query",
+    "s6_semantic_dedup",
+    "e1_embedding_quantization",
 ]
 
 
@@ -238,7 +277,7 @@ def test_reseed_parity(spark, reseed_dir, name):
     spark_pd = spark_to_pandas(sdf.collect(), sdf.columns)
 
     con = duckdb.connect()
-    for t in ("documents", "events"):
+    for t in ("documents", "events", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(reseed_dir, t)}.parquet')"

@@ -26,6 +26,17 @@ def _query_lit(query_vec: list[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in query_vec])
 
 
+def _nonzero_norm(vec: Column) -> Column:
+    """Zero-norm guard: cosine is undefined for a zero vector, and the
+    engines disagree about what undefined means (Spark's guarded
+    :func:`cosine_similarity` yields NULL → sorts last / filters false;
+    DuckDB's 0/0 yields NaN → compares GREATER than everything). Every
+    similarity entry point therefore excludes zero-norm rows up front, so
+    a generator that starts emitting zero vectors changes results on both
+    engines identically instead of silently diverging."""
+    return dot_product(vec, vec) > 0
+
+
 def cosine_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -36,10 +47,12 @@ def cosine_topk(
     """Exact top-k by cosine similarity to a constant query vector.
     Ties broken by id ascending; executed as scan → per-partition top-k →
     driver-merged limit (no global sort)."""
-    q = _query_lit(query_vec)
-    scored = df.select(
-        F.col(id_col), cosine_similarity(F.col(vec_col), q).alias("cosine")
+    scored = df.filter(_nonzero_norm(F.col(vec_col))).select(
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), _query_lit(query_vec)).alias("cosine"),
     )
+    if not any(float(x) * float(x) > 0 for x in query_vec):
+        return scored.limit(0)  # zero query: cosine undefined for every row
     return scored.orderBy(F.col("cosine").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -56,9 +69,9 @@ def cosine_topk_per_query(
     small side); ranking via per-query window."""
     from pyspark.sql import Window
 
-    crossed = df.crossJoin(
+    crossed = df.filter(_nonzero_norm(F.col(vec_col))).crossJoin(
         F.broadcast(
-            queries.select(
+            queries.filter(_nonzero_norm(F.col(query_vec_col))).select(
                 F.col(query_id_col), F.col(query_vec_col).alias("__qvec")
             )
         )
@@ -123,6 +136,7 @@ def embedding_near_dup_pairs(
             method = "blas" if n <= max_broadcast_rows else "blocked"
         except ImportError:  # pragma: no cover
             method = "expr"
+    df = df.filter(_nonzero_norm(F.col(vec_col)))
     if method == "blocked":
         return _near_dup_pairs_blocked(df, threshold, vec_col, id_col)
     if method == "blas":
@@ -298,7 +312,7 @@ def lsh_near_dup_pairs(
     cosine. Recall < 1 by construction; raise ``bits``↓ or multi-probe for
     higher recall."""
     planes = _hyperplanes(dim, bits, seed)
-    bucketed = df.select(
+    bucketed = df.filter(_nonzero_norm(F.col(vec_col))).select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
     )
     a = bucketed.toDF("id_a", "vec_a", "bucket")
@@ -334,6 +348,11 @@ def ivf_topk(
     """
     from ..ml.clustering import kmeans_cluster_embeddings
 
+    df = df.filter(_nonzero_norm(F.col(vec_col)))
+    if not any(float(x) * float(x) > 0 for x in query_vec):
+        return df.select(
+            F.col(id_col), F.lit(None).cast("double").alias("cosine")
+        ).limit(0)
     assignments = kmeans_cluster_embeddings(df, vec_col, id_col, k=n_centroids, seed=seed)
     tagged = df.join(assignments, id_col)
     # centroid similarity to the query, computed on the tiny centroid set

@@ -180,6 +180,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "t30_boilerplate_segments", "t31_lm_perplexity_filter",
     "t32_content_shard_assignment", "s6_semantic_dedup",
     "t33_bpe_pair_merge",
+    # fn+oracle changed: zero-norm guard on the cosine family (cosine is
+    # undefined for a zero vector and Spark NULL vs DuckDB NaN-compares-
+    # greater diverge silently; value-identical on zero-free data — found
+    # by the new embeddings reseed fixture)
+    "s1_cosine_topk", "s2_embedding_near_dup", "s5_topk_per_query",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -1968,6 +1973,7 @@ _EMB_DOTS = """
     WITH {_EMB_DOTS}
     SELECT vec_id, ROUND(dot / (SQRT(aa) * SQRT(qq)), 6) AS cosine
     FROM dots, qn
+    WHERE aa > 0 AND qq > 0
     ORDER BY dot / (SQRT(aa) * SQRT(qq)) DESC, vec_id ASC LIMIT 10
     """,
     survey_rows="ext:similarity-topk",
@@ -2000,7 +2006,8 @@ def s1_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT id_a, id_b, ROUND(dot / (SQRT(na.nn) * SQRT(nb.nn)), 6) AS cosine
     FROM pairs JOIN norms na ON id_a = na.vec_id JOIN norms nb ON id_b = nb.vec_id
-    WHERE dot / (SQRT(na.nn) * SQRT(nb.nn)) >= 0.32
+    WHERE na.nn > 0 AND nb.nn > 0
+      AND dot / (SQRT(na.nn) * SQRT(nb.nn)) >= 0.32
     """,
     survey_rows="ext:dedup-embedding-cosine",
     description="Embedding near-dup pairs (cosine >= 0.32) — exact all-pairs "
@@ -2094,7 +2101,8 @@ def _s6_oracle_sql(threshold: float = 0.32) -> str:
       FROM dots d
       JOIN norms na ON d.id_a = na.vec_id
       JOIN norms nb ON d.id_b = nb.vec_id
-      WHERE d.dot / (SQRT(na.nn) * SQRT(nb.nn)) >= {threshold!r}
+      WHERE na.nn > 0 AND nb.nn > 0
+        AND d.dot / (SQRT(na.nn) * SQRT(nb.nn)) >= {threshold!r}
     )
     SELECT label, COUNT(*) AS n_vectors,
            CAST(SUM(CASE WHEN dr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -2821,6 +2829,7 @@ def st3_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_EMB_DOTS}
     SELECT vec_id, ROUND(dot / (SQRT(aa) * SQRT(qq)), 6) AS cosine
     FROM dots, qn
+    WHERE aa > 0 AND qq > 0
     ORDER BY dot / (SQRT(aa) * SQRT(qq)) DESC, vec_id ASC LIMIT 10
     """,
     survey_rows="ext:similarity-ivf",
@@ -3019,6 +3028,7 @@ def st4_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dots d
       JOIN norms nv ON d.vec_id = nv.vec_id
       JOIN norms nq ON d.query_id = nq.vec_id
+      WHERE nv.nn > 0 AND nq.nn > 0
     )
     SELECT query_id, vec_id, ROUND(cos_raw, 6) AS cosine, rank FROM (
       SELECT query_id, vec_id, cos_raw,
