@@ -124,6 +124,7 @@ def _gen_embeddings(seed: int, n: int = 300, dim: int = 64) -> pa.Table:
     vec_id 0..4 are query rows for s1/s4/s5 and stay non-degenerate."""
     rng = np.random.default_rng(seed + 7)
     vecs = rng.standard_normal((n, dim)).astype(np.float32)
+    rows: list = []
     for i in range(n):
         if i >= 17 and i % 17 == 0:
             vecs[i] = vecs[i - 17]
@@ -131,11 +132,13 @@ def _gen_embeddings(seed: int, n: int = 300, dim: int = 64) -> pa.Table:
             vecs[i] = np.zeros(dim, np.float32)
         elif i % 31 == 30:
             vecs[i] = (vecs[i] * 1e-6).astype(np.float32)
+        # NULL embedding — must drop out of every similarity op on both
+        # engines (Spark NULL-propagated dot vs DuckDB empty unnest)
+        rows.append(None if i % 59 == 44 else list(map(float, vecs[i])))
     return pa.table(
         {
             "vec_id": pa.array(range(n), pa.int64()),
-            "embedding": pa.array([list(map(float, v)) for v in vecs],
-                                  pa.list_(pa.float32())),
+            "embedding": pa.array(rows, pa.list_(pa.float32())),
             "label": pa.array([i % 10 for i in range(n)], pa.int32()),
         }
     )
