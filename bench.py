@@ -96,6 +96,7 @@ HEADLINE = [
     "t32_content_shard_assignment",
     "s6_semantic_dedup",
     "t33_bpe_pair_merge",
+    "mm5_image_resize",
 ]
 
 

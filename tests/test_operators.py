@@ -704,3 +704,45 @@ def test_lsh_bucket_cap_drops_duplicate_clusters(spark):
     cap_pairs = {tuple(r) for r in capped.collect()}
     assert (100, 101) in cap_pairs        # ordinary near-dups survive
     assert all(a >= 100 for a, b in cap_pairs)  # the 50-cluster is gone
+
+
+def test_resize_nearest_index_math():
+    """Nearest-neighbor resize is pure integer sampling: identity at equal
+    dims, and exact floor(r*H/h') source indices otherwise — the same
+    arithmetic the mm5 oracle regenerates in SQL."""
+    np = pytest.importorskip("numpy")
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        md5_pixels,
+        resize_nearest,
+    )
+
+    img = md5_pixels(7, 16, 12)
+    assert (resize_nearest(img, 16, 12) == img).all()
+    out = resize_nearest(img, 7, 5)
+    assert out.shape == (5, 7, 3)
+    for r in range(5):
+        for c in range(7):
+            assert (out[r, c] == img[(r * 12) // 5, (c * 16) // 7]).all()
+
+
+def test_resize_images_round_trip(spark):
+    """decode -> resize -> encode -> decode through the Spark path equals
+    the local numpy computation pixel-for-pixel."""
+    np = pytest.importorskip("numpy")
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_ppm_payloads,
+        decode_ppm,
+        md5_pixels,
+        resize_images,
+        resize_nearest,
+    )
+
+    base = spark.range(0, 4).withColumnRenamed("id", "doc_id")
+    media = attach_ppm_payloads(base)
+    rows = resize_images(media, out_width=7, out_height=5).collect()
+    assert len(rows) == 4
+    for row in rows:
+        expected = resize_nearest(md5_pixels(row.doc_id, 16, 12), 7, 5)
+        got = decode_ppm(bytes(row.payload))
+        assert (got == expected).all()
+        assert row.media_meta.width == 7 and row.media_meta.height == 5

@@ -268,6 +268,9 @@ DOC_EVENT_QUERIES = [
     "s5_topk_per_query",
     "s6_semantic_dedup",
     "e1_embedding_quantization",
+    # round-4d: resize round trip (fixture pixels derive from doc_id only,
+    # so any regenerated documents table exercises it)
+    "mm5_image_resize",
 ]
 
 

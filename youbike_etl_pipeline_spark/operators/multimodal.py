@@ -267,6 +267,108 @@ def decode_image_features(
     return df.select(id_col, payload_col).mapInPandas(fn, schema=IMAGE_FEATURES)
 
 
+def resize_nearest(img: "np.ndarray", out_width: int, out_height: int) -> "np.ndarray":
+    """Nearest-neighbor resize, pure integer index math: output pixel (r, c)
+    samples input pixel (floor(r·H/out_h), floor(c·W/out_w)). Deterministic
+    and codec-free, so a SQL oracle can re-derive every sampled byte."""
+    h, w = img.shape[0], img.shape[1]
+    rows = (np.arange(out_height) * h) // out_height
+    cols = (np.arange(out_width) * w) // out_width
+    return img[rows][:, cols]
+
+
+def resize_images(
+    df: DataFrame,
+    out_width: int,
+    out_height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    strict: bool = False,
+) -> DataFrame:
+    """Image resize via ``mapInPandas``: decode (PPM/BMP, pure numpy),
+    nearest-neighbor resample, re-encode as PPM. Payload→payload — the
+    batch-preprocessing step of a vision-training pipeline. Compressed
+    inputs follow the same codec gate as :func:`decode_image_features`
+    (``strict=True`` raises, otherwise the row degrades to NULL payload).
+    Partition-local fan-out: no shuffle, Arrow-batched."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for p in pdf[payload_col]:
+                if p is None:
+                    payloads.append(None)
+                    metas.append(None)
+                    continue
+                try:
+                    img = decode_image(bytes(p))
+                except NotImplementedError:
+                    if strict:
+                        raise
+                    payloads.append(None)
+                    metas.append(None)
+                    continue
+                out = resize_nearest(img, out_width, out_height)
+                payloads.append(bytearray(encode_ppm(out)))
+                metas.append(
+                    {
+                        "media_type": "image",
+                        "format": "ppm",
+                        "width": out_width,
+                        "height": out_height,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=out_schema)
+
+
+def image_channel_sums(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact-integer per-channel byte sums + pixel count per image — the
+    verification-friendly feature block (no float accumulation at all, so
+    any engine that can reconstruct the bytes agrees bit-for-bit)."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("c0_sum", T.LongType(), True),
+            T.StructField("c1_sum", T.LongType(), True),
+            T.StructField("c2_sum", T.LongType(), True),
+            T.StructField("n_pix", T.LongType(), True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    rows.append((int(did), None, None, None, None))
+                    continue
+                img = decode_image(bytes(p)).astype(np.int64)
+                s = img.sum(axis=(0, 1))
+                rows.append(
+                    (int(did), int(s[0]), int(s[1]), int(s[2]),
+                     int(img.shape[0] * img.shape[1]))
+                )
+            yield pd.DataFrame(
+                rows, columns=[id_col, "c0_sum", "c1_sum", "c2_sum", "n_pix"]
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame,
     payload_col: str = "payload",

@@ -185,6 +185,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # greater diverge silently; value-identical on zero-free data — found
     # by the new embeddings reseed fixture)
     "s1_cosine_topk", "s2_embedding_near_dup", "s5_topk_per_query",
+    # round-4d: nearest-neighbor image resize (decode->resize->encode
+    # round trip, byte-exact analytic oracle)
+    "mm5_image_resize",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -2246,6 +2249,73 @@ def mm2_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("feat_sum"),
     )
+
+
+def _mm5_resize_sql(
+    width: int = 16, height: int = 12, out_w: int = 7, out_h: int = 5
+) -> str:
+    """DuckDB mirror of the resize pipeline: re-derive the fixture's md5
+    pixel bytes (same derivation as the mm2 oracle), then sample exactly
+    the nearest-neighbor indices floor(r·H/out_h), floor(c·W/out_w) and
+    sum per channel — integer math end-to-end, so the oracle verifies the
+    decode → resize → re-encode → decode round trip byte-for-byte."""
+    n = width * height * 3
+    blocks = (n + 15) // 16
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+    hx AS (
+      SELECT d.doc_id, b.b, md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)) AS h
+      FROM d, (SELECT unnest(generate_series(0, {blocks - 1})) AS b) b
+    ),
+    bytes AS (
+      SELECT doc_id, (b * 16 + j.j) AS idx,
+             (strpos('0123456789abcdef', substr(h, 2 * j.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2 * j.j + 2, 1)) - 1) AS v
+      FROM hx, (SELECT unnest(generate_series(0, 15)) AS j) j
+      WHERE b * 16 + j.j < {n}
+    ),
+    tgt AS (
+      SELECT (CAST(FLOOR(r.r * {height} / {out_h}.0) AS BIGINT) * {width}
+              + CAST(FLOOR(c.c * {width} / {out_w}.0) AS BIGINT)) * 3 + ch.ch AS idx,
+             ch.ch AS ch
+      FROM (SELECT unnest(generate_series(0, {out_h - 1})) AS r) r,
+           (SELECT unnest(generate_series(0, {out_w - 1})) AS c) c,
+           (SELECT unnest(generate_series(0, 2)) AS ch) ch
+    )
+    SELECT b.doc_id,
+           CAST(SUM(CASE WHEN t.ch = 0 THEN b.v ELSE 0 END) AS BIGINT) AS c0_sum,
+           CAST(SUM(CASE WHEN t.ch = 1 THEN b.v ELSE 0 END) AS BIGINT) AS c1_sum,
+           CAST(SUM(CASE WHEN t.ch = 2 THEN b.v ELSE 0 END) AS BIGINT) AS c2_sum,
+           CAST(COUNT(*) / 3 AS BIGINT) AS n_pix
+    FROM bytes b JOIN tgt t USING (idx)
+    GROUP BY 1
+    """
+
+
+@register(
+    "mm5_image_resize",
+    _mm5_resize_sql(),
+    survey_rows="ext:multimodal-resize",
+    description="REAL image resize in Arrow-batched mapInPandas: PPM "
+    "payloads decoded (pure numpy), nearest-neighbor resampled 16x12 -> "
+    "7x5 (non-divisor dims so the index math is exercised), re-encoded, "
+    "re-decoded, and reduced to exact-integer per-channel byte sums. The "
+    "oracle re-derives the fixture's md5 pixels and samples the identical "
+    "floor(r*H/h') indices in SQL — the full decode/resize/encode round "
+    "trip is verified byte-for-byte, no floats anywhere. Partition-local "
+    "fan-out (no shuffle until the final 1-row-per-doc aggregate).",
+)
+def mm5_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_ppm_payloads,
+        image_channel_sums,
+        resize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = attach_ppm_payloads(docs)
+    resized = resize_images(media, out_width=7, out_height=5)
+    return image_channel_sums(resized)
 
 
 # ===========================================================================
