@@ -6764,17 +6764,39 @@ def w17_regular_grid_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.sum(dec).alias("s"))
-    scaffold = (
+    # Per-user bounds are one row per user — localCheckpoint the small
+    # frame so the scaffold explode AND the size estimate below read it
+    # without recomputing the hourly aggregate a third time.
+    bounds = (
         hourly.groupBy("user_id")
         .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
-        .select(
-            "user_id",
-            F.explode(
-                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
-            ).alias("h"),
-        )
+        .localCheckpoint(eager=False)
+    )
+    scaffold = bounds.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
     )
     joined = scaffold.join(hourly, ["user_id", "h"], "left")
+    # The scaffold is users × active-span — it can dwarf the raw events
+    # (the 100× probe measured an 8× blow-up and a spilling fill window at
+    # the session's fixed shuffle-partition count, which AQE coalesces
+    # DOWN but never splits UP). Size the window's partitioning to the
+    # SCAFFOLD row count, estimated for free from the checkpointed bounds.
+    total_hours = (
+        bounds.agg(
+            F.sum(
+                F.floor(
+                    (F.unix_timestamp("mx") - F.unix_timestamp("mn")) / 3600
+                )
+                + 1
+            )
+        ).first()[0]
+        or 0
+    )
+    shuf = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    n_part = max(shuf, int(total_hours // 2_000_000) + 1)
+    if n_part > shuf:
+        joined = joined.repartition(n_part, "user_id")
     w = (
         Window.partitionBy("user_id")
         .orderBy("h")
