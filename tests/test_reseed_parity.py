@@ -271,6 +271,9 @@ DOC_EVENT_QUERIES = [
     # round-4d: resize round trip (fixture pixels derive from doc_id only,
     # so any regenerated documents table exercises it)
     "mm5_image_resize",
+    # round-4d: streaming near-dup gate (docs-only; duplicate docs in the
+    # fixture land on both sides of the stream/static split)
+    "st9_streaming_neardup_gate",
 ]
 
 

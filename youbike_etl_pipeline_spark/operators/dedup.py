@@ -265,39 +265,44 @@ def portable_shingle_base(t: Column) -> Column:
     contribute to 30 bits, so decode 4 instead of all 8 (halves the
     hex-decode cost vs :func:`md5_token_hash64`)."""
     h = F.md5(t)
-    v = F.lit(0).cast("long")
-    for j in range(4):
-        byte_j = F.conv(F.substring(h, 17 + 2 * j, 2), 16, 10).cast("long")
-        v = v.bitwiseOR(F.shiftleft(byte_j, 8 * j))
-    return v.bitwiseAND(F.lit(0x3FFFFFFF))
+    # one conv on the byte-reversed hex string instead of four byte-wise
+    # ones (same trick as md5_token_hash64 — conv dominates decode cost)
+    le32 = F.conv(
+        F.concat(
+            F.substring(h, 23, 2),
+            F.substring(h, 21, 2),
+            F.substring(h, 19, 2),
+            F.substring(h, 17, 2),
+        ),
+        16,
+        10,
+    ).cast("long")
+    return le32.bitwiseAND(F.lit(0x3FFFFFFF))
 
 
-def minhash_lsh_dedup_portable(
+def portable_lsh_index(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 32,
     bands: int = 8,
-    threshold: float = 0.5,
-) -> DataFrame:
-    """MinHash+LSH near-dup pairs on the cross-engine-verifiable hash family.
-
-    Same shape as :func:`minhash_lsh_dedup` (banded candidates → exact
-    Jaccard verify on the shared shingle-hash index) but every hash is
-    DuckDB-expressible: base = low 30 bits of the md5-derived 64-bit shingle
-    hash, signatures from the (a*x+b) mod P universal family
-    (:func:`minhash_coeffs`), band keys as plain value-concat strings. ~3×
-    slower than the xxhash64 fast path (hex-string md5 decode) — this is
-    the PARITY path the driver grades; production calls use
-    :func:`minhash_lsh_dedup`."""
+    checkpoint: bool = True,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Build the three frames of the portable MinHash-LSH index for ``df``:
+    ``(hidx, banded, cnt)`` — the distinct (id, shingle-hash) set, the
+    (id, band_idx, band_key) candidates frame, and per-id shingle counts.
+    Shared by :func:`minhash_lsh_dedup_portable` (self-join dedup) and the
+    streaming near-dup gate (cross-set match against a static corpus).
+    All three are per-document properties, so an index built per micro-
+    batch equals the batch-global computation for those documents."""
     rows_per_band = num_hashes // bands
     idx = shingle_index(df, text_col, id_col, k)
-    hidx = (
-        idx.select(F.col(id_col), portable_shingle_base(F.col("shingle")).alias("sh"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    hidx = idx.select(
+        F.col(id_col), portable_shingle_base(F.col("shingle")).alias("sh")
+    ).distinct()
+    if checkpoint:
+        hidx = hidx.localCheckpoint(eager=True)
     mins = [
         F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
@@ -320,6 +325,32 @@ def minhash_lsh_dedup_portable(
             )
         ).alias("band_idx", "band_key"),
     )
+    cnt = hidx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    return hidx, banded, cnt
+
+
+def minhash_lsh_dedup_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs on the cross-engine-verifiable hash family.
+
+    Same shape as :func:`minhash_lsh_dedup` (banded candidates → exact
+    Jaccard verify on the shared shingle-hash index) but every hash is
+    DuckDB-expressible: base = low 30 bits of the md5-derived 64-bit shingle
+    hash, signatures from the (a*x+b) mod P universal family
+    (:func:`minhash_coeffs`), band keys as plain value-concat strings. ~3×
+    slower than the xxhash64 fast path (hex-string md5 decode) — this is
+    the PARITY path the driver grades; production calls use
+    :func:`minhash_lsh_dedup`."""
+    hidx, banded, sizes = portable_lsh_index(
+        df, text_col, id_col, k, num_hashes, bands
+    )
     a = banded.toDF("id_a", "band_idx", "band_key")
     b = banded.toDF("id_b", "band_idx", "band_key")
     cands = (
@@ -328,7 +359,6 @@ def minhash_lsh_dedup_portable(
         .select("id_a", "id_b")
         .distinct()
     )
-    sizes = hidx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     ia = hidx.toDF("id_a", "sh")
     ib = hidx.toDF("id_b", "sh")
     expanded = ia.join(F.broadcast(cands), "id_a")

@@ -188,6 +188,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round-4d: nearest-neighbor image resize (decode->resize->encode
     # round trip, byte-exact analytic oracle)
     "mm5_image_resize",
+    # round-4d: streaming near-dup ingestion gate (foreachBatch MinHash-LSH
+    # vs a static corpus index; cross-set generated oracle)
+    "st9_streaming_neardup_gate",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -3559,6 +3562,114 @@ def st7_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n_purchases"),
     )
 
+
+
+def _st9_gate_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """Batch mirror of the streaming near-dup gate: the same generated
+    universal-hash MinHash constants as t7's oracle, but the candidate
+    join is CROSS-SET (stream docs doc_id%3=0 vs static corpus
+    doc_id%3<>0, no a<b), reduced to per-lang checked/duplicate counts
+    over the stream subset. Equality holds regardless of micro-batch
+    splits because signatures/bands/counts are per-document properties."""
+    from ..operators.dedup import MINHASH_P, minhash_coeffs
+
+    rows_per_band = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
+    min_exprs = ",\n        ".join(
+        f"MIN(({a} * sh + {b}) % {MINHASH_P}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band_idx, concat_ws(',', {cols}) AS band_key FROM sig".format(
+            bi=bi,
+            cols=", ".join(f"h{bi * rows_per_band + j}" for j in range(rows_per_band)),
+        )
+        for bi in range(bands)
+    )
+    return f"""
+    WITH shing AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i)
+      )
+    ),
+    hidx AS (
+      SELECT DISTINCT doc_id, CAST(md5_number_lower(s) & 1073741823 AS BIGINT) AS sh
+      FROM shing
+    ),
+    sig AS (
+      SELECT doc_id,
+        {min_exprs}
+      FROM hidx GROUP BY doc_id
+    ),
+    banded AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM hidx GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN hidx a ON a.doc_id = c.id_a
+      JOIN hidx b ON b.doc_id = c.id_b AND b.sh = a.sh
+      GROUP BY 1, 2
+    ),
+    dups AS (
+      SELECT DISTINCT id_a FROM inter
+      JOIN cnt ca ON id_a = ca.doc_id
+      JOIN cnt cb ON id_b = cb.doc_id
+      WHERE n_common / (ca.n + cb.n - n_common) >= {threshold}
+    )
+    SELECT doc.lang, COUNT(*) AS n_checked,
+           CAST(SUM(CASE WHEN d.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dups
+    FROM documents doc LEFT JOIN dups d ON doc.doc_id = d.id_a
+    WHERE doc.doc_id % 3 = 0
+    GROUP BY 1
+    """
+
+
+@register(
+    "st9_streaming_neardup_gate",
+    _st9_gate_sql(),
+    survey_rows="§2.8 foreachBatch composition; ext:dedup-minhash streaming gate",
+    description="Streaming near-dup ingestion gate — the filter a training "
+    "pipeline runs on every incoming crawl batch against the EXISTING "
+    "corpus: documents stream in micro-batches, each batch builds its "
+    "portable MinHash-LSH frames, banded-equi-joins the static corpus "
+    "index (built once, localCheckpointed), verifies candidates with "
+    "exact Jaccard, and appends per-doc duplicate flags; final per-lang "
+    "checked/duplicate counts. Stateless per batch (signatures are "
+    "per-document properties, so any micro-batch split equals the batch "
+    "answer — which is exactly what the generated cross-set oracle "
+    "checks). The 100 TB shape: static index is the materialized band "
+    "table, per-batch cost is batch-size x bands, never corpus-squared.",
+)
+def st9_streaming_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import portable_lsh_index
+    from ..streaming.ingest import neardup_gate_foreach_batch, read_documents_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    static = docs.filter(F.col("doc_id") % 3 != 0)
+    index = portable_lsh_index(static)
+    stream = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 3 == 0)
+    sink: list = []
+    neardup_gate_foreach_batch(stream, index, sink, threshold=0.5)
+    rows = [r for _, batch_rows in sink for r in batch_rows]
+    out = spark.createDataFrame(
+        rows, schema="doc_id long, lang string, is_dup boolean"
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dups"),
+    )
 
 
 # ===========================================================================

@@ -53,6 +53,90 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", normalize_event_ts(file_schema["ts"].dataType))
 
 
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming scan of the documents table (parquet-directory source,
+    schema from the batch footer — same drift posture as
+    :func:`read_events_stream`, though documents has no physical-type
+    landmine today)."""
+    import os
+
+    file_schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    return (
+        spark.readStream.schema(file_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .format("parquet")
+        .load(sf_dir)
+    )
+
+
+def neardup_gate_foreach_batch(
+    stream_docs: DataFrame,
+    static_index: "tuple[DataFrame, DataFrame, DataFrame]",
+    sink: list,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> None:
+    """Streaming near-dup ingestion gate — the filter a training pipeline
+    runs on every incoming crawl batch against the EXISTING corpus:
+    per micro-batch, build the portable MinHash-LSH frames for the batch
+    docs (signatures/bands/counts are per-document properties, so the
+    per-batch computation equals the batch-global one regardless of how
+    the stream is split), banded-equi-join them against the static corpus
+    index for candidates, verify candidates with exact Jaccard on the
+    shared shingle-hash sets, and emit (doc_id, is_dup) rows. Stateless
+    per batch (no watermark state); the static side is built once and
+    localCheckpointed. ``sink`` is the list stand-in for a Delta/JDBC
+    append, same as :func:`upsert_foreach_batch`."""
+    from ..operators.dedup import portable_lsh_index
+
+    s_hidx, s_banded, s_cnt = static_index
+    s_banded = s_banded.toDF("id_b", "band_idx", "band_key")
+    s_hidx_b = s_hidx.toDF("id_b", "sh")
+    s_cnt_b = s_cnt.toDF("id_b", "n_b")
+
+    def handle(batch: DataFrame, epoch_id: int) -> None:
+        b_hidx, b_banded, b_cnt = portable_lsh_index(
+            batch, k=k, num_hashes=num_hashes, bands=bands, checkpoint=False
+        )
+        cands = (
+            b_banded.toDF("id_a", "band_idx", "band_key")
+            .join(s_banded, ["band_idx", "band_key"])
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        inter = (
+            b_hidx.toDF("id_a", "sh")
+            .join(F.broadcast(cands), "id_a")
+            .join(s_hidx_b, ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        dup_ids = (
+            inter.join(F.broadcast(b_cnt.toDF("id_a", "n_a")), "id_a")
+            .join(s_cnt_b, "id_b")
+            .filter(jac >= threshold)
+            .select("id_a")
+            .distinct()
+        )
+        flagged = batch.select("doc_id", "lang").join(
+            dup_ids.withColumnRenamed("id_a", "doc_id").withColumn(
+                "is_dup", F.lit(True)
+            ),
+            "doc_id",
+            "left",
+        )
+        sink.append((epoch_id, flagged.collect()))
+
+    q = stream_docs.writeStream.foreachBatch(handle).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def hourly_windowed_counts_stream(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour windowed counts per event type (J2/W4 streaming twin).
     Watermark bounds state; complete output mode emits every window."""
