@@ -97,6 +97,11 @@ HEADLINE = [
     "s6_semantic_dedup",
     "t33_bpe_pair_merge",
     "mm5_image_resize",
+    # round-4e additions (keys only ever append)
+    "s7_bm25_retrieval",
+    "t34_hashed_quality_classifier",
+    "t35_ngram_novelty",
+    "w18_time_decay_features",
 ]
 
 

@@ -274,6 +274,15 @@ DOC_EVENT_QUERIES = [
     # round-4d: streaming near-dup gate (docs-only; duplicate docs in the
     # fixture land on both sides of the stream/static split)
     "st9_streaming_neardup_gate",
+    # round-4e: BM25 retrieval, hashed quality classifier, n-gram novelty
+    # (documents-only; NULL/empty/CJK text must drop identically and the
+    # md5-portable hash must bucket identically), time-decay features
+    # (events-only; EXP's 6-dp floor bracket must hold on any seed's
+    # timestamp spread)
+    "s7_bm25_retrieval",
+    "t34_hashed_quality_classifier",
+    "t35_ngram_novelty",
+    "w18_time_decay_features",
 ]
 
 

@@ -191,6 +191,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round-4d: streaming near-dup ingestion gate (foreachBatch MinHash-LSH
     # vs a static corpus index; cross-set generated oracle)
     "st9_streaming_neardup_gate",
+    # round-4e additions (fn created ⇒ "changed"): BM25 lexical retrieval,
+    # hashed-feature quality classifier, n-gram novelty audit, time-decay
+    # feature aggregation
+    "s7_bm25_retrieval", "t34_hashed_quality_classifier",
+    "t35_ngram_novelty", "w18_time_decay_features",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -7365,6 +7370,339 @@ def t32_content_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.count_distinct("lang").alias("n_langs"),
         F.sum("low20").alias("checksum"),
+    )
+
+
+# ===========================================================================
+# Round-4e training-pipeline extensions: lexical retrieval (BM25),
+# hashed-feature quality classifier, n-gram novelty, time-decay features
+# ===========================================================================
+
+#: BM25 query terms (fixed retrieval query over the synthetic corpus).
+_BM25_TERMS = ("spark", "join", "window", "stream")
+
+
+@register(
+    "s7_bm25_retrieval",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS words
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    dl AS (SELECT doc_id, len(words) AS dl FROM toks),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(words) AS w FROM toks)
+      WHERE w IN {str(tuple(_BM25_TERMS))}
+      GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT w,
+             FLOOR(LN((s.n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0) * 1000000)
+               / 1000000.0 AS idf6
+      FROM (SELECT w, COUNT(*) AS dfreq FROM tf GROUP BY 1) d, stats s
+    ),
+    scores AS (
+      SELECT t.doc_id,
+             FLOOR(
+               (i.idf6 * (t.tf * 2.2))
+               / (t.tf + 1.2 * (0.25 + (0.75 * d.dl) / (CAST(s.tot AS DOUBLE) / s.n_docs)))
+               * 1000000
+             ) / 1000000.0 AS sterm
+      FROM tf t JOIN idf i USING (w) JOIN dl d USING (doc_id), stats s
+    )
+    SELECT doc_id, CAST(SUM(CAST(sterm AS DECIMAL(27,6))) AS DOUBLE) AS bm25
+    FROM scores GROUP BY 1
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    survey_rows="ext:retrieval (BM25 top-k); A12,J1,W8",
+    description="Lexical retrieval for data curation: Okapi BM25 "
+    "(k1=1.2, b=0.75) of every document against a fixed query-term set, "
+    "top-20 by score — the retrieval-based selection step (e.g. picking "
+    "corpus slices relevant to a target domain) that complements the "
+    "embedding routes s1/s5. Scale shape: the posting list (doc_id, term, "
+    "tf) is filtered to the query terms BEFORE any join, so its size is "
+    "O(matching docs × |query|), never O(corpus vocab); df/idf (≤|query| "
+    "rows) and the corpus length stats (1 row) broadcast; the only "
+    "per-corpus-size work is the tokenize+explode scan and one equi-join "
+    "back to doc lengths, then TakeOrderedAndProject for the top-k. "
+    "Float discipline: IDF's transcendental LN is 6-dp floor-bracketed, "
+    "every other factor is IEEE-exact arithmetic on integers written with "
+    "identical association on both engines, and per-doc term scores are "
+    "6-dp floored then decimal-summed so addition order cannot drift.",
+)
+def s7_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("words")
+    )
+    dl = toks.select("doc_id", F.size("words").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("tot")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("words").alias("w"))
+        .filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    idf = (
+        tf.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "w",
+            q6(
+                F.log(
+                    (F.col("n_docs") - F.col("dfreq") + F.lit(0.5))
+                    / (F.col("dfreq") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+            ).alias("idf6"),
+        )
+    )
+    avgdl = F.col("tot").cast("double") / F.col("n_docs")
+    sterm = q6(
+        (F.col("idf6") * (F.col("tf") * F.lit(2.2)))
+        / (
+            F.col("tf")
+            + F.lit(1.2)
+            * (F.lit(0.25) + (F.lit(0.75) * F.col("dl")) / avgdl)
+        )
+    )
+    scores = (
+        tf.join(F.broadcast(idf), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", sterm.alias("sterm"))
+    )
+    from ..operators.aggregations import decimal_sum
+
+    return (
+        scores.groupBy("doc_id")
+        .agg(decimal_sum(F.col("sterm")).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "t34_hashed_quality_classifier",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source,
+             CAST(md5_number_lower(w) % 1048576 AS BIGINT) - 524288 AS f
+      FROM toks
+    ),
+    doc_scores AS (
+      SELECT doc_id, source,
+             CAST(SUM(f) AS DOUBLE) / (COUNT(*) * 524288.0) AS score
+      FROM feats GROUP BY 1, 2
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           {SQL_Q6(SQL_DAVG(SQL_Q6('score')))} AS mean_score
+    FROM doc_scores GROUP BY 1
+    """,
+    survey_rows="ext:quality-filter (hashed linear model); A1,F12",
+    description="fastText-shaped quality classifier over hashed token "
+    "features: every token hashes into a 2^20 feature space whose weight "
+    "is a deterministic function of the bucket (here (h mod 2^20) - 2^19, "
+    "a stand-in for trained weights — the container has no fastText, so "
+    "the model is an explicit deterministic fake; the PIPELINE — hash, "
+    "look up, mean-pool, threshold — is the real Dolma/CCNet shape), a "
+    "document scores the mean of its token weights, and score > 0 keeps "
+    "the doc. Pure map + two hash aggregations, no joins at all: the "
+    "weight lookup is arithmetic on the hash rather than a join against "
+    "a 2^20-row weight table, which is exactly how a broadcast weight "
+    "vector behaves at 100 TB (the table never shuffles). Uses the "
+    "md5-portable 64-bit hash (bit-identical to DuckDB md5_number_lower; "
+    "xxhash64 is the production path). Integer feature sums are exact on "
+    "both engines; the single division per doc is IEEE-exact; doc scores "
+    "are 6-dp floored then decimal-averaged.",
+)
+def t34_hashed_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregations import decimal_avg
+    from ..operators.dedup import md5_token_hash64
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.explode(tokens(F.lower(F.col("text")))).alias("w"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            md5_token_hash64(F.col("w")).bitwiseAND(F.lit(1048575))
+            - F.lit(524288)
+        ).alias("f"),
+    )
+    doc_scores = feats.groupBy("doc_id", "source").agg(
+        (
+            F.sum("f").cast("double")
+            / (F.count(F.lit(1)) * F.lit(524288.0))
+        ).alias("score")
+    )
+    return doc_scores.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("score") > 0, 1).otherwise(0)).alias("n_keep"),
+        q6(decimal_avg(q6(F.col("score")))).alias("mean_score"),
+    )
+
+
+@register(
+    "t35_ngram_novelty",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(list_slice(words, i, i + 2), ' ') AS shingle
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(words) - 2)) AS i
+      )
+      WHERE len(words) >= 3
+    ),
+    first_seen AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+    per_doc AS (
+      SELECT s.doc_id, s.source,
+             COUNT(*) AS n_shingles,
+             SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+      FROM sh s JOIN first_seen f USING (shingle)
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_shingles) AS BIGINT) AS total_shingles,
+           CAST(SUM(n_novel) AS BIGINT) AS novel_shingles,
+           FLOOR(SUM(n_novel) * 1.0 / SUM(n_shingles) * 1000000) / 1000000.0
+             AS novelty_frac
+    FROM per_doc GROUP BY 1
+    """,
+    survey_rows="ext:novelty scoring (first-occurrence n-grams); P4,A12",
+    description="N-gram novelty audit — the 'how much of this source is "
+    "new text vs re-crawled/echoed content' curation signal: each "
+    "document's distinct 3-token shingles, a shingle's first appearance "
+    "is the minimum doc_id carrying it (ingestion order), and a doc's "
+    "novelty is the fraction of its shingles it introduced. Linear in "
+    "corpus size: one explode+distinct, one hash aggregation to "
+    "first-seen, one equi-join back on the shingle string, two more "
+    "aggregations — no pair enumeration (contrast t2), so the same plan "
+    "survives 100 TB where the shingle→min(doc_id) map is the only large "
+    "intermediate and it shrinks with distinct-shingle count. Integer "
+    "counts throughout; the one ratio is FLOOR-quantized on both engines.",
+)
+def t35_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id", "source", tokens(F.lower(F.col("text"))).alias("words")
+        )
+        .filter(F.size("words") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - F.lit(2)),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("words"), i, 3)),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    first_seen = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first_seen, "shingle")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_shingles").alias("total_shingles"),
+        F.sum("n_novel").alias("novel_shingles"),
+        q6(F.sum("n_novel") * 1.0 / F.sum("n_shingles")).alias("novelty_frac"),
+    )
+
+
+@register(
+    "w18_time_decay_features",
+    f"""
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+    weighted AS (
+      SELECT e.event_type,
+             FLOOR(
+               EXP(-(CAST(epoch(a.mx) - epoch(e.ts) AS DOUBLE) * 0.693147 / 86400.0))
+               * 1000000
+             ) / 1000000.0 AS w,
+             e.value
+      FROM events e, anchor a
+      WHERE e.ts IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(SUM(CAST(w AS DECIMAL(27,6))) AS DOUBLE) AS decayed_count,
+           CAST(SUM(CAST(FLOOR(w * value * 1000000) / 1000000.0 AS DECIMAL(27,6))) AS DOUBLE)
+             AS decayed_value
+    FROM weighted GROUP BY 1
+    """,
+    survey_rows="ext:feature-engineering (recency decay); A1,W4,F3",
+    description="Exponentially time-decayed aggregates — the recency-"
+    "weighted user/type features a training pipeline derives from an "
+    "event log (half-life 24h anchored at the corpus max timestamp): "
+    "decayed event count = Σ w and decayed value = Σ w·value with "
+    "w = exp(-age·ln2/24h). One scan + a 1-row broadcast anchor + one "
+    "hash aggregation — the decay is a map-side expression, so unlike a "
+    "window-per-user formulation there is exactly one shuffle and it is "
+    "the final group-by; at 100 TB the anchor comes from table stats or "
+    "the batch watermark instead of a MAX pre-pass. Float discipline: "
+    "age is micros-exact epoch seconds on both engines (Spark "
+    "cast-to-double == DuckDB epoch(), the w9/w12 pattern), the decay "
+    "constant is a shared 6-dp literal (not LN(2), "
+    "which engines round differently), the transcendental EXP is 6-dp "
+    "floor-bracketed per row, w·value is IEEE-exact then floored again, "
+    "and both sums run in exact decimal so addition order cannot drift.",
+)
+def w18_time_decay_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregations import decimal_sum
+
+    events = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    anchor = events.agg(F.max("ts").alias("mx"))
+    age = F.col("mx").cast("double") - F.col("ts").cast("double")
+    w = q6(F.exp(-(age * F.lit(0.693147) / F.lit(86400.0))))
+    weighted = events.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        w.alias("w"),
+        "value",
+    )
+    return weighted.groupBy("event_type").agg(
+        decimal_sum(F.col("w")).alias("decayed_count"),
+        decimal_sum(q6(F.col("w") * F.col("value"))).alias("decayed_value"),
     )
 
 
