@@ -102,6 +102,10 @@ HEADLINE = [
     "t34_hashed_quality_classifier",
     "t35_ngram_novelty",
     "w18_time_decay_features",
+    "m15_mann_whitney_u",
+    "m16_spearman_rank_corr",
+    "ev4_conversion_latency",
+    "t36_cross_source_overlap",
 ]
 
 

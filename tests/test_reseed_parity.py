@@ -283,6 +283,13 @@ DOC_EVENT_QUERIES = [
     "t34_hashed_quality_classifier",
     "t35_ngram_novelty",
     "w18_time_decay_features",
+    # round-4e: rank-based statistics (events-only; the NULL-value rows and
+    # .5-boundary duplicates in the fixture stress the tie handling), funnel
+    # latency percentiles, cross-source overlap matrix (documents-only)
+    "m15_mann_whitney_u",
+    "m16_spearman_rank_corr",
+    "ev4_conversion_latency",
+    "t36_cross_source_overlap",
 ]
 
 

@@ -358,6 +358,90 @@ def ks_two_sample(
     )
 
 
+def mann_whitney_u(
+    df: DataFrame, group_col: str, value_col: str, group_a: str, group_b: str
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) with the normal
+    approximation and full tie correction — the nonparametric complement to
+    :func:`welch_ttest` (no normality assumption).
+
+    Everything up to the final z-formula stays in exact integers: per
+    distinct value v, ``2·U`` accumulates ``cnt_a(v)·(2·cumB(<v) + cnt_b(v))``
+    (each a-observation beats every smaller b and half-ties the equal b's),
+    and the tie term accumulates ``t³ − t`` for t = total count at v. The
+    prefix count over ordered distinct values runs range-bucketed exactly
+    like :func:`ks_two_sample` (quantile bucket boundaries → intra-bucket
+    window + per-bucket offsets from the tiny totals frame), so there is no
+    single-partition sort over the value domain at any scale. The float
+    formula (mean n_a·n_b/2, tie-corrected variance, one sqrt) is applied
+    once to identical integers on both engines.
+    """
+    from pyspark.sql import Window
+
+    filtered = df.filter(F.col(group_col).isin(group_a, group_b))
+    in_a = (F.col(group_col) == group_a).cast("long")
+    per_value = filtered.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(in_a).alias("ca"), F.sum(1 - in_a).alias("cb")
+    )
+    n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bnds = (
+        sorted(set(per_value.stat.approxQuantile("v", probs, 0.001))) if probs else []
+    )
+    if bnds:
+        bnd_arr = F.array(*[F.lit(float(b)) for b in bnds])
+        bucketed = per_value.withColumn(
+            "__b", F.size(F.filter(bnd_arr, lambda b: b <= F.col("v")))
+        )
+    else:
+        bucketed = per_value.withColumn("__b", F.lit(0))
+    w_intra = (
+        Window.partitionBy("__b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = bucketed.select(
+        "v",
+        "__b",
+        "ca",
+        "cb",
+        F.coalesce(F.sum("cb").over(w_intra), F.lit(0)).alias("cb_intra_before"),
+    )
+    bucket_totals = bucketed.groupBy("__b").agg(F.sum("cb").alias("tb"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_totals.select(
+        "__b", F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("off_b")
+    )
+    t = F.col("ca") + F.col("cb")
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("long")  # noqa: E731
+    stats = cum.join(F.broadcast(offsets), "__b").agg(
+        dec(F.col("ca")).alias("n_a"),
+        dec(F.col("cb")).alias("n_b"),
+        dec(
+            F.col("ca")
+            * (
+                2 * (F.col("off_b") + F.col("cb_intra_before"))
+                + F.col("cb")
+            )
+        ).alias("u2"),
+        dec(t * t * t - t).alias("tie"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    n = n_a + n_b
+    u = F.col("u2") / F.lit(2.0)
+    var = (
+        n_a * n_b / F.lit(12.0)
+        * ((n + F.lit(1)) - F.col("tie") / (n * (n - F.lit(1)).cast("double")))
+    )
+    z = (u - n_a * n_b / F.lit(2.0)) / F.sqrt(var)
+    return stats.select(
+        "n_a",
+        "n_b",
+        u.alias("u"),
+        F.when(var > 0, F.round(z, 6)).alias("z"),
+    )
+
+
 # ------------------------------------------------------------------
 # Driver-side p-value helpers (scipy-gated; operate on collected scalars)
 # ------------------------------------------------------------------
