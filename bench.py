@@ -106,6 +106,8 @@ HEADLINE = [
     "m16_spearman_rank_corr",
     "ev4_conversion_latency",
     "t36_cross_source_overlap",
+    "ev5_rfm_segmentation",
+    "w19_rolling_distinct_users",
 ]
 
 

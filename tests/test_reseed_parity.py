@@ -290,6 +290,11 @@ DOC_EVENT_QUERIES = [
     "m16_spearman_rank_corr",
     "ev4_conversion_latency",
     "t36_cross_source_overlap",
+    # round-4e: RFM quartile segmentation (exact-percentile boundary
+    # broadcast — interpolated thresholds must compare identically on any
+    # seed's value spread) and rolling 7-day distinct actives (events-only)
+    "ev5_rfm_segmentation",
+    "w19_rolling_distinct_users",
 ]
 
 

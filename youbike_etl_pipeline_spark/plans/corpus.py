@@ -200,6 +200,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # funnel latency percentiles, cross-source overlap matrix
     "m15_mann_whitney_u", "m16_spearman_rank_corr",
     "ev4_conversion_latency", "t36_cross_source_overlap",
+    # round-4e batch 3: RFM quartile segmentation, rolling distinct actives
+    "ev5_rfm_segmentation", "w19_rolling_distinct_users",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -7997,6 +7999,183 @@ def t36_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_shared"), "src_a", "src_b")
         .limit(20)
+    )
+
+
+@register(
+    "ev5_rfm_segmentation",
+    """
+    WITH anchor AS (SELECT MAX(ts) AS mx FROM events),
+    rfm AS (
+      SELECT e.user_id,
+             (epoch(a.mx) - epoch(MAX(e.ts))) / 86400.0 AS recency_d,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(e.value AS DECIMAL(27,6))) AS DOUBLE) AS monetary
+      FROM events e, anchor a
+      WHERE e.ts IS NOT NULL AND e.value IS NOT NULL
+      GROUP BY e.user_id, a.mx
+    ),
+    th AS (
+      SELECT QUANTILE_CONT(recency_d, 0.25) AS r1, QUANTILE_CONT(recency_d, 0.5) AS r2,
+             QUANTILE_CONT(recency_d, 0.75) AS r3,
+             QUANTILE_CONT(frequency, 0.25) AS f1, QUANTILE_CONT(frequency, 0.5) AS f2,
+             QUANTILE_CONT(frequency, 0.75) AS f3,
+             QUANTILE_CONT(monetary, 0.25) AS m1, QUANTILE_CONT(monetary, 0.5) AS m2,
+             QUANTILE_CONT(monetary, 0.75) AS m3
+      FROM rfm
+    ),
+    seg AS (
+      SELECT r.user_id, r.monetary,
+             1 + CASE WHEN r.recency_d > t.r1 THEN 1 ELSE 0 END
+               + CASE WHEN r.recency_d > t.r2 THEN 1 ELSE 0 END
+               + CASE WHEN r.recency_d > t.r3 THEN 1 ELSE 0 END AS r_bucket,
+             1 + CASE WHEN r.frequency > t.f1 THEN 1 ELSE 0 END
+               + CASE WHEN r.frequency > t.f2 THEN 1 ELSE 0 END
+               + CASE WHEN r.frequency > t.f3 THEN 1 ELSE 0 END AS f_bucket,
+             1 + CASE WHEN r.monetary > t.m1 THEN 1 ELSE 0 END
+               + CASE WHEN r.monetary > t.m2 THEN 1 ELSE 0 END
+               + CASE WHEN r.monetary > t.m3 THEN 1 ELSE 0 END AS m_bucket
+      FROM rfm r, th t
+    )
+    SELECT r_bucket, f_bucket, m_bucket,
+           COUNT(*) AS n_users,
+           CAST(SUM(CAST(monetary AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM seg GROUP BY 1, 2, 3
+    ORDER BY n_users DESC, r_bucket, f_bucket, m_bucket
+    LIMIT 20
+    """,
+    survey_rows="event analytics ext (RFM quartile segmentation); A1,M10,F5",
+    description="RFM (recency/frequency/monetary) user segmentation — the "
+    "classic behavioral-feature block: per-user recency in days vs the "
+    "corpus max timestamp, event count, and decimal-exact value sum; each "
+    "metric quartile-bucketed against EXACT percentile boundaries computed "
+    "once and broadcast (1 + count of thresholds exceeded), then cell "
+    "counts/value over the 4³ segment grid, top-20. Deliberately NOT an "
+    "ntile window over all users: a global sort single-partitions at "
+    "100 TB, whereas the boundary broadcast + comparison bucketing is one "
+    "user-keyed aggregation, one 1-row quantile frame (size-routed exact/"
+    "approx), and one small group-by — every shuffle is on user_id or the "
+    "tiny grid. Quartile values interpolate identically (QUANTILE_CONT == "
+    "Spark exact percentile) and comparisons of identical doubles cannot "
+    "drift; monetary sums are decimal-exact; recency is the micros-exact "
+    "epoch pattern.",
+)
+def ev5_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregations import decimal_sum
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    )
+    anchor = ev.agg(F.max("ts").alias("mx"))
+    rfm = (
+        ev.crossJoin(F.broadcast(anchor))
+        .groupBy("user_id", "mx")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            decimal_sum(F.col("value")).alias("monetary"),
+        )
+        .select(
+            "user_id",
+            (
+                (F.col("mx").cast("double") - F.col("last_ts").cast("double"))
+                / F.lit(86400.0)
+            ).alias("recency_d"),
+            "frequency",
+            "monetary",
+        )
+    )
+    th = agg.group_quantiles(
+        rfm, [], "recency_d", [0.25, 0.5, 0.75], ["r1", "r2", "r3"], round_to=None
+    ).crossJoin(
+        agg.group_quantiles(
+            rfm, [], "frequency", [0.25, 0.5, 0.75], ["f1", "f2", "f3"], round_to=None
+        )
+    ).crossJoin(
+        agg.group_quantiles(
+            rfm, [], "monetary", [0.25, 0.5, 0.75], ["m1", "m2", "m3"], round_to=None
+        )
+    )
+
+    def bucket(metric: str, t1: str, t2: str, t3: str) -> F.Column:
+        return (
+            F.lit(1)
+            + F.when(F.col(metric) > F.col(t1), 1).otherwise(0)
+            + F.when(F.col(metric) > F.col(t2), 1).otherwise(0)
+            + F.when(F.col(metric) > F.col(t3), 1).otherwise(0)
+        )
+
+    seg = rfm.crossJoin(F.broadcast(th)).select(
+        "user_id",
+        "monetary",
+        bucket("recency_d", "r1", "r2", "r3").alias("r_bucket"),
+        bucket("frequency", "f1", "f2", "f3").alias("f_bucket"),
+        bucket("monetary", "m1", "m2", "m3").alias("m_bucket"),
+    )
+    return (
+        seg.groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            decimal_sum(F.col("monetary")).alias("total_value"),
+        )
+        .orderBy(F.desc("n_users"), "r_bucket", "f_bucket", "m_bucket")
+        .limit(20)
+    )
+
+
+@register(
+    "w19_rolling_distinct_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events WHERE ts IS NOT NULL
+    ),
+    assigned AS (
+      SELECT user_id, d + CAST(i AS INT) AS win_end
+      FROM ud, LATERAL (SELECT unnest(generate_series(0, 6)) AS i)
+    ),
+    bounds AS (SELECT MAX(d) AS mx FROM ud)
+    SELECT a.win_end, COUNT(DISTINCT a.user_id) AS n_active_7d
+    FROM assigned a, bounds b
+    WHERE a.win_end <= b.mx
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    survey_rows="W-ext (sliding distinct aggregation); W4,W10,A12",
+    description="Rolling 7-day distinct active users per day — the "
+    "sliding-window DISTINCT aggregate that Spark's window() expansion "
+    "gives for free on counts but not on distincts: each (user, day) pair "
+    "is assigned to the 7 window-end days it participates in (the same "
+    "multi-assignment trick as w10's hop expansion, factor bounded by the "
+    "window/slide ratio), then one count-distinct per window end. Two "
+    "shuffles total — the (user, day) distinct and the per-window "
+    "count-distinct — both hash-partitioned, no sort, no per-user window "
+    "frames; at 100 TB the ×7 fan-out happens AFTER the (user, day) "
+    "dedup, so it multiplies the already-collapsed daily-active table, "
+    "not the raw event log. Trailing partial windows past the last "
+    "observed day are dropped on both engines.",
+)
+def w19_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ud = ev.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    bounds = ud.agg(F.max("d").alias("mx"))
+    assigned = ud.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(6)),
+                lambda i: F.date_add(F.col("d"), i),
+            )
+        ).alias("win_end"),
+    )
+    return (
+        assigned.crossJoin(F.broadcast(bounds))
+        .filter(F.col("win_end") <= F.col("mx"))
+        .groupBy("win_end")
+        .agg(F.count_distinct("user_id").alias("n_active_7d"))
+        .orderBy("win_end")
     )
 
 
