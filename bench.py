@@ -108,6 +108,8 @@ HEADLINE = [
     "t36_cross_source_overlap",
     "ev5_rfm_segmentation",
     "w19_rolling_distinct_users",
+    "ev6_linear_attribution",
+    "t37_jaccard_threshold_sweep",
 ]
 
 

@@ -295,6 +295,12 @@ DOC_EVENT_QUERIES = [
     # seed's value spread) and rolling 7-day distinct actives (events-only)
     "ev5_rfm_segmentation",
     "w19_rolling_distinct_users",
+    # round-4e: linear multi-touch attribution (events-only; NULL ts/value
+    # rows and duplicate timestamps in the fixture stress the band join)
+    # and the Jaccard threshold sweep (documents-only; reuses the shared
+    # t2 pair graph on the fixture's duplicate docs)
+    "ev6_linear_attribution",
+    "t37_jaccard_threshold_sweep",
 ]
 
 

@@ -202,6 +202,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "ev4_conversion_latency", "t36_cross_source_overlap",
     # round-4e batch 3: RFM quartile segmentation, rolling distinct actives
     "ev5_rfm_segmentation", "w19_rolling_distinct_users",
+    # round-4e batch 4: linear multi-touch attribution, threshold sweep
+    "ev6_linear_attribution", "t37_jaccard_threshold_sweep",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -8176,6 +8178,184 @@ def w19_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("win_end")
         .agg(F.count_distinct("user_id").alias("n_active_7d"))
         .orderBy("win_end")
+    )
+
+
+@register(
+    "ev6_linear_attribution",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL
+    ),
+    touches AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click') AND ts IS NOT NULL
+    ),
+    matched AS (
+      SELECT p.event_id, p.value, t.event_type
+      FROM purchases p JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.ts < p.ts
+       AND t.ts >= p.ts - INTERVAL 24 HOURS
+    ),
+    counted AS (
+      SELECT event_id, value, event_type,
+             COUNT(*) OVER (PARTITION BY event_id) AS n_touch
+      FROM matched
+    ),
+    attributed AS (
+      SELECT event_type,
+             FLOOR(value / n_touch * 1000000) / 1000000.0 AS share
+      FROM counted
+      UNION ALL
+      SELECT 'unattributed' AS event_type,
+             FLOOR(value * 1000000) / 1000000.0 AS share
+      FROM purchases p
+      WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.event_id = p.event_id)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_shares,
+           CAST(SUM(CAST(share AS DECIMAL(27,6))) AS DOUBLE) AS attributed_revenue
+    FROM attributed GROUP BY 1
+    """,
+    survey_rows="event analytics ext (multi-touch attribution); J2,J8,W1",
+    description="Linear multi-touch attribution: every purchase's value is "
+    "split equally across the user's view/click touchpoints in the "
+    "preceding 24 h; purchases with no touchpoint report as "
+    "'unattributed'. The touch match is an equi-join on user_id with a "
+    "time-band residual filter (j8's range-join shape — never a cross "
+    "product; per-user event counts bound the join fan-out), the per-"
+    "purchase touch count is a window keyed by the purchase id (shuffle "
+    "already on that key from the join), and the no-touch remainder is a "
+    "left-anti join. Each share value/n is one IEEE-exact division, 6-dp "
+    "floored, decimal-summed.",
+)
+def ev6_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregations import decimal_sum
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select("event_id", "user_id", F.col("ts").alias("p_ts"), "value")
+    touches = ev.filter(
+        F.col("event_type").isin("view", "click") & F.col("ts").isNotNull()
+    ).select("user_id", F.col("ts").alias("t_ts"), F.col("event_type").alias("touch_type"))
+    matched = (
+        purchases.join(touches, "user_id")
+        .filter(
+            (F.col("t_ts") < F.col("p_ts"))
+            & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 24 HOURS"))
+        )
+        .select("event_id", "value", "touch_type")
+    )
+    counted = matched.withColumn(
+        "n_touch", F.count(F.lit(1)).over(Window.partitionBy("event_id"))
+    )
+    shares = counted.select(
+        F.col("touch_type").alias("event_type"),
+        q6(F.col("value") / F.col("n_touch")).alias("share"),
+    )
+    unattributed = (
+        purchases.join(
+            matched.select("event_id").distinct(), "event_id", "left_anti"
+        )
+        .select(
+            F.lit("unattributed").alias("event_type"),
+            q6(F.col("value")).alias("share"),
+        )
+    )
+    return (
+        shares.unionByName(unattributed)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_shares"),
+            decimal_sum(F.col("share")).alias("attributed_revenue"),
+        )
+    )
+
+
+@register(
+    "t37_jaccard_threshold_sweep",
+    """
+    WITH shing AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i)
+      )
+    ),
+    keep AS (SELECT s FROM shing GROUP BY s HAVING COUNT(*) <= 100),
+    capped AS (SELECT shing.doc_id, shing.s FROM shing JOIN keep USING (s)),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM capped GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             n_common / (ca.n + cb.n - n_common) AS jaccard
+      FROM inter
+      JOIN cnt ca ON id_a = ca.doc_id
+      JOIN cnt cb ON id_b = cb.doc_id
+      WHERE n_common / (ca.n + cb.n - n_common) >= 0.5
+    ),
+    banded AS (
+      SELECT LEAST(CAST(FLOOR(jaccard * 10) AS INT), 9) AS band,
+             id_a, id_b
+      FROM pairs
+    ),
+    pc AS (
+      SELECT band, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM banded GROUP BY 1
+    ),
+    docs AS (
+      SELECT band, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM (
+        SELECT band, id_a AS doc_id FROM banded
+        UNION ALL SELECT band, id_b FROM banded
+      ) GROUP BY 1
+    )
+    SELECT pc.band, pc.n_pairs, docs.n_docs
+    FROM pc JOIN docs USING (band)
+    ORDER BY band
+    """,
+    survey_rows="ext:dedup threshold sensitivity; A12,F5",
+    description="Near-dup threshold sensitivity sweep — the 'how many "
+    "pairs/docs does each Jaccard cut remove' ablation a curation run "
+    "does before committing to a threshold: t2's exact pair graph (>=0.5, "
+    "doc-freq-capped) banded by FLOOR(jaccard·10) with pair and "
+    "distinct-document counts per band. Reuses the session-shared "
+    "localCheckpointed pair graph (same materialization as t2/t10 — the "
+    "sweep itself adds one explode and two small aggregations, NOT a "
+    "second shingle self-join). The band edge is a FLOOR of an identical "
+    "IEEE division on both engines, so banding cannot straddle.",
+)
+def t37_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _ngram_pairs_shared(spark, sf_dir)
+    banded = pairs.select(
+        F.least(F.floor(F.col("jaccard") * 10).cast("int"), F.lit(9)).alias(
+            "band"
+        ),
+        "id_a",
+        "id_b",
+    )
+    pair_counts = banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    docs_per_band = (
+        banded.select("band", F.col("id_a").alias("doc_id"))
+        .unionByName(banded.select("band", F.col("id_b").alias("doc_id")))
+        .groupBy("band")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+    )
+    return (
+        pair_counts.join(docs_per_band, "band")
+        .select("band", "n_pairs", "n_docs")
+        .orderBy("band")
     )
 
 
