@@ -177,3 +177,45 @@ def test_documents_embeddings_schema_canary(sf_small):
         "hyperplane constants in plans/corpus.py::_lsh_oracle_sql (s3) and "
         "operators/similarity.py::_hyperplanes callers"
     )
+
+
+def test_star_schema_canary(sf_small):
+    """Same loudness for the TPC-H star schema: the corpus's decimal-sum
+    discipline assumes the money columns arrive as DOUBLE (a regenerated
+    DECIMAL(12,2) lineitem would change Spark's sum types and every
+    CAST(... AS DECIMAL(27,6)) oracle), the keys as integers, and the date
+    columns as parquet timestamps (not DATE32 — Spark would read DateType
+    and every ``< TIMESTAMP`` literal comparison changes type)."""
+    expected = {
+        "lineitem": {
+            "l_orderkey": pa.types.is_integer,
+            "l_quantity": pa.types.is_floating,
+            "l_extendedprice": pa.types.is_floating,
+            "l_discount": pa.types.is_floating,
+            "l_tax": pa.types.is_floating,
+            "l_returnflag": pa.types.is_string,
+            "l_shipdate": pa.types.is_timestamp,
+        },
+        "orders": {
+            "o_orderkey": pa.types.is_integer,
+            "o_custkey": pa.types.is_integer,
+            "o_totalprice": pa.types.is_floating,
+            "o_orderdate": pa.types.is_timestamp,
+        },
+        "customer": {
+            "c_custkey": pa.types.is_integer,
+            "c_acctbal": pa.types.is_floating,
+            "c_mktsegment": pa.types.is_string,
+        },
+    }
+    for table, cols in expected.items():
+        footer = pq.read_schema(os.path.join(sf_small, f"{table}.parquet"))
+        for col, pred in cols.items():
+            assert col in footer.names, (
+                f"SCHEMA DRIFT: {table}.{col} missing ({footer.names})"
+            )
+            assert pred(footer.field(col).type), (
+                f"SCHEMA DRIFT: {table}.{col} is {footer.field(col).type} — "
+                "audit the decimal-sum casts and timestamp literals in "
+                "plans/corpus.py before trusting any money/date query"
+            )
