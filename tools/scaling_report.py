@@ -57,6 +57,19 @@ QUERIES = [
     "t31_lm_perplexity_filter",
     "t32_content_shard_assignment",
     "s6_semantic_dedup",
+    # r4e additions: query-term-filtered posting join (claims O(matches)),
+    # zero-join hashed scoring, first-seen shingle join (claims linear),
+    # source-pair self-join (claims bounded by source-count²), boundary-
+    # broadcast bucketing, multi-assignment sliding distinct, band join
+    # attribution, pair-graph-riding threshold sweep
+    "s7_bm25_retrieval",
+    "t34_hashed_quality_classifier",
+    "t35_ngram_novelty",
+    "t36_cross_source_overlap",
+    "ev5_rfm_segmentation",
+    "w19_rolling_distinct_users",
+    "ev6_linear_attribution",
+    "t37_jaccard_threshold_sweep",
 ]
 
 SCALE_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
