@@ -110,6 +110,7 @@ HEADLINE = [
     "w19_rolling_distinct_users",
     "ev6_linear_attribution",
     "t37_jaccard_threshold_sweep",
+    "r1_item_covisitation",
 ]
 
 

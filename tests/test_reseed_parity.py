@@ -301,6 +301,9 @@ DOC_EVENT_QUERIES = [
     # t2 pair graph on the fixture's duplicate docs)
     "ev6_linear_attribution",
     "t37_jaccard_threshold_sweep",
+    # round-4e: item co-visitation (events-only; NULL props rows in the
+    # fixture must drop identically through the VARIANT/json extraction)
+    "r1_item_covisitation",
 ]
 
 

@@ -204,6 +204,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "ev5_rfm_segmentation", "w19_rolling_distinct_users",
     # round-4e batch 4: linear multi-touch attribution, threshold sweep
     "ev6_linear_attribution", "t37_jaccard_threshold_sweep",
+    # round-4e batch 5: item co-visitation (market-basket/recommender)
+    "r1_item_covisitation",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -8356,6 +8358,85 @@ def t37_jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair_counts.join(docs_per_band, "band")
         .select("band", "n_pairs", "n_docs")
         .orderBy("band")
+    )
+
+
+@register(
+    "r1_item_covisitation",
+    """
+    WITH ui AS (
+      SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS INT) AS item
+      FROM events
+      WHERE json_extract(props, '$.k') IS NOT NULL
+    ),
+    nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ui),
+    cnt AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM ui GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_co
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+    )
+    SELECT p.item_a, p.item_b, p.n_co, ca.n AS n_a, cb.n AS n_b,
+           FLOOR(p.n_co * u.n_users / (ca.n * cb.n) * 1000000) / 1000000.0
+             AS lift,
+           FLOOR(p.n_co / SQRT(ca.n * cb.n) * 1000000) / 1000000.0 AS cosine
+    FROM pairs p
+    JOIN cnt ca ON p.item_a = ca.item
+    JOIN cnt cb ON p.item_b = cb.item
+    CROSS JOIN nu u
+    ORDER BY n_co DESC, item_a, item_b
+    LIMIT 20
+    """,
+    survey_rows="ext:recommender co-occurrence (market basket); J1,A12,W8",
+    description="Item co-visitation — the 'users who touched X also "
+    "touched Y' market-basket/recommender-data shape: items from the "
+    "semi-structured props payload (f17's VARIANT extraction), distinct "
+    "(user, item) pairs self-joined per user for co-occurrence counts, "
+    "scored with lift (co·N / n_a·n_b) and co-occurrence cosine "
+    "(co/√(n_a·n_b)), top-20 pairs. Scale shape: the self-join is keyed "
+    "on user_id, so the pair fan-out is Σ per-user-items² — bounded by "
+    "the per-user basket size, never corpus²; at 100 TB heavy users get "
+    "a basket cap (top-k items per user by recency) exactly like t2's "
+    "doc-freq cap. Item counts broadcast; the user-count anchor is a "
+    "1-row broadcast; TakeOrderedAndProject top-k. All metrics are "
+    "single IEEE divisions/sqrt of exact integers, 6-dp floored.",
+)
+def r1_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    item = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    ui = (
+        ev.select("user_id", item.alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    nu = ui.agg(F.count_distinct("user_id").alias("n_users"))
+    cnt = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        ui.toDF("user_id", "item_a")
+        .join(ui.toDF("user_id", "item_b"), "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    return (
+        pairs.join(F.broadcast(cnt.toDF("item_a", "n_a")), "item_a")
+        .join(F.broadcast(cnt.toDF("item_b", "n_b")), "item_b")
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "item_a",
+            "item_b",
+            "n_co",
+            "n_a",
+            "n_b",
+            q6(
+                F.col("n_co") * F.col("n_users") / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+            q6(F.col("n_co") / F.sqrt(F.col("n_a") * F.col("n_b"))).alias(
+                "cosine"
+            ),
+        )
+        .orderBy(F.desc("n_co"), "item_a", "item_b")
+        .limit(20)
     )
 
 
