@@ -111,6 +111,9 @@ HEADLINE = [
     "ev6_linear_attribution",
     "t37_jaccard_threshold_sweep",
     "r1_item_covisitation",
+    "f18_winsorized_stats",
+    "f19_target_encoding",
+    "dq6_join_key_skew",
 ]
 
 

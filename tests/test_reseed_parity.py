@@ -304,6 +304,9 @@ DOC_EVENT_QUERIES = [
     # round-4e: item co-visitation (events-only; NULL props rows in the
     # fixture must drop identically through the VARIANT/json extraction)
     "r1_item_covisitation",
+    # round-4e: winsorized stats (events-only; data-derived clip bounds
+    # must interpolate identically on any seed's value spread)
+    "f18_winsorized_stats",
 ]
 
 

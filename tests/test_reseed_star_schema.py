@@ -281,6 +281,10 @@ STAR_QUERIES = [
     # (both depend on the money distribution — must hold for any seed)
     "a21_pareto_concentration",
     "m14_benford_first_digit",
+    # round-4e: smoothed target encoding (orderstatus rates regenerate with
+    # the seed) and the join-key skew audit (lineitem key multiplicities)
+    "f19_target_encoding",
+    "dq6_join_key_skew",
 ]
 
 

@@ -206,6 +206,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "ev6_linear_attribution", "t37_jaccard_threshold_sweep",
     # round-4e batch 5: item co-visitation (market-basket/recommender)
     "r1_item_covisitation",
+    # round-4e batch 6: winsorized stats, target encoding, skew audit
+    "f18_winsorized_stats", "f19_target_encoding", "dq6_join_key_skew",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -8437,6 +8439,172 @@ def r1_item_covisitation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_co"), "item_a", "item_b")
         .limit(20)
+    )
+
+
+@register(
+    "f18_winsorized_stats",
+    f"""
+    WITH vals AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    th AS (
+      SELECT QUANTILE_CONT(value, 0.05) AS lo, QUANTILE_CONT(value, 0.95) AS hi
+      FROM vals
+    ),
+    wins AS (
+      SELECT v.event_type,
+             CASE WHEN v.value < t.lo THEN t.lo
+                  WHEN v.value > t.hi THEN t.hi
+                  ELSE v.value END AS w
+      FROM vals v, th t
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           {SQL_Q6(SQL_DAVG('w'))} AS wins_mean,
+           MIN(w) AS wins_min, MAX(w) AS wins_max
+    FROM wins GROUP BY 1
+    """,
+    survey_rows="F-ext (winsorization / robust normalization); F12,M10",
+    description="Winsorized statistics — the robust-normalization step "
+    "(clip at the corpus p5/p95 before aggregating, so a handful of "
+    "outliers can't own the mean): exact percentile bounds computed once "
+    "and broadcast (size-routed exact/approx, ev5's pattern), the clamp "
+    "is a pure projection, and the stats are one hash aggregation. "
+    "Unlike f12's fixed-constant clamp, the bounds are data-derived. "
+    "Clamped values are either original doubles or the broadcast "
+    "boundary — both bit-identical across engines — and the mean is "
+    "decimal-exact.",
+)
+def f18_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregations import decimal_avg
+
+    vals = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    th = agg.group_quantiles(
+        vals, [], "value", [0.05, 0.95], ["lo", "hi"], round_to=None
+    )
+    w = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    wins = vals.crossJoin(F.broadcast(th)).select("event_type", w.alias("w"))
+    return wins.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        q6(decimal_avg(F.col("w"))).alias("wins_mean"),
+        F.min("w").alias("wins_min"),
+        F.max("w").alias("wins_max"),
+    )
+
+
+@register(
+    "f19_target_encoding",
+    """
+    WITH base AS (
+      SELECT c.c_mktsegment AS cat,
+             CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    g AS (
+      SELECT CAST(SUM(y) AS BIGINT) AS gy, CAST(COUNT(*) AS BIGINT) AS gn
+      FROM base
+    ),
+    per_cat AS (
+      SELECT cat, CAST(SUM(y) AS BIGINT) AS cy, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM base GROUP BY 1
+    )
+    SELECT p.cat,
+           p.cn AS n,
+           FLOOR(p.cy * 1.0 / p.cn * 1000000) / 1000000.0 AS raw_rate,
+           FLOOR((p.cy + 20.0 * (g.gy * 1.0 / g.gn)) / (p.cn + 20.0)
+                 * 1000000) / 1000000.0 AS encoded
+    FROM per_cat p, g
+    ORDER BY cat
+    """,
+    survey_rows="F-ext (smoothed target encoding); A4,J1,§2.9",
+    description="Smoothed target encoding — the categorical-feature "
+    "transform (encode a category by its shrunk target rate, "
+    "(Σy + m·global_rate)/(n + m), m=20) used to feed categorical "
+    "columns into numeric models without one-hot blow-up: one fact⋈dim "
+    "broadcast join, one per-category aggregation, a 1-row global-rate "
+    "broadcast. All counts are exact integers; each rate is one IEEE "
+    "division of identical integers on both engines, 6-dp floored. At "
+    "100 TB the encoding table (category-cardinality rows) broadcasts "
+    "back for the actual feature join — the same shape as the lookup "
+    "join j6.",
+)
+def f19_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    base = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("cat"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    g = base.agg(
+        F.sum("y").alias("gy"), F.count(F.lit(1)).alias("gn")
+    )
+    per_cat = base.groupBy("cat").agg(
+        F.sum("y").alias("cy"), F.count(F.lit(1)).alias("cn")
+    )
+    return (
+        per_cat.crossJoin(F.broadcast(g))
+        .select(
+            "cat",
+            F.col("cn").alias("n"),
+            q6(F.col("cy") * 1.0 / F.col("cn")).alias("raw_rate"),
+            q6(
+                (F.col("cy") + F.lit(20.0) * (F.col("gy") * 1.0 / F.col("gn")))
+                / (F.col("cn") + F.lit(20.0))
+            ).alias("encoded"),
+        )
+        .orderBy("cat")
+    )
+
+
+@register(
+    "dq6_join_key_skew",
+    """
+    WITH kc AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_rows_per_key,
+           ROUND(QUANTILE_CONT(c, 0.99), 6) AS p99_rows_per_key,
+           FLOOR(MAX(c) * COUNT(*) * 1.0 / SUM(c) * 1000000) / 1000000.0
+             AS skew_ratio
+    FROM kc
+    """,
+    survey_rows="DQ-ext (join-key skew audit); A12,M10",
+    description="Join-key skew audit — the pre-flight diagnostic a "
+    "100 TB join needs before choosing salting/AQE-skew handling: key "
+    "cardinality, max and p99 rows-per-key, and the max/mean skew ratio "
+    "for the lineitem⋈orders key. One hash aggregation to key counts "
+    "(map-side combining — the scan never shuffles raw rows) and a "
+    "second tiny aggregation over the key-count frame with the "
+    "size-routed percentile. The output tells you whether "
+    "operators/skew.py's salting is needed (ratio ≈ 1 means no).",
+)
+def dq6_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    kc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    exact = agg.route_exact_percentile(kc, [], agg.EXACT_PERCENTILE_MAX_GROUP_ROWS)
+    return kc.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_rows_per_key"),
+        *agg.quantile_cols("c", [0.99], ["p99_rows_per_key"], exact),
+    ).select(
+        "n_keys",
+        "n_rows",
+        "max_rows_per_key",
+        "p99_rows_per_key",
+        q6(
+            F.col("max_rows_per_key") * F.col("n_keys") * 1.0 / F.col("n_rows")
+        ).alias("skew_ratio"),
     )
 
 
