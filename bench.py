@@ -114,6 +114,7 @@ HEADLINE = [
     "f18_winsorized_stats",
     "f19_target_encoding",
     "dq6_join_key_skew",
+    "mm6_audio_dft_bands",
 ]
 
 

@@ -307,6 +307,10 @@ DOC_EVENT_QUERIES = [
     # round-4e: winsorized stats (events-only; data-derived clip bounds
     # must interpolate identically on any seed's value spread)
     "f18_winsorized_stats",
+    # round-4e: DFT band energies (fixture payloads derive from doc_id
+    # only, so any regenerated documents table exercises the full
+    # encode → decode → spectral pipeline)
+    "mm6_audio_dft_bands",
 ]
 
 

@@ -527,3 +527,77 @@ def decode_audio_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=AUDIO_FEATURES)
+
+
+def dft_quantized_basis(period: int, scale: int = 10_000) -> tuple[list[int], list[int]]:
+    """Integer-quantized DFT basis for one bin: ``floor(cos(2πr/period)·scale)``
+    and the sine twin, for r in [0, period). Computed ONCE in Python and
+    embedded as literals on BOTH engines (the s3-hyperplane-constants trick),
+    so no cross-engine transcendental ever runs — every downstream product
+    and sum is exact integer arithmetic, which is what makes the spectral
+    features hash-verifiable. A DFT bin k over an N-sample window uses
+    ``period = N // k`` (cos(2πki/N) has period N/k in i)."""
+    import math
+
+    cos_q = [math.floor(math.cos(2 * math.pi * r / period) * scale) for r in range(period)]
+    sin_q = [math.floor(math.sin(2 * math.pi * r / period) * scale) for r in range(period)]
+    return cos_q, sin_q
+
+
+AUDIO_DFT = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("e_band4", T.DoubleType(), True),
+        T.StructField("e_band8", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_audio_dft_bands(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    n_fft: int = 256,
+) -> DataFrame:
+    """Audio decode → DFT band energies via ``mapInPandas``: REAL WAV parse
+    (:func:`decode_wav`), then the k=4 and k=8 bin energies of the first
+    ``n_fft`` samples, E_k = Sc² + Ss² with Sc = Σ s_i·cosq_k[i mod N/k] on
+    the :func:`dft_quantized_basis` integer basis. The correlation sums stay
+    in int64 (|s|·scale·N ≈ 8.6e10 ≪ 2^63); only the final squaring runs in
+    float64, identically associated on both engines. Partition-local like
+    every decode op — no shuffle."""
+    c4, s4 = dft_quantized_basis(n_fft // 4)
+    c8, s8 = dft_quantized_basis(n_fft // 8)
+    bases = [(np.array(c4), np.array(s4)), (np.array(c8), np.array(s8))]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, n_samp, e4s, e8s = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(did)
+                if payload is None:
+                    n_samp.append(None); e4s.append(None); e8s.append(None)
+                    continue
+                _, x = decode_wav(bytes(payload))
+                xl = x[:n_fft].astype(np.int64)
+                n_samp.append(len(xl))
+                idx = np.arange(len(xl))
+                energies = []
+                for cq, sq in bases:
+                    m = len(cq)
+                    sc = int((xl * cq[idx % m]).sum())
+                    ss = int((xl * sq[idx % m]).sum())
+                    energies.append(float(sc) * float(sc) + float(ss) * float(ss))
+                e4s.append(energies[0])
+                e8s.append(energies[1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_samples": pd.array(n_samp, dtype="Int64"),
+                    "e_band4": pd.array(e4s, dtype="float64"),
+                    "e_band8": pd.array(e8s, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=AUDIO_DFT)

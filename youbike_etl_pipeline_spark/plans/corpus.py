@@ -208,6 +208,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "r1_item_covisitation",
     # round-4e batch 6: winsorized stats, target encoding, skew audit
     "f18_winsorized_stats", "f19_target_encoding", "dq6_join_key_skew",
+    # round-4e batch 7: spectral band energy on binary audio
+    "mm6_audio_dft_bands",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -5193,17 +5195,14 @@ def t25_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _mm3_audio_sql(n_samples: int = 256) -> str:
-    """DuckDB mirror of the mm3 audio fixture+decode pipeline: PCM16
-    samples are md5-digest bytes (little-endian int16 pairs), so the oracle
-    re-derives every sample with md5 hex-digit arithmetic and recomputes
-    peak / zero-crossings (exact ints) and RMS (exact-int sum, /256 is an
-    exact FP division, sqrt is correctly rounded — round-6 for safety)."""
+def _audio_sample_ctes(n_samples: int = 256) -> str:
+    """Shared oracle fragment: re-derive every PCM16 sample of the audio
+    fixture (md5-digest bytes, little-endian int16 pairs) with md5
+    hex-digit arithmetic — the d/hx/bytes/samples CTE chain used by both
+    mm3 (time-domain features) and mm6 (spectral band energies)."""
     n = n_samples * 2
     blocks = (n + 15) // 16
-    header_len = 44  # RIFF(12) + fmt(24) + data header(8)
-    return f"""
-    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+    return f"""d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
     hx AS (
       SELECT d.doc_id, b.b, md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)) AS h
       FROM d, (SELECT unnest(generate_series(0, {blocks - 1})) AS b) b
@@ -5223,7 +5222,19 @@ def _mm3_audio_sql(n_samples: int = 256) -> str:
       FROM bytes lo JOIN bytes hi
         ON lo.doc_id = hi.doc_id AND hi.idx = lo.idx + 1
       WHERE lo.idx % 2 = 0
-    ),
+    )"""
+
+
+def _mm3_audio_sql(n_samples: int = 256) -> str:
+    """DuckDB mirror of the mm3 audio fixture+decode pipeline: PCM16
+    samples are md5-digest bytes (little-endian int16 pairs), so the oracle
+    re-derives every sample with md5 hex-digit arithmetic and recomputes
+    peak / zero-crossings (exact ints) and RMS (exact-int sum, /256 is an
+    exact FP division, sqrt is correctly rounded — round-6 for safety)."""
+    n = n_samples * 2
+    header_len = 44  # RIFF(12) + fmt(24) + data header(8)
+    return f"""
+    WITH {_audio_sample_ctes(n_samples)},
     lagged AS (
       SELECT doc_id, si, s,
              LAG(s) OVER (PARTITION BY doc_id ORDER BY si) AS prev
@@ -8605,6 +8616,70 @@ def dq6_join_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(
             F.col("max_rows_per_key") * F.col("n_keys") * 1.0 / F.col("n_rows")
         ).alias("skew_ratio"),
+    )
+
+
+def _mm6_dft_sql(n_fft: int = 256) -> str:
+    """Generated oracle for mm6: the sample re-derivation CTEs plus the
+    SAME integer-quantized DFT basis the Spark decoder uses
+    (``multimodal.dft_quantized_basis`` — computed once in Python,
+    embedded as VALUES literals here), correlation sums in exact decimal,
+    final squaring in double with identical association."""
+    from ..operators.multimodal import dft_quantized_basis
+
+    def values_rows(period: int) -> str:
+        cq, sq = dft_quantized_basis(period)
+        return ", ".join(f"({r}, {c}, {s})" for r, (c, s) in enumerate(zip(cq, sq)))
+
+    m4, m8 = n_fft // 4, n_fft // 8
+    return f"""
+    WITH {_audio_sample_ctes(n_fft)},
+    c4(r, c, s) AS (VALUES {values_rows(m4)}),
+    c8(r, c, s) AS (VALUES {values_rows(m8)}),
+    sums AS (
+      SELECT smp.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(SUM(CAST(smp.s * t4.c AS DECIMAL(38,0))) AS BIGINT) AS sc4,
+             CAST(SUM(CAST(smp.s * t4.s AS DECIMAL(38,0))) AS BIGINT) AS ss4,
+             CAST(SUM(CAST(smp.s * t8.c AS DECIMAL(38,0))) AS BIGINT) AS sc8,
+             CAST(SUM(CAST(smp.s * t8.s AS DECIMAL(38,0))) AS BIGINT) AS ss8
+      FROM samples smp
+      JOIN c4 t4 ON smp.si % {m4} = t4.r
+      JOIN c8 t8 ON smp.si % {m8} = t8.r
+      GROUP BY 1
+    )
+    SELECT doc_id, n_samples,
+           (CAST(sc4 AS DOUBLE) * CAST(sc4 AS DOUBLE))
+             + (CAST(ss4 AS DOUBLE) * CAST(ss4 AS DOUBLE)) AS e_band4,
+           (CAST(sc8 AS DOUBLE) * CAST(sc8 AS DOUBLE))
+             + (CAST(ss8 AS DOUBLE) * CAST(ss8 AS DOUBLE)) AS e_band8
+    FROM sums
+    """
+
+
+@register(
+    "mm6_audio_dft_bands",
+    _mm6_dft_sql(),
+    survey_rows="ext:multimodal-audio (spectral band energy, DFT); §2.9",
+    description="REAL spectral analysis on binary audio: decode the mono "
+    "PCM16 WAV payload (mm3's RIFF walker) and compute two DFT bin "
+    "energies (k=4 and k=8 of the 256-sample window) in Arrow-batched "
+    "mapInPandas — the feature a speech/audio curation pipeline uses for "
+    "band-energy screening. Cross-engine exactness WITHOUT trusting any "
+    "engine's cos/sin: the DFT basis is integer-quantized ONCE in Python "
+    "(multimodal.dft_quantized_basis) and embedded on both sides (the s3 "
+    "hyperplane-constants trick), the correlation sums are exact int64/"
+    "decimal, and only the final squaring runs in float64 — identically "
+    "associated, hence bit-identical. Partition-local decode, no "
+    "shuffle; the fixture payloads are SQL-rederivable md5 bytes, so the "
+    "oracle proves encode → RIFF parse → spectral feature end-to-end.",
+)
+def mm6_audio_dft_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_wav_payloads, decode_audio_dft_bands
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    return decode_audio_dft_bands(attach_wav_payloads(docs)).select(
+        "doc_id", "n_samples", "e_band4", "e_band8"
     )
 
 
