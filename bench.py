@@ -115,6 +115,8 @@ HEADLINE = [
     "f19_target_encoding",
     "dq6_join_key_skew",
     "mm6_audio_dft_bands",
+    "m17_levene_brown_forsythe",
+    "dq7_data_gaps",
 ]
 
 

@@ -311,6 +311,11 @@ DOC_EVENT_QUERIES = [
     # only, so any regenerated documents table exercises the full
     # encode → decode → spectral pipeline)
     "mm6_audio_dft_bands",
+    # round-4e: variance-homogeneity test and gap audit (events-only; the
+    # fixture's NULL values/ts and duplicate timestamps stress the median
+    # centering and the lag tie-break)
+    "m17_levene_brown_forsythe",
+    "dq7_data_gaps",
 ]
 
 

@@ -210,6 +210,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "f18_winsorized_stats", "f19_target_encoding", "dq6_join_key_skew",
     # round-4e batch 7: spectral band energy on binary audio
     "mm6_audio_dft_bands",
+    # round-4e batch 8: variance-homogeneity test, ingestion-gap audit
+    "m17_levene_brown_forsythe", "dq7_data_gaps",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -8680,6 +8682,120 @@ def mm6_audio_dft_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
     return decode_audio_dft_bands(attach_wav_payloads(docs)).select(
         "doc_id", "n_samples", "e_band4", "e_band8"
+    )
+
+
+@register(
+    "m17_levene_brown_forsythe",
+    f"""
+    WITH vals AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    med AS (
+      SELECT event_type, QUANTILE_CONT(value, 0.5) AS med FROM vals GROUP BY 1
+    ),
+    z AS (
+      SELECT v.event_type,
+             FLOOR(ABS(v.value - m.med) * 1000000) / 1000000.0 AS z
+      FROM vals v JOIN med m USING (event_type)
+    ),
+    s AS (
+      SELECT event_type AS grp, COUNT(z) AS n,
+             CAST(SUM(CAST(z AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             CAST(FLOOR(SUM(CAST(z AS DECIMAL(19,6)) * CAST(z AS DECIMAL(19,6)))) AS DOUBLE) AS sxx
+      FROM z GROUP BY 1
+    ),
+    t AS (
+      SELECT COUNT(*) AS k, CAST(SUM(n) AS BIGINT) AS "N",
+             CAST(SUM(CAST(sx AS DECIMAL(27,6))) AS DOUBLE) AS sx_tot,
+             CAST(SUM(CAST(sxx AS DECIMAL(27,0))) AS DOUBLE) AS sxx_tot,
+             CAST(SUM(CAST(FLOOR(sx * sx / n) AS DECIMAL(27,0))) AS DOUBLE) AS sg
+      FROM s
+    )
+    SELECT k, "N",
+           {SQL_Q6('''((sg - sx_tot * sx_tot / "N") / (k - 1))
+             / ((sxx_tot - sg) / ("N" - k))''')} AS w_stat,
+           k - 1 AS df_between,
+           "N" - k AS df_within
+    FROM t
+    """,
+    survey_rows="M-ext (Brown-Forsythe/Levene variance homogeneity); M4,M10",
+    description="Brown-Forsythe test (Levene with median centering) for "
+    "homogeneity of variances across event types — the assumption check "
+    "that decides whether M4's ANOVA or M2's Welch route applies: "
+    "z = |x − group median| (exact percentile medians, size-routed), "
+    "6-dp floor-quantized so every downstream decimal cast is exact, "
+    "then the one-way ANOVA F machinery on z (stats/inference.py:: "
+    "anova_oneway — exact decimal sufficient sums re-aggregated over the "
+    "tiny per-group frame). Two hash aggregations + one broadcast median "
+    "join; the float formula applies once to identical sums.",
+)
+def m17_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..stats.inference import anova_oneway
+
+    vals = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    med = agg.group_quantiles(
+        vals, ["event_type"], "value", [0.5], ["med"], round_to=None
+    )
+    z = vals.join(F.broadcast(med), "event_type").select(
+        "event_type", q6(F.abs(F.col("value") - F.col("med"))).alias("z")
+    )
+    out = anova_oneway(z, "event_type", "z")
+    return out.select(
+        "k",
+        "N",
+        q6(F.col("f_stat")).alias("w_stat"),
+        "df_between",
+        "df_within",
+    )
+
+
+@register(
+    "dq7_data_gaps",
+    """
+    WITH e AS (
+      SELECT event_type, event_id, ts FROM events WHERE ts IS NOT NULL
+    ),
+    lagged AS (
+      SELECT event_type, ts,
+             LAG(ts) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+      FROM e
+    )
+    SELECT event_type, prev AS gap_start, ts AS gap_end,
+           epoch(ts) - epoch(prev) AS gap_s
+    FROM lagged
+    WHERE prev IS NOT NULL AND epoch(ts) - epoch(prev) > 1800
+    ORDER BY gap_s DESC, event_type, gap_start
+    LIMIT 20
+    """,
+    survey_rows="DQ-ext (ingestion outage detection); W1,W9",
+    description="Data-gap audit — the 'when did ingestion go dark' "
+    "diagnostic (the reference's cron feed showed exactly this failure "
+    "mode: its uptime claims in BASELINE.md imply gap monitoring): per "
+    "event type, the top-20 longest silences, i.e. consecutive-event "
+    "spans over 30 minutes. One lag window partitioned by type with a "
+    "unique tie-break (w1's single-shuffle shape) and a "
+    "TakeOrderedAndProject — at scale this runs per partition-pruned "
+    "day-slice, not over all history. Gap seconds are the micros-exact "
+    "epoch pattern, so the filter and ordering cannot drift.",
+)
+def dq7_data_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = ev.select(
+        "event_type", "ts", F.lag("ts").over(w).alias("prev")
+    )
+    gap_s = F.col("ts").cast("double") - F.col("prev").cast("double")
+    return (
+        lagged.filter(F.col("prev").isNotNull() & (gap_s > 1800))
+        .select(
+            "event_type",
+            F.col("prev").alias("gap_start"),
+            F.col("ts").alias("gap_end"),
+            gap_s.alias("gap_s"),
+        )
+        .orderBy(F.desc("gap_s"), "event_type", "gap_start")
+        .limit(20)
     )
 
 
