@@ -117,6 +117,8 @@ HEADLINE = [
     "mm6_audio_dft_bands",
     "m17_levene_brown_forsythe",
     "dq7_data_gaps",
+    "m18_two_proportion_ztest",
+    "e2_embedding_drift",
 ]
 
 

@@ -316,6 +316,11 @@ DOC_EVENT_QUERIES = [
     # centering and the lag tie-break)
     "m17_levene_brown_forsythe",
     "dq7_data_gaps",
+    # round-4e: two-proportion z-test (events-only) and embedding drift
+    # (the embeddings fixture's NULL/zero/duplicate vectors stress the
+    # per-dim means and the null filter)
+    "m18_two_proportion_ztest",
+    "e2_embedding_drift",
 ]
 
 

@@ -212,6 +212,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "mm6_audio_dft_bands",
     # round-4e batch 8: variance-homogeneity test, ingestion-gap audit
     "m17_levene_brown_forsythe", "dq7_data_gaps",
+    # round-4e batch 9: A/B-test primitive, embedding drift monitor
+    "m18_two_proportion_ztest", "e2_embedding_drift",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -8796,6 +8798,156 @@ def dq7_data_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("gap_s"), "event_type", "gap_start")
         .limit(20)
+    )
+
+
+@register(
+    "m18_two_proportion_ztest",
+    f"""
+    WITH s AS (
+      SELECT
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN event_type = 'click' AND value > 250 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN event_type = 'purchase' AND value > 250 THEN 1 ELSE 0 END) AS BIGINT) AS x2
+      FROM events WHERE value IS NOT NULL
+    ),
+    f AS (
+      SELECT n1, x1, n2, x2,
+             (x1 + x2) * 1.0 / (n1 + n2) AS p
+      FROM s
+    )
+    SELECT n1, x1, n2, x2,
+           CASE WHEN p > 0 AND p < 1 AND n1 > 0 AND n2 > 0 THEN
+             {SQL_Q6('''(x1 * 1.0 / n1 - x2 * 1.0 / n2)
+               / SQRT(p * (1.0 - p) * (1.0 / n1 + 1.0 / n2))''')}
+           END AS z
+    FROM f
+    """,
+    survey_rows="M-ext (two-proportion z-test); A4,M2",
+    description="Two-proportion z-test — the A/B-test primitive (is the "
+    "high-value rate different between click and purchase events?): "
+    "pooled-proportion z from four exact integer counts in ONE scan "
+    "(conditional aggregation, no join, no second pass), the float "
+    "formula applied once to identical integers on both engines, "
+    "degenerate pools (p∈{{0,1}} or an empty arm) guarded to NULL.",
+)
+def m18_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    s = ev.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n1"),
+        F.sum(
+            F.when((F.col("event_type") == "click") & (F.col("value") > 250), 1).otherwise(0)
+        ).alias("x1"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 250), 1).otherwise(0)
+        ).alias("x2"),
+    )
+    p = (F.col("x1") + F.col("x2")) * F.lit(1.0) / (F.col("n1") + F.col("n2"))
+    withp = s.select("n1", "x1", "n2", "x2", p.alias("p"))
+    z = (
+        F.col("x1") * F.lit(1.0) / F.col("n1")
+        - F.col("x2") * F.lit(1.0) / F.col("n2")
+    ) / F.sqrt(
+        F.col("p")
+        * (F.lit(1.0) - F.col("p"))
+        * (F.lit(1.0) / F.col("n1") + F.lit(1.0) / F.col("n2"))
+    )
+    guard = (
+        (F.col("p") > 0)
+        & (F.col("p") < 1)
+        & (F.col("n1") > 0)
+        & (F.col("n2") > 0)
+    )
+    return withp.select(
+        "n1", "x1", "n2", "x2", F.when(guard, q6(z)).alias("z")
+    )
+
+
+@register(
+    "e2_embedding_drift",
+    """
+    WITH elems AS (
+      SELECT e.vec_id % 2 AS half, d.d,
+             FLOOR(CAST(e.embedding[d.d] AS DOUBLE) * 1000000) / 1000000.0 AS x
+      FROM embeddings e, LATERAL (
+        SELECT unnest(generate_series(1, 64)) AS d
+      ) d
+      WHERE e.embedding IS NOT NULL
+    ),
+    dims AS (
+      SELECT d,
+             CAST(SUM(CASE WHEN half = 0 THEN CAST(x AS DECIMAL(27,6)) END) AS DOUBLE)
+               / SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS m0,
+             CAST(SUM(CASE WHEN half = 1 THEN CAST(x AS DECIMAL(27,6)) END) AS DOUBLE)
+               / SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS m1
+      FROM elems GROUP BY 1
+    ),
+    diffs AS (
+      SELECT d, FLOOR((m1 - m0) * (m1 - m0) * 1000000) / 1000000.0 AS d2,
+             FLOOR(ABS(m1 - m0) * 1000000) / 1000000.0 AS ad
+      FROM dims
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+           FLOOR(SQRT(CAST(SUM(CAST(d2 AS DECIMAL(27,6))) AS DOUBLE)) * 1000000)
+             / 1000000.0 AS drift_l2,
+           MAX(ad) AS max_dim_shift,
+           CAST(MIN(CASE WHEN ad = (SELECT MAX(ad) FROM diffs) THEN d END) AS BIGINT)
+             AS top_dim
+    FROM diffs
+    """,
+    survey_rows="ext:embedding drift monitoring; A1,similarity family",
+    description="Embedding drift detection — the ML-ops check that a "
+    "re-embedded or newly-ingested corpus still lives in the same space "
+    "(centroid shift between the two vec_id-parity halves standing in "
+    "for old/new snapshots): per-dimension exact-decimal means on the "
+    "6-dp-floored float32 values (so every decimal cast is exact), the "
+    "L2 norm of the 64-dim centroid difference, the worst-shifted "
+    "dimension, and its magnitude. One explode + one 64-group hash "
+    "aggregation + a 64-row reduction — the per-dim mean frame is "
+    "dimension-sized, never corpus-sized, so the same plan holds at "
+    "100 TB. Every product is floored before the decimal sum and the "
+    "final sqrt runs on identical doubles.",
+)
+def e2_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    elems = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("p", "xf"),
+    ).select(
+        "half",
+        (F.col("p") + 1).alias("d"),
+        q6(F.col("xf").cast("double")).alias("x"),
+    )
+    halfsum = lambda h: (  # noqa: E731
+        F.sum(F.when(F.col("half") == h, F.col("x").cast("decimal(27,6)"))).cast(
+            "double"
+        )
+        / F.sum(F.when(F.col("half") == h, 1).otherwise(0))
+    )
+    dims = elems.groupBy("d").agg(
+        halfsum(0).alias("m0"), halfsum(1).alias("m1")
+    )
+    diff = F.col("m1") - F.col("m0")
+    diffs = dims.select(
+        "d",
+        q6(diff * diff).alias("d2"),
+        q6(F.abs(diff)).alias("ad"),
+    )
+    mx = diffs.agg(F.max("ad").alias("mx"))
+    return (
+        diffs.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            q6(
+                F.sqrt(F.sum(F.col("d2").cast("decimal(27,6)")).cast("double"))
+            ).alias("drift_l2"),
+            F.max("ad").alias("max_dim_shift"),
+            F.min(
+                F.when(F.col("ad") == F.col("mx"), F.col("d"))
+            ).cast("long").alias("top_dim"),
+        )
     )
 
 
