@@ -119,6 +119,7 @@ HEADLINE = [
     "dq7_data_gaps",
     "m18_two_proportion_ztest",
     "e2_embedding_drift",
+    "m19_lag1_autocorrelation",
 ]
 
 

@@ -321,6 +321,9 @@ DOC_EVENT_QUERIES = [
     # per-dim means and the null filter)
     "m18_two_proportion_ztest",
     "e2_embedding_drift",
+    # round-4e: lag-1 autocorrelation (events-only; duplicate timestamps
+    # in the fixture stress the window tie-break)
+    "m19_lag1_autocorrelation",
 ]
 
 

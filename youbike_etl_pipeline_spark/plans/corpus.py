@@ -214,6 +214,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "m17_levene_brown_forsythe", "dq7_data_gaps",
     # round-4e batch 9: A/B-test primitive, embedding drift monitor
     "m18_two_proportion_ztest", "e2_embedding_drift",
+    # round-4e batch 10: time-series stickiness diagnostic
+    "m19_lag1_autocorrelation",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -8948,6 +8950,84 @@ def e2_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("ad") == F.col("mx"), F.col("d"))
             ).cast("long").alias("top_dim"),
         )
+    )
+
+
+@register(
+    "m19_lag1_autocorrelation",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS xc,
+             event_id, ts
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    lagged AS (
+      SELECT event_type, xc AS y,
+             LAG(xc) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS x
+      FROM base
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      FROM lagged WHERE x IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN ROUND((n * sxy - sx * sy)
+                     / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS acf1
+    FROM s
+    """,
+    survey_rows="M-ext (lag-1 autocorrelation); M13,W1",
+    description="Lag-1 autocorrelation of event values per type — the "
+    "time-series diagnostic (is the value stream i.i.d. or sticky?) that "
+    "complements m13's cross-correlation: consecutive (prev, curr) pairs "
+    "from w1's single-shuffle lag window with a unique tie-break, then "
+    "Pearson on the pair stream from exact integer sufficient statistics "
+    "(cents in DECIMAL(38,0), the m13 discipline) — one window + one "
+    "aggregation, the float formula applied once to identical integers, "
+    "zero-variance series guarded to NULL.",
+)
+def m19_lag1_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("xc"),
+        "event_id",
+        "ts",
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    lagged = base.select(
+        "event_type",
+        F.col("xc").alias("y"),
+        F.lag("xc").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    s = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    acf1 = (n * sxy - sx * sy) / F.sqrt(denom)
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n_pairs"),
+        F.when(denom > 0, F.round(acf1, 6)).alias("acf1"),
     )
 
 
