@@ -120,6 +120,7 @@ HEADLINE = [
     "m18_two_proportion_ztest",
     "e2_embedding_drift",
     "m19_lag1_autocorrelation",
+    "g1_item_pagerank",
 ]
 
 

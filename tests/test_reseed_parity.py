@@ -324,6 +324,10 @@ DOC_EVENT_QUERIES = [
     # round-4e: lag-1 autocorrelation (events-only; duplicate timestamps
     # in the fixture stress the window tie-break)
     "m19_lag1_autocorrelation",
+    # round-4e: PageRank over the co-visitation graph (events-only; the
+    # edge threshold and per-iteration quantization must agree on any
+    # seed's item graph, including degenerate few-edge graphs)
+    "g1_item_pagerank",
 ]
 
 
