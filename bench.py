@@ -121,6 +121,8 @@ HEADLINE = [
     "e2_embedding_drift",
     "m19_lag1_autocorrelation",
     "g1_item_pagerank",
+    "g2_triangle_clustering",
+    "w20_cusum_change_point",
 ]
 
 

@@ -328,6 +328,11 @@ DOC_EVENT_QUERIES = [
     # edge threshold and per-iteration quantization must agree on any
     # seed's item graph, including degenerate few-edge graphs)
     "g1_item_pagerank",
+    # round-4e: triangle counting (same graph, triangle-free degenerate
+    # seeds exercise the LEFT JOIN zero path) and CUSUM change points
+    # (duplicate timestamps stress both window tie-breaks)
+    "g2_triangle_clustering",
+    "w20_cusum_change_point",
 ]
 
 

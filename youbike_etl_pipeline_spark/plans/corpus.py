@@ -218,6 +218,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "m19_lag1_autocorrelation",
     # round-4e batch 11: iterative graph algorithm with a full oracle
     "g1_item_pagerank",
+    # round-4e batch 12: triangle counting, CUSUM change-point detection
+    "g2_triangle_clustering", "w20_cusum_change_point",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -9147,6 +9149,205 @@ def g1_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item", "deg", "pr")
         .orderBy(F.desc("pr"), "item")
         .limit(20)
+    )
+
+
+@register(
+    "g2_triangle_clustering",
+    """
+    WITH ui AS (
+      SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS INT) AS item
+      FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+    ),
+    e AS (
+      SELECT a.item AS i, b.item AS j
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    deg AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT i AS v FROM e UNION ALL SELECT j AS v FROM e
+      ) GROUP BY 1
+    ),
+    tri AS (
+      SELECT e1.i AS a, e1.j AS b, e2.j AS c
+      FROM e e1
+      JOIN e e2 ON e2.i = e1.j
+      JOIN e e3 ON e3.i = e1.i AND e3.j = e2.j
+    ),
+    pernode AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS v FROM tri UNION ALL SELECT b AS v FROM tri
+        UNION ALL SELECT c AS v FROM tri
+      ) GROUP BY 1
+    )
+    SELECT d.v AS item, d.deg,
+           COALESCE(p.n_tri, 0) AS n_triangles,
+           CASE WHEN d.deg >= 2 THEN
+             FLOOR(2.0 * COALESCE(p.n_tri, 0) / (d.deg * (d.deg - 1)) * 1000000)
+               / 1000000.0
+           END AS clustering_coef
+    FROM deg d LEFT JOIN pernode p ON p.v = d.v
+    ORDER BY n_triangles DESC, item
+    LIMIT 20
+    """,
+    survey_rows="ext:graph-triangles (clustering coefficient); J1,A12",
+    description="Triangle counting + local clustering coefficients on the "
+    "co-visitation item graph — the graph-density diagnostic that "
+    "complements g1's PageRank and t10's connected components: each "
+    "triangle is found ONCE via the ordered-edge join (i<j<k — e(i,j) ⋈ "
+    "e(j,k) ⋈ closing e(i,k), the standard distributed-triangle "
+    "enumeration; at scale edges are oriented low-degree→high-degree "
+    "first, which bounds the wedge fan-out by the degeneracy), then each "
+    "vertex's triangle count feeds C_v = 2T_v/(deg_v·(deg_v−1)). All "
+    "joins are equi-joins on vertex ids; counts are exact integers and "
+    "the one coefficient division is floor-quantized.",
+)
+def g2_triangle_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    item = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    ui = (
+        ev.select("user_id", item.alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    e = (
+        ui.toDF("user_id", "i")
+        .join(ui.toDF("user_id", "j"), "user_id")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+        .select("i", "j")
+    )
+    deg = (
+        e.select(F.col("i").alias("v"))
+        .unionByName(e.select(F.col("j").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = (
+        e.toDF("a", "b")
+        .join(e.toDF("b", "c"), "b")
+        .join(e.toDF("a", "c"), ["a", "c"])
+        .select("a", "b", "c")
+    )
+    pernode = (
+        tri.select(F.col("a").alias("v"))
+        .unionByName(tri.select(F.col("b").alias("v")))
+        .unionByName(tri.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    coef = F.when(
+        F.col("deg") >= 2,
+        q6(
+            F.lit(2.0)
+            * F.col("n_triangles")
+            / (F.col("deg") * (F.col("deg") - 1))
+        ),
+    )
+    return (
+        deg.join(pernode, deg.v == pernode.v, "left")
+        .select(
+            deg.v.alias("item"),
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+        )
+        .select("item", "deg", "n_triangles", coef.alias("clustering_coef"))
+        .orderBy(F.desc("n_triangles"), "item")
+        .limit(20)
+    )
+
+
+@register(
+    "w20_cusum_change_point",
+    f"""
+    WITH vals AS (
+      SELECT event_type, event_id, ts, value FROM events
+      WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    mu AS (
+      SELECT event_type, {SQL_DAVG('value')} AS mu FROM vals GROUP BY 1
+    ),
+    dev AS (
+      SELECT v.event_type, v.event_id, v.ts,
+             FLOOR((v.value - m.mu) * 1000000) / 1000000.0 AS d
+      FROM vals v JOIN mu m USING (event_type)
+    ),
+    cum AS (
+      SELECT event_type, event_id, ts,
+             CAST(SUM(CAST(d AS DECIMAL(27,6))) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) AS s
+      FROM dev
+    ),
+    ranked AS (
+      SELECT event_type, ts, s,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY ABS(s) DESC, ts, event_id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM cum
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           FLOOR(ABS(s) * 1000000) / 1000000.0 AS max_cusum_abs,
+           ts AS change_point_ts
+    FROM ranked WHERE rn = 1
+    """,
+    survey_rows="W-ext (CUSUM change-point detection); W1,M9",
+    description="CUSUM change-point detection per event type — the "
+    "'did the value distribution shift, and when' monitor: cumulative "
+    "sum of mean-centered deviations along event order, with the "
+    "maximum-|CUSUM| position reported as the candidate change point. "
+    "Deviations are 6-dp floored so the running window SUM is exact "
+    "decimal (order-independent within the frame), the cumulative "
+    "window and the argmax ranking both partition by type with unique "
+    "tie-breaks (w1's shape — at 100 TB the prefix sum routes through "
+    "m11's range-bucketed two-phase form), and the type means are "
+    "decimal-exact.",
+)
+def w20_cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregations import decimal_avg
+
+    vals = _t(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    )
+    mu = vals.groupBy("event_type").agg(decimal_avg(F.col("value")).alias("mu"))
+    dev = vals.join(F.broadcast(mu), "event_type").select(
+        "event_type",
+        "event_id",
+        "ts",
+        q6(F.col("value") - F.col("mu")).alias("d"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = dev.select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.sum(F.col("d").cast("decimal(27,6)")).over(w_cum).cast("double").alias("s"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    ranked = cum.select(
+        "event_type",
+        "ts",
+        "s",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        q6(F.abs(F.col("s"))).alias("max_cusum_abs"),
+        F.col("ts").alias("change_point_ts"),
     )
 
 
