@@ -70,6 +70,22 @@ QUERIES = [
     "w19_rolling_distinct_users",
     "ev6_linear_attribution",
     "t37_jaccard_threshold_sweep",
+    # r4e batch 2: basket-bounded co-visitation self-join, winsorize/
+    # target-encode/skew-audit aggregations, spectral decode, rank stats,
+    # gap/change-point windows, drift reduction, iterative graph ops
+    "r1_item_covisitation",
+    "f18_winsorized_stats",
+    "f19_target_encoding",
+    "dq6_join_key_skew",
+    "mm6_audio_dft_bands",
+    "m17_levene_brown_forsythe",
+    "dq7_data_gaps",
+    "m18_two_proportion_ztest",
+    "e2_embedding_drift",
+    "m19_lag1_autocorrelation",
+    "g1_item_pagerank",
+    "g2_triangle_clustering",
+    "w20_cusum_change_point",
 ]
 
 SCALE_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
