@@ -123,6 +123,7 @@ HEADLINE = [
     "g1_item_pagerank",
     "g2_triangle_clustering",
     "w20_cusum_change_point",
+    "m20_kaplan_meier",
 ]
 
 

@@ -333,6 +333,9 @@ DOC_EVENT_QUERIES = [
     # (duplicate timestamps stress both window tie-breaks)
     "g2_triangle_clustering",
     "w20_cusum_change_point",
+    # round-4e: Kaplan-Meier (events-only; seeds where every/no user
+    # errors exercise the censor-all and die-out branches)
+    "m20_kaplan_meier",
 ]
 
 

@@ -220,6 +220,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "g1_item_pagerank",
     # round-4e batch 12: triangle counting, CUSUM change-point detection
     "g2_triangle_clustering", "w20_cusum_change_point",
+    # round-4e batch 13: survival analysis
+    "m20_kaplan_meier",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -9349,6 +9351,141 @@ def w20_cusum_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.abs(F.col("s"))).alias("max_cusum_abs"),
         F.col("ts").alias("change_point_ts"),
     )
+
+
+@register(
+    "m20_kaplan_meier",
+    """
+    WITH u AS (
+      SELECT user_id, MIN(ts) AS f FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ),
+    err AS (
+      SELECT user_id, MIN(ts) AS e FROM events
+      WHERE event_type = 'error' AND ts IS NOT NULL GROUP BY 1
+    ),
+    subj AS (
+      SELECT u.user_id,
+             CASE WHEN err.e IS NOT NULL
+                       AND datediff('day', CAST(u.f AS DATE), CAST(err.e AS DATE)) < 3
+                  THEN datediff('day', CAST(u.f AS DATE), CAST(err.e AS DATE))
+                  ELSE 3 END AS tau,
+             CASE WHEN err.e IS NOT NULL
+                       AND datediff('day', CAST(u.f AS DATE), CAST(err.e AS DATE)) < 3
+                  THEN 1 ELSE 0 END AS died
+      FROM u LEFT JOIN err ON u.user_id = err.user_id
+    ),
+    byday AS (
+      SELECT tau AS day, CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(died) AS BIGINT) AS n_events
+      FROM subj GROUP BY 1
+    ),
+    risk AS (
+      SELECT day, n_events,
+             CAST((SELECT COUNT(*) FROM subj)
+               - COALESCE(SUM(n_total) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_risk
+      FROM byday
+    ),
+    terms AS (
+      SELECT day, n_risk, n_events,
+             CASE WHEN n_events < n_risk
+                  THEN FLOOR(LN((n_risk - n_events) * 1.0 / n_risk) * 1000000)
+                       / 1000000.0
+                  ELSE NULL END AS lnterm,
+             CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END AS wiped
+      FROM risk
+    ),
+    curve AS (
+      SELECT day, n_risk, n_events,
+             CAST(SUM(CAST(COALESCE(lnterm, 0) AS DECIMAL(27,6))) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS DOUBLE) AS cumln,
+             SUM(wiped) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_wiped
+      FROM terms
+    )
+    SELECT day, n_risk, n_events,
+           CASE WHEN n_wiped > 0 THEN 0.0
+                ELSE FLOOR(EXP(cumln) * 1000000) / 1000000.0 END AS survival
+    FROM curve
+    ORDER BY day
+    """,
+    survey_rows="M-ext (Kaplan-Meier survival, right-censored); M1,W4",
+    description="Kaplan-Meier survival curve for time-to-first-error with "
+    "administrative right-censoring at a 3-day observation window — the "
+    "survival-analysis member of the inference family (churn/failure "
+    "curves are this exact shape): per-user duration from first event, "
+    "at-risk counts via a reverse cumulative over the tiny per-day frame, "
+    "and the product-limit estimator computed in log space — each "
+    "ln(1 − d/n) factor is 6-dp floor-bracketed (t31's LN discipline), "
+    "the cumulative sum is exact decimal, and the final EXP is bracketed "
+    "again, so the product cannot drift across engines; a stratum that "
+    "dies out entirely (d = n) pins survival to exactly 0 from there on. "
+    "Two user-keyed aggregations + day-frame windows (day-cardinality "
+    "sized, never corpus-sized).",
+)
+def m20_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    u = ev.groupBy("user_id").agg(F.min("ts").alias("f"))
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("e"))
+    )
+    dd = F.datediff(F.col("e").cast("date"), F.col("f").cast("date"))
+    in_window = F.col("e").isNotNull() & (dd < 3)
+    subj = u.join(err, "user_id", "left").select(
+        "user_id",
+        F.when(in_window, dd).otherwise(F.lit(3)).alias("tau"),
+        F.when(in_window, 1).otherwise(0).alias("died"),
+    )
+    byday = subj.groupBy(F.col("tau").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_total"), F.sum("died").alias("n_events")
+    )
+    n_all = subj.agg(F.count(F.lit(1)).alias("n_all"))
+    w_prior = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    risk = (
+        byday.crossJoin(F.broadcast(n_all))
+        .select(
+            "day",
+            "n_events",
+            (
+                F.col("n_all")
+                - F.coalesce(F.sum("n_total").over(w_prior), F.lit(0))
+            ).alias("n_risk"),
+        )
+    )
+    lnterm = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        q6(
+            F.log(
+                (F.col("n_risk") - F.col("n_events"))
+                * F.lit(1.0)
+                / F.col("n_risk")
+            )
+        ),
+    )
+    wiped = F.when(F.col("n_events") >= F.col("n_risk"), 1).otherwise(0)
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    curve = risk.select(
+        "day",
+        "n_risk",
+        "n_events",
+        F.sum(F.coalesce(lnterm, F.lit(0.0)).cast("decimal(27,6)"))
+        .over(w_cum)
+        .cast("double")
+        .alias("cumln"),
+        F.sum(wiped).over(w_cum).alias("n_wiped"),
+    )
+    return curve.select(
+        "day",
+        "n_risk",
+        "n_events",
+        F.when(F.col("n_wiped") > 0, F.lit(0.0))
+        .otherwise(q6(F.exp(F.col("cumln"))))
+        .alias("survival"),
+    ).orderBy("day")
 
 
 # ===========================================================================
