@@ -124,6 +124,7 @@ HEADLINE = [
     "g2_triangle_clustering",
     "w20_cusum_change_point",
     "m20_kaplan_meier",
+    "st10_streaming_drift_monitor",
 ]
 
 

@@ -336,6 +336,10 @@ DOC_EVENT_QUERIES = [
     # round-4e: Kaplan-Meier (events-only; seeds where every/no user
     # errors exercise the censor-all and die-out branches)
     "m20_kaplan_meier",
+    # round-4e: streaming drift monitor (embeddings-only; NULL/zero/dup
+    # vectors must drop identically through the partials path, and the
+    # merged partials must still hit e2's oracle on any seed)
+    "st10_streaming_drift_monitor",
 ]
 
 

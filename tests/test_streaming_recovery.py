@@ -176,3 +176,55 @@ def test_transform_with_state_stream_or_honest_gate(spark, sf_small):
         )
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_drift_partials_split_invariant(spark, sf_small, tmp_path):
+    """st10's core claim: the per-dim drift partials merge EXACTLY across
+    any micro-batch split. Stream the 'new' embeddings half as three files
+    with maxFilesPerTrigger=1 (three micro-batches), merge the integer
+    partials, and require the per-dim means to equal the one-batch
+    computation bit-for-bit."""
+    import os
+
+    from pyspark.sql import functions as SF
+
+    from youbike_etl_pipeline_spark.streaming.ingest import (
+        drift_partials_foreach_batch,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_small, "embeddings.parquet")).filter(
+        SF.col("embedding").isNotNull() & (SF.col("vec_id") % 2 == 1)
+    )
+    src = str(tmp_path / "emb_slices")
+    for i in range(3):
+        emb.filter(SF.col("vec_id") % 3 == i).write.mode("overwrite").parquet(
+            f"{src}/slice{i}"
+        )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink: list = []
+    drift_partials_foreach_batch(stream, sink)
+    assert len(sink) >= 3  # genuinely split into multiple micro-batches
+
+    rows = [r for _, batch in sink for r in batch]
+    merged = (
+        spark.createDataFrame(rows, schema="d long, cnt long, sxi long")
+        .groupBy("d")
+        .agg(SF.sum("cnt").alias("cnt"), SF.sum("sxi").alias("sxi"))
+    )
+    one_shot = (
+        emb.select(SF.posexplode("embedding").alias("p", "xf"))
+        .select(
+            (SF.col("p") + 1).alias("d"),
+            SF.floor(SF.col("xf").cast("double") * 1000000).cast("long").alias("xi"),
+        )
+        .groupBy("d")
+        .agg(SF.count(SF.lit(1)).alias("cnt"), SF.sum("xi").alias("sxi"))
+    )
+    got = {r["d"]: (r["cnt"], r["sxi"]) for r in merged.collect()}
+    want = {r["d"]: (r["cnt"], r["sxi"]) for r in one_shot.collect()}
+    assert got == want

@@ -222,6 +222,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "g2_triangle_clustering", "w20_cusum_change_point",
     # round-4e batch 13: survival analysis
     "m20_kaplan_meier",
+    # round-4e batch 14: streaming drift monitor (e2's foreachBatch twin)
+    "st10_streaming_drift_monitor",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -9486,6 +9488,78 @@ def m20_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(q6(F.exp(F.col("cumln"))))
         .alias("survival"),
     ).orderBy("day")
+
+
+@register(
+    "st10_streaming_drift_monitor",
+    None,  # patched to e2's oracle right below — the two must stay in lockstep
+    survey_rows="§2.8 streaming ext (incremental drift monitor); ext:e2 twin",
+    description="Streaming twin of e2's embedding-drift monitor — the "
+    "shape a production pipeline actually runs (score each incoming "
+    "embedding batch against the frozen baseline): the 'new' corpus half "
+    "streams through foreachBatch, each micro-batch reduces to "
+    "per-dimension MERGEABLE integer partials (dim, count, Σ floor(x·10⁶)) "
+    "— 64 rows per batch, state never grows — and the merged partials "
+    "reproduce e2's per-dim means BIT-FOR-BIT (integer partials merge "
+    "exactly under any micro-batch split; double(Σxi)/10⁶ equals the "
+    "decimal-sum-to-double cast because both are correctly-rounded images "
+    "of the same rational). The oracle IS e2's oracle — streaming and "
+    "batch must agree exactly, which is the strongest split-invariance "
+    "statement the gate can express.",
+)
+def st10_streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import (
+        drift_partials_foreach_batch,
+        read_embeddings_stream,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
+    elems0 = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.posexplode("embedding").alias("p", "xf")
+    ).select(
+        (F.col("p") + 1).alias("d"), q6(F.col("xf").cast("double")).alias("x")
+    )
+    m0 = elems0.groupBy("d").agg(
+        (
+            F.sum(F.col("x").cast("decimal(27,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("m0")
+    )
+    stream = read_embeddings_stream(spark, sf_dir).filter(
+        F.col("vec_id") % 2 == 1
+    )
+    sink: list = []
+    drift_partials_foreach_batch(stream, sink)
+    rows = [r for _, batch in sink for r in batch]
+    partials = spark.createDataFrame(rows, schema="d long, cnt long, sxi long")
+    m1 = partials.groupBy("d").agg(
+        (
+            F.sum("sxi").cast("double") / F.lit(1000000.0) / F.sum("cnt")
+        ).alias("m1")
+    )
+    dims = m0.join(m1, "d")
+    diff = F.col("m1") - F.col("m0")
+    diffs = dims.select(
+        "d", q6(diff * diff).alias("d2"), q6(F.abs(diff)).alias("ad")
+    )
+    mx = diffs.agg(F.max("ad").alias("mx"))
+    return (
+        diffs.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count(F.lit(1)).alias("n_dims"),
+            q6(
+                F.sqrt(F.sum(F.col("d2").cast("decimal(27,6)")).cast("double"))
+            ).alias("drift_l2"),
+            F.max("ad").alias("max_dim_shift"),
+            F.min(F.when(F.col("ad") == F.col("mx"), F.col("d")))
+            .cast("long")
+            .alias("top_dim"),
+        )
+    )
+
+
+# streaming and batch drift must stay in lockstep: same oracle text.
+CORPUS["st10_streaming_drift_monitor"].oracle = CORPUS["e2_embedding_drift"].oracle
 
 
 # ===========================================================================
