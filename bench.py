@@ -125,6 +125,7 @@ HEADLINE = [
     "w20_cusum_change_point",
     "m20_kaplan_meier",
     "st10_streaming_drift_monitor",
+    "t38_sketch_accuracy_audit",
 ]
 
 

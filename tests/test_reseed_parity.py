@@ -340,6 +340,10 @@ DOC_EVENT_QUERIES = [
     # vectors must drop identically through the partials path, and the
     # merged partials must still hit e2's oracle on any seed)
     "st10_streaming_drift_monitor",
+    # round-4e: sketch-accuracy audit (documents-only; the duplicate docs
+    # in the fixture give candidate pairs on any seed, and est==exact==1
+    # for verbatim copies pins the zero-error path)
+    "t38_sketch_accuracy_audit",
 ]
 
 

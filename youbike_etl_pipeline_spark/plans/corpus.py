@@ -224,6 +224,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "m20_kaplan_meier",
     # round-4e batch 14: streaming drift monitor (e2's foreachBatch twin)
     "st10_streaming_drift_monitor",
+    # round-4e batch 15: MinHash estimator-error audit
+    "t38_sketch_accuracy_audit",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -9560,6 +9562,194 @@ def st10_streaming_drift_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # streaming and batch drift must stay in lockstep: same oracle text.
 CORPUS["st10_streaming_drift_monitor"].oracle = CORPUS["e2_embedding_drift"].oracle
+
+
+def _t38_sketch_audit_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """Generated oracle for t38: t7's portable MinHash pipeline, but instead
+    of dropping the signatures after banding, the candidate pairs are scored
+    BOTH ways — MinHash match-fraction estimate AND exact Jaccard — and the
+    estimator's error distribution is reported."""
+    from ..operators.dedup import MINHASH_P, minhash_coeffs
+
+    rows_per_band = num_hashes // bands
+    coeffs = minhash_coeffs(num_hashes)
+    min_exprs = ",\n        ".join(
+        f"MIN(({a} * sh + {b}) % {MINHASH_P}) AS h{i}" for i, (a, b) in enumerate(coeffs)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band_idx, concat_ws(',', {cols}) AS band_key FROM sig".format(
+            bi=bi,
+            cols=", ".join(f"h{bi * rows_per_band + j}" for j in range(rows_per_band)),
+        )
+        for bi in range(bands)
+    )
+    match_sum = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return f"""
+    WITH shing AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i)
+      )
+    ),
+    hidx AS (
+      SELECT DISTINCT doc_id, CAST(md5_number_lower(s) & 1073741823 AS BIGINT) AS sh
+      FROM shing
+    ),
+    sig AS (
+      SELECT doc_id,
+        {min_exprs}
+      FROM hidx GROUP BY doc_id
+    ),
+    banded AS (
+      {band_rows}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             ({match_sum}) * 1.0 / {num_hashes} AS est_j
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.id_a
+      JOIN sig sb ON sb.doc_id = c.id_b
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM hidx GROUP BY 1),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+      FROM cand c
+      JOIN hidx a ON a.doc_id = c.id_a
+      JOIN hidx b ON b.doc_id = c.id_b AND b.sh = a.sh
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT e.id_a, e.id_b, e.est_j,
+             COALESCE(i.n_common, 0) / (ca.n + cb.n - COALESCE(i.n_common, 0))
+               AS exact_j
+      FROM est e
+      LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+      JOIN cnt ca ON e.id_a = ca.doc_id
+      JOIN cnt cb ON e.id_b = cb.doc_id
+    ),
+    errs AS (
+      SELECT FLOOR(ABS(est_j - exact_j) * 1000000) / 1000000.0 AS err,
+             est_j, exact_j
+      FROM scored
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(CAST(SUM(CAST(err AS DECIMAL(27,6))) AS DOUBLE) / COUNT(err)
+                 * 1000000) / 1000000.0 AS mean_abs_err,
+           MAX(err) AS max_abs_err,
+           CAST(SUM(CASE WHEN est_j >= {threshold} AND exact_j < {threshold}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN est_j < {threshold} AND exact_j >= {threshold}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+    FROM errs
+    """
+
+
+@register(
+    "t38_sketch_accuracy_audit",
+    _t38_sketch_audit_sql(),
+    survey_rows="ext:sketch-quality audit (MinHash estimator error); approx family",
+    description="Sketch-accuracy audit — the 'is 32 hashes enough' "
+    "calibration a pipeline runs before trusting MinHash at scale: over "
+    "the LSH candidate pairs, the MinHash match-fraction estimate of "
+    "Jaccard is compared against the EXACT Jaccard on the shared "
+    "shingle-hash sets, reporting mean/max absolute error and the "
+    "threshold-crossing disagreements (est>=0.5 vs exact<0.5 and the "
+    "reverse) — i.e., a fully-oracled measurement of the estimator the "
+    "rows-only approx_sketches family can only smoke-test. Reuses t7's "
+    "portable signature pipeline (same generated universal-hash "
+    "constants on both engines); the audit adds one signature self-join "
+    "on the candidate set (candidate-sized, not corpus-sized) and one "
+    "aggregation. Errors are 6-dp floored then decimal-averaged.",
+)
+def t38_sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        MINHASH_P,
+        minhash_coeffs,
+        portable_lsh_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    num_hashes, threshold = 32, 0.5
+    hidx, banded, cnt = portable_lsh_index(
+        docs, num_hashes=num_hashes, bands=8, checkpoint=False
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    sig = hidx.groupBy("doc_id").agg(*mins)
+    cand = (
+        banded.toDF("id_a", "band_idx", "band_key")
+        .join(banded.toDF("id_b", "band_idx", "band_key"), ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)]
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a", "id_b", (matches * F.lit(1.0) / F.lit(num_hashes)).alias("est_j")
+        )
+    )
+    inter = (
+        cand.join(hidx.toDF("id_a", "sh"), "id_a")
+        .join(hidx.toDF("id_b", "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(cnt.toDF("id_a", "n_a"), "id_a")
+        .join(cnt.toDF("id_b", "n_b"), "id_b")
+        .select(
+            "est_j",
+            (
+                F.coalesce(F.col("n_common"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0)))
+            ).alias("exact_j"),
+        )
+    )
+    errs = scored.select(
+        q6(F.abs(F.col("est_j") - F.col("exact_j"))).alias("err"),
+        "est_j",
+        "exact_j",
+    )
+    return errs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        q6(
+            F.sum(F.col("err").cast("decimal(27,6)")).cast("double")
+            / F.count("err")
+        ).alias("mean_abs_err"),
+        F.max("err").alias("max_abs_err"),
+        F.sum(
+            F.when((F.col("est_j") >= threshold) & (F.col("exact_j") < threshold), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when((F.col("est_j") < threshold) & (F.col("exact_j") >= threshold), 1).otherwise(0)
+        ).alias("n_missed"),
+    )
 
 
 # ===========================================================================
