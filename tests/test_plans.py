@@ -569,3 +569,18 @@ def test_ev6_attribution_is_user_equi_join_with_band_filter(spark, sf_small):
         for seg in txt.split("Left keys")[1:]
     ]
     assert any("user_id" in a for a in join_args) or "user_id" in txt
+
+
+def test_m21_rank_prefix_is_bucketed_not_global_sort(spark, sf_small):
+    """m21's global midrank prefix must run range-bucketed: the intra-bucket
+    window partitions by the bucket id, and the only partition-free window
+    sort is over the tiny bucket-totals frame (joined back via broadcast).
+    A single Window over all distinct values (SinglePartition over the
+    value domain) is the formulation it deliberately avoids."""
+    txt = plan_text(CORPUS["m21_kruskal_wallis"].fn(spark, sf_small))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    # the per-bucket offsets frame comes back via broadcast, and the
+    # intra-bucket cumulative window carries the __b partition key
+    assert "BroadcastExchange" in txt
+    assert "__b" in txt

@@ -344,6 +344,10 @@ DOC_EVENT_QUERIES = [
     # in the fixture give candidate pairs on any seed, and est==exact==1
     # for verbatim copies pins the zero-error path)
     "t38_sketch_accuracy_audit",
+    # round-4e: Kruskal-Wallis (events-only; the fixture's NULL values and
+    # .5-boundary duplicate values stress the midrank tie handling, and a
+    # seed with a single event type exercises the SST>0 guard)
+    "m21_kruskal_wallis",
 ]
 
 

@@ -226,6 +226,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "st10_streaming_drift_monitor",
     # round-4e batch 15: MinHash estimator-error audit
     "t38_sketch_accuracy_audit",
+    # round-4e batch 16: k-sample rank test (completes the rank family)
+    "m21_kruskal_wallis",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -9749,6 +9751,74 @@ def t38_sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when((F.col("est_j") < threshold) & (F.col("exact_j") >= threshold), 1).otherwise(0)
         ).alias("n_missed"),
+    )
+
+
+@register(
+    "m21_kruskal_wallis",
+    """
+    WITH base AS (
+      SELECT value AS v, event_type AS g FROM events WHERE value IS NOT NULL
+    ),
+    pvg AS (
+      SELECT v, g, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY 1, 2
+    ),
+    pv AS (
+      SELECT v, CAST(SUM(c) AS BIGINT) AS t,
+             COALESCE(SUM(SUM(c)) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM pvg GROUP BY v
+    ),
+    r AS (
+      SELECT pvg.g, pvg.c, 2 * pv.cb + pv.t + 1 AS r2
+      FROM pvg JOIN pv ON pvg.v = pv.v
+    ),
+    grp AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CAST(c * r2 AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(c * r2 * r2 AS DECIMAL(38,0))) AS DOUBLE) AS sxx
+      FROM r GROUP BY g
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nn,
+             CAST(SUM(CAST(sx AS DECIMAL(27,0))) AS DOUBLE) AS sx_tot,
+             CAST(SUM(CAST(sxx AS DECIMAL(27,0))) AS DOUBLE) AS sxx_tot,
+             CAST(SUM(CAST(FLOOR(sx * sx / n) AS DECIMAL(27,0))) AS DOUBLE) AS sg
+      FROM grp
+    )
+    SELECT k, nn AS n, k - 1 AS df,
+           CASE WHEN (sxx_tot - sx_tot * sx_tot / nn) > 0 THEN
+             FLOOR((nn - 1) * (sg - sx_tot * sx_tot / nn)
+               / (sxx_tot - sx_tot * sx_tot / nn) * 1000000) / 1000000.0
+           END AS h_stat,
+           CASE WHEN (sxx_tot - sx_tot * sx_tot / nn) > 0 AND nn > k THEN
+             FLOOR(((nn - 1) * (sg - sx_tot * sx_tot / nn)
+               / (sxx_tot - sx_tot * sx_tot / nn) - k + 1)
+               / (nn - k) * 1000000) / 1000000.0
+           END AS epsilon_sq
+    FROM t
+    """,
+    survey_rows="M-ext (Kruskal-Wallis k-sample rank test); M4,M-ext(m15)",
+    description="Kruskal-Wallis H across all event types (k-sample "
+    "nonparametric ANOVA, full tie correction) + the epsilon-squared rank "
+    "effect size — completes the rank family (m15 two-sample, m16 "
+    "correlation, m21 k-sample). Computed as ANOVA on integer doubled "
+    "midranks (2·r̄ = 2·cnt_less + t + 1; H = (N−1)·SSB/SST is "
+    "scale-invariant so the doubling cancels and the tie correction is "
+    "implicit in SST): per-(value,type) counts, one range-bucketed prefix "
+    "sum over distinct values (m11/m15's two-phase pattern — no single-"
+    "partition sort at any scale), then m4's floor+decimal re-aggregation "
+    "over the k-row frame so the k-term float sum is order-insensitive "
+    "(stats/inference.py::kruskal_wallis).",
+)
+def m21_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..stats.inference import kruskal_wallis
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = kruskal_wallis(ev, "event_type", "value")
+    return out.select(
+        "k", "n", "df", q6(F.col("h_stat")).alias("h_stat"),
+        q6(F.col("epsilon_sq")).alias("epsilon_sq"),
     )
 
 

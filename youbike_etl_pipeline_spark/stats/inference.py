@@ -442,6 +442,98 @@ def mann_whitney_u(
     )
 
 
+def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Kruskal-Wallis H test (k-sample rank-based one-way ANOVA) with full
+    tie correction — extends :func:`mann_whitney_u` from two samples to k
+    and :func:`anova_oneway` to the no-normality case.
+
+    Identity used: on average (mid-)ranks, the tie-corrected statistic is
+    exactly ``H = (N − 1) · SSB / SST`` of the rank-transformed sample
+    (Conover's ANOVA-on-ranks form), so the machinery is
+    :func:`anova_oneway`'s exact re-aggregation applied to *integer doubled
+    midranks*: for a distinct value with ``cnt_less`` smaller observations
+    and ``t`` ties, ``2·r̄ = 2·cnt_less + t + 1`` stays an integer, and
+    SSB/SST is scale-invariant so the doubling cancels. Every sum up to the
+    final float formula is DECIMAL(38,0)-exact.
+
+    Scale: the global prefix count over ordered distinct values runs
+    range-bucketed exactly like :func:`ks_two_sample` (approx-quantile
+    bucket boundaries → intra-bucket window + per-bucket offsets from the
+    tiny totals frame) — no single-partition sort over the value domain.
+    The reference computes this family in scipy on a pandas frame
+    (``notebooks/01_youbike_analysis.ipynb`` Part D); here it is two hash
+    aggregations plus group-count-sized scalar math.
+    """
+    from pyspark.sql import Window
+
+    per_vg = df.groupBy(
+        F.col(value_col).alias("v"), F.col(group_col).alias("g")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_value = per_vg.groupBy("v").agg(F.sum("c").alias("t"))
+    n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bnds = (
+        sorted(set(per_value.stat.approxQuantile("v", probs, 0.001))) if probs else []
+    )
+    if bnds:
+        bnd_arr = F.array(*[F.lit(float(b)) for b in bnds])
+        bucketed = per_value.withColumn(
+            "__b", F.size(F.filter(bnd_arr, lambda b: b <= F.col("v")))
+        )
+    else:
+        bucketed = per_value.withColumn("__b", F.lit(0))
+    w_intra = (
+        Window.partitionBy("__b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = bucketed.select(
+        "v",
+        "__b",
+        "t",
+        F.coalesce(F.sum("t").over(w_intra), F.lit(0)).alias("t_intra_before"),
+    )
+    bucket_totals = bucketed.groupBy("__b").agg(F.sum("t").alias("tb"))
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = bucket_totals.select(
+        "__b", F.coalesce(F.sum("tb").over(w_off), F.lit(0)).alias("off_b")
+    )
+    ranked_values = cum.join(F.broadcast(offsets), "__b").select(
+        "v",
+        (
+            2 * (F.col("off_b") + F.col("t_intra_before")) + F.col("t") + 1
+        ).cast("long").alias("r2"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    grp = (
+        per_vg.join(ranked_values, "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n"),
+            dec(F.col("c") * F.col("r2")).alias("sx"),
+            dec(F.col("c") * F.col("r2") * F.col("r2")).alias("sxx"),
+        )
+    )
+    totals = grp.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("N"),
+        decimal_sum(F.col("sx"), 0).alias("sx_tot"),
+        decimal_sum(F.col("sxx"), 0).alias("sxx_tot"),
+        decimal_sum(F.floor(F.col("sx") * F.col("sx") / F.col("n")), 0).alias("sg"),
+    )
+    ssb = F.col("sg") - F.col("sx_tot") * F.col("sx_tot") / F.col("N")
+    sst = F.col("sxx_tot") - F.col("sx_tot") * F.col("sx_tot") / F.col("N")
+    h = (F.col("N") - 1) * ssb / sst
+    eps = (h - F.col("k") + 1) / (F.col("N") - F.col("k"))
+    return totals.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("N").cast("long").alias("n"),
+        (F.col("k") - 1).cast("long").alias("df"),
+        F.when(sst > 0, h).alias("h_stat"),
+        F.when((sst > 0) & (F.col("N") > F.col("k")), eps).alias("epsilon_sq"),
+    )
+
+
 # ------------------------------------------------------------------
 # Driver-side p-value helpers (scipy-gated; operate on collected scalars)
 # ------------------------------------------------------------------
