@@ -584,3 +584,14 @@ def test_m21_rank_prefix_is_bucketed_not_global_sort(spark, sf_small):
     # intra-bucket cumulative window carries the __b partition key
     assert "BroadcastExchange" in txt
     assert "__b" in txt
+
+
+def test_t39_zipf_topk_before_rank_window(spark, sf_small):
+    """t39's global-sort surface must be the top-k (TakeOrderedAndProject),
+    never a full sort of the vocabulary; the rank window then runs on the
+    200-row frame only. No pair joins anywhere — the word count is one
+    hash aggregation."""
+    txt = plan_text(CORPUS["t39_zipf_law_fit"].fn(spark, sf_small))
+    assert "TakeOrderedAndProject" in txt
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt

@@ -348,6 +348,10 @@ DOC_EVENT_QUERIES = [
     # .5-boundary duplicate values stress the midrank tie handling, and a
     # seed with a single event type exercises the SST>0 guard)
     "m21_kruskal_wallis",
+    # round-4e: Zipf fit (documents-only; NULL/empty/CJK docs must tokenize
+    # identically, and a near-uniform vocabulary stresses the tie-broken
+    # rank order the LN transform feeds on)
+    "t39_zipf_law_fit",
 ]
 
 

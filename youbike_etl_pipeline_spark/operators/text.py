@@ -8,7 +8,7 @@ table streams through the scan with no Python on the data path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language marker-word profiles for the n-gram/stopword heuristic
@@ -219,6 +219,62 @@ def vocab_topk(
         F.countDistinct(id_col).alias("df"),
     )
     return counts.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(k)
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 200,
+) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS of ln(frequency) on
+    ln(rank) for the top-``top_n`` tokens — the "does this corpus have a
+    natural frequency distribution" diagnostic (a machine-generated or
+    template-heavy corpus shows a flattened slope / poor R², which makes
+    this a standard pre-training corpus-health check alongside quality
+    scores and dedup rates).
+
+    Shape: the word count is one explode + one hash aggregation (shuffle
+    bounded at |vocab| by map-side combine), top-n via
+    ``TakeOrderedAndProject``; the rank window and the OLS sufficient sums
+    then run over the ``top_n``-row frame only (m14's accepted
+    single-partition-on-a-tiny-frame pattern). Both LN transforms are 6-dp
+    floor-quantized into integers, so every sufficient sum is exact and
+    the slope/intercept/R² formulas apply once to identical integers on
+    both engines.
+    """
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    topn = counts.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(top_n)
+    w = Window.orderBy(F.col("tf").desc(), F.col("tok").asc())
+    pts = topn.select(
+        F.floor(F.ln(F.row_number().over(w)) * 1000000).cast("long").alias("xi"),
+        F.floor(F.ln(F.col("tf")) * 1000000).cast("long").alias("yi"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").cast("double").alias("sx"),
+        F.sum("yi").cast("double").alias("sy"),
+        F.sum(F.col("xi") * F.col("xi")).cast("double").alias("sxx"),
+        F.sum(F.col("xi") * F.col("yi")).cast("double").alias("sxy"),
+        F.sum(F.col("yi") * F.col("yi")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    slope = (n * sxy - sx * sy) / dx
+    return s.select(
+        n.cast("long").alias("n_terms"),
+        F.when(dx > 0, slope).alias("zipf_slope"),
+        F.when(dx > 0, ((sy - slope * sx) / n) / F.lit(1000000.0)).alias(
+            "intercept_ln"
+        ),
+        F.when(
+            (dx > 0) & (dy > 0),
+            (n * sxy - sx * sy) * (n * sxy - sx * sy) / (dx * dy),
+        ).alias("r2"),
+    )
 
 
 def tfidf_top_term(

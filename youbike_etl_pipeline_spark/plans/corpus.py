@@ -228,6 +228,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "t38_sketch_accuracy_audit",
     # round-4e batch 16: k-sample rank test (completes the rank family)
     "m21_kruskal_wallis",
+    # round-4e batch 16: Zipf rank-frequency fit (corpus-health diagnostic)
+    "t39_zipf_law_fit",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -9819,6 +9821,75 @@ def m21_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "k", "n", "df", q6(F.col("h_stat")).alias("h_stat"),
         q6(F.col("epsilon_sq")).alias("epsilon_sq"),
+    )
+
+
+@register(
+    "t39_zipf_law_fit",
+    """
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY tok
+    ),
+    topn AS (
+      SELECT tf, tok FROM counts ORDER BY tf DESC, tok ASC LIMIT 200
+    ),
+    pts AS (
+      SELECT CAST(FLOOR(LN(ROW_NUMBER() OVER (ORDER BY tf DESC, tok ASC))
+                        * 1000000) AS BIGINT) AS xi,
+             CAST(FLOOR(LN(tf) * 1000000) AS BIGINT) AS yi
+      FROM topn
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xi) AS DOUBLE) AS sx, CAST(SUM(yi) AS DOUBLE) AS sy,
+             CAST(SUM(xi * xi) AS DOUBLE) AS sxx,
+             CAST(SUM(xi * yi) AS DOUBLE) AS sxy,
+             CAST(SUM(yi * yi) AS DOUBLE) AS syy
+      FROM pts
+    )
+    SELECT n AS n_terms,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             FLOOR((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000000)
+               / 1000000.0
+           END AS zipf_slope,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+             FLOOR((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               / 1000000.0 * 1000000) / 1000000.0
+           END AS intercept_ln,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+             FLOOR((n * sxy - sx * sy) * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx) * (n * syy - sy * sy)) * 1000000)
+               / 1000000.0
+           END AS r2
+    FROM s
+    """,
+    survey_rows="ext:corpus-health diagnostics (Zipf rank-frequency fit); "
+    "ext:vocabulary building (t21), M7",
+    description="Zipf's-law fit: OLS of ln(term frequency) on ln(rank) "
+    "over the top-200 vocabulary — the 'does this corpus have a natural "
+    "frequency distribution' pre-training health check (template-heavy or "
+    "machine-generated corpora flatten the slope and degrade R²). t21's "
+    "word count (explode + one hash agg, shuffle bounded at |vocab|) + "
+    "TakeOrderedAndProject; the rank window and OLS sufficient sums run "
+    "on the 200-row frame only (m14's tiny-frame single-partition "
+    "pattern). Both LNs are 6-dp floor-quantized into integers so every "
+    "sum is exact; slope/intercept/R² apply once to identical integers "
+    "(operators/text.py::zipf_fit).",
+)
+def t39_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import zipf_fit
+
+    out = zipf_fit(_t(spark, sf_dir, "documents"), top_n=200)
+    return out.select(
+        "n_terms",
+        q6(F.col("zipf_slope")).alias("zipf_slope"),
+        q6(F.col("intercept_ln")).alias("intercept_ln"),
+        q6(F.col("r2")).alias("r2"),
     )
 
 
