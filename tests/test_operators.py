@@ -746,3 +746,47 @@ def test_resize_images_round_trip(spark):
         got = decode_ppm(bytes(row.payload))
         assert (got == expected).all()
         assert row.media_meta.width == 7 and row.media_meta.height == 5
+
+
+def test_ahash64_perturbation_robust_and_contrast_sensitive():
+    """A one-byte perturbation must not change the perceptual hash of a
+    structured image, while inverting the image must flip every brightness
+    bit (the hash is not a byte checksum)."""
+    import numpy as np
+
+    from youbike_etl_pipeline_spark.operators.multimodal import ahash64, md5_pixels
+
+    img = md5_pixels(7, 16, 12)
+    base = ahash64(img)
+    bumped = img.copy()
+    bumped[3, 5, 1] = (int(bumped[3, 5, 1]) + 4) % 256
+    assert ahash64(bumped) == base
+    inverted = (255 - img.astype(int)).astype("uint8")
+    hi, lo = base
+    ihi, ilo = ahash64(inverted)
+    # inversion reflects brightness around the mean: bits strictly above the
+    # mean become strictly below it, so no set bit survives
+    assert ihi & hi == 0 and ilo & lo == 0
+    assert (hi, lo) != (ihi, ilo)
+
+
+def test_image_ahash_buckets_neardups_not_distinct_images(spark):
+    """Rows sharing the fixture residue must land in one hash bucket even
+    though every payload differs byte-wise; rows from different residues
+    must not all collapse into one bucket."""
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_ppm_payloads_neardup,
+        image_ahash,
+    )
+
+    ids = spark.range(0, 24).withColumnRenamed("id", "doc_id")
+    hashed = image_ahash(attach_ppm_payloads_neardup(ids, group_mod=4))
+    rows = {r.doc_id: (r.hash_hi, r.hash_lo) for r in hashed.collect()}
+    assert len(rows) == 24 and all(v[0] is not None for v in rows.values())
+    groups = {}
+    for did, h in rows.items():
+        groups.setdefault(did % 4, set()).add(h)
+    # each residue's perturbed variants hash identically
+    assert all(len(hs) == 1 for hs in groups.values())
+    # and the four residues give more than one distinct hash overall
+    assert len({next(iter(hs)) for hs in groups.values()}) > 1

@@ -595,3 +595,13 @@ def test_t39_zipf_topk_before_rank_window(spark, sf_small):
     assert "TakeOrderedAndProject" in txt
     assert "CartesianProduct" not in txt
     assert "BroadcastNestedLoopJoin" not in txt
+
+
+def test_mm7_ahash_is_bucket_groupby_no_pairs(spark, sf_small):
+    """mm7 must bucket by hash equality (one |buckets|-bounded shuffle
+    after partition-local hashing) — never a pairwise image comparison."""
+    txt = plan_text(CORPUS["mm7_image_ahash_neardup"].fn(spark, sf_small))
+    assert "CartesianProduct" not in txt
+    assert "BroadcastNestedLoopJoin" not in txt
+    assert "SortMergeJoin" not in txt  # no join at all — pure group-by
+    assert "HashAggregate" in txt

@@ -352,6 +352,10 @@ DOC_EVENT_QUERIES = [
     # identically, and a near-uniform vocabulary stresses the tie-broken
     # rank order the LN transform feeds on)
     "t39_zipf_law_fit",
+    # round-4e: image aHash near-dup (fixture pixels derive from doc_id
+    # only, so any regenerated documents table exercises the full
+    # decode→hash→bucket pipeline)
+    "mm7_image_ahash_neardup",
 ]
 
 

@@ -206,6 +206,102 @@ def attach_ppm_payloads(
     return df.select(id_col).mapInPandas(fn, schema=out_schema)
 
 
+def attach_ppm_payloads_neardup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 12,
+    group_mod: int = 40,
+) -> DataFrame:
+    """Near-duplicate image fixture: rows sharing ``id % group_mod`` get the
+    SAME base image (:func:`md5_pixels` keyed on the residue), then exactly
+    one byte is perturbed per row (index ``(id·7) mod n``, value bumped by
+    ``(id / group_mod) mod 7``) — so payloads differ byte-wise but remain
+    perceptually identical. Every step is re-derivable in ANSI SQL, which
+    lets the aHash oracle verify the whole perceptual pipeline bit-exactly.
+    Production replaces this with a ``binaryFile`` scan."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    n = width * height * 3
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                flat = md5_pixels(did % group_mod, width, height).reshape(-1)
+                idx = (did * 7) % n
+                flat[idx] = (int(flat[idx]) + (did // group_mod) % 7) % 256
+                payloads.append(bytearray(encode_ppm(flat.reshape(height, width, 3))))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
+#: (doc_id, hash_hi, hash_lo) — the 64-bit perceptual hash split into two
+#: int32-range halves so neither engine needs unsigned 64-bit arithmetic.
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("hash_hi", T.LongType(), True),
+        T.StructField("hash_lo", T.LongType(), True),
+    ]
+)
+
+
+def ahash64(img: "np.ndarray", grid: int = 8) -> tuple[int, int]:
+    """Average-hash of an (H, W, 3) uint8 image, integer math end-to-end:
+    nearest-neighbor downsample to ``grid×grid`` (floor index math, as
+    :func:`resize_nearest`), per-cell brightness = r+g+b (no grayscale
+    division), bit ``i = gr·grid+gc`` set iff ``brightness·grid² >
+    Σ brightness`` (strict — a mean tie clears the bit on both engines).
+    Returns (hi, lo) 32-bit halves of the 64-bit hash."""
+    cells = resize_nearest(img, grid, grid).astype(np.int64).sum(axis=2)
+    total = int(cells.sum())
+    bits = (cells.reshape(-1) * (grid * grid) > total).astype(np.int64)
+    lo = int(sum(int(b) << i for i, b in enumerate(bits[:32])))
+    hi = int(sum(int(b) << i for i, b in enumerate(bits[32:])))
+    return hi, lo
+
+
+def image_ahash(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash per image via ``mapInPandas`` — the image
+    member of the near-dup family (t8's SimHash for binary media): decode
+    (pure numpy), :func:`ahash64`, out come two integer hash halves ready
+    for an equi-join/group-by bucket step. Partition-local, Arrow-batched,
+    no shuffle; undecodable payloads degrade to NULL hashes."""
+
+    def one(payload: bytes) -> tuple[int | None, int | None]:
+        if payload is None:
+            return None, None
+        try:
+            return ahash64(decode_image(payload), grid)
+        except (NotImplementedError, ValueError, IndexError, struct.error):
+            return None, None
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = pdf[payload_col].map(one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "hash_hi": hashes.map(lambda t: t[0]),
+                    "hash_lo": hashes.map(lambda t: t[1]),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=AHASH_SCHEMA)
+
+
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for a decoded-image feature vector: byte-sum
     folded per dimension. Replace with a real decode+embed when codecs are

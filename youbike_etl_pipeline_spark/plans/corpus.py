@@ -230,6 +230,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "m21_kruskal_wallis",
     # round-4e batch 16: Zipf rank-frequency fit (corpus-health diagnostic)
     "t39_zipf_law_fit",
+    # round-4e batch 17: perceptual average-hash image near-dup
+    "mm7_image_ahash_neardup",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -9890,6 +9892,113 @@ def t39_zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.col("zipf_slope")).alias("zipf_slope"),
         q6(F.col("intercept_ln")).alias("intercept_ln"),
         q6(F.col("r2")).alias("r2"),
+    )
+
+
+def _mm7_ahash_sql(
+    width: int = 16, height: int = 12, grid: int = 8, group_mod: int = 40
+) -> str:
+    """DuckDB mirror of the perceptual-hash pipeline: re-derive the
+    near-dup fixture's md5 pixels (base image keyed on doc_id % group_mod
+    + the one-byte perturbation), then replay aHash in integer SQL —
+    nearest-neighbor 8×8 downsample indices, r+g+b cell brightness, strict
+    mean threshold via ``br·64 > Σbr`` (no division), 64-bit hash as two
+    32-bit halves. Bit-exact end-to-end, no floats anywhere."""
+    n = width * height * 3
+    blocks = (n + 15) // 16
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+    hx AS (
+      SELECT d.doc_id, b.b,
+             md5(CAST(d.doc_id % {group_mod} AS VARCHAR) || ':'
+                 || CAST(b.b AS VARCHAR)) AS h
+      FROM d, (SELECT unnest(generate_series(0, {blocks - 1})) AS b) b
+    ),
+    bytes0 AS (
+      SELECT doc_id, (b * 16 + j.j) AS idx,
+             (strpos('0123456789abcdef', substr(h, 2 * j.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2 * j.j + 2, 1)) - 1) AS v
+      FROM hx, (SELECT unnest(generate_series(0, 15)) AS j) j
+      WHERE b * 16 + j.j < {n}
+    ),
+    bytes AS (
+      SELECT doc_id, idx,
+             CASE WHEN idx = (doc_id * 7) % {n}
+                  THEN (v + (doc_id // {group_mod}) % 7) % 256 ELSE v END AS v
+      FROM bytes0
+    ),
+    cells_idx AS (
+      SELECT gr.gr * {grid} + gc.gc AS gi,
+             CAST(FLOOR(gr.gr * {height} / {grid}.0) AS BIGINT) * {width}
+             + CAST(FLOOR(gc.gc * {width} / {grid}.0) AS BIGINT) AS pix
+      FROM (SELECT unnest(generate_series(0, {grid - 1})) AS gr) gr,
+           (SELECT unnest(generate_series(0, {grid - 1})) AS gc) gc
+    ),
+    cell AS (
+      SELECT b.doc_id, g.gi, SUM(b.v) AS br
+      FROM bytes b JOIN cells_idx g ON b.idx // 3 = g.pix
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT doc_id, SUM(br) AS total FROM cell GROUP BY 1),
+    bits AS (
+      SELECT c.doc_id, c.gi,
+             CASE WHEN c.br * {grid * grid} > t.total THEN 1 ELSE 0 END AS bit
+      FROM cell c JOIN tot t ON c.doc_id = t.doc_id
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN gi >= 32
+               THEN CAST(bit AS BIGINT) << (gi - 32) ELSE 0 END) AS BIGINT)
+               AS hash_hi,
+             CAST(SUM(CASE WHEN gi < 32
+               THEN CAST(bit AS BIGINT) << gi ELSE 0 END) AS BIGINT)
+               AS hash_lo
+      FROM bits GROUP BY 1
+    )
+    SELECT hash_hi, hash_lo, CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+    FROM hashes GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """
+
+
+@register(
+    "mm7_image_ahash_neardup",
+    _mm7_ahash_sql(),
+    survey_rows="ext:multimodal near-dup (perceptual average-hash); "
+    "ext:dedup (t8 SimHash analog for binary media)",
+    description="Image near-duplicate detection via 64-bit perceptual "
+    "average-hash — the multimodal member of the dedup family (t8's "
+    "SimHash for binary payloads): REAL PPM decode in Arrow-batched "
+    "mapInPandas, integer aHash (8×8 nearest-neighbor downsample, r+g+b "
+    "brightness, strict mean threshold — no grayscale division, no "
+    "floats), then a hash-bucket group-by reporting every bucket with ≥2 "
+    "members. The fixture gives rows sharing doc_id%40 the same base "
+    "image plus a one-byte per-row perturbation, so payloads differ "
+    "byte-wise while aHash must still bucket them — robustness and "
+    "bit-exactness proven together (the oracle re-derives pixels, "
+    "perturbation, and the full hash in SQL). Hash split into two int32 "
+    "halves so neither engine needs unsigned 64-bit math. Scale: "
+    "partition-local hashing, one |buckets|-bounded shuffle — the image "
+    "analog of LSH banding, never pairwise pixel comparison "
+    "(operators/multimodal.py::image_ahash).",
+)
+def mm7_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_ppm_payloads_neardup, image_ahash
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    hashes = image_ahash(attach_ppm_payloads_neardup(docs))
+    return (
+        hashes.filter(F.col("hash_hi").isNotNull())
+        .groupBy("hash_hi", "hash_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("doc_id").alias("sum_doc"),
+        )
+        .filter(F.col("n_members") >= 2)
     )
 
 
