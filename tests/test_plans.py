@@ -605,3 +605,14 @@ def test_mm7_ahash_is_bucket_groupby_no_pairs(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in txt
     assert "SortMergeJoin" not in txt  # no join at all — pure group-by
     assert "HashAggregate" in txt
+
+
+def test_s8_fusion_is_rank_math_over_topk_frames(spark, sf_small):
+    """s8's corpus-sized work is s7's filtered posting scan and s1's
+    one-pass cosine; the fusion itself must be an outer join of two
+    50-row rank frames — both list cuts stay TakeOrderedAndProject /
+    top-k, and nothing joins at corpus scale."""
+    txt = plan_text(CORPUS["s8_rrf_hybrid_retrieval"].fn(spark, sf_small))
+    assert "CartesianProduct" not in txt
+    assert txt.count("TakeOrderedAndProject") >= 2  # both list cuts + final
+    assert "FullOuter" in txt or "full_outer" in txt.lower()

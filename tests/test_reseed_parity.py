@@ -356,6 +356,10 @@ DOC_EVENT_QUERIES = [
     # only, so any regenerated documents table exercises the full
     # decode→hash→bucket pipeline)
     "mm7_image_ahash_neardup",
+    # round-4e: RRF hybrid retrieval (documents+embeddings; inherits s7's
+    # NULL-text and s1's zero-norm/NULL-vector guards, and the outer-join
+    # fusion must agree when a doc appears in only one ranking)
+    "s8_rrf_hybrid_retrieval",
 ]
 
 

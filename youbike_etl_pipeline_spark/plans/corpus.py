@@ -232,6 +232,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "t39_zipf_law_fit",
     # round-4e batch 17: perceptual average-hash image near-dup
     "mm7_image_ahash_neardup",
+    # round-4e batch 18: reciprocal-rank-fusion hybrid retrieval (s7+s1);
+    # s7's scoring body moved into the shared _bm25_scores helper, so s7
+    # re-proofs alongside it
+    "s8_rrf_hybrid_retrieval",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -7483,6 +7487,15 @@ _BM25_TERMS = ("spark", "join", "window", "stream")
     "6-dp floored then decimal-summed so addition order cannot drift.",
 )
 def s7_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_scores(spark, sf_dir).orderBy(F.desc("bm25"), "doc_id").limit(20)
+
+
+def _bm25_scores(
+    spark: SparkSession, sf_dir: str, terms: tuple[str, ...] = _BM25_TERMS
+) -> DataFrame:
+    """The (doc_id, bm25) scoring frame shared by s7 (top-20 lexical
+    retrieval) and s8 (hybrid RRF fusion) — see s7's description for the
+    plan shape and float discipline."""
     from ..operators.text import tokens
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
@@ -7495,7 +7508,7 @@ def s7_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = (
         toks.select("doc_id", F.explode("words").alias("w"))
-        .filter(F.col("w").isin(*_BM25_TERMS))
+        .filter(F.col("w").isin(*terms))
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -7531,12 +7544,7 @@ def s7_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..operators.aggregations import decimal_sum
 
-    return (
-        scores.groupBy("doc_id")
-        .agg(decimal_sum(F.col("sterm")).alias("bm25"))
-        .orderBy(F.desc("bm25"), "doc_id")
-        .limit(20)
-    )
+    return scores.groupBy("doc_id").agg(decimal_sum(F.col("sterm")).alias("bm25"))
 
 
 @register(
@@ -9999,6 +10007,122 @@ def mm7_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("sum_doc"),
         )
         .filter(F.col("n_members") >= 2)
+    )
+
+
+@register(
+    "s8_rrf_hybrid_retrieval",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS words
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    dl AS (SELECT doc_id, len(words) AS dl FROM toks),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS tot FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(words) AS w FROM toks)
+      WHERE w IN {str(tuple(_BM25_TERMS))}
+      GROUP BY 1, 2
+    ),
+    idf AS (
+      SELECT w,
+             FLOOR(LN((s.n_docs - dfreq + 0.5) / (dfreq + 0.5) + 1.0) * 1000000)
+               / 1000000.0 AS idf6
+      FROM (SELECT w, COUNT(*) AS dfreq FROM tf GROUP BY 1) d, stats s
+    ),
+    sc AS (
+      SELECT t.doc_id,
+             FLOOR(
+               (i.idf6 * (t.tf * 2.2))
+               / (t.tf + 1.2 * (0.25 + (0.75 * d.dl) / (CAST(s.tot AS DOUBLE) / s.n_docs)))
+               * 1000000
+             ) / 1000000.0 AS sterm
+      FROM tf t JOIN idf i USING (w) JOIN dl d USING (doc_id), stats s
+    ),
+    bm AS (
+      SELECT doc_id, CAST(SUM(CAST(sterm AS DECIMAL(27,6))) AS DOUBLE) AS bm25
+      FROM sc GROUP BY 1
+    ),
+    lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50
+    ),
+    {_EMB_DOTS},
+    sem AS (
+      SELECT vec_id AS doc_id,
+             ROW_NUMBER() OVER (ORDER BY dot / (SQRT(aa) * SQRT(qq)) DESC, vec_id) AS r
+      FROM dots, qn WHERE aa > 0 AND qq > 0
+      ORDER BY dot / (SQRT(aa) * SQRT(qq)) DESC, vec_id LIMIT 50
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             CAST(l.r AS BIGINT) AS lex_rank, CAST(s.r AS BIGINT) AS sem_rank,
+             COALESCE(CAST(FLOOR(1000000.0 / (60 + l.r)) AS BIGINT), 0)
+             + COALESCE(CAST(FLOOR(1000000.0 / (60 + s.r)) AS BIGINT), 0) AS rrf_i
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, lex_rank, sem_rank,
+           CAST(rrf_i AS DOUBLE) / 1000000.0 AS rrf_score
+    FROM fused
+    ORDER BY rrf_i DESC, doc_id LIMIT 20
+    """,
+    survey_rows="ext:retrieval (hybrid lexical+semantic fusion); "
+    "ext:retrieval (s7 BM25), ext:similarity-topk (s1)",
+    description="Hybrid retrieval via reciprocal-rank fusion (k=60): s7's "
+    "BM25 lexical ranking and s1's embedding-cosine ranking (vec_id is "
+    "the embedding of doc_id — the standard hybrid-search layout) each "
+    "produce a deterministic top-50 (score desc, id tie-break), and every "
+    "doc scores Σ 1/(60+rank) over the lists it appears in — the "
+    "standard way lexical recall and semantic recall are combined for "
+    "retrieval-based data curation. Each 1/(60+r) term is floored in "
+    "integer micro-units so the fused score is an exact integer sum; the "
+    "outer-join fusion and final top-20 are rank math over two 50-row "
+    "frames (tiny — the corpus-sized work is s7's posting-list scan and "
+    "s1's one-pass cosine, unchanged). Missing-from-one-list docs "
+    "surface with a NULL rank on that side.",
+)
+def s8_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk
+
+    lexf = _bm25_scores(spark, sf_dir).orderBy(F.desc("bm25"), "doc_id").limit(50)
+    w_l = Window.orderBy(F.desc("bm25"), "doc_id")
+    lex = lexf.select(
+        "doc_id", F.row_number().over(w_l).cast("long").alias("lex_rank")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    semf = cosine_topk(emb.filter(F.col("vec_id") != 0), qvec, k=50)
+    w_s = Window.orderBy(F.desc("cosine"), "vec_id")
+    sem = semf.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(w_s).cast("long").alias("sem_rank"),
+    )
+    ri = lambda r: F.coalesce(  # noqa: E731
+        F.floor(F.lit(1000000.0) / (F.lit(60) + F.col(r))).cast("long"), F.lit(0)
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "sem_rank",
+        (ri("lex_rank") + ri("sem_rank")).alias("rrf_i"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf_i"), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (F.col("rrf_i").cast("double") / F.lit(1000000.0)).alias("rrf_score"),
+        )
     )
 
 
