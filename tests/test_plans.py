@@ -616,3 +616,15 @@ def test_s8_fusion_is_rank_math_over_topk_frames(spark, sf_small):
     assert "CartesianProduct" not in txt
     assert txt.count("TakeOrderedAndProject") >= 2  # both list cuts + final
     assert "FullOuter" in txt or "full_outer" in txt.lower()
+
+
+def test_g3_degree_joins_are_equi_joins(spark, sf_small):
+    """g3 joins degrees back onto edges by node id — hash equi-joins only;
+    the co-visitation pair build is the user-keyed self-join (g1's shape),
+    never an item×item cross product."""
+    txt = plan_text(CORPUS["g3_degree_assortativity"].fn(spark, sf_small))
+    assert "CartesianProduct" not in txt
+    # the only nested-loop surface allowed is the 1-row stat-frame cross
+    # (formatted mode prints each node again in the detail section, so
+    # count tree lines, not string occurrences)
+    assert txt.count("BroadcastNestedLoopJoin Cross") <= 1

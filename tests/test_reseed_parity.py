@@ -360,6 +360,10 @@ DOC_EVENT_QUERIES = [
     # NULL-text and s1's zero-norm/NULL-vector guards, and the outer-join
     # fusion must agree when a doc appears in only one ranking)
     "s8_rrf_hybrid_retrieval",
+    # round-4e: degree assortativity (events-only; the tiny fixture graph
+    # is empty or regular at the co>=30 threshold, so both engines must
+    # agree on the zero-row degenerate path)
+    "g3_degree_assortativity",
 ]
 
 

@@ -236,6 +236,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # s7's scoring body moved into the shared _bm25_scores helper, so s7
     # re-proofs alongside it
     "s8_rrf_hybrid_retrieval",
+    # round-4e batch 19: degree assortativity (graph-structure family)
+    "g3_degree_assortativity",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -10122,6 +10124,114 @@ def s8_rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lex_rank",
             "sem_rank",
             (F.col("rrf_i").cast("double") / F.lit(1000000.0)).alias("rrf_score"),
+        )
+    )
+
+
+@register(
+    "g3_degree_assortativity",
+    """
+    WITH ui AS (
+      SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS INT) AS item
+      FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+    ),
+    e AS (
+      SELECT a.item AS i, b.item AS j
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 30
+    ),
+    edges AS (
+      SELECT i AS src, j AS dst FROM e
+      UNION ALL SELECT j AS src, i AS dst FROM e
+    ),
+    deg AS (
+      SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY 1
+    ),
+    pts AS (
+      SELECT da.deg AS x, db.deg AS y
+      FROM edges JOIN deg da ON edges.src = da.v
+                 JOIN deg db ON edges.dst = db.v
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy
+      FROM pts
+    )
+    SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           ROUND((n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS assortativity
+    FROM s
+    WHERE (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+    """,
+    survey_rows="ext:graph-structure (degree assortativity); "
+    "ext:graph (g1/g2/t10), M13",
+    description="Degree assortativity of the item co-visitation graph "
+    "(g1/g2's edge shape at a co >= 30 threshold — the co >= 5 graph is "
+    "complete at graded scale, i.e. perfectly regular, which makes "
+    "assortativity undefined): Pearson correlation of the degrees at the "
+    "two endpoints of every edge, both orientations — positive means hubs "
+    "link to hubs (assortative mixing), negative means hub-and-spoke; "
+    "with g1 (centrality) and g2 (clustering) this completes the "
+    "structural-graph-diagnostics family. One degree aggregation + two "
+    "equi-joins of degrees back onto edges, then m13's exact-integer "
+    "Pearson sufficient statistics — every sum DECIMAL(38,0)-exact, the "
+    "float formula applied once; a degenerate graph (regular or empty — "
+    "e.g. the tiny-SF input) yields zero rows on both engines rather "
+    "than a NULL statistic.",
+)
+def g3_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    item = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    ui = (
+        ev.select("user_id", item.alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    pairs = (
+        ui.toDF("user_id", "i")
+        .join(ui.toDF("user_id", "j"), "user_id")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 30)
+    )
+    edges = pairs.select(F.col("i").alias("src"), F.col("j").alias("dst")).unionByName(
+        pairs.select(F.col("j").alias("src"), F.col("i").alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    pts = (
+        edges.join(deg.toDF("v", "x"), edges.src == F.col("v"))
+        .drop("v")
+        .join(deg.toDF("v", "y"), edges.dst == F.col("v"))
+        .select("x", "y")
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,0)")).cast("double")  # noqa: E731
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        dec(F.col("x")).alias("sx"),
+        dec(F.col("y")).alias("sy"),
+        dec(F.col("x") * F.col("x")).alias("sxx"),
+        dec(F.col("x") * F.col("y")).alias("sxy"),
+        dec(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, sxy, syy = F.col("sxx"), F.col("sxy"), F.col("syy")
+    denom = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    r = (n * sxy - sx * sy) / F.sqrt(denom)
+    return (
+        s.crossJoin(F.broadcast(n_nodes))
+        .filter(denom > 0)
+        .select(
+            (n / 2).cast("long").alias("n_edges"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.round(r, 6).alias("assortativity"),
         )
     )
 
