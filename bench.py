@@ -126,6 +126,12 @@ HEADLINE = [
     "m20_kaplan_meier",
     "st10_streaming_drift_monitor",
     "t38_sketch_accuracy_audit",
+    # round-4e final batches (keys only ever append)
+    "m21_kruskal_wallis",
+    "t39_zipf_law_fit",
+    "mm7_image_ahash_neardup",
+    "s8_rrf_hybrid_retrieval",
+    "g3_degree_assortativity",
 ]
 
 

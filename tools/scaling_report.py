@@ -86,6 +86,14 @@ QUERIES = [
     "g1_item_pagerank",
     "g2_triangle_clustering",
     "w20_cusum_change_point",
+    # r4e final batches: range-bucketed global midranks, vocab top-k OLS,
+    # partition-local perceptual hashing + bucket group-by, two-top-k rank
+    # fusion, degree joins on the thresholded co-visitation graph
+    "m21_kruskal_wallis",
+    "t39_zipf_law_fit",
+    "mm7_image_ahash_neardup",
+    "s8_rrf_hybrid_retrieval",
+    "g3_degree_assortativity",
 ]
 
 SCALE_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
