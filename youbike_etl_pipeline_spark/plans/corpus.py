@@ -238,6 +238,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "s8_rrf_hybrid_retrieval",
     # round-4e batch 19: degree assortativity (graph-structure family)
     "g3_degree_assortativity",
+    # round-4f: blocked fuzzy record linkage (entity resolution), STL-lite
+    # weekly trend/seasonal/residual decomposition
+    "er1_blocked_record_linkage", "w21_weekly_trend_decomposition",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -10244,3 +10247,172 @@ def g3_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry_query(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
     """The flagship query — the driver's smoke check."""
     return flagship_segment_health(spark, sf_dir)
+
+
+@register(
+    "er1_blocked_record_linkage",
+    r"""
+    WITH p AS (
+      SELECT p_partkey AS k, lower(trim(p_name)) AS nm FROM part
+    ),
+    canon AS (
+      SELECT nm, CAST(MIN(k) AS BIGINT) AS canon_key,
+             CAST(COUNT(*) AS BIGINT) AS n_rec,
+             regexp_extract(nm, '(\S+)$', 1) AS blk
+      FROM p GROUP BY nm
+    )
+    SELECT a.nm AS name_a, b.nm AS name_b,
+           CAST(levenshtein(a.nm, b.nm) AS BIGINT) AS edit_dist,
+           a.canon_key AS canon_a, b.canon_key AS canon_b,
+           a.n_rec AS n_rec_a, b.n_rec AS n_rec_b
+    FROM canon a JOIN canon b ON a.blk = b.blk AND a.nm < b.nm
+    WHERE levenshtein(a.nm, b.nm) <= 2
+    ORDER BY edit_dist, name_a, name_b
+    """,
+    survey_rows="ext:entity resolution / record linkage (blocked fuzzy "
+    "match); P4 (exact collapse), t9 (edit distance), J6",
+    description="Blocked fuzzy record linkage (entity resolution) over part "
+    "names: normalize (lower/trim), collapse exact duplicates to one "
+    "canonical row per distinct name FIRST (min key + record count — the "
+    "step that shrinks the linkage input from |records| to |entities|), "
+    "block on the trailing token (the noun), and emit within-block pairs "
+    "at Levenshtein distance <= 2 — the standard blocking-then-matching "
+    "shape used to link free-text records at scale. Scale: the exact "
+    "collapse is one hash aggregation; the candidate join is an equi-join "
+    "on the blocking key, never all-pairs; edit distance runs only on "
+    "within-block candidates. At 100 TB the blocking key gets a frequency "
+    "cap exactly like t2's doc-freq cap (an overly common block degrades "
+    "to quadratic and should be split by a second key, e.g. name length "
+    "band); Levenshtein is JVM-side (no Python).",
+)
+def er1_blocked_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"), F.lower(F.trim("p_name")).alias("nm")
+    )
+    canon = (
+        p.groupBy("nm")
+        .agg(F.min("k").alias("canon_key"), F.count(F.lit(1)).alias("n_rec"))
+        .withColumn("blk", F.regexp_extract("nm", r"(\S+)$", 1))
+    )
+    a = canon.select(
+        F.col("nm").alias("name_a"),
+        F.col("canon_key").alias("canon_a"),
+        F.col("n_rec").alias("n_rec_a"),
+        "blk",
+    )
+    b = canon.select(
+        F.col("nm").alias("name_b"),
+        F.col("canon_key").alias("canon_b"),
+        F.col("n_rec").alias("n_rec_b"),
+        "blk",
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("edit_dist", dist.cast("long"))
+        .filter(F.col("edit_dist") <= 2)
+        .select(
+            "name_a", "name_b", "edit_dist",
+            "canon_a", "canon_b", "n_rec_a", "n_rec_b",
+        )
+        .orderBy("edit_dist", "name_a", "name_b")
+    )
+
+
+@register(
+    "w21_weekly_trend_decomposition",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(FLOOR(value * 1000000) AS BIGINT)) AS BIGINT) AS vi
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tr AS (
+      SELECT event_type, day, vi,
+             CAST(SUM(vi) OVER w AS BIGINT) AS s7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS c7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, day, vi,
+             CAST(FLOOR(CAST(s7 AS DOUBLE) / c7) AS BIGINT) AS trend_q,
+             vi - CAST(FLOOR(CAST(s7 AS DOUBLE) / c7) AS BIGINT) AS di,
+             dayofweek(day) AS dow
+      FROM tr WHERE c7 = 7
+    ),
+    seas AS (
+      SELECT event_type, dow,
+             CAST(FLOOR(CAST(SUM(di) AS DOUBLE) / COUNT(*)) AS BIGINT) AS sq
+      FROM det GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.day,
+           CAST(d.vi AS DOUBLE) / 1000000.0 AS daily_total,
+           CAST(d.trend_q AS DOUBLE) / 1000000.0 AS trend,
+           CAST(s.sq AS DOUBLE) / 1000000.0 AS seasonal,
+           CAST(d.di - s.sq AS DOUBLE) / 1000000.0 AS residual
+    FROM det d JOIN seas s ON d.event_type = s.event_type AND d.dow = s.dow
+    ORDER BY d.event_type, d.day
+    """,
+    survey_rows="ext:time-series decomposition (trend/seasonal/residual); "
+    "W4 (time bucketing), W10 (sliding windows), m19 (autocorrelation)",
+    description="STL-lite weekly decomposition of the daily value series "
+    "per event type: trend = centered 7-day rolling mean (complete "
+    "windows only), seasonal = day-of-week mean of the detrended series, "
+    "residual = detrended - seasonal — the classic "
+    "trend/seasonal/residual split used for capacity planning and "
+    "anomaly baselines. Exactness: daily totals are floor-quantized "
+    "integer micro-units (exact cross-engine sums); the rolling mean is "
+    "ONE IEEE division of exact integers floored back to integer units, "
+    "so detrended, seasonal, and residual stay in exact integer "
+    "arithmetic end-to-end — no float accumulation anywhere. DuckDB "
+    "dayofweek is Sunday=0, Spark Sunday=1, hence the -1 shift "
+    "(internal join key only). Scale: one hash aggregation "
+    "records->days, then every window/join runs on the per-(type, day) "
+    "frame — bounded by calendar span x |types|, partitioned by "
+    "event_type (no global sort); the seasonal lookup is a broadcast.",
+)
+def w21_weekly_trend_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    # the daily frame feeds both the seasonal aggregation and the final
+    # join; localCheckpoint the (|days| x |types|)-bounded frame so the
+    # raw events scan + records->days aggregation run once (w16 pattern)
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 1000000).cast("long")).alias("vi"))
+        .localCheckpoint(eager=False)
+    )
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "event_type", "day", "vi",
+        F.sum("vi").over(w7).alias("s7"),
+        F.count(F.lit(1)).over(w7).alias("c7"),
+    ).filter(F.col("c7") == 7)
+    trend_q = F.floor(F.col("s7").cast("double") / F.col("c7")).cast("long")
+    det = tr.select(
+        "event_type", "day", "vi",
+        trend_q.alias("trend_q"),
+        (F.col("vi") - trend_q).alias("di"),
+        (F.dayofweek("day") - 1).alias("dow"),
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.floor(F.sum("di").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("sq")
+    )
+    return (
+        det.join(F.broadcast(seas), ["event_type", "dow"])
+        .select(
+            "event_type", "day",
+            (F.col("vi").cast("double") / 1000000.0).alias("daily_total"),
+            (F.col("trend_q").cast("double") / 1000000.0).alias("trend"),
+            (F.col("sq").cast("double") / 1000000.0).alias("seasonal"),
+            ((F.col("di") - F.col("sq")).cast("double") / 1000000.0).alias(
+                "residual"
+            ),
+        )
+        .orderBy("event_type", "day")
+    )
