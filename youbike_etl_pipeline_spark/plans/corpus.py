@@ -241,6 +241,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round-4f: blocked fuzzy record linkage (entity resolution), STL-lite
     # weekly trend/seasonal/residual decomposition
     "er1_blocked_record_linkage", "w21_weekly_trend_decomposition",
+    # round-4f batch 2: Wilson-lower-bound ranking, calibration audit of
+    # the hashed classifier (t34's scoring body moved into the shared
+    # _hashed_doc_scores helper; t34 re-proofs via its existing entry
+    # above)
+    "ev7_wilson_ctr_ranking", "ml4_calibration_bins",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -7595,6 +7600,20 @@ def _bm25_scores(
 )
 def t34_hashed_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.aggregations import decimal_avg
+
+    doc_scores = _hashed_doc_scores(spark, sf_dir)
+    return doc_scores.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("score") > 0, 1).otherwise(0)).alias("n_keep"),
+        q6(decimal_avg(q6(F.col("score")))).alias("mean_score"),
+    )
+
+
+def _hashed_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (doc_id, source, n_chars, score) frame of t34's hashed linear
+    classifier, shared with ml4's calibration audit — see t34's
+    description for the hashing scheme, plan shape, and float
+    discipline."""
     from ..operators.dedup import md5_token_hash64
     from ..operators.text import tokens
 
@@ -7602,25 +7621,22 @@ def t34_hashed_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
     feats = docs.select(
         "doc_id",
         "source",
+        "n_chars",
         F.explode(tokens(F.lower(F.col("text")))).alias("w"),
     ).select(
         "doc_id",
         "source",
+        "n_chars",
         (
             md5_token_hash64(F.col("w")).bitwiseAND(F.lit(1048575))
             - F.lit(524288)
         ).alias("f"),
     )
-    doc_scores = feats.groupBy("doc_id", "source").agg(
+    return feats.groupBy("doc_id", "source", "n_chars").agg(
         (
             F.sum("f").cast("double")
             / (F.count(F.lit(1)) * F.lit(524288.0))
         ).alias("score")
-    )
-    return doc_scores.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.when(F.col("score") > 0, 1).otherwise(0)).alias("n_keep"),
-        q6(decimal_avg(q6(F.col("score")))).alias("mean_score"),
     )
 
 
@@ -10415,4 +10431,176 @@ def w21_weekly_trend_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
         .orderBy("event_type", "day")
+    )
+
+
+@register(
+    "ev7_wilson_ctr_ranking",
+    f"""
+    WITH ui AS (
+      SELECT CAST(json_extract(props, '$.k') AS INT) AS item, event_type
+      FROM events
+      WHERE json_extract(props, '$.k') IS NOT NULL
+    ),
+    agg AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_purchase
+      FROM ui GROUP BY 1
+    ),
+    sc AS (
+      SELECT item, n_events, n_purchase,
+             CAST(n_purchase AS DOUBLE) / n_events AS p
+      FROM agg WHERE n_events >= 20
+    )
+    SELECT item, n_events, n_purchase,
+           {SQL_Q6('p')} AS purchase_rate,
+           {SQL_Q6('''((p + 3.8416 / (2 * n_events))
+             - 1.96 * SQRT((p * (1 - p) + 3.8416 / (4 * n_events))
+                           / n_events))
+             / (1 + 3.8416 / n_events)''')} AS wilson_lb
+    FROM sc
+    ORDER BY wilson_lb DESC, item
+    LIMIT 25
+    """,
+    survey_rows="ext:ranking under uncertainty (Wilson lower bound); "
+    "A4 (conditional rates), m18 (proportion z-math), f17 (VARIANT)",
+    description="Item ranking by the Wilson score lower bound (z=1.96) of "
+    "the purchase rate — the standard fix for naive rate sorting, where "
+    "a 1/1 item outranks a 90/100 item; the lower confidence bound "
+    "penalizes small samples, which is how items/documents are ranked "
+    "for selection when per-item evidence varies by orders of magnitude. "
+    "Items come from the semi-structured props payload (f17's VARIANT "
+    "extraction); one hash aggregation produces exact (trials, "
+    "successes) per item, a minimum-evidence filter (n>=20) drops "
+    "unstable rows, and the bound itself is a fixed closed-form chain of "
+    "IEEE operations on exact integers written with identical "
+    "association on both engines (z^2 = 3.8416 as a decimal literal on "
+    "both sides, never recomputed; sqrt is correctly rounded per IEEE), "
+    "6-dp floored. Scale: pure map + one shuffle on item + "
+    "TakeOrderedAndProject top-k — nothing holds state beyond the "
+    "per-item counters.",
+)
+def ev7_wilson_ctr_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    item = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    agg = (
+        ev.select(item.alias("item"), "event_type")
+        .filter(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_purchase"),
+        )
+        .filter(F.col("n_events") >= 20)
+    )
+    p = F.col("n_purchase").cast("double") / F.col("n_events")
+    sc = agg.select("item", "n_events", "n_purchase", p.alias("p"))
+    z2 = F.lit(3.8416)
+    wilson = (
+        (
+            F.col("p")
+            + z2 / (F.lit(2) * F.col("n_events"))
+            - F.lit(1.96)
+            * F.sqrt(
+                (
+                    F.col("p") * (F.lit(1) - F.col("p"))
+                    + z2 / (F.lit(4) * F.col("n_events"))
+                )
+                / F.col("n_events")
+            )
+        )
+        / (F.lit(1) + z2 / F.col("n_events"))
+    )
+    return (
+        sc.select(
+            "item",
+            "n_events",
+            "n_purchase",
+            q6(F.col("p")).alias("purchase_rate"),
+            q6(wilson).alias("wilson_lb"),
+        )
+        .orderBy(F.desc("wilson_lb"), "item")
+        .limit(25)
+    )
+
+
+@register(
+    "ml4_calibration_bins",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, n_chars,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                      '\\s+'),
+                    x -> x <> '')) AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, n_chars,
+             CAST(md5_number_lower(w) % 1048576 AS BIGINT) - 524288 AS f
+      FROM toks
+    ),
+    doc_scores AS (
+      SELECT doc_id, n_chars,
+             CAST(SUM(f) AS DOUBLE) / (COUNT(*) * 524288.0) AS score
+      FROM feats GROUP BY 1, 2
+    ),
+    binned AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((score + 1.0) * 5) AS BIGINT), 0), 9)
+               AS bin,
+             score,
+             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS label
+      FROM doc_scores
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {SQL_Q6(SQL_DAVG(SQL_Q6('score')))} AS mean_score,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           {SQL_Q6('CAST(SUM(label) AS DOUBLE) / COUNT(*)')} AS pos_rate
+    FROM binned GROUP BY 1 ORDER BY 1
+    """,
+    survey_rows="ext:model evaluation (reliability/calibration bins); "
+    "t34 (hashed classifier), F5 (bucketing), A4",
+    description="Reliability (calibration) audit of t34's hashed quality "
+    "classifier against a reference label: doc scores bucket into 10 "
+    "fixed bins over [-1, 1], and each bin reports its size, mean "
+    "predicted score, and observed positive rate (label = n_chars >= "
+    "200, the cheap length proxy standing in for the expensive reference "
+    "judgment) — the per-bin predicted-vs-observed table behind every "
+    "calibration curve, and the standard check before a cheap classifier "
+    "gates a corpus at scale (weak supervision / distillation QA). "
+    "Reuses t34's scoring frame (_hashed_doc_scores — t34 re-proofs "
+    "alongside, the s7/s8 precedent); the bin edge is a FLOOR of an "
+    "expression both engines evaluate identically, so bin membership "
+    "cannot drift. Scale: one hash aggregation per doc, then a "
+    "10-group aggregation — no joins, no state beyond per-bin counters.",
+)
+def ml4_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.aggregations import decimal_avg
+
+    ds = _hashed_doc_scores(spark, sf_dir)
+    binned = ds.select(
+        F.least(
+            F.greatest(
+                F.floor((F.col("score") + F.lit(1.0)) * F.lit(5)).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(9),
+        ).alias("bin"),
+        "score",
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("label"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            q6(decimal_avg(q6(F.col("score")))).alias("mean_score"),
+            F.sum("label").alias("n_pos"),
+            q6(F.sum("label").cast("double") / F.count(F.lit(1))).alias(
+                "pos_rate"
+            ),
+        )
+        .orderBy("bin")
     )
