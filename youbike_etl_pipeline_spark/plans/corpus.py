@@ -246,6 +246,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # _hashed_doc_scores helper; t34 re-proofs via its existing entry
     # above)
     "ev7_wilson_ctr_ranking", "ml4_calibration_bins",
+    # round-4f batch 3: chance-corrected rater agreement, tabular score
+    # drift (PSI), alpha-smoothed training-mixture token budgeting
+    "m22_cohens_kappa", "m23_population_stability",
+    "t40_token_budget_allocation",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -10603,4 +10607,285 @@ def ml4_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("bin")
+    )
+
+
+#: Shared DuckDB fragment: t34's hashed-classifier doc scores (mirrors
+#: _hashed_doc_scores — see t34's description for the scheme).
+_HASHED_SCORES_SQL = """
+    toks AS (
+      SELECT doc_id, source, n_chars,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                      '\\s+'),
+                    x -> x <> '')) AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source, n_chars,
+             CAST(md5_number_lower(w) % 1048576 AS BIGINT) - 524288 AS f
+      FROM toks
+    ),
+    doc_scores AS (
+      SELECT doc_id, source, n_chars,
+             CAST(SUM(f) AS DOUBLE) / (COUNT(*) * 524288.0) AS score
+      FROM feats GROUP BY 1, 2, 3
+    )
+"""
+
+
+@register(
+    "m22_cohens_kappa",
+    f"""
+    WITH {_HASHED_SCORES_SQL},
+    conf AS (
+      SELECT
+        CAST(SUM(CASE WHEN score > 0 AND n_chars >= 200 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n11,
+        CAST(SUM(CASE WHEN score > 0 AND n_chars < 200 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n10,
+        CAST(SUM(CASE WHEN score <= 0 AND n_chars >= 200 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n01,
+        CAST(SUM(CASE WHEN score <= 0 AND n_chars < 200 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n00,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM doc_scores
+    ),
+    probs AS (
+      SELECT n, n11, n10, n01, n00,
+             CAST(n11 + n00 AS DOUBLE) / n AS po,
+             CAST((n11 + n10) * (n11 + n01) AS DOUBLE) / n / n
+               + CAST((n01 + n00) * (n10 + n00) AS DOUBLE) / n / n AS pe
+      FROM conf
+    )
+    SELECT n, n11, n10, n01, n00,
+           {SQL_Q6('po')} AS p_observed,
+           {SQL_Q6('pe')} AS p_expected,
+           CASE WHEN pe < 1
+                THEN {SQL_Q6('(po - pe) / (1 - pe)')} END AS kappa
+    FROM probs
+    """,
+    survey_rows="ext:inter-rater agreement (Cohen's kappa); m6 "
+    "(contingency math), t34 (hashed classifier)",
+    description="Cohen's kappa between two document 'raters' — t34's "
+    "hashed classifier (score > 0) and the length proxy (n_chars >= "
+    "200): the chance-corrected agreement statistic used to QA weak "
+    "labels and annotator pools before training on them (raw agreement "
+    "po overstates quality when the base rates are skewed; kappa "
+    "subtracts the agreement pe expected from the marginals alone). The "
+    "2x2 confusion counts are exact integers from one aggregation over "
+    "the shared scoring frame (_hashed_doc_scores); po/pe/kappa are "
+    "fixed chains of IEEE divisions written with identical association "
+    "on both engines, 6-dp floored; the degenerate pe = 1 case (a "
+    "constant rater) yields NULL instead of dividing by zero. Scale: "
+    "doc scoring is map + one hash aggregation, the kappa math runs on "
+    "a single 5-integer row.",
+)
+def m22_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = _hashed_doc_scores(spark, sf_dir)
+    pos = F.col("score") > 0
+    lng = F.col("n_chars") >= 200
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    conf = ds.agg(
+        cnt(pos & lng).alias("n11"),
+        cnt(pos & ~lng).alias("n10"),
+        cnt(~pos & lng).alias("n01"),
+        cnt(~pos & ~lng).alias("n00"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    n = F.col("n")
+    po = (F.col("n11") + F.col("n00")).cast("double") / n
+    pe = (
+        ((F.col("n11") + F.col("n10")) * (F.col("n11") + F.col("n01")))
+        .cast("double") / n / n
+        + ((F.col("n01") + F.col("n00")) * (F.col("n10") + F.col("n00")))
+        .cast("double") / n / n
+    )
+    probs = conf.select(
+        "n", "n11", "n10", "n01", "n00", po.alias("po"), pe.alias("pe")
+    )
+    return probs.select(
+        "n", "n11", "n10", "n01", "n00",
+        q6(F.col("po")).alias("p_observed"),
+        q6(F.col("pe")).alias("p_expected"),
+        F.when(
+            F.col("pe") < 1,
+            q6((F.col("po") - F.col("pe")) / (F.lit(1) - F.col("pe"))),
+        ).alias("kappa"),
+    )
+
+
+@register(
+    "m23_population_stability",
+    f"""
+    WITH {_HASHED_SCORES_SQL},
+    binned AS (
+      SELECT LEAST(GREATEST(CAST(FLOOR((score + 1.0) * 5) AS BIGINT), 0), 9)
+               AS bin,
+             CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_base
+      FROM doc_scores
+    ),
+    counts AS (
+      SELECT bin, CAST(SUM(is_base) AS BIGINT) AS n_base,
+             CAST(SUM(1 - is_base) AS BIGINT) AS n_cur
+      FROM binned GROUP BY 1
+    ),
+    grid AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin),
+    filled AS (
+      SELECT g.bin,
+             CAST(COALESCE(c.n_base, 0) AS BIGINT) AS n_base,
+             CAST(COALESCE(c.n_cur, 0) AS BIGINT) AS n_cur
+      FROM grid g LEFT JOIN counts c ON g.bin = c.bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_base) AS BIGINT) AS tb,
+             CAST(SUM(n_cur) AS BIGINT) AS tc
+      FROM filled
+    ),
+    rates AS (
+      SELECT bin, n_base, n_cur,
+             (CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0) AS p,
+             (CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0) AS q
+      FROM filled CROSS JOIN tot
+    )
+    SELECT bin, n_base, n_cur,
+           {SQL_Q6('p')} AS p_base, {SQL_Q6('q')} AS p_cur,
+           {SQL_Q6('(p - q) * (FLOOR(LN(p / q) * 1000000) / 1000000.0)')}
+             AS psi_term
+    FROM rates ORDER BY bin
+    """,
+    survey_rows="ext:distribution drift (population stability index); "
+    "e2 (embedding drift), ml4 (score bins), m10 (histogram)",
+    description="Population stability index of t34's classifier score "
+    "between a baseline source (src0) and the rest of the corpus — the "
+    "standard tabular drift monitor (PSI = sum over bins of "
+    "(p_i - q_i) ln(p_i/q_i)) run before a trained filter is applied to "
+    "a new crawl: per-bin terms localize WHERE the score distribution "
+    "moved, complementing e2's embedding-space drift. The 10 fixed bins "
+    "are ml4's; a static 0..9 grid left-joins the observed counts so "
+    "empty bins participate, and +0.5/+5 Laplace smoothing keeps the "
+    "log finite. Float discipline: exact integer counts; p and q are "
+    "single IEEE divisions; the transcendental LN is 6-dp "
+    "floor-bracketed (the s7/t18 idiom) so the term product is "
+    "engine-deterministic. Scale: map + one 10-group aggregation; the "
+    "grid and totals are broadcast-sized.",
+)
+def m23_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = _hashed_doc_scores(spark, sf_dir)
+    binned = ds.select(
+        F.least(
+            F.greatest(
+                F.floor((F.col("score") + F.lit(1.0)) * F.lit(5)).cast("long"),
+                F.lit(0),
+            ),
+            F.lit(9),
+        ).alias("bin"),
+        F.when(F.col("source") == "src0", 1).otherwise(0).alias("is_base"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("is_base").alias("n_base"),
+        F.sum(F.lit(1) - F.col("is_base")).alias("n_cur"),
+    )
+    grid = spark.range(10).select(F.col("id").alias("bin"))
+    filled = (
+        grid.join(F.broadcast(counts), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_base"), F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce(F.col("n_cur"), F.lit(0)).cast("long").alias("n_cur"),
+        )
+    )
+    tot = filled.agg(
+        F.sum("n_base").alias("tb"), F.sum("n_cur").alias("tc")
+    )
+    rates = filled.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_base", "n_cur",
+        ((F.col("n_base").cast("double") + F.lit(0.5))
+         / (F.col("tb") + F.lit(5.0))).alias("p"),
+        ((F.col("n_cur").cast("double") + F.lit(0.5))
+         / (F.col("tc") + F.lit(5.0))).alias("q"),
+    )
+    ln6 = F.floor(F.log(F.col("p") / F.col("q")) * 1000000).cast(
+        "double"
+    ) / F.lit(1000000.0)
+    return rates.select(
+        "bin", "n_base", "n_cur",
+        q6(F.col("p")).alias("p_base"),
+        q6(F.col("q")).alias("p_cur"),
+        q6((F.col("p") - F.col("q")) * ln6).alias("psi_term"),
+    ).orderBy("bin")
+
+
+@register(
+    "t40_token_budget_allocation",
+    """
+    WITH toks AS (
+      SELECT source,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x <> '')) AS ntok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY 1
+    ),
+    wts AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)
+               AS wq
+      FROM src
+    ),
+    tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS swq FROM wts)
+    SELECT source, n_docs, n_tokens,
+           FLOOR(CAST(wq AS DOUBLE) / swq * 1000000) / 1000000.0
+             AS mix_weight,
+           FLOOR(CAST(wq AS DOUBLE) / swq * 2000000 / n_tokens * 1000000)
+             / 1000000.0 AS repeat_factor
+    FROM wts CROSS JOIN tot ORDER BY source
+    """,
+    survey_rows="ext:training mixture allocation (alpha-smoothed source "
+    "weights); t24 (mixture resample), t14 (token counting), A1",
+    description="Token-budget allocation across corpus sources with "
+    "alpha = 0.5 smoothing — the multilingual/multi-source sampling "
+    "scheme (weight_i proportional to size_i^alpha) that upweights "
+    "small sources relative to proportional sampling: per-source "
+    "whitespace-token counts (t14's tokenizer), sqrt-smoothed weights, "
+    "normalized mixture shares, and the per-source repeat factor "
+    "implied by a fixed 2M-token training budget (repeat > 1 means the "
+    "source is epoch-ed more than once — the 'how many epochs of each "
+    "source' table every data-mixing run starts from). Exactness: token "
+    "counts are exact integers; SQRT is IEEE-correctly-rounded and "
+    "immediately 6-dp floor-quantized to integer micro-units, so the "
+    "weight normalizer is an exact BIGINT sum (no float accumulation); "
+    "shares and repeat factors are fixed short chains of IEEE ops, 6-dp "
+    "floored. Scale: one map + one hash aggregation to |sources| rows; "
+    "everything downstream is broadcast-sized.",
+)
+def t40_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    src = docs.select(
+        "source", F.size(tokens(F.lower(F.col("text")))).alias("ntok")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("ntok").alias("n_tokens")
+    )
+    wts = src.withColumn(
+        "wq",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000000).cast(
+            "long"
+        ),
+    )
+    tot = wts.agg(F.sum("wq").alias("swq"))
+    share = F.col("wq").cast("double") / F.col("swq")
+    return (
+        wts.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_docs", "n_tokens",
+            q6(share).alias("mix_weight"),
+            q6(share * F.lit(2000000) / F.col("n_tokens")).alias(
+                "repeat_factor"
+            ),
+        )
+        .orderBy("source")
     )
