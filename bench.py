@@ -132,6 +132,13 @@ HEADLINE = [
     "mm7_image_ahash_neardup",
     "s8_rrf_hybrid_retrieval",
     "g3_degree_assortativity",
+    # round-4f additions (keys only ever append)
+    "er1_blocked_record_linkage",
+    "w21_weekly_trend_decomposition",
+    "ev7_wilson_ctr_ranking",
+    "ml4_calibration_bins",
+    "m23_population_stability",
+    "t40_token_budget_allocation",
 ]
 
 
