@@ -250,6 +250,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # drift (PSI), alpha-smoothed training-mixture token budgeting
     "m22_cohens_kappa", "m23_population_stability",
     "t40_token_budget_allocation",
+    # round-4f batch 4: histogram-based ROC AUC, Jensen-Shannon drift,
+    # Chao1 vocabulary richness, OHLC time-series bars
+    "ml5_roc_auc", "m24_jensen_shannon", "t41_chao1_vocab_richness",
+    "w22_ohlc_bars",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -10888,4 +10892,331 @@ def t40_token_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("source")
+    )
+
+
+# ===========================================================================
+# Round-4f batch 4 — model/retrieval evaluation + corpus-health metrics:
+# rank-based ROC AUC (the Mann-Whitney identity, computed on a score
+# HISTOGRAM so no global row-level sort is needed), Jensen-Shannon
+# distribution drift, Chao1 vocabulary-richness estimation, and OHLC bars
+# (the canonical time-series downsampling shape).
+# ===========================================================================
+
+
+@register(
+    "ml5_roc_auc",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source,
+             CAST(md5_number_lower(w) % 1048576 AS BIGINT) - 524288 AS f
+      FROM toks
+    ),
+    doc_scores AS (
+      SELECT doc_id,
+             CAST(SUM(f) AS DOUBLE) / (COUNT(*) * 524288.0) AS score
+      FROM feats GROUP BY 1
+    ),
+    lab AS (
+      SELECT CAST(FLOOR(s.score * 1000000) AS BIGINT) AS sq,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM doc_scores s JOIN documents d USING (doc_id)
+    ),
+    hist AS (
+      SELECT sq, CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM(1 - y) AS BIGINT) AS neg
+      FROM lab GROUP BY 1
+    ),
+    cum AS (
+      SELECT sq, pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY sq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_neg_below
+      FROM hist
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(neg) AS BIGINT) AS n_neg,
+             CAST(SUM(pos * (2 * cum_neg_below + neg)) AS BIGINT) AS num2
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           FLOOR(CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg) * 1000000)
+             / 1000000.0 AS auc
+    FROM tot
+    """,
+    survey_rows="ext:classifier evaluation (ROC AUC); M2 (rank statistics), "
+    "t34 (hashed classifier), W6",
+    description="ROC AUC of the t34 hashed quality classifier against the "
+    "lang=='en' label, via the Mann-Whitney identity AUC = P(score_pos > "
+    "score_neg) + 0.5*P(tie). Computed on a score HISTOGRAM, not ranked "
+    "rows: quantize scores to integer micro-units, aggregate (pos, neg) "
+    "counts per distinct score, one running sum over the ordered distinct "
+    "scores, then AUC = sum(pos*(2*cum_neg_below + neg)) / (2*P*N). The "
+    "window runs over |distinct scores| rows (bounded by the 6-dp grid), "
+    "not |docs| — the same two-phase shape survives 100 TB where a global "
+    "row-level rank() would single-partition the corpus. All-integer "
+    "arithmetic until the single final IEEE division, so the oracle "
+    "hash-matches exactly.",
+)
+def ml5_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = _hashed_doc_scores(spark, sf_dir)
+    lang = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    lab = ds.join(lang, "doc_id").select(
+        F.floor(F.col("score") * 1000000).cast("long").alias("sq"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    hist = lab.groupBy("sq").agg(
+        F.sum("y").cast("long").alias("pos"),
+        F.sum(F.lit(1) - F.col("y")).cast("long").alias("neg"),
+    )
+    w = Window.orderBy("sq").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "cum_neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    tot = cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("pos") * (F.lit(2) * F.col("cum_neg_below") + F.col("neg"))
+        ).cast("long").alias("num2"),
+    )
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        q6(
+            F.col("num2").cast("double")
+            / (F.lit(2.0) * F.col("n_pos") * F.col("n_neg"))
+        ).alias("auc"),
+    )
+
+
+@register(
+    "m24_jensen_shannon",
+    """
+    WITH e AS (
+      SELECT event_type, user_id % 2 AS grp FROM events
+    ),
+    counts AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM e GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1
+      FROM counts
+    ),
+    probs AS (
+      SELECT event_type, c0, c1,
+             c0 * 1.0 / n0 AS p, c1 * 1.0 / n1 AS q
+      FROM counts CROSS JOIN tot
+    ),
+    terms AS (
+      SELECT event_type, c0, c1, p, q,
+             FLOOR(LN(p / ((p + q) / 2)) / LN(2.0) * 1000000) / 1000000.0
+               AS lp,
+             FLOOR(LN(q / ((p + q) / 2)) / LN(2.0) * 1000000) / 1000000.0
+               AS lq
+      FROM probs
+    )
+    SELECT event_type, c0, c1,
+           FLOOR(p * 1000000) / 1000000.0 AS p_grp0,
+           FLOOR(q * 1000000) / 1000000.0 AS p_grp1,
+           FLOOR(0.5 * (p * lp + q * lq) * 1000000) / 1000000.0 AS jsd_term
+    FROM terms ORDER BY event_type
+    """,
+    survey_rows="ext:distribution drift (Jensen-Shannon divergence); M6 "
+    "(categorical comparison), m23 (PSI twin)",
+    description="Jensen-Shannon divergence terms between the event-type "
+    "distributions of two deterministic user cohorts (user_id parity — "
+    "the A/B-bucket hash a drift monitor would use): per event type, "
+    "cohort probabilities p and q, and the per-type contribution "
+    "0.5*(p*log2(p/m) + q*log2(q/m)) with m the mixture mean; the sum of "
+    "jsd_term over the 5 rows is the JSD in bits (symmetric, bounded "
+    "[0,1] — the standard corpus-vs-corpus drift score, m23's PSI twin "
+    "with a proper metric). Two hash aggregations to |event types| rows; "
+    "everything after is broadcast-sized. Probabilities are exact single "
+    "IEEE divisions of integer counts; the log factors are 6-dp "
+    "floor-quantized BEFORE the multiply (m23's discipline) so libm ULP "
+    "drift cannot flip the final floor.",
+)
+def m24_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.select(
+        "event_type", (F.col("user_id") % 2).alias("grp")
+    ).groupBy("event_type").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("long").alias("c0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("long").alias("c1"),
+    )
+    tot = counts.agg(
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    p = F.col("c0") * F.lit(1.0) / F.col("n0")
+    q = F.col("c1") * F.lit(1.0) / F.col("n1")
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        "event_type", "c0", "c1", p.alias("p"), q.alias("q")
+    )
+    m = (F.col("p") + F.col("q")) / F.lit(2)
+
+    def ln6(x) -> F.Column:
+        return F.floor(F.log(x) / F.log(F.lit(2.0)) * 1000000).cast(
+            "double"
+        ) / F.lit(1000000.0)
+
+    return probs.select(
+        "event_type",
+        "c0",
+        "c1",
+        q6(F.col("p")).alias("p_grp0"),
+        q6(F.col("q")).alias("p_grp1"),
+        q6(
+            F.lit(0.5)
+            * (F.col("p") * ln6(F.col("p") / m) + F.col("q") * ln6(F.col("q") / m))
+        ).alias("jsd_term"),
+    ).orderBy("event_type")
+
+
+@register(
+    "t41_chao1_vocab_richness",
+    """
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    wc AS (
+      SELECT source, w, COUNT(*) AS c FROM toks GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+           FLOOR((COUNT(*) + SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                  * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1)
+                  / (2.0 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1)))
+                 * 1000000) / 1000000.0 AS chao1
+    FROM wc GROUP BY 1 ORDER BY 1
+    """,
+    survey_rows="ext:vocabulary-richness estimation (Chao1); t21 (vocab "
+    "top-k), A12 (count-distinct)",
+    description="Per-source Chao1 estimated vocabulary size — the "
+    "species-richness estimator (chao1 = V + F1*(F1-1)/(2*(F2+1)), the "
+    "bias-corrected form that is total-vocabulary what the observed "
+    "distinct count undercounts: singleton/doubleton token frequencies "
+    "predict how many types the crawl has not yet seen. The 'is this "
+    "source's vocabulary saturated or still growing' signal that decides "
+    "whether more crawling adds diversity. One explode + two hash "
+    "aggregations (token-count histogram per source → three conditional "
+    "sums); all-integer until the final short IEEE chain, 6-dp floored. "
+    "The (source, word) aggregation is the only large intermediate and "
+    "shrinks with distinct-type count — no pairs, no windows, 100 "
+    "TB-safe.",
+)
+def t41_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wc = (
+        docs.select(
+            "source", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    f1 = F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long")
+    f2 = F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long")
+    v = F.count(F.lit(1)).cast("long")
+    return (
+        wc.groupBy("source")
+        .agg(
+            v.alias("vocab"),
+            f1.alias("f1"),
+            f2.alias("f2"),
+            q6(
+                F.col("vocab")
+                + F.col("f1") * F.lit(1.0) * (F.col("f1") - 1)
+                / (F.lit(2.0) * (F.col("f2") + 1))
+            ).alias("chao1"),
+        )
+        .select("source", "vocab", "f1", "f2", "chao1")
+        .orderBy("source")
+    )
+
+
+@register(
+    "w22_ohlc_bars",
+    f"""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, ts, event_id, value
+      FROM events WHERE value IS NOT NULL
+    ),
+    rn AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+               ORDER BY ts, event_id) AS rf,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day
+               ORDER BY ts DESC, event_id DESC) AS rl
+      FROM e
+    )
+    SELECT event_type, day,
+           MAX(CASE WHEN rf = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rl = 1 THEN value END) AS close,
+           {SQL_DSUM("value")} AS volume,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM rn GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    survey_rows="W4 (time bucketing), W13 (first/last value), A1; "
+    "ext:OHLC downsampling",
+    description="Daily OHLC bars per event type — the canonical "
+    "time-series downsampling shape (open/high/low/close/volume per "
+    "bucket) that turns a raw event stream into chartable/model-ready "
+    "bars. Spark side computes open and close with min/max over a "
+    "(ts, event_id, value) struct — lexicographic struct ordering makes "
+    "first-by-time-with-tie-break a pure hash AGGREGATION (two-phase, "
+    "map-side partials, no window sort at all), the shape that survives "
+    "100 TB where a per-(type, day) row_number window would sort every "
+    "partition. The oracle proves the same semantics with explicit "
+    "first/last row_numbers. Ties broken by event_id on both sides; "
+    "high/low/open/close pass stored doubles through untouched; volume "
+    "is the exact decimal sum.",
+)
+def w22_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    e = ev.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    return (
+        e.groupBy("event_type", "day")
+        .agg(
+            F.min(F.struct("ts", "event_id", "value")).alias("first_row"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.struct("ts", "event_id", "value")).alias("last_row"),
+            agg.decimal_sum(F.col("value")).alias("volume"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.col("first_row.value").alias("open"),
+            "high",
+            "low",
+            F.col("last_row.value").alias("close"),
+            "volume",
+            "n_events",
+        )
+        .orderBy("event_type", "day")
     )
