@@ -254,6 +254,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # Chao1 vocabulary richness, OHLC time-series bars
     "ml5_roc_auc", "m24_jensen_shannon", "t41_chao1_vocab_richness",
     "w22_ohlc_bars",
+    # round-4f batch 5: LSH recall@k index evaluation, exact power-of-two
+    # EWMA smoothing, single-scan column profiling, Gopher quality rules
+    "s9_ann_recall_eval", "w23_ewma_daily", "dq8_column_profile",
+    "t42_gopher_quality_rules",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -11219,4 +11223,385 @@ def w22_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
         .orderBy("event_type", "day")
+    )
+
+
+# ===========================================================================
+# Round-4f batch 5 — ANN index evaluation (recall@k of the LSH candidate
+# set vs exact top-k), exponentially-weighted smoothing, a declarative
+# column-profiling DQ report, and Gopher-style document quality rules.
+# ===========================================================================
+
+
+@register(
+    "s9_ann_recall_eval",
+    None,  # generated oracle attached below (needs the plane constants)
+    survey_rows="ext:ANN index evaluation (recall@k); s1 (exact top-k), "
+    "s3 (LSH buckets)",
+    description="Recall@10 of the s3 random-hyperplane LSH index against "
+    "the s1 exact cosine top-10 for the held-out query vector — THE "
+    "acceptance metric for any ANN index before it replaces brute force "
+    "at scale: the candidate set is every corpus vector sharing the "
+    "query's 8-bit bucket, and recall is |exact top-10 ∩ candidates| / "
+    "|exact top-10|. One bucket equi-join (no pairs), the exact top-10 "
+    "side is TakeOrderedAndProject over the corpus, and the final frame "
+    "is three broadcast-sized scalar aggregates. At 100 TB the identical "
+    "query answers 'is 8 bits enough, or do we need multi-probe' from a "
+    "sample — the index-tuning loop every embedding pipeline runs. "
+    "All-integer counts; recall is one IEEE division, 6-dp floored.",
+)
+def s9_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _hyperplanes, cosine_topk, lsh_bucket
+
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(64, 8, seed=42)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    exact = cosine_topk(corpus, qvec, k=10).select("vec_id")
+    b = emb.withColumn("bucket", lsh_bucket(F.col("embedding"), planes)).select(
+        "vec_id", "bucket"
+    )
+    qb = b.filter(F.col("vec_id") == 0).select(F.col("bucket").alias("qbucket"))
+    cand = (
+        b.join(F.broadcast(qb), b.bucket == qb.qbucket)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    hits = exact.join(cand, "vec_id")
+    return (
+        exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hits",
+            q6(
+                F.col("n_hits").cast("double") * F.lit(1.0) / F.col("n_exact")
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+def _s9_oracle_sql() -> str:
+    """DuckDB mirror of s9: the same generated hyperplane-bucket expression
+    as s3's oracle, s1's exact-top-10 ranking, and the intersection
+    counts."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, seed=42)
+    bits = []
+    for i, plane in enumerate(planes):
+        dot = " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * {w!r}" for j, w in enumerate(plane)
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << i} ELSE 0 END)")
+    bucket = " + ".join(bits)
+    return f"""
+    WITH {_EMB_DOTS},
+    exact10 AS (
+      SELECT vec_id FROM dots, qn WHERE aa > 0 AND qq > 0
+      ORDER BY dot / (SQRT(aa) * SQRT(qq)) DESC, vec_id ASC LIMIT 10
+    ),
+    buckets AS (SELECT vec_id, ({bucket}) AS bucket FROM embeddings),
+    qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+    cand AS (
+      SELECT b.vec_id FROM buckets b, qb
+      WHERE b.bucket = qb.bucket AND b.vec_id != 0
+    ),
+    counts AS (
+      SELECT CAST((SELECT COUNT(*) FROM exact10) AS BIGINT) AS n_exact,
+             CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+             CAST((SELECT COUNT(*) FROM exact10 e JOIN cand c USING (vec_id))
+               AS BIGINT) AS n_hits
+    )
+    SELECT n_exact, n_candidates, n_hits,
+           FLOOR(CAST(n_hits AS DOUBLE) * 1.0 / n_exact * 1000000)
+             / 1000000.0 AS recall_at_10
+    FROM counts
+    """
+
+
+CORPUS["s9_ann_recall_eval"].oracle = _s9_oracle_sql()
+
+
+def _w23_spark_terms() -> "tuple[F.Column, F.Column]":
+    """The 14 exact EWMA terms (alpha = 1/2, row-based 14-step lookback):
+    numerator' = sum_i lag(xq, i) * 2^(13-i) and denominator' = sum over
+    PRESENT lags of 2^(13-i) — all integer, so the smoothed value is a
+    single exact IEEE division. Built lazily (Window objects need an
+    active session); the SQL mirror is _W23_QNUM/_W23_QDEN."""
+    w = Window.partitionBy("event_type").orderBy("day")
+    s_num = F.lit(0).cast("long")
+    s_den = F.lit(0).cast("long")
+    for i in range(14):
+        wt = 1 << (13 - i)
+        lagged = F.lag("xq", i).over(w) if i else F.col("xq")
+        s_num = s_num + F.coalesce(lagged, F.lit(0)) * F.lit(wt)
+        s_den = s_den + F.when(lagged.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    return s_num, s_den
+
+
+_W23_QNUM = [
+    f"COALESCE({f'LAG(xq, {i}) OVER w' if i else 'xq'}, 0) * {1 << (13 - i)}"
+    for i in range(14)
+]
+_W23_QDEN = [
+    f"(CASE WHEN {f'LAG(xq, {i}) OVER w' if i else 'xq'} IS NOT NULL"
+    f" THEN {1 << (13 - i)} ELSE 0 END)"
+    for i in range(14)
+]
+
+
+@register(
+    "w23_ewma_daily",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(FLOOR({SQL_DSUM("value")} * 1000000) AS BIGINT) AS xq
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    sm AS (
+      SELECT event_type, day, xq,
+             {" + ".join(_W23_QNUM)} AS num,
+             {" + ".join(_W23_QDEN)} AS den
+      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    )
+    SELECT event_type, day,
+           FLOOR(xq / 1000000.0 * 1000000) / 1000000.0 AS daily_total,
+           FLOOR(CAST(num AS DOUBLE) / den / 1000000.0 * 1000000) / 1000000.0
+             AS ewma
+    FROM sm ORDER BY event_type, day
+    """,
+    survey_rows="W1 (partitioned lag), W4 (time bucketing); ext:EWMA "
+    "smoothing",
+    description="Exponentially-weighted moving average (alpha = 1/2, "
+    "14-step lookback) of daily value totals per event type — the "
+    "smoothing primitive behind anomaly baselines and trend dashboards "
+    "(w21's decomposition sibling with recency weighting). Exactness "
+    "device: daily totals are floor-quantized to integer micro-units, "
+    "and because alpha = 1/2 the lag weights are powers of two, so the "
+    "weighted numerator sum(lag_i * 2^(13-i)) and the present-lag "
+    "denominator are EXACT int64 arithmetic on both engines — the EWMA "
+    "is one final IEEE division, no float accumulation anywhere. The 14 "
+    "LAG terms share one window (single shuffle+sort per event type); "
+    "the daily frame is |types|x|days|, already tiny at any corpus "
+    "scale.",
+)
+def w23_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(
+            F.floor(agg.decimal_sum(F.col("value")) * 1000000)
+            .cast("long")
+            .alias("xq")
+        )
+    )
+    s_num, s_den = _w23_spark_terms()
+    sm = daily.select(
+        "event_type",
+        "day",
+        "xq",
+        s_num.alias("num"),
+        s_den.alias("den"),
+    )
+    return sm.select(
+        "event_type",
+        "day",
+        q6(F.col("xq") / F.lit(1000000.0)).alias("daily_total"),
+        q6(F.col("num").cast("double") / F.col("den") / F.lit(1000000.0)).alias(
+            "ewma"
+        ),
+    ).orderBy("event_type", "day")
+
+
+@register(
+    "dq8_column_profile",
+    """
+    WITH p AS (
+      SELECT 'event_id' AS col_name, COUNT(*) AS n,
+             COUNT(*) - COUNT(event_id) AS n_null,
+             COUNT(DISTINCT event_id) AS n_distinct,
+             MIN(event_id) * 1.0 AS min_num, MAX(event_id) * 1.0 AS max_num
+      FROM events
+      UNION ALL
+      SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts), COUNT(DISTINCT ts),
+             FLOOR(MIN(epoch(ts))) * 1.0, FLOOR(MAX(epoch(ts))) * 1.0
+      FROM events
+      UNION ALL
+      SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+             COUNT(DISTINCT user_id),
+             MIN(user_id) * 1.0, MAX(user_id) * 1.0 FROM events
+      UNION ALL
+      SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+             COUNT(DISTINCT event_type), NULL, NULL FROM events
+      UNION ALL
+      SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+             COUNT(DISTINCT value),
+             FLOOR(MIN(value) * 1000000) / 1000000.0,
+             FLOOR(MAX(value) * 1000000) / 1000000.0 FROM events
+      UNION ALL
+      SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+             COUNT(DISTINCT props), NULL, NULL FROM events
+    )
+    SELECT col_name, CAST(n AS BIGINT) AS n, CAST(n_null AS BIGINT) AS n_null,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(min_num AS DOUBLE) AS min_num, CAST(max_num AS DOUBLE) AS max_num
+    FROM p ORDER BY col_name
+    """,
+    survey_rows="F15 (null counts), A12 (count-distinct), A3 (describe); "
+    "ext:table profiling",
+    description="Declarative column-profiling report over the events "
+    "table — the 'what does this table actually contain' completeness/"
+    "cardinality audit (per column: rows, nulls, distinct count, numeric "
+    "min/max) run before any table is admitted to a pipeline; dq's "
+    "profiling sibling to the constraint validator. One Spark scan "
+    "computes every per-column aggregate in a single hash aggregation, "
+    "then stacks the results into the per-column report rows "
+    "driver-side-free; the oracle proves the same numbers with six "
+    "explicit passes. Timestamps profile as epoch seconds and doubles "
+    "floor-quantize so min/max cross-check exactly; string columns "
+    "report NULL min/max (formatting of string extrema is "
+    "engine-specific).",
+)
+def dq8_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    one = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        # event_id
+        (F.count(F.lit(1)) - F.count("event_id")).cast("long").alias("null_event_id"),
+        F.count_distinct(F.col("event_id")).cast("long").alias("nd_event_id"),
+        (F.min("event_id") * F.lit(1.0)).alias("min_event_id"),
+        (F.max("event_id") * F.lit(1.0)).alias("max_event_id"),
+        # ts
+        (F.count(F.lit(1)) - F.count("ts")).cast("long").alias("null_ts"),
+        F.count_distinct(F.col("ts")).cast("long").alias("nd_ts"),
+        (F.floor(F.min(F.col("ts").cast("double"))) * F.lit(1.0)).alias("min_ts"),
+        (F.floor(F.max(F.col("ts").cast("double"))) * F.lit(1.0)).alias("max_ts"),
+        # user_id
+        (F.count(F.lit(1)) - F.count("user_id")).cast("long").alias("null_user_id"),
+        F.count_distinct(F.col("user_id")).cast("long").alias("nd_user_id"),
+        (F.min("user_id") * F.lit(1.0)).alias("min_user_id"),
+        (F.max("user_id") * F.lit(1.0)).alias("max_user_id"),
+        # event_type
+        (F.count(F.lit(1)) - F.count("event_type")).cast("long").alias("null_event_type"),
+        F.count_distinct(F.col("event_type")).cast("long").alias("nd_event_type"),
+        # value
+        (F.count(F.lit(1)) - F.count("value")).cast("long").alias("null_value"),
+        F.count_distinct(F.col("value")).cast("long").alias("nd_value"),
+        q6(F.min("value")).alias("min_value"),
+        q6(F.max("value")).alias("max_value"),
+        # props
+        (F.count(F.lit(1)) - F.count("props")).cast("long").alias("null_props"),
+        F.count_distinct(F.col("props")).cast("long").alias("nd_props"),
+    )
+    null_d = F.lit(None).cast("double")
+    stacked = one.select(
+        F.expr(
+            "stack(6, "
+            "'event_id', null_event_id, nd_event_id, min_event_id, max_event_id, "
+            "'ts', null_ts, nd_ts, min_ts, max_ts, "
+            "'user_id', null_user_id, nd_user_id, min_user_id, max_user_id, "
+            "'event_type', null_event_type, nd_event_type, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), "
+            "'value', null_value, nd_value, min_value, max_value, "
+            "'props', null_props, nd_props, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)"
+            ") AS (col_name, n_null, n_distinct, min_num, max_num)"
+        ),
+        F.col("n"),
+    )
+    return stacked.select(
+        "col_name", "n", "n_null", "n_distinct", "min_num", "max_num"
+    ).orderBy("col_name")
+
+
+@register(
+    "t42_gopher_quality_rules",
+    """
+    WITH stats AS (
+      SELECT doc_id, source,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x <> '')) AS n_words,
+             len(array_to_string(list_filter(
+                 regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x <> ''), '')) AS n_word_chars,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x <> '' AND regexp_matches(x, '[a-z]'))) AS n_alpha_words
+      FROM documents WHERE text IS NOT NULL
+    ),
+    flags AS (
+      SELECT source,
+             CASE WHEN n_words BETWEEN 20 AND 100000 THEN 1 ELSE 0 END AS r_len,
+             CASE WHEN n_words > 0
+                    AND n_word_chars * 1.0 / n_words >= 3.0
+                    AND n_word_chars * 1.0 / n_words <= 10.0
+                  THEN 1 ELSE 0 END AS r_wordlen,
+             CASE WHEN n_words > 0
+                    AND n_alpha_words * 1.0 / n_words >= 0.8
+                  THEN 1 ELSE 0 END AS r_alpha
+      FROM stats
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(r_len) AS BIGINT) AS pass_length,
+           CAST(SUM(r_wordlen) AS BIGINT) AS pass_word_length,
+           CAST(SUM(r_alpha) AS BIGINT) AS pass_alpha,
+           CAST(SUM(r_len * r_wordlen * r_alpha) AS BIGINT) AS pass_all
+    FROM flags GROUP BY 1 ORDER BY 1
+    """,
+    survey_rows="ext:quality rule filtering (Gopher rules); t6 (quality "
+    "scores), F6 (binary flags)",
+    description="Gopher-style document quality rules scored per source — "
+    "the rule-based pre-filter (word count in range, mean word length in "
+    "[3,10], >= 80% alphabetic words) that removes boilerplate/gibberish "
+    "before any model-based scoring: per-document integer token stats, "
+    "three boolean rules, per-source pass counts and the conjunction. "
+    "Pure map + one hash aggregation — no joins, no windows; every rule "
+    "comparison is on an exact integer ratio (single IEEE division "
+    "against literal bounds, identical on both engines). The t34 "
+    "classifier and these rules are the two halves of a real curation "
+    "gate: rules kill the obvious garbage cheaply, the classifier ranks "
+    "what remains.",
+)
+def t42_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = tokens(F.lower(F.col("text")))
+    stats = docs.select(
+        "source",
+        F.size(toks).alias("n_words"),
+        F.length(F.array_join(toks, "")).alias("n_word_chars"),
+        F.size(
+            F.filter(toks, lambda t: t.rlike("[a-z]"))
+        ).alias("n_alpha_words"),
+    )
+    mean_wl = F.col("n_word_chars") * F.lit(1.0) / F.col("n_words")
+    alpha_frac = F.col("n_alpha_words") * F.lit(1.0) / F.col("n_words")
+    flags = stats.select(
+        "source",
+        F.when(F.col("n_words").between(20, 100000), 1).otherwise(0).alias("r_len"),
+        F.when(
+            (F.col("n_words") > 0) & (mean_wl >= 3.0) & (mean_wl <= 10.0), 1
+        ).otherwise(0).alias("r_wordlen"),
+        F.when((F.col("n_words") > 0) & (alpha_frac >= 0.8), 1)
+        .otherwise(0)
+        .alias("r_alpha"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("r_len").cast("long").alias("pass_length"),
+            F.sum("r_wordlen").cast("long").alias("pass_word_length"),
+            F.sum("r_alpha").cast("long").alias("pass_alpha"),
+            F.sum(F.col("r_len") * F.col("r_wordlen") * F.col("r_alpha"))
+            .cast("long")
+            .alias("pass_all"),
+        )
+        .orderBy("source")
     )
