@@ -258,6 +258,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # EWMA smoothing, single-scan column profiling, Gopher quality rules
     "s9_ann_recall_eval", "w23_ewma_daily", "dq8_column_profile",
     "t42_gopher_quality_rules",
+    # round-4f batch 6: kNN label-consistency audit, Fisher class
+    # separation, truncation audit, rolling-origin backtest folds
+    "e3_knn_label_consistency", "e4_fisher_separation",
+    "t43_truncation_audit", "t44_rolling_origin_folds",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -11604,4 +11608,428 @@ def t42_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pass_all"),
         )
         .orderBy("source")
+    )
+
+
+# ===========================================================================
+# Round-4f batch 6 — embedding-space and split health: kNN label-consistency
+# (Cleanlab-style noisy-label audit), Fisher-style class separation,
+# context-length truncation audit, rolling-origin backtest folds.
+# ===========================================================================
+
+
+@register(
+    "e3_knn_label_consistency",
+    """
+    WITH samp AS (
+      SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    norms AS (
+      SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nn
+      FROM (SELECT vec_id, unnest(embedding) AS x FROM samp) GROUP BY 1
+    ),
+    nz AS (SELECT s.vec_id, s.label FROM samp s JOIN norms USING (vec_id) WHERE nn > 0),
+    dots AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+      FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding,1) AS i FROM samp) a
+      JOIN (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding,1) AS i FROM samp) b
+        ON a.i = b.i AND a.vec_id != b.vec_id
+      GROUP BY 1, 2
+    ),
+    cosq AS (
+      SELECT d.qid, d.nid,
+             CAST(FLOOR(d.dot / (SQRT(na.nn) * SQRT(nb.nn)) * 1000000)
+               AS BIGINT) AS cq
+      FROM dots d JOIN norms na ON d.qid = na.vec_id
+                  JOIN norms nb ON d.nid = nb.vec_id
+      WHERE na.nn > 0 AND nb.nn > 0
+    ),
+    ranked AS (
+      SELECT qid, nid,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cq DESC, nid ASC)
+               AS rn
+      FROM cosq
+    ),
+    per_vec AS (
+      SELECT r.qid,
+             SUM(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS n_same
+      FROM ranked r
+      JOIN nz ql ON r.qid = ql.vec_id
+      JOIN nz nl ON r.nid = nl.vec_id
+      WHERE r.rn <= 5 GROUP BY 1
+    )
+    SELECT l.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(p.n_same) AS BIGINT) AS n_same_neighbors,
+           FLOOR(SUM(p.n_same) * 1.0 / (5.0 * COUNT(*)) * 1000000)
+             / 1000000.0 AS consistency
+    FROM per_vec p JOIN nz l ON p.qid = l.vec_id
+    GROUP BY 1 ORDER BY 1
+    """,
+    survey_rows="ext:noisy-label detection (kNN label consistency); s1/s5 "
+    "(cosine ranking), A11",
+    description="Cleanlab-style kNN label-consistency audit over the "
+    "embedding table: for each sampled vector, its 5 nearest neighbors "
+    "by cosine, and per label the fraction of neighbor labels that "
+    "agree — labels whose neighborhoods disagree are the mislabeled/"
+    "overlapping classes a training run should re-examine. Cosines are "
+    "floor-quantized to integer micro-units BEFORE ranking so the "
+    "neighbor sets tie-break identically on both engines (then by "
+    "neighbor id). Graded on the vec_id%5 sample with an exact "
+    "all-pairs neighbor search (the oracle needs the same pairs); at "
+    "100 TB the identical consistency computation consumes s3/s4 "
+    "LSH/IVF candidates instead of all pairs — the routing every "
+    "ANN-backed audit uses (s2's pattern). Counts are integers; the "
+    "final consistency is one IEEE division, 6-dp floored.",
+)
+def e3_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import _nonzero_norm, cosine_similarity
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    nz = emb.filter(_nonzero_norm(F.col("embedding")))
+    q = nz.select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    n = nz.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nvec"),
+        F.col("label").alias("nlabel"),
+    )
+    crossed = (
+        q.crossJoin(F.broadcast(n))
+        .filter(F.col("qid") != F.col("nid"))
+        .select(
+            "qid",
+            "qlabel",
+            "nid",
+            "nlabel",
+            F.floor(
+                cosine_similarity(F.col("qvec"), F.col("nvec")) * 1000000
+            ).cast("long").alias("cq"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cq").desc(), F.col("nid").asc())
+    per_vec = (
+        crossed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("qid", "qlabel")
+        .agg(
+            F.sum(
+                F.when(F.col("qlabel") == F.col("nlabel"), 1).otherwise(0)
+            ).alias("n_same")
+        )
+    )
+    return (
+        per_vec.groupBy(F.col("qlabel").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("n_same").cast("long").alias("n_same_neighbors"),
+        )
+        .select(
+            "label",
+            "n_vecs",
+            "n_same_neighbors",
+            q6(
+                F.col("n_same_neighbors") * F.lit(1.0)
+                / (F.lit(5.0) * F.col("n_vecs"))
+            ).alias("consistency"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "e4_fisher_separation",
+    f"""
+    WITH xs AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS d,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+               AS BIGINT) AS xq
+      FROM embeddings
+    ),
+    lsums AS (
+      SELECT label, d, CAST(SUM(xq) AS BIGINT) AS sxq,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM xs GROUP BY 1, 2
+    ),
+    lcent AS (
+      SELECT label, d, CAST(FLOOR(sxq * 1.0 / n) AS BIGINT) AS cq FROM lsums
+    ),
+    gcent AS (
+      SELECT d, CAST(FLOOR(SUM(sxq) * 1.0 / SUM(n)) AS BIGINT) AS gq
+      FROM lsums GROUP BY 1
+    ),
+    ssd AS (
+      SELECT x.vec_id, x.label,
+             SUM((x.xq - c.cq) * (x.xq - c.cq)) AS ssd_int
+      FROM xs x JOIN lcent c ON x.label = c.label AND x.d = c.d
+      GROUP BY 1, 2
+    ),
+    inter AS (
+      SELECT c.label, SUM((c.cq - g.gq) * (c.cq - g.gq)) AS dist2_int
+      FROM lcent c JOIN gcent g USING (d) GROUP BY 1
+    ),
+    intra AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+             {SQL_DAVG("ssd_int")} AS msd_int
+      FROM ssd GROUP BY 1
+    )
+    SELECT a.label, a.n_vecs,
+           FLOOR(a.msd_int / 1000000000000.0 * 1000000) / 1000000.0
+             AS intra_msd,
+           FLOOR(i.dist2_int / 1000000000000.0 * 1000000) / 1000000.0
+             AS dist2_global,
+           FLOOR(i.dist2_int / a.msd_int * 1000000) / 1000000.0
+             AS separation_ratio
+    FROM intra a JOIN inter i USING (label) ORDER BY a.label
+    """,
+    survey_rows="ext:embedding-space class separation (Fisher ratio); A9 "
+    "(centroid means), M4 (between/within variance)",
+    description="Fisher-style class-separation audit of the embedding "
+    "space: per label, the mean squared distance of member vectors to "
+    "their label centroid (within-class scatter), the squared distance "
+    "of the label centroid to the global centroid (between-class "
+    "scatter), and their ratio — the 'are these classes actually "
+    "separable in this embedding space' health check run before anyone "
+    "trains a probe on it. Exactness: coordinates floor-quantize to "
+    "integer micro-units, centroids are floored integer means, so every "
+    "squared distance is EXACT int64 arithmetic; per-label means go "
+    "through the exact decimal-sum path and the two final unit "
+    "conversions are floored IEEE chains. Shape: one explode + per-"
+    "(label, dim) aggregation (64x|labels| rows), one map-side join "
+    "back for scatter — no pairs, no windows; the per-dim frame stays "
+    "broadcast-sized at any corpus scale.",
+)
+def e4_fisher_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    xs = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding")).alias("d0", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("xq"),
+    )
+    lsums = xs.groupBy("label", "d").agg(
+        F.sum("xq").cast("long").alias("sxq"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    lcent = lsums.select(
+        "label",
+        "d",
+        F.floor(F.col("sxq") * F.lit(1.0) / F.col("n")).cast("long").alias("cq"),
+    )
+    gcent = lsums.groupBy("d").agg(
+        F.floor(F.sum("sxq") * F.lit(1.0) / F.sum("n")).cast("long").alias("gq")
+    )
+    ssd = (
+        xs.join(F.broadcast(lcent), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq")))
+            .alias("ssd_int")
+        )
+    )
+    inter = (
+        lcent.join(F.broadcast(gcent), "d")
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("cq") - F.col("gq")) * (F.col("cq") - F.col("gq")))
+            .cast("long")
+            .alias("dist2_int")
+        )
+    )
+    intra = ssd.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        agg.decimal_avg(F.col("ssd_int")).alias("msd_int"),
+    )
+    return (
+        intra.join(F.broadcast(inter), "label")
+        .select(
+            "label",
+            "n_vecs",
+            q6(F.col("msd_int") / F.lit(1000000000000.0)).alias("intra_msd"),
+            q6(F.col("dist2_int") / F.lit(1000000000000.0)).alias("dist2_global"),
+            q6(F.col("dist2_int") / F.col("msd_int")).alias("separation_ratio"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "t43_truncation_audit",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                 x -> x <> '')) AS ntok
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ls(ctx_len) AS (VALUES (32), (64), (128))
+    SELECT ctx_len,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ntok > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_truncated,
+           CAST(SUM(ntok) AS BIGINT) AS tokens_total,
+           CAST(SUM(GREATEST(ntok - ctx_len, 0)) AS BIGINT) AS tokens_lost,
+           FLOOR(SUM(GREATEST(ntok - ctx_len, 0)) * 1.0 / SUM(ntok)
+                 * 1000000) / 1000000.0 AS loss_frac
+    FROM toks CROSS JOIN ls
+    GROUP BY 1 ORDER BY 1
+    """,
+    survey_rows="ext:context-length truncation audit; t14 (token counts), "
+    "t23 (sequence packing)",
+    description="Context-length truncation audit — for each candidate "
+    "context length, how many documents exceed it and what fraction of "
+    "corpus tokens a hard truncation would discard (the cheap sweep run "
+    "before committing to a packing config; t23's packing is the "
+    "downstream consumer of the chosen length). One token-count scan "
+    "crossed with the 3-row length table, one hash aggregation — "
+    "all-integer until the final floored ratio.",
+)
+def t43_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = docs.select(F.size(tokens(F.lower(F.col("text")))).alias("ntok"))
+    ls = spark.createDataFrame([(32,), (64,), (128,)], "ctx_len int")
+    lost = F.greatest(F.col("ntok") - F.col("ctx_len"), F.lit(0))
+    return (
+        toks.crossJoin(F.broadcast(ls))
+        .groupBy("ctx_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("ntok") > F.col("ctx_len"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_truncated"),
+            F.sum("ntok").cast("long").alias("tokens_total"),
+            F.sum(lost).cast("long").alias("tokens_lost"),
+            q6(F.sum(lost) * F.lit(1.0) / F.sum("ntok")).alias("loss_frac"),
+        )
+        .orderBy("ctx_len")
+    )
+
+
+@register(
+    "t44_rolling_origin_folds",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    origin AS (SELECT MIN(day) AS d0 FROM e),
+    di AS (
+      SELECT user_id, date_diff('day', d0, day) AS idx FROM e CROSS JOIN origin
+    ),
+    folds(fold) AS (VALUES (0), (1), (2)),
+    marked AS (
+      SELECT f.fold, d.user_id,
+             CASE WHEN d.idx < 7 * (f.fold + 1) THEN 'train'
+                  WHEN d.idx < 7 * (f.fold + 2) THEN 'test'
+                  ELSE NULL END AS part
+      FROM di d CROSS JOIN folds f
+    ),
+    counts AS (
+      SELECT fold,
+             CAST(SUM(CASE WHEN part = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_train,
+             CAST(SUM(CASE WHEN part = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_test
+      FROM marked GROUP BY 1
+    ),
+    test_users AS (
+      SELECT fold, user_id FROM marked WHERE part = 'test' GROUP BY 1, 2
+    ),
+    train_users AS (
+      SELECT fold, user_id FROM marked WHERE part = 'train' GROUP BY 1, 2
+    ),
+    cold AS (
+      SELECT t.fold,
+             CAST(COUNT(*) AS BIGINT) AS test_users,
+             CAST(SUM(CASE WHEN tr.user_id IS NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS new_users
+      FROM test_users t
+      LEFT JOIN train_users tr ON t.fold = tr.fold AND t.user_id = tr.user_id
+      GROUP BY 1
+    )
+    SELECT c.fold, c.n_train, c.n_test, d.test_users, d.new_users,
+           FLOOR(d.new_users * 1.0 / d.test_users * 1000000) / 1000000.0
+             AS cold_start_frac
+    FROM counts c JOIN cold d USING (fold) ORDER BY c.fold
+    """,
+    survey_rows="ext:rolling-origin backtest folds; t13 (k-fold), W4 "
+    "(time bucketing), J4 (anti-join)",
+    description="Rolling-origin (expanding-window) backtest folds over "
+    "the event stream — the time-respecting alternative to t13's random "
+    "k-fold that every forecasting/recommendation evaluation needs: "
+    "fold k trains on the first 7*(k+1) days and tests on the following "
+    "7, and the report carries each fold's sizes plus the cold-start "
+    "fraction (test users never seen in training — the metric that "
+    "decides whether a user-history model can be evaluated at all). "
+    "One date-index scan crossed with the 3-row fold table, distinct-"
+    "user frames joined per fold; all counts exact integers, one "
+    "floored division. The fold table is a literal; the per-fold "
+    "distinct-user frames are the only shuffles and key on (fold, "
+    "user) — no windows, no pairs.",
+)
+def t44_rolling_origin_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    origin = ev.agg(F.min("day").alias("d0"))
+    di = ev.crossJoin(F.broadcast(origin)).select(
+        "user_id", F.datediff(F.col("day"), F.col("d0")).alias("idx")
+    )
+    folds = spark.createDataFrame([(0,), (1,), (2,)], "fold int")
+    marked = di.crossJoin(F.broadcast(folds)).select(
+        "fold",
+        "user_id",
+        F.when(F.col("idx") < 7 * (F.col("fold") + 1), "train")
+        .when(F.col("idx") < 7 * (F.col("fold") + 2), "test")
+        .alias("part"),
+    )
+    counts = marked.groupBy("fold").agg(
+        F.sum(F.when(F.col("part") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("n_train"),
+        F.sum(F.when(F.col("part") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("n_test"),
+    )
+    test_users = (
+        marked.filter(F.col("part") == "test").select("fold", "user_id").distinct()
+    )
+    train_users = (
+        marked.filter(F.col("part") == "train").select("fold", "user_id").distinct()
+    )
+    cold = (
+        test_users.join(
+            train_users.withColumn("seen", F.lit(1)), ["fold", "user_id"], "left"
+        )
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("test_users"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+        )
+    )
+    return (
+        counts.join(cold, "fold")
+        .select(
+            "fold",
+            "n_train",
+            "n_test",
+            "test_users",
+            "new_users",
+            q6(F.col("new_users") * F.lit(1.0) / F.col("test_users")).alias(
+                "cold_start_frac"
+            ),
+        )
+        .orderBy("fold")
     )
