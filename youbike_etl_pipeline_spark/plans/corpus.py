@@ -262,6 +262,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # separation, truncation audit, rolling-origin backtest folds
     "e3_knn_label_consistency", "e4_fisher_separation",
     "t43_truncation_audit", "t44_rolling_origin_folds",
+    # round-4f batch 7: oracle-backed portable HyperLogLog, quantile
+    # normalization across sources, robust MAD anomaly days
+    "t45_portable_hll_distinct", "f20_quantile_normalization",
+    "w24_robust_anomaly_days",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -12032,4 +12036,355 @@ def t44_rolling_origin_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("fold")
+    )
+
+
+# ===========================================================================
+# Round-4f batch 7 — a fully ORACLE-BACKED HyperLogLog (the portable-hash
+# trick upgrades the sketch family from rows-only to bit-exact), quantile
+# normalization across sources, and robust (MAD) anomaly detection.
+# ===========================================================================
+
+
+@register(
+    "t45_portable_hll_distinct",
+    """
+    WITH h AS (
+      SELECT event_type,
+             md5_number_lower(CAST(user_id AS VARCHAR)) AS hv
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    rw AS (
+      SELECT event_type,
+             CAST(hv % 256 AS BIGINT) AS reg,
+             CAST(hv >> 8 AS BIGINT) AS w
+      FROM h
+    ),
+    rho AS (
+      SELECT event_type, reg,
+             CASE WHEN w = 0 THEN 57
+                  ELSE LENGTH(BIN(w & (-w))) END AS rho
+      FROM rw
+    ),
+    regs AS (
+      SELECT event_type, reg, MAX(rho) AS maxrho FROM rho GROUP BY 1, 2
+    ),
+    z AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_regs,
+             SUM(CAST(POWER(2.0, 62 - maxrho) AS DECIMAL(38,0))) AS s_present
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type, n_regs,
+             (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+               * POWER(2.0, 62)
+               / CAST(s_present + (256 - n_regs)
+                      * CAST(POWER(2.0, 62) AS DECIMAL(38,0)) AS DOUBLE)
+               AS e_raw
+      FROM z
+    ),
+    corrected AS (
+      SELECT event_type, n_regs,
+             CASE WHEN e_raw <= 2.5 * 256.0 AND n_regs < 256
+                  THEN 256.0 * LN(256.0 / (256.0 - n_regs))
+                  ELSE e_raw END AS e_hll
+      FROM est
+    ),
+    exact AS (
+      SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+      FROM events WHERE user_id IS NOT NULL GROUP BY 1
+    )
+    SELECT c.event_type, x.n_exact,
+           FLOOR(c.e_hll * 1000000) / 1000000.0 AS hll_estimate,
+           FLOOR((c.e_hll - x.n_exact) / x.n_exact * 1000000) / 1000000.0
+             AS rel_error
+    FROM corrected c JOIN exact x USING (event_type)
+    ORDER BY c.event_type
+    """,
+    survey_rows="ext:mergeable distinct sketch (HyperLogLog, oracle-"
+    "backed); A12 (count-distinct), t38 (sketch accuracy)",
+    description="A from-scratch HyperLogLog distinct-user estimate per "
+    "event type, ORACLE-VERIFIED bit-for-bit — the trick that upgrades "
+    "the sketch family from rows-only grading: both engines derive the "
+    "64-bit hash from md5 (md5_number_lower mirror), the register is "
+    "the low 8 bits, the rank is the first-set-bit position of the "
+    "remaining 56 (computed portably as LENGTH(BIN(w & -w)) — no "
+    "floating log), register maxima merge exactly, and the harmonic "
+    "denominator sums EXACT DECIMAL(38,0) powers of two. Linear-"
+    "counting small-range correction applied below 2.5m. The per-"
+    "(group, register) max IS the production shuffle shape: partial "
+    "maxima merge map-side, the reduced state is 256 rows per group "
+    "forever — the mergeable-sketch property approx_count_distinct "
+    "uses, demonstrated openly. The estimator itself is a fixed IEEE "
+    "chain on exact integers, so cross-engine equality is exact; the "
+    "report carries the exact count and signed relative error "
+    "(estimator-accuracy audit, t38's HLL sibling).",
+)
+def t45_portable_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_token_hash64
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    h = ev.select(
+        "event_type",
+        md5_token_hash64(F.col("user_id").cast("string")).alias("hv"),
+    )
+    rw = h.select(
+        "event_type",
+        F.col("hv").bitwiseAND(F.lit(255)).alias("reg"),
+        F.shiftrightunsigned(F.col("hv"), 8).alias("w"),
+    )
+    rho = rw.select(
+        "event_type",
+        "reg",
+        F.when(F.col("w") == 0, F.lit(57))
+        .otherwise(F.length(F.bin(F.col("w").bitwiseAND(-F.col("w")))))
+        .alias("rho"),
+    )
+    regs = rho.groupBy("event_type", "reg").agg(F.max("rho").alias("maxrho"))
+    z = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_regs"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(62) - F.col("maxrho")).cast("decimal(38,0)")
+        ).alias("s_present"),
+    )
+    alpha_m2_p62 = (
+        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    ) * F.lit(65536.0) * F.pow(F.lit(2.0), F.lit(62))
+    e_raw = alpha_m2_p62 / (
+        F.col("s_present")
+        + (F.lit(256) - F.col("n_regs"))
+        * F.pow(F.lit(2.0), F.lit(62)).cast("decimal(38,0)")
+    ).cast("double")
+    est = z.select("event_type", "n_regs", e_raw.alias("e_raw"))
+    e_hll = F.when(
+        (F.col("e_raw") <= F.lit(2.5) * F.lit(256.0)) & (F.col("n_regs") < 256),
+        F.lit(256.0) * F.log(F.lit(256.0) / (F.lit(256.0) - F.col("n_regs"))),
+    ).otherwise(F.col("e_raw"))
+    corrected = est.select("event_type", "n_regs", e_hll.alias("e_hll"))
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).cast("long").alias("n_exact")
+    )
+    return (
+        corrected.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            q6(F.col("e_hll")).alias("hll_estimate"),
+            q6(
+                (F.col("e_hll") - F.col("n_exact")) / F.col("n_exact")
+            ).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "f20_quantile_normalization",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')) AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source,
+             CAST(md5_number_lower(w) % 1048576 AS BIGINT) - 524288 AS f
+      FROM toks
+    ),
+    ds AS (
+      SELECT doc_id, source,
+             CAST(SUM(f) AS DOUBLE) / (COUNT(*) * 524288.0) AS score
+      FROM feats GROUP BY 1, 2
+    ),
+    src AS (
+      SELECT doc_id, source, score,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY score, doc_id)
+               AS rn_s,
+             COUNT(*) OVER (PARTITION BY source) AS n_s
+      FROM ds
+    ),
+    pos AS (
+      SELECT doc_id, source,
+             CASE WHEN n_s > 1
+                  THEN CAST(FLOOR((rn_s - 1) * 10000.0 / (n_s - 1)) AS BIGINT)
+                  ELSE 0 END AS p
+      FROM src
+    ),
+    pooled AS (
+      SELECT score,
+             ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn_g,
+             COUNT(*) OVER () AS n_g
+      FROM ds
+    ),
+    mapped AS (
+      SELECT p.doc_id, p.source, g.score AS qnorm
+      FROM pos p JOIN pooled g
+        ON g.rn_g = CAST(FLOOR(p.p * (g.n_g - 1) / 10000.0) AS BIGINT) + 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR(MIN(qnorm) * 1000000) / 1000000.0 AS min_qnorm,
+           FLOOR(MAX(qnorm) * 1000000) / 1000000.0 AS max_qnorm,
+           FLOOR(CAST(SUM(CAST(FLOOR(qnorm * 1000000) / 1000000.0
+                   AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*) * 1000000)
+             / 1000000.0 AS mean_qnorm
+    FROM mapped GROUP BY 1 ORDER BY 1
+    """,
+    survey_rows="ext:quantile normalization (batch-effect correction); W6 "
+    "(ranking), F13 (scaling)",
+    description="Quantile normalization of the t34 classifier score "
+    "across sources — the batch-effect correction that maps every "
+    "source's score distribution onto the pooled distribution so a "
+    "single keep-threshold means the same thing for every source "
+    "(without it, a threshold tuned on one crawl over- or under-filters "
+    "the others): within-source rank → basis-point position → the "
+    "pooled score at the same position. All positions are exact integer "
+    "arithmetic (bp grid, floored index), so the engines pick identical "
+    "pooled values; the per-source mean goes through the 6-dp-floor + "
+    "decimal-sum discipline. Graded with exact global ranking; at 100 "
+    "TB the pooled side becomes a q-digest/percentile_approx grid "
+    "(m10's routing) while the per-source ranks stay "
+    "partition-parallel.",
+)
+def f20_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ds = _hashed_doc_scores(spark, sf_dir)
+    w_src = Window.partitionBy("source").orderBy("score", "doc_id")
+    src = ds.select(
+        "doc_id",
+        "source",
+        "score",
+        F.row_number().over(w_src).alias("rn_s"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_s"),
+    )
+    pos = src.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("n_s") > 1,
+            F.floor((F.col("rn_s") - 1) * F.lit(10000.0) / (F.col("n_s") - 1)),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("p"),
+    )
+    w_g = Window.orderBy("score", "doc_id")
+    glob = ds.select(
+        "score",
+        F.row_number().over(w_g).alias("rn_g"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_g"),
+    )
+    mapped = pos.join(
+        glob,
+        glob["rn_g"]
+        == (F.floor(pos["p"] * (glob["n_g"] - 1) / F.lit(10000.0)) + 1),
+    ).select("source", F.col("score").alias("qnorm"))
+    return (
+        mapped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            q6(F.min("qnorm")).alias("min_qnorm"),
+            q6(F.max("qnorm")).alias("max_qnorm"),
+            q6(agg.decimal_avg(q6(F.col("qnorm")))).alias("mean_qnorm"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "w24_robust_anomaly_days",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                  * 1000000) AS BIGINT) AS tq
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type, MEDIAN(tq) AS med FROM daily GROUP BY 1
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.tq, m.med,
+             ABS(2 * d.tq - CAST(2 * m.med AS BIGINT)) AS dev2
+      FROM daily d JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, MEDIAN(dev2) AS mad2 FROM dev GROUP BY 1
+    ),
+    scored AS (
+      SELECT d.event_type, d.day, d.tq, d.med, d.dev2, m.mad2
+      FROM dev d JOIN mad m USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           FLOOR(ANY_VALUE(med) / 1000000.0 * 1000000) / 1000000.0
+             AS median_total,
+           FLOOR(ANY_VALUE(mad2) / 2000000.0 * 1000000) / 1000000.0
+             AS mad_total,
+           CAST(SUM(CASE WHEN dev2 * 1.0 > 3.0 * 1.4826 * mad2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+           FLOOR(MAX(dev2 * 1.0 / (1.4826 * mad2)) * 1000000) / 1000000.0
+             AS max_abs_z
+    FROM scored GROUP BY 1 ORDER BY 1
+    """,
+    survey_rows="ext:robust anomaly detection (median/MAD z-scores); M12 "
+    "(MAD), W4 (time bucketing), dq4 (volume anomalies)",
+    description="Robust daily-volume anomaly audit per event type: "
+    "median and MAD of the integer-quantized daily totals, and days "
+    "flagged when |total - median| exceeds 3 robust standard deviations "
+    "(1.4826·MAD — the outlier rule that, unlike mean/stddev, is not "
+    "dragged by the anomalies it hunts; m12's MAD applied at the "
+    "time-series grain, dq4's robust sibling). Exactness: totals are "
+    "integer micro-units; deviations are DOUBLED so the even-count "
+    "median interpolation stays integral; every comparison is a fixed "
+    "IEEE chain on exact integers, identical on both engines. The "
+    "daily frame is |types|x|days| — medians run on tiny groups; at "
+    "raw scale the pre-aggregation is the only pass over the events "
+    "table.",
+)
+def w24_robust_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(
+            F.floor(agg.decimal_sum(F.col("value")) * 1000000)
+            .cast("long")
+            .alias("tq")
+        )
+    )
+    med = daily.groupBy("event_type").agg(
+        F.expr("percentile(tq, 0.5)").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "day",
+        "tq",
+        "med",
+        F.abs(
+            F.lit(2) * F.col("tq") - (F.lit(2) * F.col("med")).cast("long")
+        ).alias("dev2"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev2, 0.5)").alias("mad2")
+    )
+    scored = dev.join(F.broadcast(mad), "event_type")
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            q6(F.any_value(F.col("med")) / F.lit(1000000.0)).alias("median_total"),
+            q6(F.any_value(F.col("mad2")) / F.lit(2000000.0)).alias("mad_total"),
+            F.sum(
+                F.when(
+                    F.col("dev2") * F.lit(1.0)
+                    > F.lit(3.0) * F.lit(1.4826) * F.col("mad2"),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_anomalies"),
+            q6(
+                F.max(F.col("dev2") * F.lit(1.0) / (F.lit(1.4826) * F.col("mad2")))
+            ).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
     )
