@@ -11193,8 +11193,10 @@ def t41_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucket) that turns a raw event stream into chartable/model-ready "
     "bars. Spark side computes open and close with min/max over a "
     "(ts, event_id, value) struct — lexicographic struct ordering makes "
-    "first-by-time-with-tie-break a pure hash AGGREGATION (two-phase, "
-    "map-side partials, no window sort at all), the shape that survives "
+    "first-by-time-with-tie-break a pure two-phase AGGREGATION (map-side "
+    "partials merge before the shuffle; struct extrema aggregate "
+    "sort-based within partitions, never a per-row window), the shape "
+    "that survives "
     "100 TB where a per-(type, day) row_number window would sort every "
     "partition. The oracle proves the same semantics with explicit "
     "first/last row_numbers. Ties broken by event_id on both sides; "
