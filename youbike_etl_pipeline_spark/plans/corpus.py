@@ -266,6 +266,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # normalization across sources, robust MAD anomaly days
     "t45_portable_hll_distinct", "f20_quantile_normalization",
     "w24_robust_anomaly_days",
+    # round-4f batch 8: deterministic Poisson bootstrap CI, embedding
+    # dimension-collapse audit
+    "m25_poisson_bootstrap_ci", "e5_dimension_collapse_audit",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -12325,8 +12328,9 @@ def f20_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS mad_total,
            CAST(SUM(CASE WHEN dev2 * 1.0 > 3.0 * 1.4826 * mad2
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
-           FLOOR(MAX(dev2 * 1.0 / (1.4826 * mad2)) * 1000000) / 1000000.0
-             AS max_abs_z
+           FLOOR(MAX(CASE WHEN mad2 > 0
+                          THEN dev2 * 1.0 / (1.4826 * mad2) END)
+                 * 1000000) / 1000000.0 AS max_abs_z
     FROM scored GROUP BY 1 ORDER BY 1
     """,
     survey_rows="ext:robust anomaly detection (median/MAD z-scores); M12 "
@@ -12385,8 +12389,236 @@ def w24_robust_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0)
             ).cast("long").alias("n_anomalies"),
             q6(
-                F.max(F.col("dev2") * F.lit(1.0) / (F.lit(1.4826) * F.col("mad2")))
+                F.max(
+                    F.when(
+                        F.col("mad2") > 0,
+                        F.col("dev2") * F.lit(1.0)
+                        / (F.lit(1.4826) * F.col("mad2")),
+                    )
+                )
             ).alias("max_abs_z"),
         )
         .orderBy("event_type")
     )
+
+
+# ===========================================================================
+# Round-4f batch 8 — the Poisson bootstrap (the resampling scheme that
+# actually works distributed: per-row hash-derived Poisson(1) weights, no
+# sampling pass) and an embedding-norm outlier audit.
+# ===========================================================================
+
+#: Poisson(1) inverse-CDF thresholds on the 2^-20 uniform grid; identical
+#: literals on both engines so the weight branch can never diverge.
+_POIS_CDF = [
+    (0.367879441, 0),
+    (0.735758882, 1),
+    (0.919698603, 2),
+    (0.981011843, 3),
+    (0.996340153, 4),
+    (0.999405815, 5),
+]
+
+
+def _pois_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {thr!r} THEN {k}" for thr, k in _POIS_CDF
+    )
+    return f"(CASE {branches} ELSE 6 END)"
+
+
+def _pois_spark(u) -> "F.Column":
+    expr = F.lit(6)
+    for thr, k in reversed(_POIS_CDF):
+        expr = F.when(u < F.lit(thr), F.lit(k)).otherwise(expr)
+    return expr
+
+
+@register(
+    "m25_poisson_bootstrap_ci",
+    f"""
+    WITH reps AS (SELECT unnest(generate_series(0, 199)) AS r),
+    weighted AS (
+      SELECT e.event_type, rp.r, e.value,
+             {_pois_sql("(md5_number_lower(CAST(e.event_id AS VARCHAR) || ':' || CAST(rp.r AS VARCHAR)) % 1048576) / 1048576.0")}
+               AS w
+      FROM events e CROSS JOIN reps rp
+      WHERE e.value IS NOT NULL
+    ),
+    rep_means AS (
+      SELECT event_type, r,
+             {SQL_DSUM("w * value")} / SUM(w) AS mean_r
+      FROM weighted GROUP BY 1, 2 HAVING SUM(w) > 0
+    ),
+    ranked AS (
+      SELECT event_type, mean_r,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY mean_r, r) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_reps
+      FROM rep_means
+    ),
+    ci AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = 5 THEN mean_r END) AS lo,
+             MAX(CASE WHEN rn = 196 THEN mean_r END) AS hi,
+             CAST(MAX(n_reps) AS BIGINT) AS n_reps
+      FROM ranked GROUP BY 1
+    ),
+    pt AS (
+      SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n_rows,
+             {SQL_Q6(SQL_DAVG("value"))} AS point_mean
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    )
+    SELECT p.event_type, p.n_rows, c.n_reps, p.point_mean,
+           FLOOR(c.lo * 1000000) / 1000000.0 AS ci_lo,
+           FLOOR(c.hi * 1000000) / 1000000.0 AS ci_hi
+    FROM pt p JOIN ci c USING (event_type) ORDER BY p.event_type
+    """,
+    survey_rows="ext:bootstrap confidence intervals (Poisson bootstrap); "
+    "M1 (group CIs), t12 (hash determinism)",
+    description="Poisson-bootstrap 95% confidence interval for the mean "
+    "value per event type — the bootstrap that actually distributes: "
+    "instead of drawing n rows with replacement (a global operation), "
+    "each row gets an independent Poisson(1) multiplicity per replicate, "
+    "derived HERE from the md5-portable hash of (event_id, replicate) "
+    "through the inverse CDF on a 2^-20 uniform grid — fully "
+    "deterministic, so the oracle reproduces every weight bit-for-bit. "
+    "200 replicates; replicate means are exact decimal sums over "
+    "hash-weighted values; the CI takes ORDER STATISTICS (5th / 196th "
+    "of 200) rather than interpolated quantiles so no interpolation "
+    "formula can diverge. Shape: one fan-out join against a 200-row "
+    "literal, one (type, replicate) hash aggregation — embarrassingly "
+    "parallel, no resampling pass, the exact scheme production systems "
+    "use for CIs over massive aggregations. M1's normal-theory CI is "
+    "the parametric twin; this one is distribution-free.",
+)
+def m25_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_token_hash64
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    reps = spark.range(200).select(F.col("id").cast("int").alias("r"))
+    u = (
+        md5_token_hash64(
+            F.concat(
+                F.col("event_id").cast("string"),
+                F.lit(":"),
+                F.col("r").cast("string"),
+            )
+        ).bitwiseAND(F.lit(1048575))
+        / F.lit(1048576.0)
+    )
+    weighted = (
+        ev.select("event_type", "event_id", "value")
+        .crossJoin(F.broadcast(reps))
+        .select("event_type", "r", "value", _pois_spark(u).alias("w"))
+    )
+    rep_means = (
+        weighted.groupBy("event_type", "r")
+        .agg(
+            agg.decimal_sum(F.col("w") * F.col("value")).alias("sw_val"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type", "r", (F.col("sw_val") / F.col("sw")).alias("mean_r")
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("mean_r", "r")
+    ranked = rep_means.select(
+        "event_type",
+        "mean_r",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n_reps"),
+    )
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == 5, F.col("mean_r"))).alias("lo"),
+        F.max(F.when(F.col("rn") == 196, F.col("mean_r"))).alias("hi"),
+        F.max("n_reps").cast("long").alias("n_reps"),
+    )
+    pt = ev.groupBy("event_type").agg(
+        F.count("value").cast("long").alias("n_rows"),
+        q6(agg.decimal_avg(F.col("value"))).alias("point_mean"),
+    )
+    return (
+        pt.join(ci, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            "n_reps",
+            "point_mean",
+            q6(F.col("lo")).alias("ci_lo"),
+            q6(F.col("hi")).alias("ci_hi"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "e5_dimension_collapse_audit",
+    """
+    WITH xs AS (
+      SELECT generate_subscripts(embedding, 1) AS d,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+               AS BIGINT) AS xq
+      FROM embeddings
+    ),
+    stats AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(xq AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(CAST(xq AS DECIMAL(38,0)) * CAST(xq AS DECIMAL(38,0)))
+               AS DECIMAL(38,0)) AS s2
+      FROM xs GROUP BY 1
+    )
+    SELECT d, n,
+           FLOOR(CAST(s1 AS DOUBLE) / n / 1000000.0 * 1000000) / 1000000.0
+             AS mean_x,
+           FLOOR(CAST(n * s2 - s1 * s1 AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+                 / 1000000000000.0 * 1000000) / 1000000.0 AS var_x,
+           CASE WHEN CAST(n * s2 - s1 * s1 AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * n) / 1000000000000.0 < 0.0001
+                THEN 1 ELSE 0 END AS is_collapsed
+    FROM stats ORDER BY d
+    """,
+    survey_rows="ext:embedding dimension-collapse audit; M9 (moment "
+    "stats), e4 (embedding-space health)",
+    description="Per-dimension health audit of the embedding space: mean "
+    "and variance of every coordinate, with dimensions flagged when "
+    "variance falls below 1e-4 — dimension collapse (dead or "
+    "near-constant coordinates) is the classic failure of learned "
+    "embeddings and silently wastes index space and distance "
+    "resolution; this is the check run before committing an embedding "
+    "version to an index build. Exactness: coordinates floor-quantize "
+    "to integer micro-units and the variance comes from the integer "
+    "sufficient statistics (n*S2 - S1^2) carried in DECIMAL(38,0) so "
+    "no float accumulation exists on either engine; the two final unit "
+    "conversions are fixed floored IEEE chains. One explode + one "
+    "64-group aggregation with map-side partials — the frame after the "
+    "shuffle is |dims| rows at any corpus scale.",
+)
+def e5_dimension_collapse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    xs = emb.select(F.posexplode(F.col("embedding")).alias("d0", "x")).select(
+        (F.col("d0") + 1).alias("d"),
+        F.floor(F.col("x").cast("double") * 1000000).cast("long").alias("xq"),
+    )
+    stats = xs.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("xq").cast("decimal(38,0)")).cast("decimal(38,0)").alias("s1"),
+        F.sum(
+            F.col("xq").cast("decimal(38,0)") * F.col("xq").cast("decimal(38,0)")
+        ).cast("decimal(38,0)").alias("s2"),
+    )
+    var_x = (
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n").cast("double") * F.col("n"))
+        / F.lit(1000000000000.0)
+    )
+    return stats.select(
+        "d",
+        "n",
+        q6(F.col("s1").cast("double") / F.col("n") / F.lit(1000000.0)).alias(
+            "mean_x"
+        ),
+        q6(var_x).alias("var_x"),
+        F.when(var_x < F.lit(0.0001), 1).otherwise(0).alias("is_collapsed"),
+    ).orderBy("d")
