@@ -139,6 +139,15 @@ HEADLINE = [
     "ml4_calibration_bins",
     "m23_population_stability",
     "t40_token_budget_allocation",
+    # round-4f batches 4-8 (keys only ever append): the heavier new shapes —
+    # histogram AUC, exact-pairs kNN audit, fan-out bootstrap, HLL sketch,
+    # global-rank quantile normalization, OHLC struct aggregation
+    "ml5_roc_auc",
+    "e3_knn_label_consistency",
+    "m25_poisson_bootstrap_ci",
+    "t45_portable_hll_distinct",
+    "f20_quantile_normalization",
+    "w22_ohlc_bars",
 ]
 
 

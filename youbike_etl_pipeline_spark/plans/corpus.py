@@ -269,6 +269,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round-4f batch 8: deterministic Poisson bootstrap CI, embedding
     # dimension-collapse audit
     "m25_poisson_bootstrap_ci", "e5_dimension_collapse_audit",
+    # round-4f batch 9: streaming mergeable HLL twin, Theil-Sen robust
+    # trend, per-item top-k recommendation table
+    "st11_streaming_hll_distinct", "m26_theil_sen_trend",
+    "r2_item_topk_neighbors",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -12127,46 +12131,11 @@ def t44_rolling_origin_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(estimator-accuracy audit, t38's HLL sibling).",
 )
 def t45_portable_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import md5_token_hash64
+    from ..operators.sketches import hll_estimate, hll_register_frame
 
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
-    h = ev.select(
-        "event_type",
-        md5_token_hash64(F.col("user_id").cast("string")).alias("hv"),
-    )
-    rw = h.select(
-        "event_type",
-        F.col("hv").bitwiseAND(F.lit(255)).alias("reg"),
-        F.shiftrightunsigned(F.col("hv"), 8).alias("w"),
-    )
-    rho = rw.select(
-        "event_type",
-        "reg",
-        F.when(F.col("w") == 0, F.lit(57))
-        .otherwise(F.length(F.bin(F.col("w").bitwiseAND(-F.col("w")))))
-        .alias("rho"),
-    )
-    regs = rho.groupBy("event_type", "reg").agg(F.max("rho").alias("maxrho"))
-    z = regs.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_regs"),
-        F.sum(
-            F.pow(F.lit(2.0), F.lit(62) - F.col("maxrho")).cast("decimal(38,0)")
-        ).alias("s_present"),
-    )
-    alpha_m2_p62 = (
-        F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
-    ) * F.lit(65536.0) * F.pow(F.lit(2.0), F.lit(62))
-    e_raw = alpha_m2_p62 / (
-        F.col("s_present")
-        + (F.lit(256) - F.col("n_regs"))
-        * F.pow(F.lit(2.0), F.lit(62)).cast("decimal(38,0)")
-    ).cast("double")
-    est = z.select("event_type", "n_regs", e_raw.alias("e_raw"))
-    e_hll = F.when(
-        (F.col("e_raw") <= F.lit(2.5) * F.lit(256.0)) & (F.col("n_regs") < 256),
-        F.lit(256.0) * F.log(F.lit(256.0) / (F.lit(256.0) - F.col("n_regs"))),
-    ).otherwise(F.col("e_raw"))
-    corrected = est.select("event_type", "n_regs", e_hll.alias("e_hll"))
+    regs = hll_register_frame(ev, ["event_type"], F.col("user_id"))
+    corrected = hll_estimate(regs, ["event_type"])
     exact = ev.groupBy("event_type").agg(
         F.count_distinct(F.col("user_id")).cast("long").alias("n_exact")
     )
@@ -12622,3 +12591,279 @@ def e5_dimension_collapse_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(var_x).alias("var_x"),
         F.when(var_x < F.lit(0.0001), 1).otherwise(0).alias("is_collapsed"),
     ).orderBy("d")
+
+
+# ===========================================================================
+# Round-4f batch 9 — streaming mergeable HLL (t45's foreachBatch twin),
+# Theil-Sen robust trend, and the per-item recommendation table.
+# ===========================================================================
+
+
+@register(
+    "st11_streaming_hll_distinct",
+    None,  # patched to t45's oracle right below — streaming must equal batch
+    survey_rows="§2.8 streaming ext (mergeable distinct sketch); ext:t45 twin",
+    description="Streaming twin of t45's portable HyperLogLog — the shape "
+    "a production pipeline actually runs (continuous distinct-user "
+    "counting without storing user sets): each events micro-batch "
+    "reduces to HLL register maxima via foreachBatch, the sink "
+    "max-merges partials across batches, and because register maxima "
+    "are MERGEABLE under any input split, the merged registers — and "
+    "therefore the estimate, a deterministic function of them — equal "
+    "the batch computation BIT-FOR-BIT. The oracle IS t45's oracle: "
+    "streaming and batch must agree exactly, the strongest "
+    "split-invariance statement the gate can express (st10's pattern "
+    "applied to the sketch family). Per-batch state is ≤ 256 rows per "
+    "group; the stream never accumulates raw identities.",
+)
+def st11_streaming_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import hll_estimate
+    from ..streaming.ingest import hll_partials_foreach_batch, read_events_stream
+
+    stream = read_events_stream(spark, sf_dir)
+    sink: list = []
+    hll_partials_foreach_batch(stream, sink)
+    rows = [r for _, batch in sink for r in batch]
+    partials = spark.createDataFrame(
+        rows, schema="event_type string, reg long, maxrho int"
+    )
+    regs = partials.groupBy("event_type", "reg").agg(
+        F.max("maxrho").alias("maxrho")
+    )
+    corrected = hll_estimate(regs, ["event_type"])
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct(F.col("user_id")).cast("long").alias("n_exact")
+    )
+    return (
+        corrected.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            q6(F.col("e_hll")).alias("hll_estimate"),
+            q6(
+                (F.col("e_hll") - F.col("n_exact")) / F.col("n_exact")
+            ).alias("rel_error"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# streaming and batch sketches must stay in lockstep: same oracle text.
+CORPUS["st11_streaming_hll_distinct"].oracle = CORPUS[
+    "t45_portable_hll_distinct"
+].oracle
+
+
+@register(
+    "m26_theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(FLOOR(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+                  * 1000000) AS BIGINT) AS tq
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    origin AS (SELECT event_type, MIN(day) AS d0 FROM daily GROUP BY 1),
+    idx AS (
+      SELECT d.event_type, date_diff('day', o.d0, d.day) AS x, d.tq
+      FROM daily d JOIN origin o USING (event_type)
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             ((b.tq - a.tq) * 1.0 / (b.x - a.x)) / 1000000.0 AS slope
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    sl AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             MEDIAN(slope) AS slope
+      FROM slopes GROUP BY 1
+    ),
+    resid AS (
+      SELECT i.event_type, i.tq / 1000000.0 - s.slope * i.x AS r0
+      FROM idx i JOIN sl s USING (event_type)
+    ),
+    ic AS (
+      SELECT event_type, MEDIAN(r0) AS intercept FROM resid GROUP BY 1
+    ),
+    nd AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM idx GROUP BY 1
+    )
+    SELECT s.event_type, n.n_days, s.n_pairs,
+           FLOOR(s.slope * 1000000) / 1000000.0 AS slope_per_day,
+           FLOOR(i.intercept * 1000000) / 1000000.0 AS intercept
+    FROM sl s JOIN ic i USING (event_type) JOIN nd n USING (event_type)
+    ORDER BY s.event_type
+    """,
+    survey_rows="ext:robust trend estimation (Theil-Sen); M7 (OLS twin), "
+    "W4 (time bucketing)",
+    description="Theil-Sen robust trend per event type over the daily "
+    "value totals: the slope is the MEDIAN of all pairwise day-to-day "
+    "slopes and the intercept the median residual — the trend estimator "
+    "that tolerates up to ~29% outlier days, where m7's OLS line is "
+    "dragged by a single anomalous day (w24 flags those; this "
+    "estimates through them). The pair enumeration is per event type "
+    "over the DAILY frame — |days|² per type, bounded and tiny at any "
+    "raw-event scale because the aggregation happens first; at 100 TB "
+    "the only pass over raw events is the daily pre-aggregation. Daily "
+    "totals are integer micro-units, each pairwise slope a fixed IEEE "
+    "chain on exact integers, and both engines take medians of "
+    "identical double multisets (interpolation of identical values is "
+    "identical), 6-dp floored at the boundary.",
+)
+def m26_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = (
+        ev.select("event_type", F.col("ts").cast("date").alias("day"), "value")
+        .groupBy("event_type", "day")
+        .agg(
+            F.floor(agg.decimal_sum(F.col("value")) * 1000000)
+            .cast("long")
+            .alias("tq")
+        )
+    )
+    origin = daily.groupBy("event_type").agg(F.min("day").alias("d0"))
+    idx = daily.join(F.broadcast(origin), "event_type").select(
+        "event_type", F.datediff(F.col("day"), F.col("d0")).alias("x"), "tq"
+    )
+    a = idx.toDF("event_type", "xa", "tqa")
+    b = idx.toDF("event_type", "xb", "tqb")
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("xa") < F.col("xb"))
+        .select(
+            "event_type",
+            (
+                ((F.col("tqb") - F.col("tqa")) * F.lit(1.0) / (F.col("xb") - F.col("xa")))
+                / F.lit(1000000.0)
+            ).alias("slope"),
+        )
+    )
+    sl = slopes.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr("percentile(slope, 0.5)").alias("slope"),
+    )
+    resid = idx.join(F.broadcast(sl), "event_type").select(
+        "event_type",
+        (F.col("tq") / F.lit(1000000.0) - F.col("slope") * F.col("x")).alias("r0"),
+    )
+    ic = resid.groupBy("event_type").agg(
+        F.expr("percentile(r0, 0.5)").alias("intercept")
+    )
+    nd = idx.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        sl.join(ic, "event_type")
+        .join(nd, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            q6(F.col("slope")).alias("slope_per_day"),
+            q6(F.col("intercept")).alias("intercept"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "r2_item_topk_neighbors",
+    """
+    WITH ui AS (
+      SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS INT) AS item
+      FROM events
+      WHERE json_extract(props, '$.k') IS NOT NULL
+    ),
+    cnt AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n FROM ui GROUP BY 1),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, CAST(COUNT(*) AS BIGINT) AS n_co
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+    ),
+    directional AS (
+      SELECT item_a AS item, item_b AS neighbor, n_co FROM pairs
+      UNION ALL
+      SELECT item_b, item_a, n_co FROM pairs
+    ),
+    scored AS (
+      SELECT d.item, d.neighbor, d.n_co,
+             CAST(FLOOR(d.n_co / SQRT(ci.n * cn.n) * 1000000) AS BIGINT)
+               AS cos_q
+      FROM directional d
+      JOIN cnt ci ON d.item = ci.item
+      JOIN cnt cn ON d.neighbor = cn.item
+    ),
+    ranked AS (
+      SELECT item, neighbor, n_co, cos_q,
+             ROW_NUMBER() OVER (PARTITION BY item
+               ORDER BY cos_q DESC, neighbor ASC) AS rank
+      FROM scored
+    )
+    SELECT item, rank, neighbor, n_co, cos_q / 1000000.0 AS cosine
+    FROM ranked WHERE rank <= 3 ORDER BY item, rank
+    """,
+    survey_rows="ext:recommendation serving table (top-k item neighbors); "
+    "r1 (co-visitation), W6 (per-group ranking)",
+    description="The per-item recommendation table — top-3 neighbors per "
+    "item by co-visitation cosine — i.e. the artifact a recommender "
+    "actually serves, where r1's global top-20 is the diagnostic view: "
+    "r1's user-keyed pair counts, mirrored to both orientations, "
+    "cosine-scored, then one per-item ranking window. Cosines are "
+    "floor-quantized to integer micro-units BEFORE ranking (e3's "
+    "discipline) so rank ties break identically by neighbor id on both "
+    "engines. The ranking window partitions by item over the |items|² "
+    "-bounded pair frame — never the raw events; same basket-cap scale "
+    "note as r1.",
+)
+def r2_item_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    item = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    ui = (
+        ev.select("user_id", item.alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    cnt = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        ui.toDF("user_id", "item_a")
+        .join(ui.toDF("user_id", "item_b"), "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+    )
+    directional = pairs.select(
+        F.col("item_a").alias("item"),
+        F.col("item_b").alias("neighbor"),
+        "n_co",
+    ).unionAll(
+        pairs.select(
+            F.col("item_b").alias("item"),
+            F.col("item_a").alias("neighbor"),
+            "n_co",
+        )
+    )
+    scored = (
+        directional.join(F.broadcast(cnt.toDF("item", "n_i")), "item")
+        .join(F.broadcast(cnt.toDF("neighbor", "n_n")), "neighbor")
+        .select(
+            "item",
+            "neighbor",
+            "n_co",
+            F.floor(
+                F.col("n_co") / F.sqrt(F.col("n_i") * F.col("n_n")) * 1000000
+            ).cast("long").alias("cos_q"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cos_q"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "item",
+            "rank",
+            "neighbor",
+            "n_co",
+            (F.col("cos_q") / F.lit(1000000.0)).alias("cosine"),
+        )
+        .orderBy("item", "rank")
+    )
