@@ -273,6 +273,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # trend, per-item top-k recommendation table
     "st11_streaming_hll_distinct", "m26_theil_sen_trend",
     "r2_item_topk_neighbors",
+    # round-4f batch 10: bounded BFS reachability, JL projection audit,
+    # equi-depth histogram
+    "g4_bfs_reachability", "e6_jl_projection_audit",
+    "a22_equi_depth_histogram",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -12407,12 +12411,17 @@ def _pois_spark(u) -> "F.Column":
     "m25_poisson_bootstrap_ci",
     f"""
     WITH reps AS (SELECT unnest(generate_series(0, 199)) AS r),
+    seeded AS (
+      SELECT event_type, value,
+             CAST(md5_number_lower(CAST(event_id AS VARCHAR)) % 2147483648
+               AS BIGINT) AS seed
+      FROM events WHERE value IS NOT NULL
+    ),
     weighted AS (
       SELECT e.event_type, rp.r, e.value,
-             {_pois_sql("(md5_number_lower(CAST(e.event_id AS VARCHAR) || ':' || CAST(rp.r AS VARCHAR)) % 1048576) / 1048576.0")}
+             {_pois_sql("((((e.seed + rp.r * 1013904223) % 2147483647) * 48271) % 2147483647) / 2147483647.0")}
                AS w
-      FROM events e CROSS JOIN reps rp
-      WHERE e.value IS NOT NULL
+      FROM seeded e CROSS JOIN reps rp
     ),
     rep_means AS (
       SELECT event_type, r,
@@ -12449,8 +12458,11 @@ def _pois_spark(u) -> "F.Column":
     "value per event type — the bootstrap that actually distributes: "
     "instead of drawing n rows with replacement (a global operation), "
     "each row gets an independent Poisson(1) multiplicity per replicate, "
-    "derived HERE from the md5-portable hash of (event_id, replicate) "
-    "through the inverse CDF on a 2^-20 uniform grid — fully "
+    "derived HERE from ONE md5-portable hash per row chained through a "
+    "per-replicate Lehmer step (t12's generator family — one hash per "
+    "row, not per row-x-replicate, so the fan-out is pure integer "
+    "arithmetic) and the inverse CDF on the 1/(2^31-1) uniform grid — "
+    "fully "
     "deterministic, so the oracle reproduces every weight bit-for-bit. "
     "200 replicates; replicate means are exact decimal sums over "
     "hash-weighted values; the CI takes ORDER STATISTICS (5th / 196th "
@@ -12466,19 +12478,23 @@ def m25_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     reps = spark.range(200).select(F.col("id").cast("int").alias("r"))
-    u = (
-        md5_token_hash64(
-            F.concat(
-                F.col("event_id").cast("string"),
-                F.lit(":"),
-                F.col("r").cast("string"),
-            )
-        ).bitwiseAND(F.lit(1048575))
-        / F.lit(1048576.0)
+    seeded = ev.select(
+        "event_type",
+        "value",
+        md5_token_hash64(F.col("event_id").cast("string"))
+        .bitwiseAND(F.lit(2147483647))
+        .alias("seed"),
     )
+    u = (
+        (
+            (F.col("seed") + F.col("r").cast("long") * F.lit(1013904223))
+            % F.lit(2147483647)
+        )
+        * F.lit(48271)
+        % F.lit(2147483647)
+    ) / F.lit(2147483647.0)
     weighted = (
-        ev.select("event_type", "event_id", "value")
-        .crossJoin(F.broadcast(reps))
+        seeded.crossJoin(F.broadcast(reps))
         .select("event_type", "r", "value", _pois_spark(u).alias("w"))
     )
     rep_means = (
@@ -12866,4 +12882,270 @@ def r2_item_topk_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cos_q") / F.lit(1000000.0)).alias("cosine"),
         )
         .orderBy("item", "rank")
+    )
+
+
+# ===========================================================================
+# Round-4f batch 10 — bounded BFS reachability over the co-visitation
+# graph, a Johnson-Lindenstrauss projection distortion audit, and
+# equi-depth histograms.
+# ===========================================================================
+
+
+@register(
+    "g4_bfs_reachability",
+    """
+    WITH ui AS (
+      SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS INT) AS item
+      FROM events
+      WHERE json_extract(props, '$.k') IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.item AS s, b.item AS t, COUNT(*) AS n_co
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    edges AS (
+      SELECT s, t FROM pairs UNION ALL SELECT t, s FROM pairs
+    ),
+    d0 AS (SELECT 0 AS item, 0 AS dist),
+    d1 AS (
+      SELECT e.t AS item, 1 AS dist FROM edges e JOIN d0 ON e.s = d0.item
+      GROUP BY 1
+    ),
+    d2 AS (
+      SELECT e.t AS item, 2 AS dist FROM edges e JOIN d1 ON e.s = d1.item
+      GROUP BY 1
+    ),
+    d3 AS (
+      SELECT e.t AS item, 3 AS dist FROM edges e JOIN d2 ON e.s = d2.item
+      GROUP BY 1
+    ),
+    allv AS (
+      SELECT item, dist FROM d0 UNION ALL SELECT item, dist FROM d1
+      UNION ALL SELECT item, dist FROM d2 UNION ALL SELECT item, dist FROM d3
+    ),
+    md AS (SELECT item, MIN(dist) AS dist FROM allv GROUP BY 1)
+    SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM md GROUP BY 1 ORDER BY 1
+    """,
+    survey_rows="ext:bounded BFS reachability (graph neighborhood size); "
+    "g1/g2 (graph family), r1 (co-visitation edges)",
+    description="Breadth-first reachability from a seed item over the "
+    "co-visitation graph (edges with co-count >= 2), bounded at 3 hops: "
+    "how many items sit at each minimum distance — the neighborhood-"
+    "growth curve that tells a recommender whether the item graph is "
+    "connected enough for graph-walk features (g1's PageRank converges "
+    "on the same structure). Bounded-depth BFS is ITERATION AS JOINS: "
+    "each hop is one equi-join of the frontier against the edge list "
+    "plus a distinct — three joins total, no driver loop, the exact "
+    "shape a 100 TB BFS uses (frontier and edges both stay "
+    "distributed). All counts integer; min-distance resolution is a "
+    "hash aggregation.",
+)
+def g4_bfs_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    item = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    ui = (
+        ev.select("user_id", item.alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    pairs = (
+        ui.toDF("user_id", "s")
+        .join(ui.toDF("user_id", "t"), "user_id")
+        .filter(F.col("s") < F.col("t"))
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    edges = pairs.select("s", "t").unionAll(
+        pairs.select(F.col("t").alias("s"), F.col("s").alias("t"))
+    ).localCheckpoint()
+    frontier = spark.createDataFrame([(0, 0)], "item int, dist int")
+    layers = [frontier]
+    for hop in (1, 2, 3):
+        frontier = (
+            edges.join(
+                frontier.select(F.col("item").alias("s")), "s"
+            )
+            .select(F.col("t").alias("item"))
+            .distinct()
+            .withColumn("dist", F.lit(hop))
+        )
+        layers.append(frontier)
+    allv = layers[0]
+    for l in layers[1:]:
+        allv = allv.unionAll(l)
+    md = allv.groupBy("item").agg(F.min("dist").alias("dist"))
+    return (
+        md.groupBy("dist")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_items"))
+        .orderBy("dist")
+    )
+
+
+def _e6_oracle_sql() -> str:
+    """Generated DuckDB mirror of the JL projection audit: the same LCG
+    plane constants as the Spark side, each projected coordinate an
+    explicit left-assoc sum over the pair DIFFERENCE vector."""
+    from ..operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8, seed=7)
+    proj_sq = []
+    for plane in planes:
+        dot = " + ".join(
+            f"(CAST(a.embedding[{j + 1}] AS DOUBLE)"
+            f" - CAST(b.embedding[{j + 1}] AS DOUBLE)) * {w!r}"
+            for j, w in enumerate(plane)
+        )
+        proj_sq.append(f"(({dot}) * ({dot}))")
+    proj_d2 = " + ".join(proj_sq)
+    return f"""
+    WITH pr AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ({proj_d2}) AS proj_d2
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id % 29 = 0 AND b.vec_id % 31 = 0 AND a.vec_id < b.vec_id
+    ),
+    od AS (
+      SELECT ax.id_a, bx.id_b,
+             SUM((ax.x - bx.x) * (ax.x - bx.x)) AS orig_d2
+      FROM (SELECT vec_id AS id_a, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE vec_id % 29 = 0) ax
+      JOIN (SELECT vec_id AS id_b, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings WHERE vec_id % 31 = 0) bx
+        ON ax.i = bx.i AND ax.id_a < bx.id_b
+      GROUP BY 1, 2
+    ),
+    ratios AS (
+      SELECT p.id_a, p.id_b,
+             FLOOR(p.proj_d2 / o.orig_d2 * 1000000) / 1000000.0 AS ratio
+      FROM pr p JOIN od o ON p.id_a = o.id_a AND p.id_b = o.id_b
+      WHERE o.orig_d2 > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           FLOOR(MIN(ratio) * 1000000) / 1000000.0 AS min_ratio,
+           FLOOR(MAX(ratio) * 1000000) / 1000000.0 AS max_ratio,
+           FLOOR(CAST(SUM(CAST(ratio AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(*) * 1000000) / 1000000.0 AS mean_ratio
+    FROM ratios
+    """
+
+
+@register(
+    "e6_jl_projection_audit",
+    None,  # generated oracle attached below (needs the plane constants)
+    survey_rows="ext:random-projection distance preservation (JL audit); "
+    "e1 (quantization twin), s3 (plane generation)",
+    description="Johnson-Lindenstrauss projection audit: project the "
+    "64-dim embeddings to 8 dims with the deterministic LCG plane "
+    "family (s3's generator, seed 7) and measure, over a hash-sampled "
+    "pair set, the ratio of projected to original squared distance — "
+    "min/mean/max ratio is the distance-distortion envelope that "
+    "decides whether the cheap 8-dim index (8x less memory and "
+    "bandwidth than the raw vectors) is usable for coarse filtering, "
+    "e1's quantization-distortion sibling for dimensionality instead "
+    "of precision. Linearity makes the projected pair distance "
+    "P(a)-P(b) = P(a-b), so each pair needs only 8 constant-plane dot "
+    "products over the difference vector — per-row JVM expressions, no "
+    "pairs materialized beyond the sampled set (|S29| x |S31|, a "
+    "deliberate ~0.1% sample; the audit needs a spread, not the "
+    "corpus). Ratios floor to 6 dp before the decimal mean.",
+)
+def e6_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.arrays import dot_product
+    from ..operators.similarity import _hyperplanes, _query_lit
+
+    planes = _hyperplanes(64, 8, seed=7)
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.filter(F.col("vec_id") % 29 == 0).select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = emb.filter(F.col("vec_id") % 31 == 0).select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    dvec = F.zip_with(
+        F.col("va").cast("array<double>"),
+        F.col("vb").cast("array<double>"),
+        lambda x, y: x - y,
+    )
+    pd = pairs.select("id_a", "id_b", dvec.alias("dvec"))
+    proj_d2 = None
+    for plane in planes:
+        term = dot_product(F.col("dvec"), _query_lit(plane))
+        sq = term * term
+        proj_d2 = sq if proj_d2 is None else proj_d2 + sq
+    ratios = (
+        pd.select(
+            "id_a",
+            "id_b",
+            proj_d2.alias("proj_d2"),
+            dot_product(F.col("dvec"), F.col("dvec")).alias("orig_d2"),
+        )
+        .filter(F.col("orig_d2") > 0)
+        .select(q6(F.col("proj_d2") / F.col("orig_d2")).alias("ratio"))
+    )
+    return ratios.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        q6(F.min("ratio")).alias("min_ratio"),
+        q6(F.max("ratio")).alias("max_ratio"),
+        q6(agg.decimal_avg(F.col("ratio"))).alias("mean_ratio"),
+    )
+
+
+CORPUS["e6_jl_projection_audit"].oracle = _e6_oracle_sql()
+
+
+@register(
+    "a22_equi_depth_histogram",
+    """
+    WITH v AS (
+      SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    tiled AS (
+      SELECT event_type, value,
+             NTILE(4) OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS bucket
+      FROM v
+    )
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(MIN(value) * 1000000) / 1000000.0 AS lo,
+           FLOOR(MAX(value) * 1000000) / 1000000.0 AS hi,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS bucket_sum
+    FROM tiled GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    survey_rows="A3 (describe), M10 (histograms), W6 (ntile); "
+    "ext:equi-depth histogram",
+    description="Equi-depth (quartile) histogram of value per event type "
+    "— the histogram optimizers and profilers actually want (equal "
+    "mass per bucket, so bucket boundaries ARE the quantiles), "
+    "complementing m10's equi-width bins: NTILE(4) over (value, "
+    "event_id) — the unique tie-break makes bucket assignment "
+    "identical on both engines even at duplicate values — then per-"
+    "bucket count/lo/hi/exact-decimal sum. Graded with the exact "
+    "ranking window; at 100 TB bucket boundaries come from "
+    "percentile_approx and assignment becomes a broadcast range "
+    "lookup (m10's documented routing), leaving one scan + one hash "
+    "aggregation.",
+)
+def a22_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    tiled = ev.select(
+        "event_type", "value", F.ntile(4).over(w).alias("bucket")
+    )
+    return (
+        tiled.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            q6(F.min("value")).alias("lo"),
+            q6(F.max("value")).alias("hi"),
+            agg.decimal_sum(F.col("value")).alias("bucket_sum"),
+        )
+        .orderBy("event_type", "bucket")
     )
