@@ -697,3 +697,94 @@ def decode_audio_dft_bands(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=AUDIO_DFT)
+
+
+#: (doc_id, frame_idx, frame) — fixed-size synthetic video frames.
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+#: (doc_id, frame_idx, sad) — sum of absolute byte differences to the
+#: previous frame (frame_idx >= 1).
+FRAME_SAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("sad", T.LongType(), False),
+    ]
+)
+
+
+def attach_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = 12,
+    frame_bytes: int = 64,
+    shot_len: int = 4,
+) -> DataFrame:
+    """Synthetic video fixture: ``n_frames`` fixed-size frames per row,
+    grouped into shots of ``shot_len`` — frames within a shot share an
+    md5-derived base (:func:`md5_pixels`-style, keyed on (id, shot)) plus a
+    per-frame +``frame_idx % shot_len`` brightness drift, so consecutive
+    frames inside a shot differ by ~1 per byte while shot changes swap the
+    whole base. Every byte is re-derivable in ANSI SQL (md5 hex digit
+    arithmetic), so the shot-boundary oracle verifies the full
+    decode→difference pipeline bit-exactly. Production replaces this with
+    a keyframe decoder over a ``binaryFile`` scan."""
+    import hashlib
+
+    blocks = (frame_bytes + 15) // 16
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                for f in range(n_frames):
+                    s = f // shot_len
+                    buf = b"".join(
+                        hashlib.md5(f"{did}:{s}:{b}".encode()).digest()
+                        for b in range(blocks)
+                    )[:frame_bytes]
+                    base = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+                    frame = ((base + f % shot_len) % 256).astype(np.uint8)
+                    ids.append(did)
+                    idxs.append(f)
+                    frames.append(frame.tobytes())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(id_col).mapInPandas(fn, schema=VIDEO_FRAME_SCHEMA)
+
+
+def frame_sad(frames: DataFrame) -> DataFrame:
+    """Per-video sequential frame differencing: for each doc, the sum of
+    absolute byte differences (SAD) between every frame and its
+    predecessor — the standard shot-boundary signal. One applyInPandas
+    pass per video (frames sorted in memory per group — videos are
+    bounded, corpora are not), shuffled once on doc_id."""
+
+    def fn(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("frame_idx")
+        out_idx, out_sad = [], []
+        prev = None
+        for f_idx, payload in zip(pdf["frame_idx"], pdf["frame"]):
+            cur = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+            if prev is not None:
+                out_idx.append(int(f_idx))
+                out_sad.append(int(np.abs(cur - prev).sum()))
+            prev = cur
+        return pd.DataFrame(
+            {
+                "doc_id": [int(key[0])] * len(out_idx),
+                "frame_idx": out_idx,
+                "sad": out_sad,
+            }
+        )
+
+    return frames.groupBy("doc_id").applyInPandas(fn, schema=FRAME_SAD_SCHEMA)

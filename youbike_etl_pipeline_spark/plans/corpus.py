@@ -277,6 +277,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # equi-depth histogram
     "g4_bfs_reachability", "e6_jl_projection_audit",
     "a22_equi_depth_histogram",
+    # round-4f batch 11: video shot-boundary detection
+    "mm8_video_shot_boundary",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -13149,3 +13151,105 @@ def a22_equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# ===========================================================================
+# Round-4f batch 11 — video shot-boundary detection (the multimodal
+# sequential-scan shape: decode frames, difference consecutive pairs).
+# ===========================================================================
+
+
+def _mm8_oracle_sql(
+    n_frames: int = 12, frame_bytes: int = 64, shot_len: int = 4
+) -> str:
+    """DuckDB mirror of the shot-boundary pipeline: re-derive every frame
+    byte (md5 hex digit arithmetic keyed on (doc, shot, block) + the
+    per-frame brightness drift), SAD consecutive frames via a
+    one-frame-offset self-join, and apply the same integer threshold."""
+    blocks = (frame_bytes + 15) // 16
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 25 = 0),
+    fr AS (
+      SELECT d.doc_id, f.f AS frame_idx
+      FROM d, (SELECT unnest(generate_series(0, {n_frames - 1})) AS f) f
+    ),
+    hx AS (
+      SELECT doc_id, frame_idx, b.b,
+             md5(CAST(doc_id AS VARCHAR) || ':'
+                 || CAST(frame_idx // {shot_len} AS VARCHAR) || ':'
+                 || CAST(b.b AS VARCHAR)) AS h
+      FROM fr, (SELECT unnest(generate_series(0, {blocks - 1})) AS b) b
+    ),
+    bytes AS (
+      SELECT doc_id, frame_idx, (b * 16 + j.j) AS idx,
+             ((strpos('0123456789abcdef', substr(h, 2 * j.j + 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(h, 2 * j.j + 2, 1)) - 1)
+              + frame_idx % {shot_len}) % 256 AS v
+      FROM hx, (SELECT unnest(generate_series(0, 15)) AS j) j
+      WHERE b * 16 + j.j < {frame_bytes}
+    ),
+    sad AS (
+      SELECT a.doc_id, a.frame_idx,
+             CAST(SUM(ABS(a.v - p.v)) AS BIGINT) AS sad
+      FROM bytes a JOIN bytes p
+        ON a.doc_id = p.doc_id AND a.idx = p.idx
+       AND p.frame_idx = a.frame_idx - 1
+      GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_frames,
+           CAST(SUM(CASE WHEN sad > 30 * {frame_bytes} THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_boundaries,
+           CAST(SUM(CASE WHEN sad > 30 * {frame_bytes} THEN frame_idx
+                         ELSE 0 END) AS BIGINT) AS boundary_idx_sum,
+           CAST(MAX(sad) AS BIGINT) AS max_sad,
+           CAST(MIN(sad) AS BIGINT) AS min_sad
+    FROM sad GROUP BY 1 ORDER BY 1
+    """
+
+
+@register(
+    "mm8_video_shot_boundary",
+    None,  # generated oracle attached below
+    survey_rows="ext:video shot-boundary detection; mm4 (frame fan-out), "
+    "mm7 (md5-pixel fixture family)",
+    description="Video shot-boundary detection — the multimodal "
+    "sequential-scan shape a video curation pipeline runs on every clip "
+    "(decode frames, difference consecutive pairs, cut where the "
+    "difference spikes): synthetic 12-frame clips whose frames share an "
+    "md5-derived base within 4-frame shots plus a per-frame brightness "
+    "drift (attach_video_frames — every byte re-derivable in SQL, "
+    "mm7's fixture discipline), a per-video applyInPandas pass "
+    "computing the sum of absolute byte differences (SAD) between "
+    "consecutive frames, and an integer threshold (30/byte) marking "
+    "boundaries — within-shot drift scores ~64, shot changes score "
+    "~5400, so the detector must separate the two. Shape: frame "
+    "generation is mapInPandas fan-out (no shuffle), differencing "
+    "shuffles once on doc_id and scans each clip linearly — clips are "
+    "bounded even when the corpus is not, the invariant that makes "
+    "per-video state safe at 100 TB. All-integer end to end "
+    "(operators/multimodal.py::attach_video_frames, frame_sad).",
+)
+def mm8_video_shot_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_video_frames, frame_sad
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    frames = attach_video_frames(docs, n_frames=12, frame_bytes=64, shot_len=4)
+    sad = frame_sad(frames)
+    is_b = F.when(F.col("sad") > 30 * 64, 1).otherwise(0)
+    return (
+        sad.groupBy("doc_id")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("long").alias("n_frames"),
+            F.sum(is_b).cast("long").alias("n_boundaries"),
+            F.sum(is_b * F.col("frame_idx")).cast("long").alias(
+                "boundary_idx_sum"
+            ),
+            F.max("sad").cast("long").alias("max_sad"),
+            F.min("sad").cast("long").alias("min_sad"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+CORPUS["mm8_video_shot_boundary"].oracle = _mm8_oracle_sql()
