@@ -279,6 +279,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "a22_equi_depth_histogram",
     # round-4f batch 11: video shot-boundary detection
     "mm8_video_shot_boundary",
+    # round-4f batch 12: ingestion-order inversion audit, two-sample Q-Q
+    # table, partition modularity
+    "dq9_event_order_inversions", "m27_two_sample_qq",
+    "g5_partition_modularity",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -13253,3 +13257,227 @@ def mm8_video_shot_boundary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORPUS["mm8_video_shot_boundary"].oracle = _mm8_oracle_sql()
+
+
+# ===========================================================================
+# Round-4f batch 12 — ingestion-order inversion audit, two-sample Q-Q
+# comparison table, and modularity of a fixed graph partition.
+# ===========================================================================
+
+
+@register(
+    "dq9_event_order_inversions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_id, ts,
+             LAG(event_id) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_id
+      FROM events
+    )
+    SELECT CAST(COUNT(prev_id) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN event_id < prev_id THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_inversions,
+           FLOOR(SUM(CASE WHEN event_id < prev_id THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(prev_id) * 1000000) / 1000000.0 AS inversion_frac
+    FROM seq
+    """,
+    survey_rows="ext:ingestion-order audit; W1 (partitioned lag), dq "
+    "family",
+    description="Ingestion-order sanity audit: within each user's "
+    "time-ordered event sequence, how often does the assigned event_id "
+    "run BACKWARD (a later timestamp carrying a smaller id)? Inversions "
+    "mean the id-assignment and event-time orders disagree — harmless "
+    "for idempotent loads, fatal for anything that uses ids as a time "
+    "proxy (CDC sequence numbers, incremental watermarks on id). One "
+    "lag window per user partition (single shuffle), integer counts, "
+    "one floored division — the report any pipeline should check "
+    "before trusting 'order by id' as 'order by time'.",
+)
+def dq9_event_order_inversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_id", F.lag("event_id").over(w).alias("prev_id")
+    )
+    inv = F.when(F.col("event_id") < F.col("prev_id"), 1).otherwise(0)
+    return seq.agg(
+        F.count("prev_id").cast("long").alias("n_pairs"),
+        F.sum(inv).cast("long").alias("n_inversions"),
+        q6(F.sum(inv) * F.lit(1.0) / F.count("prev_id")).alias(
+            "inversion_frac"
+        ),
+    )
+
+
+@register(
+    "m27_two_sample_qq",
+    """
+    WITH v AS (
+      SELECT value, user_id % 2 AS grp, event_id FROM events
+      WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT grp, value,
+             ROW_NUMBER() OVER (PARTITION BY grp ORDER BY value, event_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY grp) AS n
+      FROM v
+    ),
+    deciles(q) AS (
+      VALUES (1), (2), (3), (4), (5), (6), (7), (8), (9)
+    ),
+    pick AS (
+      SELECT d.q, r.grp, r.value
+      FROM ranked r JOIN deciles d
+        ON r.rn = CAST(FLOOR(d.q * (r.n - 1) / 10.0) AS BIGINT) + 1
+    )
+    SELECT q,
+           FLOOR(MAX(CASE WHEN grp = 0 THEN value END) * 1000000)
+             / 1000000.0 AS q_grp0,
+           FLOOR(MAX(CASE WHEN grp = 1 THEN value END) * 1000000)
+             / 1000000.0 AS q_grp1,
+           FLOOR((MAX(CASE WHEN grp = 1 THEN value END)
+                  - MAX(CASE WHEN grp = 0 THEN value END)) * 1000000)
+             / 1000000.0 AS qq_gap
+    FROM pick GROUP BY 1 ORDER BY 1
+    """,
+    survey_rows="ext:two-sample Q-Q comparison; M11 (KS twin), W6 "
+    "(ranking)",
+    description="Two-sample Q-Q table between the user-parity cohorts: "
+    "the decile-by-decile quantile pairing (and gap) that SHOWS WHERE "
+    "two distributions diverge, where m11's KS statistic only says by "
+    "how much at the worst point — the drill-down a drift "
+    "investigation runs after m23/m24 fire. Quantiles are ORDER "
+    "STATISTICS at exact integer positions (floored basis-point index, "
+    "unique (value, event_id) tie-break), so both engines pick "
+    "identical sample values — no interpolation anywhere. Graded with "
+    "the exact per-cohort ranking; at scale the positions come from "
+    "percentile_approx (m10's routing) and the table stays 9 rows.",
+)
+def m27_two_sample_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(
+        "value", (F.col("user_id") % 2).alias("grp"), "event_id"
+    )
+    w = Window.partitionBy("grp").orderBy("value", "event_id")
+    ranked = v.select(
+        "grp",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("grp")).alias("n"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("q"))
+    pick = ranked.join(
+        F.broadcast(deciles),
+        ranked["rn"]
+        == (F.floor(deciles["q"] * (ranked["n"] - 1) / F.lit(10.0)) + 1),
+    ).select("q", "grp", "value")
+    g0 = F.max(F.when(F.col("grp") == 0, F.col("value")))
+    g1 = F.max(F.when(F.col("grp") == 1, F.col("value")))
+    return (
+        pick.groupBy("q")
+        .agg(
+            q6(g0).alias("q_grp0"),
+            q6(g1).alias("q_grp1"),
+            q6(g1 - g0).alias("qq_gap"),
+        )
+        .orderBy("q")
+    )
+
+
+@register(
+    "g5_partition_modularity",
+    """
+    WITH ui AS (
+      SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS INT) AS item
+      FROM events
+      WHERE json_extract(props, '$.k') IS NOT NULL
+    ),
+    pairs AS (
+      SELECT a.item AS s, b.item AS t
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM pairs),
+    deg AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT s AS item FROM pairs UNION ALL SELECT t FROM pairs
+      ) GROUP BY 1
+    ),
+    intra AS (
+      SELECT s % 10 AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+      FROM pairs WHERE s % 10 = t % 10 GROUP BY 1
+    ),
+    ctot AS (
+      SELECT item % 10 AS community, CAST(SUM(d) AS BIGINT) AS d_sum
+      FROM deg GROUP BY 1
+    )
+    SELECT c.community, COALESCE(i.e_in, 0) AS e_in, c.d_sum,
+           FLOOR((COALESCE(i.e_in, 0) * 1.0 / m.n_edges
+                  - (c.d_sum * 1.0 / (2 * m.n_edges))
+                    * (c.d_sum * 1.0 / (2 * m.n_edges)))
+                 * 1000000) / 1000000.0 AS q_term
+    FROM ctot c LEFT JOIN intra i USING (community) CROSS JOIN m
+    ORDER BY c.community
+    """,
+    survey_rows="ext:graph partition quality (modularity); g1-g4 (graph "
+    "family)",
+    description="Newman modularity terms of a fixed 10-way partition "
+    "(item id mod 10 — the stand-in for any community assignment a "
+    "clustering step produces) over the co-visitation graph: per "
+    "community, intra-community edge share minus the expected share "
+    "under the degree-preserving null (d_c/2m)^2; the sum of q_term is "
+    "the partition's modularity Q — the metric that scores ANY "
+    "community detection output, computed here as pure joins and "
+    "aggregations (no iteration). Two hash aggregations over the "
+    "user-bounded pair frame, degree and community frames broadcast-"
+    "sized; all-integer until the fixed floored IEEE chain.",
+)
+def g5_partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    item = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    ui = (
+        ev.select("user_id", item.alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    pairs = (
+        ui.toDF("user_id", "s")
+        .join(ui.toDF("user_id", "t"), "user_id")
+        .filter(F.col("s") < F.col("t"))
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+        .select("s", "t")
+        .localCheckpoint()
+    )
+    m = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    deg = (
+        pairs.select(F.col("s").alias("item"))
+        .unionAll(pairs.select(F.col("t").alias("item")))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    intra = (
+        pairs.filter(F.col("s") % 10 == F.col("t") % 10)
+        .groupBy((F.col("s") % 10).alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    ctot = deg.groupBy((F.col("item") % 10).alias("community")).agg(
+        F.sum("d").cast("long").alias("d_sum")
+    )
+    half = F.col("d_sum") * F.lit(1.0) / (F.lit(2) * F.col("n_edges"))
+    e_in0 = F.coalesce(F.col("e_in"), F.lit(0))
+    return (
+        ctot.join(F.broadcast(intra), "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            e_in0.cast("long").alias("e_in"),
+            "d_sum",
+            q6(
+                e_in0 * F.lit(1.0) / F.col("n_edges") - half * half
+            ).alias("q_term"),
+        )
+        .orderBy("community")
+    )
