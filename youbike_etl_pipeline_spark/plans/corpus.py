@@ -283,6 +283,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # table, partition modularity
     "dq9_event_order_inversions", "m27_two_sample_qq",
     "g5_partition_modularity",
+    # round-4g: Kendall tau-b (rank-family completion), resource-allocation
+    # link prediction, first-path funnel mining, oracle-backed Count-Min
+    # sketch, seasonal-naive forecast backtest
+    "m28_kendall_tau", "g6_ra_link_prediction", "ev8_top_event_paths",
+    "a23_countmin_heavy_hitters", "w25_seasonal_naive_backtest",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -13480,4 +13485,404 @@ def g5_partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_term"),
         )
         .orderBy("community")
+    )
+
+
+# ===========================================================================
+# Round-4g batch: rank-family completion (Kendall tau-b), link prediction
+# (resource-allocation index), first-path funnel mining, an oracle-backed
+# Count-Min frequency sketch, and a seasonal-naive forecast backtest.
+# ===========================================================================
+
+
+@register(
+    "m28_kendall_tau",
+    """
+    WITH u AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    p AS (
+      SELECT CASE WHEN a.x = b.x THEN 0 WHEN a.x > b.x THEN 1 ELSE -1 END AS cx,
+             CASE WHEN a.y = b.y THEN 0 WHEN a.y > b.y THEN 1 ELSE -1 END AS cy
+      FROM u a JOIN u b ON a.user_id < b.user_id
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN cx * cy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conc,
+             CAST(SUM(CASE WHEN cx * cy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS disc,
+             CAST(SUM(CASE WHEN cx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tie_x,
+             CAST(SUM(CASE WHEN cy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tie_y
+      FROM p
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_users,
+           conc, disc,
+           FLOOR((conc - disc)
+             / SQRT(CAST((n0 - tie_x) * (n0 - tie_y) AS DOUBLE))
+             * 1000000) / 1000000.0 AS tau_b
+    FROM s WHERE (n0 - tie_x) * (n0 - tie_y) > 0
+    """,
+    survey_rows="ext:rank statistics (Kendall tau-b; completes the rank "
+    "family with m15 Mann-Whitney, m16 Spearman, m21 Kruskal-Wallis); M13",
+    description="Kendall tau-b rank correlation between per-user activity "
+    "(event count) and per-user total value (exact milli-integer sum): "
+    "concordant/discordant/tied pair counting over the i<j self-join of "
+    "the PER-USER aggregate — the raw scan is linear and the quadratic "
+    "step runs on the small aggregated frame, the same size discipline as "
+    "Tukey's k-squared contrast frame (M5). All counts are exact integers; "
+    "the tau-b formula with tie corrections is applied once at the end "
+    "(floored 6 dp). At 100 TB the per-user frame can itself be wide — "
+    "the documented route is a deterministic user-hash sample ahead of "
+    "the pair join, identical statistics machinery.",
+)
+def m28_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("y"),
+    )
+    a, b = u.toDF("ua", "xa", "ya"), u.toDF("ub", "xb", "yb")
+    sgn = lambda l, r: F.when(F.col(l) == F.col(r), 0).when(  # noqa: E731
+        F.col(l) > F.col(r), 1
+    ).otherwise(-1)
+    p = (
+        a.join(b, F.col("ua") < F.col("ub"))
+        .select(sgn("xa", "xb").alias("cx"), sgn("ya", "yb").alias("cy"))
+    )
+    s = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        F.sum(F.when(F.col("cx") * F.col("cy") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("conc"),
+        F.sum(F.when(F.col("cx") * F.col("cy") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("disc"),
+        F.sum(F.when(F.col("cx") == 0, 1).otherwise(0)).cast("long").alias("tie_x"),
+        F.sum(F.when(F.col("cy") == 0, 1).otherwise(0)).cast("long").alias("tie_y"),
+    )
+    n_users = u.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    denom = (F.col("n0") - F.col("tie_x")) * (F.col("n0") - F.col("tie_y"))
+    tau = (F.col("conc") - F.col("disc")) / F.sqrt(denom.cast("double"))
+    return (
+        s.crossJoin(F.broadcast(n_users))
+        .filter(denom > 0)
+        .select("n_users", "conc", "disc", q6(tau).alias("tau_b"))
+    )
+
+
+@register(
+    "g6_ra_link_prediction",
+    """
+    WITH ui AS (
+      SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS INT) AS item
+      FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+    ),
+    co AS (
+      SELECT a.item AS i, b.item AS j, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+    ),
+    e AS (SELECT i, j FROM co WHERE c >= (SELECT MAX(c) * 3 // 4 FROM co)),
+    ed AS (
+      SELECT i AS src, j AS dst FROM e
+      UNION ALL SELECT j AS src, i AS dst FROM e
+    ),
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d FROM ed GROUP BY 1),
+    hop2 AS (
+      SELECT x.src AS u, y.dst AS w, x.dst AS z
+      FROM ed x JOIN ed y ON x.dst = y.src
+      WHERE x.src < y.dst
+    ),
+    cand AS (
+      SELECT h.u, h.w,
+             CAST(COUNT(*) AS BIGINT) AS n_common,
+             CAST(SUM(1000000 // dz.d) AS BIGINT) AS ra_scaled
+      FROM hop2 h JOIN deg dz ON h.z = dz.v
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.i = h.u AND e.j = h.w)
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT u, w, n_common, ra_scaled / 1000000.0 AS ra_score,
+             ROW_NUMBER() OVER (ORDER BY ra_scaled DESC, u, w) AS rk
+      FROM cand
+    )
+    SELECT u, w, n_common, ra_score FROM ranked WHERE rk <= 50
+    """,
+    survey_rows="ext:link prediction (resource-allocation index over the "
+    "co-visitation graph; graph family g1-g5); ext:graph, J4 (anti)",
+    description="Resource-allocation link prediction (Zhou/Lu/Zhang 2009): "
+    "for every NON-adjacent item pair connected through >=1 common "
+    "neighbor, score = sum over common neighbors z of 1/deg(z), and the "
+    "top-50 scored pairs are the recommended new links. Edges come from "
+    "the co-visitation graph at a data-adaptive threshold (3/4 of the max "
+    "co-count, integer math) so the graph is sparse-but-nonempty at every "
+    "scale factor; the two-hop enumeration is an equi-join on the shared "
+    "endpoint, adjacency is removed with an anti-join, and the score is "
+    "an EXACT integer sum of 1000000//deg(z) (no float accumulation "
+    "ordering), divided once at the end. Deterministic top-50 via "
+    "(score desc, u, w). At 100 TB the hop2 frame is bounded by "
+    "sum-of-degree-squares — the standard cap is a max-degree filter on "
+    "z, the same hub-cap discipline as t2's doc-freq cap.",
+)
+def g6_ra_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    item = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    ui = (
+        ev.select("user_id", item.alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    co = (
+        ui.toDF("user_id", "i")
+        .join(ui.toDF("user_id", "j"), "user_id")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    thr = co.agg(F.expr("max(c) * 3 div 4").alias("thr"))
+    e = co.crossJoin(F.broadcast(thr)).filter(F.col("c") >= F.col("thr")).select("i", "j")
+    ed = e.select(F.col("i").alias("src"), F.col("j").alias("dst")).unionAll(
+        e.select(F.col("j").alias("src"), F.col("i").alias("dst"))
+    )
+    deg = ed.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    hop2 = (
+        ed.toDF("u", "z")
+        .join(ed.toDF("z", "w"), "z")
+        .filter(F.col("u") < F.col("w"))
+    )
+    cand = (
+        hop2.join(F.broadcast(deg.toDF("z", "d")), "z")
+        .join(e.toDF("u", "w"), ["u", "w"], "left_anti")
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.expr("1000000 div d")).cast("long").alias("ra_scaled"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("ra_scaled").desc(), F.col("u"), F.col("w"))
+    )
+    return (
+        cand.withColumn("rk", rk)
+        .filter(F.col("rk") <= 50)
+        .select(
+            "u", "w", "n_common",
+            (F.col("ra_scaled") / 1000000.0).alias("ra_score"),
+        )
+    )
+
+
+@register(
+    "ev8_top_event_paths",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events
+    ),
+    p AS (
+      SELECT user_id,
+             MIN(CASE WHEN rn = 1 THEN event_type END) AS e1,
+             MIN(CASE WHEN rn = 2 THEN event_type END) AS e2,
+             MIN(CASE WHEN rn = 3 THEN event_type END) AS e3
+      FROM r WHERE rn <= 3 GROUP BY 1
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p WHERE e3 IS NOT NULL
+    GROUP BY 1
+    """,
+    survey_rows="ext:path mining (first-k event paths — the onboarding-"
+    "funnel shape ev1/ev3 cannot see); W1,W6,A5",
+    description="First-path mining: each user's first three events (global "
+    "order by ts with event_id tiebreak, one ROW_NUMBER window), "
+    "concatenated into a path string and counted across users — the "
+    "onboarding-flow table behind funnel dashboards, and the exact-"
+    "sequence complement of ev3's one-step Markov transition matrix. "
+    "One window shuffle on user_id + one hash aggregation on the path "
+    "string; path cardinality is bounded by |event_type|^3, so the "
+    "result stays tiny at any corpus size.",
+)
+def ev8_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    rn = F.row_number().over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    r = ev.select("user_id", "event_type", rn.alias("rn")).filter(F.col("rn") <= 3)
+    p = r.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("rn") == k, F.col("event_type"))).alias(f"e{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    return (
+        p.filter(F.col("e3").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+@register(
+    "a23_countmin_heavy_hitters",
+    """
+    WITH it AS (
+      SELECT CAST(json_extract(props, '$.k') AS INT) AS item
+      FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+    ),
+    hashed AS (
+      SELECT item, j,
+             CAST(md5_number_lower(CAST(j AS VARCHAR) || ':'
+                                   || CAST(item AS VARCHAR)) % 32 AS BIGINT)
+               AS bucket
+      FROM it, (SELECT unnest(ARRAY[1, 2, 3]) AS j)
+    ),
+    sketch AS (
+      SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM hashed GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS n_exact FROM it GROUP BY 1
+    ),
+    keys AS (
+      SELECT item, j,
+             CAST(md5_number_lower(CAST(j AS VARCHAR) || ':'
+                                   || CAST(item AS VARCHAR)) % 32 AS BIGINT)
+               AS bucket
+      FROM exact, (SELECT unnest(ARRAY[1, 2, 3]) AS j)
+    ),
+    est AS (
+      SELECT k.item, MIN(s.cnt) AS cm_est
+      FROM keys k JOIN sketch s ON k.j = s.j AND k.bucket = s.bucket
+      GROUP BY 1
+    ),
+    ranked AS (
+      SELECT e.item, x.n_exact, e.cm_est, e.cm_est - x.n_exact AS overcount,
+             ROW_NUMBER() OVER (ORDER BY x.n_exact DESC, e.item) AS rk
+      FROM est e JOIN exact x USING (item)
+    )
+    SELECT item, n_exact, cm_est, overcount FROM ranked WHERE rk <= 10
+    """,
+    survey_rows="ext:mergeable frequency sketch (Count-Min, oracle-backed "
+    "bit-for-bit like t45's HLL); A12, t38 (sketch accuracy)",
+    description="A from-scratch Count-Min sketch (Cormode/Muthukrishnan "
+    "2005), ORACLE-VERIFIED: 3 hash rows x 32 buckets, each row's hash "
+    "derived from md5 (the md5_number_lower mirror that made t45's HLL "
+    "and t8's SimHash cross-engine checkable), point estimate = min over "
+    "rows of the bucket count, reported for the top-10 exact heavy "
+    "hitters next to their exact counts and the guaranteed-nonnegative "
+    "overcount. The sketch table is 96 integer cells produced by one "
+    "hash aggregation — bucket counts are MERGEABLE by plain addition "
+    "across partitions, days, or streaming micro-batches, which is the "
+    "100 TB point: the full-corpus sketch is a sum of per-shard "
+    "sketches, never a re-scan. xxhash64 is the production hash; md5 is "
+    "the parity path.",
+)
+def a23_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_token_hash64
+
+    ev = _t(spark, sf_dir, "events")
+    item = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    it = ev.select(item.alias("item")).filter(F.col("item").isNotNull())
+    rows3 = F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j")
+
+    def bucket() -> F.Column:
+        key = F.concat_ws(":", F.col("j"), F.col("item"))
+        return F.pmod(md5_token_hash64(key), F.lit(32)).cast("long")
+
+    hashed = it.select("item", rows3).select("item", "j", bucket().alias("bucket"))
+    sketch = hashed.groupBy("j", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    exact = it.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    keys = exact.select("item", "n_exact", rows3).select(
+        "item", "n_exact", "j", bucket().alias("bucket")
+    )
+    est = (
+        keys.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("item", "n_exact")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    from pyspark.sql.window import Window
+
+    rk = F.row_number().over(Window.orderBy(F.col("n_exact").desc(), F.col("item")))
+    return (
+        est.withColumn("rk", rk)
+        .filter(F.col("rk") <= 10)
+        .select(
+            "item", "n_exact", "cm_est",
+            (F.col("cm_est") - F.col("n_exact")).alias("overcount"),
+        )
+    )
+
+
+@register(
+    "w25_seasonal_naive_backtest",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS dy,
+             CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS a
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    fc AS (
+      SELECT event_type, dy, a,
+             LAG(a, 7) OVER (PARTITION BY event_type ORDER BY dy) AS f
+      FROM d
+    ),
+    ev AS (
+      SELECT event_type, ABS(a - f) AS err,
+             CASE WHEN a > 0 THEN (1000000 * ABS(a - f)) // a END AS rq
+      FROM fc WHERE f IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           FLOOR(SUM(err) * 1.0 / COUNT(*) / 1000 * 1000000) / 1000000.0
+             AS mae,
+           FLOOR(SUM(rq) * 1.0 / COUNT(rq) / 1000000 * 1000000) / 1000000.0
+             AS mape
+    FROM ev GROUP BY 1
+    """,
+    survey_rows="ext:forecast backtesting (seasonal-naive baseline — the "
+    "error floor every model in the reference's forecasting notebook must "
+    "beat); W1 (lag), W4 (time bucketing), t44 (rolling-origin folds)",
+    description="Seasonal-naive forecast backtest: predict each day's "
+    "per-type total by the same weekday one week earlier (lag-7 over the "
+    "daily aggregate) and score MAE and MAPE on the evaluable tail — the "
+    "baseline error floor for the reference's LSTM/OLS forecasts (ml2/"
+    "ml3) and the standard first column of any backtest table. Daily "
+    "totals are exact milli-integers, the absolute errors stay integer, "
+    "and MAPE quantizes each ratio with integer division BEFORE summing "
+    "(no float accumulation order); one hash aggregation + one window "
+    "over the tiny daily frame.",
+)
+def w25_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("dy")
+    ).agg(F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("a"))
+    f = F.lag("a", 7).over(Window.partitionBy("event_type").orderBy("dy"))
+    fc = d.select("event_type", "a", f.alias("f")).filter(F.col("f").isNotNull())
+    err = F.abs(F.col("a") - F.col("f"))
+    evl = fc.select(
+        "event_type",
+        err.alias("err"),
+        F.when(F.col("a") > 0, F.expr("(1000000 * abs(a - f)) div a")).alias("rq"),
+    )
+    return evl.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        q6(F.sum("err") * 1.0 / F.count(F.lit(1)) / 1000).alias("mae"),
+        q6(F.sum("rq") * 1.0 / F.count("rq") / 1000000).alias("mape"),
     )
