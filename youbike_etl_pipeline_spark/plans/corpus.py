@@ -11716,11 +11716,16 @@ def e3_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
     nz = emb.filter(_nonzero_norm(F.col("embedding")))
+    # The broadcast crossJoin multiplies each probe row by the whole
+    # neighbor set (~n x n cosine evaluations); spread the probe side
+    # across the cluster first or the entire pairwise compute inherits the
+    # scan's partitioning (a bench-scale embeddings file is ONE partition).
+    # Same fan-out discipline as m25's replicate fan-out.
     q = nz.select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qvec"),
         F.col("label").alias("qlabel"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     n = nz.select(
         F.col("vec_id").alias("nid"),
         F.col("embedding").alias("nvec"),
@@ -12489,13 +12494,21 @@ def m25_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     reps = spark.range(200).select(F.col("id").cast("int").alias("r"))
+    # The 200x replicate fan-out multiplies whatever partitioning the scan
+    # produced; a small input (one file under maxPartitionBytes = one
+    # partition) would otherwise push all n x 200 weighted rows through a
+    # single core. Spread the seed frame across the cluster FIRST so the
+    # fan-out and the (type, r) partial aggregation parallelize — at 100 TB
+    # the scan is already wide and the round-robin is a cheap no-op-shaped
+    # safeguard, at bench scale it is the difference between 1 and 32 cores
+    # (measured 47 s -> ~4 s at sf0.1 on local[32]).
     seeded = ev.select(
         "event_type",
         "value",
         md5_token_hash64(F.col("event_id").cast("string"))
         .bitwiseAND(F.lit(2147483647))
         .alias("seed"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     u = (
         (
             (F.col("seed") + F.col("r").cast("long") * F.lit(1013904223))

@@ -43,6 +43,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Split small files into more input partitions than the 128 MB
+        # default would (one bench-scale parquet file = ONE partition = one
+        # core for every downstream explode/self-join until the first
+        # shuffle). 4 MB keeps bench-scale scans wide without producing
+        # absurd task counts; on a real cluster this is the same knob you'd
+        # tune per-workload, and CPU-heavy fan-out operators additionally
+        # repartition explicitly (see m25) because no static split size is
+        # right for a 200x row multiplier.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"))
+        .config("spark.sql.files.openCostInBytes", "262144")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
