@@ -288,6 +288,12 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # sketch, seasonal-naive forecast backtest
     "m28_kendall_tau", "g6_ra_link_prediction", "ev8_top_event_paths",
     "a23_countmin_heavy_hitters", "w25_seasonal_naive_backtest",
+    # round-4g batch 2: integer-exact silhouette audit, Gini activity
+    # concentration, MMR-diversified retrieval (generated unrolled-greedy
+    # oracle); plus the two fan-out perf fixes re-proof their queries
+    "e7_silhouette_audit", "m29_gini_concentration",
+    "s10_mmr_diversified_topk", "m25_poisson_bootstrap_ci",
+    "e3_knn_label_consistency",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -13899,3 +13905,333 @@ def w25_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.sum("err") * 1.0 / F.count(F.lit(1)) / 1000).alias("mae"),
         q6(F.sum("rq") * 1.0 / F.count("rq") / 1000000).alias("mape"),
     )
+
+
+# ===========================================================================
+# Round-4g batch 2: silhouette cluster-quality audit (integer-exact),
+# Gini activity concentration, and MMR-diversified retrieval (the greedy
+# re-ranker behind diverse training-data selection).
+# ===========================================================================
+
+
+@register(
+    "e7_silhouette_audit",
+    """
+    WITH x AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 10000) AS BIGINT)
+               AS xq
+      FROM embeddings
+    ),
+    c AS (
+      SELECT label AS clabel, j, SUM(xq) // COUNT(*) AS cq
+      FROM x GROUP BY 1, 2
+    ),
+    d AS (
+      SELECT x.vec_id, x.label, c.clabel,
+             SUM((x.xq - c.cq) * (x.xq - c.cq)) AS d2
+      FROM x JOIN c ON x.j = c.j
+      GROUP BY 1, 2, 3
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             MAX(CASE WHEN clabel = label THEN d2 END) AS a2,
+             MIN(CASE WHEN clabel <> label THEN d2 END) AS b2
+      FROM d GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT vec_id, label, a2, b2,
+             CASE WHEN b2 >= a2
+                  THEN (1000000 * (b2 - a2)) // GREATEST(a2, b2)
+                  ELSE -((1000000 * (a2 - b2)) // GREATEST(a2, b2))
+             END AS sq
+      FROM ab WHERE GREATEST(a2, b2) > 0
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN b2 < a2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_misassigned,
+           FLOOR(SUM(sq) * 1.0 / COUNT(*)) / 1000000.0 AS mean_silhouette
+    FROM s GROUP BY 1
+    """,
+    survey_rows="ext:cluster-quality audit (closed-form silhouette on "
+    "squared distances — scores m8/ml1 cluster outputs without "
+    "iteration); e3 (kNN consistency), e4 (Fisher separation)",
+    description="Simplified-silhouette audit of the embedding labels: "
+    "a(v) = squared distance to the own-label centroid, b(v) = min "
+    "squared distance to any other centroid, s(v) = (b-a)/max(a,b) — "
+    "the cluster-quality score that works for ANY label/cluster "
+    "assignment (m8/ml1 outputs included) with no iteration. Every "
+    "quantity is exact integer math: coordinates are floor-quantized to "
+    "1e-4, centroid coordinates use truncating integer division "
+    "(Spark div == DuckDB // on negatives), squared distances are "
+    "integer sums, and the per-vector score quantizes via integer "
+    "division with an explicit sign split (so truncation direction "
+    "agrees). Spark shape: one posexplode aggregation for centroids "
+    "(k x 64 cells, broadcast), one join back — linear in corpus size, "
+    "k fixed; the misassignment count doubles as a label-noise screen.",
+)
+def e7_silhouette_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("j0", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("j0") + 1).alias("j"),
+        F.floor(F.col("xf").cast("double") * 10000).cast("long").alias("xq"),
+    )
+    c = x.groupBy(F.col("label").alias("clabel"), "j").agg(
+        F.expr("sum(xq) div count(1)").alias("cq")
+    )
+    d = (
+        x.join(F.broadcast(c), "j")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.sum((F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))).alias("d2"))
+    )
+    ab = d.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("clabel") == F.col("label"), F.col("d2"))).alias("a2"),
+        F.min(F.when(F.col("clabel") != F.col("label"), F.col("d2"))).alias("b2"),
+    )
+    mx = F.greatest(F.col("a2"), F.col("b2"))
+    sq = F.when(
+        F.col("b2") >= F.col("a2"),
+        F.expr("(1000000 * (b2 - a2)) div greatest(a2, b2)"),
+    ).otherwise(-F.expr("(1000000 * (a2 - b2)) div greatest(a2, b2)"))
+    s = ab.filter(mx > 0).select("label", "a2", "b2", sq.alias("sq"))
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.when(F.col("b2") < F.col("a2"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_misassigned"),
+        (F.floor(F.sum("sq") * 1.0 / F.count(F.lit(1))) / 1000000.0).alias(
+            "mean_silhouette"
+        ),
+    )
+
+
+@register(
+    "m29_gini_concentration",
+    """
+    WITH u AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    r AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, user_id) AS i FROM u
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * x) AS BIGINT) AS six
+      FROM r
+    )
+    SELECT n AS n_users, sx AS total_events,
+           FLOOR((2.0 * six - (n + 1.0) * sx) / (1.0 * n * sx) * 1000000)
+             / 1000000.0 AS gini
+    FROM s WHERE sx > 0
+    """,
+    survey_rows="ext:inequality audit (Gini coefficient of per-user "
+    "activity — the contribution-skew diagnostic next to a21's top-share "
+    "Pareto view); A12, W6 (rank)",
+    description="Gini coefficient of per-user event contribution — the "
+    "standard inequality summary of how concentrated a corpus is in its "
+    "heaviest contributors (a21's Pareto top-share gives the head's "
+    "share; Gini summarizes the WHOLE Lorenz curve in one number, the "
+    "pair a data-governance dashboard shows together). Rank formula "
+    "G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) over ranks with a "
+    "deterministic user_id tiebreak — tied values contribute a fixed "
+    "rank-block sum, so the statistic is tie-order invariant AND the "
+    "intermediate sums are exact integers; one aggregation plus one "
+    "window over the per-user frame, the float formula applied once.",
+)
+def m29_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("x"))
+    r = u.select(
+        "x", F.row_number().over(Window.orderBy("x", "user_id")).alias("i")
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+    )
+    n, sx, six = F.col("n"), F.col("sx"), F.col("six")
+    gini = (2.0 * six - (n + 1.0) * sx) / (1.0 * n * sx)
+    return s.filter(sx > 0).select(
+        n.alias("n_users"), sx.alias("total_events"), q6(gini).alias("gini")
+    )
+
+
+def _s10_oracle_sql(k: int = 5, n_cand: int = 20) -> str:
+    """Generated DuckDB mirror of the MMR greedy re-ranker: the candidate
+    and pairwise-similarity CTEs quantize every cosine to integer
+    micro-units exactly like the Spark side, then the k greedy selections
+    unroll into k chained CTEs (sel1..selk) — each picks the argmax of
+    7*relq - 3*max(simq to already-selected) with a vec_id tiebreak, all
+    in integer arithmetic, so both engines make identical choices."""
+    steps = [
+        """
+    sel1 AS (
+      SELECT vec_id, relq, CAST(1 AS BIGINT) AS step
+      FROM cand ORDER BY relq DESC, vec_id LIMIT 1
+    ),
+    cum1 AS (SELECT vec_id FROM sel1)"""
+    ]
+    for t in range(2, k + 1):
+        steps.append(f"""
+    sel{t} AS (
+      SELECT vec_id, relq, CAST({t} AS BIGINT) AS step FROM (
+        SELECT c.vec_id, c.relq,
+               7 * c.relq - 3 * (
+                 SELECT MAX(s.simq) FROM sims s
+                 WHERE s.s = c.vec_id
+                   AND s.t IN (SELECT vec_id FROM cum{t - 1})
+               ) AS score
+        FROM cand c
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM cum{t - 1})
+      ) ORDER BY score DESC, vec_id LIMIT 1
+    ),
+    cum{t} AS (SELECT vec_id FROM cum{t - 1}
+               UNION ALL SELECT vec_id FROM sel{t})""")
+    union = " UNION ALL ".join(f"SELECT * FROM sel{t}" for t in range(1, k + 1))
+    return f"""
+    WITH {_EMB_DOTS},
+    cand AS (
+      SELECT vec_id,
+             CAST(FLOOR(dot / (SQRT(aa) * SQRT(qq)) * 1000000) AS BIGINT)
+               AS relq
+      FROM dots, qn WHERE aa > 0 AND qq > 0
+      ORDER BY relq DESC, vec_id LIMIT {n_cand}
+    ),
+    pe AS (
+      SELECT vec_id, unnest(embedding) AS x,
+             generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id IN (SELECT vec_id FROM cand)
+    ),
+    pn AS (
+      SELECT vec_id, SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS nn
+      FROM pe GROUP BY 1
+    ),
+    pdots AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             SUM(CAST(a.x AS DOUBLE) * CAST(b.x AS DOUBLE)) AS dot
+      FROM pe a JOIN pe b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ),
+    sims0 AS (
+      SELECT va, vb,
+             CAST(FLOOR(dot / (SQRT(na.nn) * SQRT(nb.nn)) * 1000000)
+               AS BIGINT) AS simq
+      FROM pdots JOIN pn na ON va = na.vec_id JOIN pn nb ON vb = nb.vec_id
+      WHERE na.nn > 0 AND nb.nn > 0
+    ),
+    sims AS (
+      SELECT va AS s, vb AS t, simq FROM sims0
+      UNION ALL SELECT vb AS s, va AS t, simq FROM sims0
+    ),
+    {",".join(steps)}
+    SELECT step, vec_id, relq / 1000000.0 AS relevance FROM ({union})
+    """
+
+
+@register(
+    "s10_mmr_diversified_topk",
+    None,  # oracle attached below (generated unrolled-greedy SQL)
+    survey_rows="ext:diversified retrieval (maximal marginal relevance — "
+    "the re-ranker behind diverse training-data selection); s1 (cosine "
+    "top-k), s8 (hybrid fusion)",
+    description="MMR-diversified top-5 (Carbonell/Goldstein 1998): from "
+    "the cosine top-20 candidates to the query vector, greedily select "
+    "5 maximizing 0.7*relevance - 0.3*max-similarity-to-selected — the "
+    "classic redundancy-suppressing re-ranker used to pick DIVERSE "
+    "examples for a context window or a labeling batch where s1's pure "
+    "top-k returns near-duplicates. Every cosine is floor-quantized to "
+    "integer micro-units BEFORE any comparison and the greedy scores "
+    "are pure integer arithmetic (7*relq - 3*simq), so both engines "
+    "make bit-identical selections; the oracle unrolls the k greedy "
+    "steps into chained CTEs. Spark shape: distributed scan scores the "
+    "corpus and TakeOrderedAndProject keeps 20 candidates; the k x 20 "
+    "greedy runs driver-side on the 400-cell quantized similarity "
+    "matrix (bounded by constants, like the <=200k-edge union-find "
+    "route) — at 100 TB only the candidate generation touches the "
+    "corpus, and the LSH/IVF paths (s3/s4) slot in as the generator.",
+)
+def s10_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import types as T
+
+    from ..functions.arrays import cosine_similarity
+    from ..operators.similarity import _nonzero_norm, _query_lit
+
+    k, n_cand = 5, 20
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    scored = (
+        emb.filter((F.col("vec_id") != 0) & _nonzero_norm(F.col("embedding")))
+        .select(
+            "vec_id",
+            F.floor(
+                cosine_similarity(F.col("embedding"), _query_lit(qvec)) * 1000000
+            )
+            .cast("long")
+            .alias("relq"),
+        )
+        .orderBy(F.col("relq").desc(), F.col("vec_id").asc())
+        .limit(n_cand)
+    )
+    cand = scored.collect()  # bounded: n_cand rows
+    ids = [r.vec_id for r in cand]
+    cvecs = emb.filter(F.col("vec_id").isin(ids)).select("vec_id", "embedding")
+    a = cvecs.toDF("va", "ea")
+    b = cvecs.toDF("vb", "eb")
+    pair_rows = (
+        a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.floor(cosine_similarity(F.col("ea"), F.col("eb")) * 1000000)
+            .cast("long")
+            .alias("simq"),
+        )
+        .collect()
+    )  # bounded: n_cand*(n_cand-1)/2 rows
+    sim = {}
+    for r in pair_rows:
+        sim[(r.va, r.vb)] = r.simq
+        sim[(r.vb, r.va)] = r.simq
+    relq = {r.vec_id: r.relq for r in cand}
+    selected: list[tuple[int, int]] = []
+    chosen: set = set()
+    for step in range(1, k + 1):
+        best = None
+        for r in cand:
+            if r.vec_id in chosen:
+                continue
+            if selected:
+                penalty = max(sim[(r.vec_id, s)] for _, s in selected)
+                score = 7 * r.relq - 3 * penalty
+            else:
+                score = r.relq  # step 1: pure relevance ordering
+            key = (-score, r.vec_id)
+            if best is None or key < best[0]:
+                best = (key, r.vec_id)
+        selected.append((step, best[1]))
+        chosen.add(best[1])
+    out = [(step, vid, relq[vid] / 1000000.0) for step, vid in selected]
+    schema = T.StructType(
+        [
+            T.StructField("step", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("relevance", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+CORPUS["s10_mmr_diversified_topk"].oracle = _s10_oracle_sql()
