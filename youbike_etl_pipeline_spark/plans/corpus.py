@@ -294,6 +294,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "e7_silhouette_audit", "m29_gini_concentration",
     "s10_mmr_diversified_topk", "m25_poisson_bootstrap_ci",
     "e3_knn_label_consistency",
+    # round-4g batch 3: truncated-Katz centrality (closed-form walk
+    # counts), temporal follow-up anti-join, deterministic randomization
+    # test, ingestion-freshness audit
+    "g7_katz_centrality", "j12_followup_anti_join",
+    "m30_randomization_test", "dq10_freshness_lag",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -14235,3 +14240,369 @@ def s10_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORPUS["s10_mmr_diversified_topk"].oracle = _s10_oracle_sql()
+
+
+# ===========================================================================
+# Round-4g batch 3: truncated Katz centrality (walk-count joins), temporal
+# follow-up anti-join, deterministic randomization test, freshness audit.
+# ===========================================================================
+
+
+@register(
+    "g7_katz_centrality",
+    """
+    WITH ui AS (
+      SELECT DISTINCT user_id, CAST(json_extract(props, '$.k') AS INT) AS item
+      FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+    ),
+    co AS (
+      SELECT a.item AS i, b.item AS j
+      FROM ui a JOIN ui b ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 30
+    ),
+    ed AS (
+      SELECT i AS src, j AS dst FROM co
+      UNION ALL SELECT j AS src, i AS dst FROM co
+    ),
+    w1 AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS p1 FROM ed GROUP BY 1),
+    w2 AS (
+      SELECT e.src AS v, CAST(SUM(d.p1) AS BIGINT) AS p2
+      FROM ed e JOIN w1 d ON e.dst = d.v GROUP BY 1
+    ),
+    w3 AS (
+      SELECT e.src AS v, CAST(SUM(d.p2) AS BIGINT) AS p3
+      FROM ed e JOIN w2 d ON e.dst = d.v GROUP BY 1
+    ),
+    k AS (
+      SELECT w1.v AS item, w1.p1, w2.p2, w3.p3,
+             64 * w1.p1 + 8 * w2.p2 + w3.p3 AS katz_num
+      FROM w1 JOIN w2 ON w1.v = w2.v JOIN w3 ON w1.v = w3.v
+    ),
+    ranked AS (
+      SELECT item, p1 AS n_walks1, p2 AS n_walks2, p3 AS n_walks3,
+             katz_num / 512.0 AS katz,
+             ROW_NUMBER() OVER (ORDER BY katz_num DESC, item) AS rk
+      FROM k
+    )
+    SELECT item, n_walks1, n_walks2, n_walks3, katz
+    FROM ranked WHERE rk <= 25
+    """,
+    survey_rows="ext:centrality (truncated Katz via exact walk counts — "
+    "the attenuated-influence complement of g1's PageRank); ext:graph",
+    description="Truncated Katz centrality over the co-visitation graph "
+    "(attenuation 1/8, horizon 3): walk counts of length 1..3 from each "
+    "node computed as chained equi-joins (w_k(u) = sum over neighbors z "
+    "of w_{k-1}(z) — the A^k row sums, materialized per node, never a "
+    "matrix), combined into the exact integer numerator 64*p1 + 8*p2 + "
+    "p3 of sum beta^k A^k with one float division at the end. Where g1 "
+    "iterates PageRank to a tolerance (rows-only-adjacent grading), the "
+    "truncated Katz series is CLOSED-FORM on walk counts, so the whole "
+    "centrality is oracle-exact; top-25 with deterministic tiebreak. "
+    "Each hop is one shuffle on the join key — at 100 TB the frontier "
+    "frames stay node-sized (not edge-sized) between hops.",
+)
+def g7_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    item = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    ui = (
+        ev.select("user_id", item.alias("item"))
+        .filter(F.col("item").isNotNull())
+        .distinct()
+    )
+    co = (
+        ui.toDF("user_id", "i")
+        .join(ui.toDF("user_id", "j"), "user_id")
+        .filter(F.col("i") < F.col("j"))
+        .groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 30)
+        .select("i", "j")
+    )
+    ed = co.select(F.col("i").alias("src"), F.col("j").alias("dst")).unionAll(
+        co.select(F.col("j").alias("src"), F.col("i").alias("dst"))
+    ).localCheckpoint()
+    w1 = ed.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("p1")
+    )
+    w2 = (
+        ed.join(w1.toDF("dst", "p1n"), "dst")
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.sum("p1n").cast("long").alias("p2"))
+    )
+    w3 = (
+        ed.join(w2.toDF("dst", "p2n"), "dst")
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.sum("p2n").cast("long").alias("p3"))
+    )
+    k = (
+        w1.join(w2, "v")
+        .join(w3, "v")
+        .select(
+            F.col("v").alias("item"),
+            "p1",
+            "p2",
+            "p3",
+            (64 * F.col("p1") + 8 * F.col("p2") + F.col("p3")).alias("katz_num"),
+        )
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("katz_num").desc(), F.col("item")))
+    return (
+        k.withColumn("rk", rk)
+        .filter(F.col("rk") <= 25)
+        .select(
+            "item",
+            F.col("p1").alias("n_walks1"),
+            F.col("p2").alias("n_walks2"),
+            F.col("p3").alias("n_walks3"),
+            (F.col("katz_num") / 512.0).alias("katz"),
+        )
+    )
+
+
+@register(
+    "j12_followup_anti_join",
+    """
+    WITH v AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    uncnv AS (
+      SELECT v.event_id, v.user_id
+      FROM v
+      WHERE NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.ts > v.ts
+          AND p.ts <= v.ts + INTERVAL 1 HOUR
+      )
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_unconverted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v v2
+            WHERE v2.user_id = uncnv.user_id) AS n_views
+    FROM uncnv GROUP BY user_id
+    """,
+    survey_rows="ext:temporal anti-join (NOT EXISTS within a time window — "
+    "the abandonment shape ev1's ordered funnel cannot express); J4 "
+    "(anti), j11 (interval overlap)",
+    description="Temporal follow-up anti-join: view events with NO "
+    "purchase by the same user within the following hour — the "
+    "abandonment/no-follow-up query behind retargeting lists and alert "
+    "suppression, and a genuinely different join shape from J4's "
+    "key-anti-join (the predicate is key equality PLUS a time band, so "
+    "the anti-semantics apply to a range condition). Spark plans it as "
+    "a user-keyed LEFT JOIN with the band predicate folded into the "
+    "join condition and a null filter — one shuffle on user_id, no "
+    "BNLJ; per-user output with total views alongside. At 100 TB the "
+    "time band bounds state exactly like a stream-stream join watermark.",
+)
+def j12_followup_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    unconv = v.join(
+        p,
+        (F.col("vu") == F.col("pu"))
+        & (F.col("pts") > F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+        "left_anti",
+    )
+    per_user = unconv.groupBy(F.col("vu").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_unconverted")
+    )
+    views = v.groupBy(F.col("vu").alias("user_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_views")
+    )
+    return per_user.join(views, "user_id")
+
+
+@register(
+    "m30_randomization_test",
+    f"""
+    WITH base AS (
+      SELECT value,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+             CAST(md5_number_lower(CAST(event_id AS VARCHAR)) % 2147483648
+               AS BIGINT) AS seed
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+    ),
+    obs AS (
+      SELECT {SQL_DSUM("CASE WHEN is_a = 1 THEN value END")}
+               / COUNT(CASE WHEN is_a = 1 THEN 1 END)
+             - {SQL_DSUM("CASE WHEN is_a = 0 THEN value END")}
+               / COUNT(CASE WHEN is_a = 0 THEN 1 END) AS diff_obs,
+             CAST(SUM(is_a) AS BIGINT) AS n_a,
+             CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS n_b,
+             SUM(is_a) * 1.0 / COUNT(*) AS frac_a
+      FROM base
+    ),
+    reps AS (SELECT unnest(generate_series(0, 199)) AS r),
+    relabeled AS (
+      SELECT b.value, rp.r,
+             CASE WHEN ((((b.seed + rp.r * 1013904223) % 2147483647)
+                         * 48271) % 2147483647) / 2147483647.0
+                  < (SELECT frac_a FROM obs)
+                  THEN 1 ELSE 0 END AS ra
+      FROM base b CROSS JOIN reps rp
+    ),
+    rep_diffs AS (
+      SELECT r,
+             {SQL_DSUM("CASE WHEN ra = 1 THEN value END")}
+               / COUNT(CASE WHEN ra = 1 THEN 1 END)
+             - {SQL_DSUM("CASE WHEN ra = 0 THEN value END")}
+               / COUNT(CASE WHEN ra = 0 THEN 1 END) AS diff_r
+      FROM relabeled GROUP BY r
+      HAVING COUNT(CASE WHEN ra = 1 THEN 1 END) > 0
+         AND COUNT(CASE WHEN ra = 0 THEN 1 END) > 0
+    )
+    SELECT o.n_a, o.n_b,
+           FLOOR(o.diff_obs * 1000000) / 1000000.0 AS diff_obs,
+           CAST((SELECT COUNT(*) FROM rep_diffs
+                 WHERE ABS(diff_r) >= ABS(o.diff_obs)) AS BIGINT)
+             AS n_extreme,
+           FLOOR((1.0 + (SELECT COUNT(*) FROM rep_diffs
+                         WHERE ABS(diff_r) >= ABS(o.diff_obs)))
+                 / (1.0 + (SELECT COUNT(*) FROM rep_diffs)) * 1000000)
+             / 1000000.0 AS p_value
+    FROM obs o
+    """,
+    survey_rows="ext:distribution-free inference (randomization test — "
+    "the nonparametric complement of m2's Welch t); M2, m25 (replicate "
+    "machinery), t12 (hash determinism)",
+    description="Deterministic randomization test for the click-vs-view "
+    "mean difference: 200 pseudo-random relabelings of the pooled "
+    "sample (Bernoulli at the observed group fraction, drawn from the "
+    "same md5-seed + per-replicate Lehmer chain as m25's bootstrap — "
+    "one hash per row, integer fan-out), each replicate's mean "
+    "difference from exact decimal sums, p-value = smoothed fraction "
+    "of replicates at least as extreme as observed. Distribution-free "
+    "where m2's Welch t assumes normal-ish tails, and fully "
+    "reproducible: the oracle regenerates every relabeling "
+    "bit-for-bit. Same scale shape as m25: one wide fan-out against a "
+    "200-row literal, one (replicate) aggregation, repartitioned ahead "
+    "of the multiplier.",
+)
+def m30_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import md5_token_hash64
+
+    ev = _t(spark, sf_dir, "events")
+    base = (
+        ev.filter(
+            F.col("value").isNotNull() & F.col("event_type").isin("click", "view")
+        )
+        .select(
+            "value",
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+            md5_token_hash64(F.col("event_id").cast("string"))
+            .bitwiseAND(F.lit(2147483647))
+            .alias("seed"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
+    obs_row = base.agg(
+        (
+            agg.decimal_sum(F.when(F.col("is_a") == 1, F.col("value")))
+            / F.count(F.when(F.col("is_a") == 1, F.lit(1)))
+            - agg.decimal_sum(F.when(F.col("is_a") == 0, F.col("value")))
+            / F.count(F.when(F.col("is_a") == 0, F.lit(1)))
+        ).alias("diff_obs"),
+        F.sum("is_a").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("long").alias("n_b"),
+        (F.sum("is_a") * 1.0 / F.count(F.lit(1))).alias("frac_a"),
+    ).collect()[0]
+    reps = spark.range(200).select(F.col("id").cast("int").alias("r"))
+    u = (
+        (
+            (F.col("seed") + F.col("r").cast("long") * F.lit(1013904223))
+            % F.lit(2147483647)
+        )
+        * F.lit(48271)
+        % F.lit(2147483647)
+    ) / F.lit(2147483647.0)
+    relabeled = base.crossJoin(F.broadcast(reps)).select(
+        "value",
+        "r",
+        F.when(u < F.lit(obs_row.frac_a), 1).otherwise(0).alias("ra"),
+    )
+    rep_diffs = (
+        relabeled.groupBy("r")
+        .agg(
+            agg.decimal_sum(F.when(F.col("ra") == 1, F.col("value"))).alias("sa"),
+            F.count(F.when(F.col("ra") == 1, F.lit(1))).alias("na"),
+            agg.decimal_sum(F.when(F.col("ra") == 0, F.col("value"))).alias("sb"),
+            F.count(F.when(F.col("ra") == 0, F.lit(1))).alias("nb"),
+        )
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select(
+            (F.col("sa") / F.col("na") - F.col("sb") / F.col("nb")).alias("diff_r")
+        )
+    )
+    stats = rep_diffs.agg(
+        F.sum(
+            F.when(F.abs(F.col("diff_r")) >= F.abs(F.lit(obs_row.diff_obs)), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_extreme"),
+        F.count(F.lit(1)).cast("long").alias("n_reps"),
+    )
+    return stats.select(
+        F.lit(obs_row.n_a).cast("long").alias("n_a"),
+        F.lit(obs_row.n_b).cast("long").alias("n_b"),
+        q6(F.lit(obs_row.diff_obs)).alias("diff_obs"),
+        F.col("n_extreme"),
+        q6((1.0 + F.col("n_extreme")) / (1.0 + F.col("n_reps"))).alias("p_value"),
+    )
+
+
+@register(
+    "dq10_freshness_lag",
+    """
+    WITH g AS (SELECT MAX(ts) AS gmax FROM events),
+    per AS (
+      SELECT event_type, MAX(ts) AS tmax, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(CAST(ts AS DATE)) AS VARCHAR) AS latest_day
+      FROM events GROUP BY 1
+    )
+    SELECT p.event_type, p.n, p.latest_day,
+           CAST(date_diff('second', p.tmax, g.gmax) AS BIGINT) AS lag_seconds,
+           CASE WHEN date_diff('second', p.tmax, g.gmax) > 86400
+                THEN 'stale' ELSE 'fresh' END AS freshness
+    FROM per p, g
+    """,
+    survey_rows="ext:data-quality freshness audit (per-source ingestion "
+    "lag vs corpus high-water mark); dq7 (gaps), W4",
+    description="Ingestion-freshness audit: per event type, the lag of "
+    "its newest record behind the corpus-wide high-water mark, with a "
+    "24-hour staleness flag — the first panel of every ingestion "
+    "dashboard and the check that catches a silently-dead source that "
+    "dq7's intra-stream gap audit (which only sees gaps BETWEEN its own "
+    "records) structurally cannot: a source that stopped emitting has "
+    "no new records to gap against. Two scan-level aggregations, "
+    "integer second arithmetic on both engines.",
+)
+def dq10_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    g = ev.agg(F.max("ts").alias("gmax"))
+    per = ev.groupBy("event_type").agg(
+        F.max("ts").alias("tmax"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max(F.col("ts").cast("date")).cast("string").alias("latest_day"),
+    )
+    lag = F.col("gmax").cast("long") - F.col("tmax").cast("long")
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n",
+        "latest_day",
+        lag.alias("lag_seconds"),
+        F.when(lag > 86400, "stale").otherwise("fresh").alias("freshness"),
+    )
