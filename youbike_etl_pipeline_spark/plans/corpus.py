@@ -299,6 +299,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # test, ingestion-freshness audit
     "g7_katz_centrality", "j12_followup_anti_join",
     "m30_randomization_test", "dq10_freshness_lag",
+    # round-4g batch 4: decile lift table, directional containment pairs,
+    # Count-Min streaming twin (graded vs a23's oracle)
+    "a24_decile_lift", "t46_containment_pairs", "st12_streaming_countmin",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -14606,3 +14609,292 @@ def dq10_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag.alias("lag_seconds"),
         F.when(lag > 86400, "stale").otherwise("fresh").alias("freshness"),
     )
+
+
+# ===========================================================================
+# Round-4g batch 4: decile lift/gains table, directional containment
+# near-dup pairs, and the Count-Min streaming twin.
+# ===========================================================================
+
+
+@register(
+    "a24_decile_lift",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, n_chars,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                      '\\s+'),
+                    x -> x <> '')) AS w
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, n_chars,
+             CAST(md5_number_lower(w) % 1048576 AS BIGINT) - 524288 AS f
+      FROM toks
+    ),
+    doc_scores AS (
+      SELECT doc_id, n_chars,
+             CAST(SUM(f) AS DOUBLE) / (COUNT(*) * 524288.0) AS score
+      FROM feats GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile,
+             CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS label
+      FROM doc_scores
+    ),
+    per AS (
+      SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(label) AS BIGINT) AS n_pos
+      FROM ranked GROUP BY 1
+    ),
+    cum AS (
+      SELECT decile, n_docs, n_pos,
+             SUM(n_docs) OVER (ORDER BY decile) AS cum_n,
+             SUM(n_pos) OVER (ORDER BY decile) AS cum_pos,
+             SUM(n_docs) OVER () AS tot_n,
+             SUM(n_pos) OVER () AS tot_pos
+      FROM per
+    )
+    SELECT decile, n_docs, n_pos,
+           {SQL_Q6('CAST(n_pos AS DOUBLE) / n_docs')} AS response_rate,
+           {SQL_Q6('(cum_pos * tot_n * 1.0) / (cum_n * tot_pos)')}
+             AS cum_lift
+    FROM cum WHERE tot_pos > 0 ORDER BY decile
+    """,
+    survey_rows="ext:model evaluation (decile lift/gains table — the "
+    "targeting-efficiency view next to ml4's calibration and ml5's AUC); "
+    "t34 (hashed classifier), W6 (ntile)",
+    description="Decile lift (gains) table of t34's hashed quality "
+    "classifier: docs ranked by score into NTILE(10) deciles "
+    "(deterministic doc_id tiebreak, the a22 discipline), each decile "
+    "reporting its positive count, response rate, and CUMULATIVE lift — "
+    "how many times better the top-k deciles concentrate positives than "
+    "random selection, the standard 'is the score worth acting on' "
+    "artifact for campaign targeting and corpus-gating budget planning. "
+    "The lift ratio is computed as one division of exact integer "
+    "products (cum_pos*tot_n)/(cum_n*tot_pos), then floor-quantized. "
+    "Scale: the per-doc scoring aggregation dominates; the decile table "
+    "itself is 10 rows off one window over the per-doc frame.",
+)
+def a24_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    doc_scores = _hashed_doc_scores(spark, sf_dir)
+    ranked = doc_scores.select(
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("decile"),
+        F.when(F.col("n_chars") >= 200, 1).otherwise(0).alias("label"),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = per.select(
+        "decile",
+        "n_docs",
+        "n_pos",
+        F.sum("n_docs").over(wc).alias("cum_n"),
+        F.sum("n_pos").over(wc).alias("cum_pos"),
+        F.sum("n_docs").over(wt).alias("tot_n"),
+        F.sum("n_pos").over(wt).alias("tot_pos"),
+    )
+    return (
+        cum.filter(F.col("tot_pos") > 0)
+        .select(
+            "decile",
+            "n_docs",
+            "n_pos",
+            q6(F.col("n_pos").cast("double") / F.col("n_docs")).alias(
+                "response_rate"
+            ),
+            q6(
+                (F.col("cum_pos") * F.col("tot_n") * 1.0)
+                / (F.col("cum_n") * F.col("tot_pos"))
+            ).alias("cum_lift"),
+        )
+        .orderBy("decile")
+    )
+
+
+@register(
+    "t46_containment_pairs",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x <> '') AS words
+      FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(words, i, i + 4), ' ') AS s
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, len(words) - 4)) AS i
+      )
+      WHERE len(words) >= 5
+    ),
+    df AS (
+      SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 50
+    ),
+    shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN df USING (s)),
+    cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shc GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common, ca.n_sh AS n_a, cb.n_sh AS n_b,
+           FLOOR(n_common * 1000000.0 / ca.n_sh) / 1000000.0
+             AS cont_a_in_b,
+           FLOOR(n_common * 1000000.0 / cb.n_sh) / 1000000.0
+             AS cont_b_in_a
+    FROM inter
+    JOIN cnt ca ON id_a = ca.doc_id
+    JOIN cnt cb ON id_b = cb.doc_id
+    WHERE n_common * 2 >= LEAST(ca.n_sh, cb.n_sh)
+    """,
+    survey_rows="ext:directional containment near-dup (Broder containment "
+    "— catches a document QUOTED inside a larger one, which symmetric "
+    "Jaccard (t2) dilutes away); t2, t16 (contamination)",
+    description="Directional containment pairs on 5-gram shingles: "
+    "C(A in B) = |S(A) n S(B)| / |S(A)| — Broder's asymmetric companion "
+    "to Jaccard, the screen that catches a short document wholly quoted "
+    "inside a much larger one (t2's symmetric J = inter/union dilutes "
+    "such pairs toward zero as the big doc grows, so they pass document "
+    "dedup and leak into training). Same inverted-index shape as t2 — "
+    "shingle equi-join with a doc-frequency cap (<=50) so boilerplate "
+    "shingles never fan out — reporting both directions for every pair "
+    "whose overlap covers at least half the smaller shingle set; ratios "
+    "are single floor-quantized divisions of exact integer counts. The "
+    "100 TB route is identical to t2's: MinHash-LSH (t7) generates "
+    "candidates, this op verifies containment exactly.",
+)
+def t46_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.lower(F.col("text"))).alias("words"))
+    sh = (
+        toks.filter(F.size("words") >= 5)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("words") - 4),
+                    lambda i: F.concat_ws(" ", F.slice(F.col("words"), i, 5)),
+                )
+            ).alias("s"),
+        )
+        .distinct()
+    )
+    df_ok = sh.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq")).filter(
+        F.col("dfreq") <= 50
+    )
+    shc = sh.join(df_ok.select("s"), "s")
+    cnt = shc.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_sh"))
+    inter = (
+        shc.toDF("s", "id_a")
+        .join(shc.toDF("s", "id_b"), "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    out = (
+        inter.join(F.broadcast(cnt.toDF("id_a", "n_a")), "id_a")
+        .join(F.broadcast(cnt.toDF("id_b", "n_b")), "id_b")
+        .filter(F.col("n_common") * 2 >= F.least(F.col("n_a"), F.col("n_b")))
+    )
+    return out.select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        (F.floor(F.col("n_common") * 1000000.0 / F.col("n_a")) / 1000000.0).alias(
+            "cont_a_in_b"
+        ),
+        (F.floor(F.col("n_common") * 1000000.0 / F.col("n_b")) / 1000000.0).alias(
+            "cont_b_in_a"
+        ),
+    )
+
+
+@register(
+    "st12_streaming_countmin",
+    None,  # oracle attached below: a23's — streaming must equal batch
+    survey_rows="ext:streaming mergeable frequency sketch (Count-Min "
+    "partials merged across micro-batches == batch sketch bit-for-bit); "
+    "a23, st11 (streaming HLL), §2.8",
+    description="Streaming twin of a23's Count-Min sketch: each "
+    "micro-batch reduces to its own (row, bucket) cell counts inside "
+    "foreachBatch (streaming/ingest.py::countmin_partials_foreach_batch), "
+    "the partials are SUM-merged across batches — addition is the "
+    "sketch's merge operator — and the merged sketch answers the same "
+    "top-10 heavy-hitter point estimates. Graded against a23's own "
+    "oracle, which proves the mergeability claim end-to-end: however "
+    "the stream splits the input, streaming == batch exactly (st11's "
+    "lockstep pattern, extended from distinct-counting to frequency "
+    "counting). At 100 TB this is the shape of every per-shard sketch "
+    "rollup: shard/day partials in a metrics store, one tiny merge at "
+    "read time, never a re-scan.",
+)
+def st12_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import md5_token_hash64
+    from ..streaming.ingest import (
+        countmin_partials_foreach_batch,
+        read_events_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    sink: list = []
+    countmin_partials_foreach_batch(stream, sink)
+    rows = [r for _, batch in sink for r in batch]
+    partials = spark.createDataFrame(rows, schema="j int, bucket long, cnt long")
+    sketch = partials.groupBy("j", "bucket").agg(F.sum("cnt").alias("cnt"))
+    ev = _t(spark, sf_dir, "events")
+    item = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    it = ev.select(item.alias("item")).filter(F.col("item").isNotNull())
+    exact = it.groupBy("item").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    keys = exact.select(
+        "item",
+        "n_exact",
+        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+    ).select(
+        "item",
+        "n_exact",
+        "j",
+        F.pmod(
+            md5_token_hash64(F.concat_ws(":", F.col("j"), F.col("item"))),
+            F.lit(32),
+        )
+        .cast("long")
+        .alias("bucket"),
+    )
+    est = (
+        keys.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("item", "n_exact")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    rk = F.row_number().over(Window.orderBy(F.col("n_exact").desc(), F.col("item")))
+    return (
+        est.withColumn("rk", rk)
+        .filter(F.col("rk") <= 10)
+        .select(
+            "item",
+            "n_exact",
+            F.col("cm_est").cast("long").alias("cm_est"),
+            (F.col("cm_est") - F.col("n_exact")).cast("long").alias("overcount"),
+        )
+    )
+
+
+# streaming and batch sketches must stay in lockstep: same oracle text.
+CORPUS["st12_streaming_countmin"].oracle = CORPUS[
+    "a23_countmin_heavy_hitters"
+].oracle
