@@ -302,6 +302,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round-4g batch 4: decile lift table, directional containment pairs,
     # Count-Min streaming twin (graded vs a23's oracle)
     "a24_decile_lift", "t46_containment_pairs", "st12_streaming_countmin",
+    # round-4g batch 5: integer power-iteration spectral audit (generated
+    # unrolled-iteration oracle), PMI word co-occurrence
+    "e8_power_iteration_audit", "t47_pmi_cooccurrence",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -14898,3 +14901,248 @@ def st12_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
 CORPUS["st12_streaming_countmin"].oracle = CORPUS[
     "a23_countmin_heavy_hitters"
 ].oracle
+
+
+# ===========================================================================
+# Round-4g batch 5: spectral-concentration audit via integer power
+# iteration (matrix iteration as joins), and PMI word co-occurrence.
+# ===========================================================================
+
+
+def _e8_oracle_sql(iters: int = 4) -> str:
+    """Generated DuckDB mirror of the integer power iteration: the gram
+    matrix and every iterate are exact integers (truncating division is
+    identical on both engines), so the k-step Rayleigh quotient matches
+    bit-for-bit. Iterations unroll into chained CTEs."""
+    steps = []
+    prev = "v0"
+    last_w = "w1"
+    for t in range(1, iters + 1):
+        steps.append(f"""
+    w{t} AS (
+      SELECT c.j, CAST(SUM(c.c * v.x) AS BIGINT) AS w
+      FROM cmat c JOIN {prev} v ON c.k = v.j GROUP BY 1
+    ),
+    d{t} AS (SELECT GREATEST(1, MAX(ABS(w)) // 1000) AS d FROM w{t}),
+    v{t} AS (SELECT j, w // (SELECT d FROM d{t}) AS x FROM w{t})""")
+        last_w = f"w{t}"
+        prev = f"v{t}"
+    prev_v = f"v{iters - 1}" if iters > 1 else "v0"
+    return f"""
+    WITH xs AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+             CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+               AS xq
+      FROM embeddings
+    ),
+    cmat AS (
+      SELECT a.j AS j, b.j AS k, CAST(SUM(a.xq * b.xq) AS BIGINT) AS c
+      FROM xs a JOIN xs b ON a.vec_id = b.vec_id
+      GROUP BY 1, 2
+    ),
+    v0 AS (SELECT unnest(generate_series(1, 64)) AS j, CAST(1 AS BIGINT) AS x),
+    {",".join(steps)},
+    ray AS (
+      SELECT CAST(SUM(v.x * w.w) AS BIGINT) AS num,
+             CAST(SUM(v.x * v.x) AS BIGINT) AS den
+      FROM {prev_v} v JOIN {last_w} w ON v.j = w.j
+    ),
+    tr AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS trace
+      FROM cmat WHERE j = k
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
+           tr.trace,
+           FLOOR(ray.num * 1.0 / ray.den * 1000000) / 1000000.0
+             AS rayleigh_lb,
+           FLOOR(ray.num * 1.0 / ray.den / tr.trace * 1000000) / 1000000.0
+             AS energy_share_lb
+    FROM ray, tr WHERE ray.den > 0 AND tr.trace > 0
+    """
+
+
+@register(
+    "e8_power_iteration_audit",
+    None,  # oracle attached below (generated unrolled-iteration SQL)
+    survey_rows="ext:spectral concentration audit (integer power "
+    "iteration — matrix iteration as joins, oracle-exact where "
+    "float-vector iteration cannot be); e5 (dimension collapse), "
+    "e6 (JL audit), g1 (iteration-as-joins)",
+    description="Spectral-concentration audit of the embedding gram "
+    "matrix: 4 power-iteration steps computed ENTIRELY in exact integer "
+    "arithmetic — coordinates quantized to milli-units, the 64x64 gram "
+    "matrix an integer join-aggregation, each iterate rescaled by "
+    "truncating division (identical on both engines) — ending in the "
+    "Rayleigh quotient, a monotone LOWER BOUND on the top eigenvalue, "
+    "reported beside the exact trace as a top-direction energy share. "
+    "A rising share across snapshots is the representation-collapse "
+    "alarm (e5's per-dimension variance view cannot see a collapse "
+    "along an oblique direction; this can). Float power iteration "
+    "cannot be oracle-graded (accumulation-order drift compounds per "
+    "step); the integer formulation makes an ITERATIVE linear-algebra "
+    "kernel bit-for-bit checkable — the same iteration-as-joins shape "
+    "as g1's PageRank, with the 64-row iterate broadcast at each step "
+    "and the corpus touched once to build the gram matrix.",
+)
+def e8_power_iteration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    xs = emb.select(
+        "vec_id", F.posexplode("embedding").alias("j0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("j0") + 1).alias("j"),
+        F.floor(F.col("xf").cast("double") * 1000).cast("long").alias("xq"),
+    )
+    cmat = (
+        xs.toDF("vec_id", "j", "a")
+        .join(xs.toDF("vec_id", "k", "b"), "vec_id")
+        .groupBy("j", "k")
+        .agg(F.sum(F.col("a") * F.col("b")).cast("long").alias("c"))
+        .localCheckpoint()
+    )
+    n_vecs = emb.count()
+    trace = cmat.filter(F.col("j") == F.col("k")).agg(
+        F.sum("c").cast("long").alias("trace")
+    ).collect()[0].trace
+    # 64-row iterate: driver-held list, matrix held distributed — each
+    # step is one broadcast join + aggregation; collect is 64 rows.
+    v = {j: 1 for j in range(1, 65)}
+    num = den = None
+    for _ in range(4):
+        vdf = spark.createDataFrame(
+            [(j, x) for j, x in v.items()], schema="k long, x long"
+        )
+        w_rows = (
+            cmat.join(F.broadcast(vdf), "k")
+            .groupBy("j")
+            .agg(F.sum(F.col("c") * F.col("x")).cast("long").alias("w"))
+            .collect()
+        )
+        w = {r.j: r.w for r in w_rows}
+        num = sum(v[j] * w[j] for j in w)
+        den = sum(x * x for x in v.values())
+        d = max(1, max(abs(x) for x in w.values()) // 1000)
+        v = {j: int(abs(x) // d) * (1 if x >= 0 else -1) for j, x in w.items()}
+    from pyspark.sql import types as T
+
+    ray = num / den
+    out = [(int(n_vecs), int(trace), _floor6(ray), _floor6(ray / trace))]
+    schema = T.StructType(
+        [
+            T.StructField("n_vecs", T.LongType()),
+            T.StructField("trace", T.LongType()),
+            T.StructField("rayleigh_lb", T.DoubleType()),
+            T.StructField("energy_share_lb", T.DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def _floor6(x: float) -> float:
+    import math
+
+    return math.floor(x * 1000000) / 1000000.0
+
+
+CORPUS["e8_power_iteration_audit"].oracle = _e8_oracle_sql()
+
+
+@register(
+    "t47_pmi_cooccurrence",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)),
+                                                      '\\s+'),
+                    x -> x <> '')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS dfreq
+      FROM toks GROUP BY 1 HAVING COUNT(*) >= 20
+    ),
+    tv AS (SELECT t.doc_id, t.w, v.dfreq FROM toks t JOIN vocab v USING (w)),
+    pairs AS (
+      SELECT a.w AS w1, b.w AS w2,
+             CAST(COUNT(*) AS BIGINT) AS n_ab,
+             MAX(a.dfreq) AS n_a, MAX(b.dfreq) AS n_b
+      FROM tv a JOIN tv b ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY 1, 2 HAVING COUNT(*) >= 10
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM toks),
+    scored AS (
+      SELECT w1, w2, n_ab, n_a, n_b,
+             CAST(FLOOR(LN(n_ab * 1.0 * nd / (n_a * 1.0 * n_b)) * 1000000)
+               AS BIGINT) AS pmi_q
+      FROM pairs, n
+    ),
+    ranked AS (
+      SELECT w1, w2, n_ab, n_a, n_b, pmi_q / 1000000.0 AS pmi,
+             ROW_NUMBER() OVER (ORDER BY pmi_q DESC, w1, w2) AS rk
+      FROM scored
+    )
+    SELECT w1, w2, n_ab, n_a, n_b, pmi FROM ranked WHERE rk <= 30
+    """,
+    survey_rows="ext:co-occurrence statistics (document-level PMI — the "
+    "count table GloVe/word2vec-style training consumes); t19 (bigram "
+    "LM), t22 (TF-IDF)",
+    description="Pointwise mutual information over document-level word "
+    "co-occurrence: for frequent-vocabulary pairs (doc-freq >= 20, "
+    "co-occurrence >= 10), PMI = ln(n_ab*N / (n_a*n_b)) — positive "
+    "means the pair co-occurs beyond chance, the association statistic "
+    "behind collocation mining and the co-occurrence counts embedding "
+    "training consumes (where t19's bigram LM sees only ADJACENT "
+    "words, PMI sees whole-document association). Counts are exact "
+    "integers off one distinct-word inverted index self-joined per doc "
+    "(vocabulary floor caps the fan-out the way t2 caps doc-freq); "
+    "the single LN is floor-quantized to micro-units and the top-30 "
+    "ranking happens ON the quantized integer, so ordering cannot "
+    "drift between engines.",
+)
+def t47_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .distinct()
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("dfreq"))
+        .filter(F.col("dfreq") >= 20)
+    )
+    tv = toks.join(F.broadcast(vocab), "w")
+    pairs = (
+        tv.toDF("w1", "doc_id", "df1")
+        .join(tv.toDF("w2", "doc_id", "df2"), "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ab"),
+            F.max("df1").alias("n_a"),
+            F.max("df2").alias("n_b"),
+        )
+        .filter(F.col("n_ab") >= 10)
+    )
+    nd = toks.select("doc_id").distinct().count()
+    pmi_q = F.floor(
+        F.log(
+            F.col("n_ab") * 1.0 * F.lit(nd) / (F.col("n_a") * 1.0 * F.col("n_b"))
+        )
+        * 1000000
+    ).cast("long")
+    scored = pairs.withColumn("pmi_q", pmi_q)
+    rk = F.row_number().over(
+        Window.orderBy(F.col("pmi_q").desc(), F.col("w1"), F.col("w2"))
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= 30)
+        .select(
+            "w1", "w2", "n_ab", "n_a", "n_b",
+            (F.col("pmi_q") / 1000000.0).alias("pmi"),
+        )
+    )
