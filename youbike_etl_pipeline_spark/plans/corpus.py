@@ -305,6 +305,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round-4g batch 5: integer power-iteration spectral audit (generated
     # unrolled-iteration oracle), PMI word co-occurrence
     "e8_power_iteration_audit", "t47_pmi_cooccurrence",
+    # round-4g batch 6: lag-sweep dominant-period detection, transition
+    # dwell-time table, sessionized bounce rate
+    "w26_dominant_period", "ev9_transition_dwell", "a25_bounce_rate",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -15145,4 +15148,294 @@ def t47_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1", "w2", "n_ab", "n_a", "n_b",
             (F.col("pmi_q") / 1000000.0).alias("pmi"),
         )
+    )
+
+
+# ===========================================================================
+# Round-4g batch 6: dominant-period detection (lag-sweep autocorrelation),
+# transition dwell-time table, sessionized bounce rate.
+# ===========================================================================
+
+
+@register(
+    "w26_dominant_period",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS dy,
+             CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS a
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    ks AS (SELECT unnest(generate_series(1, 10)) AS k),
+    lagged AS (
+      SELECT x.event_type, ks.k,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x.a) AS BIGINT) AS sx,
+             CAST(SUM(y.a) AS BIGINT) AS sy,
+             CAST(SUM(x.a * y.a) AS BIGINT) AS sxy,
+             CAST(SUM(x.a * x.a) AS BIGINT) AS sxx,
+             CAST(SUM(y.a * y.a) AS BIGINT) AS syy
+      FROM d x
+      JOIN ks ON TRUE
+      JOIN d y ON y.event_type = x.event_type AND y.dy = x.dy + CAST(ks.k AS INTEGER)
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type, k, n,
+             CAST(FLOOR((n * sxy - sx * sy)
+               / SQRT((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+               * 1000000) AS BIGINT) AS r_q
+      FROM lagged
+      WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    ),
+    best AS (
+      SELECT event_type, k, r_q,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY r_q DESC, k) AS rk
+      FROM r
+    )
+    SELECT b.event_type, CAST(b.k AS BIGINT) AS best_lag,
+           b.r_q / 1000000.0 AS best_r,
+           r7.r_q / 1000000.0 AS weekly_r
+    FROM best b LEFT JOIN r r7 ON r7.event_type = b.event_type AND r7.k = 7
+    WHERE b.rk = 1
+    """,
+    survey_rows="ext:periodicity detection (lag-sweep autocorrelation — "
+    "generalizes m19's single lag to an argmax over lags 1..10); M13, "
+    "w21 (weekly decomposition), w25 (seasonal-naive)",
+    description="Dominant-period detector: Pearson autocorrelation of the "
+    "per-type daily series at every lag 1..10 (the sum-formulation over "
+    "exact milli-integer daily totals — no mean-centering pass, every "
+    "sufficient statistic an exact integer off a date-shifted self-join), "
+    "reporting the argmax lag with a deterministic tiebreak plus the "
+    "lag-7 value — the check that VALIDATES w25's seasonal-naive choice "
+    "of 7 and w21's weekly decomposition instead of assuming it. The "
+    "argmax ranks on the micro-unit-quantized integer so both engines "
+    "pick identical lags; one aggregation + one 10-way lag join over "
+    "the tiny daily frame.",
+)
+def w26_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("dy")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("a")
+    ).localCheckpoint()
+    ks = spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
+    x = d.toDF("event_type", "dy", "ax").crossJoin(F.broadcast(ks))
+    y = d.toDF("event_type", "dy2", "ay")
+    lagged = (
+        x.join(
+            y,
+            (x.event_type == y.event_type)
+            & (F.col("dy2") == F.date_add(F.col("dy"), F.col("k"))),
+        )
+        .drop(y.event_type)
+        .groupBy("event_type", "k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ax").cast("long").alias("sx"),
+            F.sum("ay").cast("long").alias("sy"),
+            F.sum(F.col("ax") * F.col("ay")).cast("long").alias("sxy"),
+            F.sum(F.col("ax") * F.col("ax")).cast("long").alias("sxx"),
+            F.sum(F.col("ay") * F.col("ay")).cast("long").alias("syy"),
+        )
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    vx, vy = n * sxx - sx * sx, n * syy - sy * sy
+    r = (
+        lagged.filter((vx > 0) & (vy > 0))
+        .select(
+            "event_type",
+            "k",
+            F.floor((n * sxy - sx * sy) / F.sqrt(vx * 1.0 * vy) * 1000000)
+            .cast("long")
+            .alias("r_q"),
+        )
+        .localCheckpoint()
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.col("r_q").desc(), F.col("k"))
+    )
+    best = r.withColumn("rk", rk).filter(F.col("rk") == 1)
+    r7 = r.filter(F.col("k") == 7).select(
+        F.col("event_type"), F.col("r_q").alias("r7q")
+    )
+    return best.join(r7, "event_type", "left").select(
+        "event_type",
+        F.col("k").cast("long").alias("best_lag"),
+        (F.col("r_q") / 1000000.0).alias("best_r"),
+        (F.col("r7q") / 1000000.0).alias("weekly_r"),
+    )
+
+
+@register(
+    "ev9_transition_dwell",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER w AS prev_type,
+             LAG(ts) OVER w AS prev_ts
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    dw AS (
+      SELECT prev_type, event_type AS next_type,
+             CAST(date_diff('second', prev_ts, ts) AS BIGINT) AS dwell_s,
+             event_id
+      FROM seq WHERE prev_type IS NOT NULL
+    ),
+    ranked AS (
+      SELECT prev_type, next_type, dwell_s,
+             ROW_NUMBER() OVER (PARTITION BY prev_type, next_type
+                                ORDER BY dwell_s, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY prev_type, next_type) AS n
+      FROM dw
+    )
+    SELECT prev_type, next_type, CAST(MAX(n) AS BIGINT) AS n_trans,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN dwell_s END) AS median_dwell_s,
+           FLOOR(SUM(dwell_s) * 1.0 / MAX(n) * 1000000) / 1000000.0
+             AS mean_dwell_s
+    FROM ranked GROUP BY 1, 2
+    """,
+    survey_rows="ext:transition dwell analysis (latency-annotated Markov "
+    "edges — ev3's transition matrix with HOW LONG each hop takes); "
+    "ev4 (conversion latency), W1 (lag), m27 (order statistics)",
+    description="Dwell-time table on event transitions: for every "
+    "(prev, next) event-type pair, the count, exact-order-statistic "
+    "median, and mean of the seconds spent between the two events — "
+    "ev3's transition matrix tells you WHERE users go, this tells you "
+    "HOW LONG each hop takes (the pair that turns a Markov chain into "
+    "a semi-Markov model, and the table behind 'users stall before "
+    "purchase' diagnoses). One lag window per user (w1's single-shuffle "
+    "shape), then per-pair ranking; the median is a ROW_NUMBER order "
+    "statistic at an exact integer position (m27's discipline — no "
+    "interpolation formula to diverge) with event_id tiebreak, and the "
+    "mean is one floored division of an exact integer-seconds sum.",
+)
+def ev9_transition_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).filter(F.col("prev_type").isNotNull())
+    dw = seq.select(
+        "prev_type",
+        F.col("event_type").alias("next_type"),
+        (F.col("ts").cast("long") - F.col("prev_ts").cast("long")).alias("dwell_s"),
+        "event_id",
+    )
+    wp = Window.partitionBy("prev_type", "next_type")
+    ranked = dw.select(
+        "prev_type",
+        "next_type",
+        "dwell_s",
+        F.row_number()
+        .over(wp.orderBy("dwell_s", "event_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return ranked.groupBy("prev_type", "next_type").agg(
+        F.max("n").cast("long").alias("n_trans"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("dwell_s"))
+        ).alias("median_dwell_s"),
+        (
+            F.floor(F.sum("dwell_s") * 1.0 / F.max("n") * 1000000) / 1000000.0
+        ).alias("mean_dwell_s"),
+    )
+
+
+@register(
+    "a25_bounce_rate",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_type, ts, event_id,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM seq
+    ),
+    firsts AS (
+      SELECT user_id, session_id, event_type AS first_type
+      FROM (
+        SELECT user_id, session_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM sess
+      ) WHERE rn = 1
+    ),
+    counts AS (
+      SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY 1, 2
+    ),
+    per_sess AS (
+      SELECT c.user_id, c.session_id, c.n_events, f.first_type
+      FROM counts c JOIN firsts f USING (user_id, session_id)
+    )
+    SELECT first_type,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bounce,
+           FLOOR(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*) * 1000000) / 1000000.0 AS bounce_rate
+    FROM per_sess GROUP BY 1
+    """,
+    survey_rows="ext:bounce-rate analytics (single-event sessions per "
+    "entry type — the product-analytics headline w9's sessionization "
+    "feeds); w9, A4 (conditional rates)",
+    description="Sessionized bounce rate by entry event type: w9's "
+    "30-minute-gap sessionization (gap flag + running sum, one window "
+    "shuffle on user_id), then per-session event counts and the first "
+    "event with a deterministic (ts, event_id) argmin, rolled up into "
+    "the fraction of single-event sessions per entry type — the "
+    "bounce-rate panel every product dashboard pairs with the funnel "
+    "(ev1) and retention (ev2) views. Counts exact, one floored "
+    "division per group.",
+)
+def a25_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1)
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = seq.withColumn(
+        "session_id",
+        F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min_by("event_type", F.struct("ts", "event_id")).alias("first_type"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+    return per_sess.groupBy("first_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        bounce.cast("long").alias("n_bounce"),
+        (F.floor(bounce * 1.0 / F.count(F.lit(1)) * 1000000) / 1000000.0).alias(
+            "bounce_rate"
+        ),
     )
