@@ -148,6 +148,18 @@ HEADLINE = [
     "t45_portable_hll_distinct",
     "f20_quantile_normalization",
     "w22_ohlc_bars",
+    # round-4g additions (keys only ever append): the heaviest of the new
+    # batch — pairwise rank stats, two-hop link prediction, inverted-index
+    # containment, gram-matrix power iteration, PMI pair mining, the
+    # Count-Min streaming twin, and the randomization-test fan-out
+    "m28_kendall_tau",
+    "g6_ra_link_prediction",
+    "t46_containment_pairs",
+    "e8_power_iteration_audit",
+    "t47_pmi_cooccurrence",
+    "st12_streaming_countmin",
+    "m30_randomization_test",
+    "e7_silhouette_audit",
 ]
 
 

@@ -308,6 +308,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round-4g batch 6: lag-sweep dominant-period detection, transition
     # dwell-time table, sessionized bounce rate
     "w26_dominant_period", "ev9_transition_dwell", "a25_bounce_rate",
+    # round-4g batch 7: golden-record entity clusters (recursive-closure
+    # oracle over er1's pairs), day-over-day movers board
+    "er2_golden_record", "w27_daily_movers",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -15438,4 +15441,190 @@ def a25_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(bounce * 1.0 / F.count(F.lit(1)) * 1000000) / 1000000.0).alias(
             "bounce_rate"
         ),
+    )
+
+
+# ===========================================================================
+# Round-4g batch 7: golden-record entity clusters (er1's pairs closed into
+# components), day-over-day movers board.
+# ===========================================================================
+
+
+@register(
+    "er2_golden_record",
+    r"""
+    WITH RECURSIVE p AS (
+      SELECT p_partkey AS k, lower(trim(p_name)) AS nm FROM part
+    ),
+    canon AS (
+      SELECT nm, CAST(MIN(k) AS BIGINT) AS canon_key,
+             CAST(COUNT(*) AS BIGINT) AS n_rec,
+             regexp_extract(nm, '(\S+)$', 1) AS blk
+      FROM p GROUP BY nm
+    ),
+    prs AS (
+      SELECT a.canon_key AS id_a, b.canon_key AS id_b
+      FROM canon a JOIN canon b ON a.blk = b.blk AND a.nm < b.nm
+      WHERE levenshtein(a.nm, b.nm) <= 2
+    ),
+    nodes AS (
+      SELECT id_a AS node, id_b AS nbr FROM prs
+      UNION ALL SELECT id_b, id_a FROM prs
+    ),
+    reach AS (
+      SELECT DISTINCT node, node AS label FROM nodes
+      UNION
+      SELECT n.node, r.label FROM nodes n JOIN reach r ON n.nbr = r.node
+    ),
+    comp AS (SELECT node, CAST(MIN(label) AS BIGINT) AS cluster_id
+             FROM reach GROUP BY 1),
+    members AS (
+      SELECT c.cluster_id, k.nm, k.n_rec
+      FROM comp c JOIN canon k ON c.node = k.canon_key
+    ),
+    golden AS (
+      SELECT cluster_id, nm AS golden_name,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY n_rec DESC, nm) AS rn
+      FROM members
+    )
+    SELECT m.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(SUM(m.n_rec) AS BIGINT) AS total_recs,
+           MAX(g.golden_name) AS golden_name
+    FROM members m
+    JOIN golden g ON g.cluster_id = m.cluster_id AND g.rn = 1
+    GROUP BY m.cluster_id
+    """,
+    survey_rows="ext:entity resolution golden record (er1's match pairs "
+    "closed into clusters, one survivor per entity); er1, t10 "
+    "(connected components), t25 (canonical selection)",
+    description="Golden-record construction — the step AFTER record "
+    "linkage: er1's within-block fuzzy match pairs (normalize, exact-"
+    "collapse, block on trailing token, Levenshtein <= 2) are closed "
+    "into connected components (duplicate chains a~b~c where a and c "
+    "are 4 edits apart are one entity — pairwise output alone "
+    "under-merges), and each cluster elects a golden name by highest "
+    "record count with a deterministic tiebreak — the master-data "
+    "artifact an MDM pipeline actually ships. Spark runs t10's "
+    "size-routed components (driver union-find under 200k edges, else "
+    "distributed min-label + pointer jumping); the oracle closes the "
+    "same pairs with a recursive CTE, so the clustering is verified "
+    "exactly, not just the pairs.",
+)
+def er2_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..operators.dedup import connected_components
+
+    p = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"), F.lower(F.trim("p_name")).alias("nm")
+    )
+    canon = (
+        p.groupBy("nm")
+        .agg(F.min("k").alias("canon_key"), F.count(F.lit(1)).alias("n_rec"))
+        .withColumn("blk", F.regexp_extract("nm", r"(\S+)$", 1))
+        .localCheckpoint()
+    )
+    a = canon.select(
+        F.col("nm").alias("na"), F.col("canon_key").alias("id_a"), "blk"
+    )
+    b = canon.select(
+        F.col("nm").alias("nb"), F.col("canon_key").alias("id_b"), "blk"
+    )
+    prs = (
+        a.join(b, "blk")
+        .filter(F.col("na") < F.col("nb"))
+        .filter(F.levenshtein("na", "nb") <= 2)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(prs).toDF("node", "cluster_id")
+    members = comp.join(
+        canon.select(F.col("canon_key").alias("node"), "nm", "n_rec"), "node"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(F.col("n_rec").desc(), F.col("nm"))
+    )
+    golden = (
+        members.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("nm").alias("golden_name"))
+    )
+    per = members.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.sum("n_rec").cast("long").alias("total_recs"),
+    )
+    return per.join(golden, "cluster_id").select(
+        "cluster_id", "n_variants", "total_recs", "golden_name"
+    )
+
+
+@register(
+    "w27_daily_movers",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS dy,
+             CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS a
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    delta AS (
+      SELECT event_type, dy, a,
+             LAG(a) OVER (PARTITION BY event_type ORDER BY dy) AS prev
+      FROM d
+    ),
+    pct AS (
+      SELECT event_type, CAST(dy AS VARCHAR) AS dy, a, prev,
+             (1000000 * (a - prev)) // prev AS pct_q
+      FROM delta WHERE prev IS NOT NULL AND prev > 0
+    ),
+    ranked AS (
+      SELECT event_type, dy, a, prev, pct_q,
+             ROW_NUMBER() OVER (ORDER BY ABS(pct_q) DESC, event_type, dy)
+               AS rk
+      FROM pct
+    )
+    SELECT event_type, dy, a AS total_milli, prev AS prev_milli,
+           pct_q / 1000000.0 AS pct_change
+    FROM ranked WHERE rk <= 10
+    """,
+    survey_rows="ext:movers board (largest day-over-day swings — the "
+    "alerting shortlist dq4's z-score anomalies rank statistically, "
+    "this ranks by raw business impact); W1 (lag), w24",
+    description="Day-over-day movers board: the 10 largest relative "
+    "swings in per-type daily totals — the 'what changed yesterday' "
+    "shortlist every ops review starts from, complementing dq4/w24 "
+    "(which flag statistical outliers) with a plain impact ranking. "
+    "Daily totals are exact milli-integers, the percent change is "
+    "integer-division-quantized BEFORE ranking, and the top-10 "
+    "tiebreaks on (type, day) — deterministic end to end; one window "
+    "over the tiny daily frame.",
+)
+def w27_daily_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("dy")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("a")
+    )
+    prev = F.lag("a").over(Window.partitionBy("event_type").orderBy("dy"))
+    pct = (
+        d.select("event_type", F.col("dy").cast("string").alias("dy"), "a", prev.alias("prev"))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") > 0))
+        .withColumn("pct_q", F.expr("(1000000 * (a - prev)) div prev"))
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.abs(F.col("pct_q")).desc(), F.col("event_type"), F.col("dy"))
+    )
+    return (
+        pct.withColumn("rk", rk)
+        .filter(F.col("rk") <= 10)
+        .select(
+            "event_type",
+            "dy",
+            F.col("a").alias("total_milli"),
+            F.col("prev").alias("prev_milli"),
+            (F.col("pct_q") / 1000000.0).alias("pct_change"),
+        )
     )
