@@ -364,6 +364,39 @@ DOC_EVENT_QUERIES = [
     # is empty or regular at the co>=30 threshold, so both engines must
     # agree on the zero-row degenerate path)
     "g3_degree_assortativity",
+    # round-4g: rank/pair statistics over events (NULL values and .5
+    # boundaries stress the exact-integer pair counting and the Lehmer
+    # relabeling), graph shapes over the fixture's item graph (empty/
+    # adaptive-threshold degenerate paths), path/session analytics
+    # (duplicate timestamps stress every (ts, event_id) tie-break), and
+    # the Count-Min pair whose md5 buckets must agree on any item set
+    "m28_kendall_tau",
+    "g6_ra_link_prediction",
+    "ev8_top_event_paths",
+    "a23_countmin_heavy_hitters",
+    "w25_seasonal_naive_backtest",
+    "m29_gini_concentration",
+    "g7_katz_centrality",
+    "j12_followup_anti_join",
+    "m30_randomization_test",
+    "dq10_freshness_lag",
+    "st12_streaming_countmin",
+    "w26_dominant_period",
+    "ev9_transition_dwell",
+    "a25_bounce_rate",
+    "w27_daily_movers",
+    # round-4g: documents-only shapes (NULL/empty/CJK docs must tokenize
+    # and hash identically through the lift deciles, the containment
+    # inverted index, and the PMI vocabulary floor)
+    "a24_decile_lift",
+    "t46_containment_pairs",
+    "t47_pmi_cooccurrence",
+    # round-4g: embeddings-only shapes (NULL/zero/duplicate vectors must
+    # drop or tie identically through the integer silhouette, the MMR
+    # candidate quantization, and the gram-matrix power iteration)
+    "e7_silhouette_audit",
+    "s10_mmr_diversified_topk",
+    "e8_power_iteration_audit",
 ]
 
 

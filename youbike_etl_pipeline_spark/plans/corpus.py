@@ -14959,10 +14959,12 @@ def _e8_oracle_sql(iters: int = 4) -> str:
     )
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vecs,
            tr.trace,
-           FLOOR(ray.num * 1.0 / ray.den * 1000000) / 1000000.0
+           -- CAST, not "* 1.0": the decimal promotion double-rounds large
+           -- integers (num can exceed 2^53; found by the reseed probe)
+           FLOOR(CAST(ray.num AS DOUBLE) / ray.den * 1000000) / 1000000.0
              AS rayleigh_lb,
-           FLOOR(ray.num * 1.0 / ray.den / tr.trace * 1000000) / 1000000.0
-             AS energy_share_lb
+           FLOOR(CAST(ray.num AS DOUBLE) / ray.den / tr.trace * 1000000)
+             / 1000000.0 AS energy_share_lb
     FROM ray, tr WHERE ray.den > 0 AND tr.trace > 0
     """
 
@@ -15031,8 +15033,14 @@ def e8_power_iteration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         v = {j: int(abs(x) // d) * (1 if x >= 0 else -1) for j, x in w.items()}
     from pyspark.sql import types as T
 
-    ray = num / den
-    out = [(int(n_vecs), int(trace), _floor6(ray), _floor6(ray / trace))]
+    # Mirror the oracle's float op order EXACTLY: num can exceed 2^53, so
+    # "cast num to double, then divide" (SQL num * 1.0 / den) rounds
+    # differently from Python's correctly-rounded exact-rational num/den.
+    # Found by the reseed probe (seed 7177: num ~ 6.7e16).
+    ray = float(num) / float(den)
+    out = [
+        (int(n_vecs), int(trace), _floor6(ray), _floor6(ray / float(trace)))
+    ]
     schema = T.StructType(
         [
             T.StructField("n_vecs", T.LongType()),
@@ -15185,7 +15193,8 @@ def t47_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (
       SELECT event_type, k, n,
              CAST(FLOOR((n * sxy - sx * sy)
-               / SQRT((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy))
+               / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE))
                * 1000000) AS BIGINT) AS r_q
       FROM lagged
       WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
