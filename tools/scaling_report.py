@@ -94,6 +94,21 @@ QUERIES = [
     "mm7_image_ahash_neardup",
     "s8_rrf_hybrid_retrieval",
     "g3_degree_assortativity",
+    # r4g additions: pairwise tau on the per-user aggregate (quadratic only
+    # in users — slope shows where the sample route kicks in), two-hop
+    # link prediction, doc-freq-capped containment index (claims linear
+    # like t2's index, pair stage bounded by collisions), 200x replicate
+    # fan-outs (repartitioned — slopes must stay ~linear), gram-matrix
+    # power iteration (64x64 regardless of rows), PMI vocabulary-floored
+    # pair fan-out, blocked linkage + component closure
+    "m28_kendall_tau",
+    "g6_ra_link_prediction",
+    "t46_containment_pairs",
+    "m25_poisson_bootstrap_ci",
+    "m30_randomization_test",
+    "e8_power_iteration_audit",
+    "t47_pmi_cooccurrence",
+    "er2_golden_record",
 ]
 
 SCALE_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

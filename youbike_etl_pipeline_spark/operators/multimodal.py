@@ -788,3 +788,45 @@ def frame_sad(frames: DataFrame) -> DataFrame:
         )
 
     return frames.groupBy("doc_id").applyInPandas(fn, schema=FRAME_SAD_SCHEMA)
+
+
+def image_channel_histogram(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    bins: int = 16,
+) -> DataFrame:
+    """Per-channel intensity histogram rows — (id, channel, bin, cnt) with
+    ``bin = byte // (256 // bins)``. The decode runs in Arrow-batched
+    mapInPandas (numpy bincount per channel); everything downstream of the
+    histogram (entropy, contrast, exposure screens) stays in exact integer
+    Spark SQL, so any engine that can reconstruct the bytes agrees
+    bit-for-bit. Row fan-out is a fixed ``3 * bins`` per image."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("c", T.IntegerType(), True),
+            T.StructField("bin", T.IntegerType(), True),
+            T.StructField("cnt", T.LongType(), True),
+        ]
+    )
+    width = 256 // bins
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                img = decode_image(bytes(p))
+                for c in range(img.shape[2]):
+                    counts = np.bincount(
+                        (img[:, :, c].reshape(-1) // width).astype(np.int64),
+                        minlength=bins,
+                    )
+                    for b in range(bins):
+                        if counts[b]:
+                            rows.append((int(did), c, b, int(counts[b])))
+            yield pd.DataFrame(rows, columns=[id_col, "c", "bin", "cnt"])
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=out_schema)

@@ -311,6 +311,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round-4g batch 7: golden-record entity clusters (recursive-closure
     # oracle over er1's pairs), day-over-day movers board
     "er2_golden_record", "w27_daily_movers",
+    # round-4g batch 8: image channel histogram + entropy (decode-feature
+    # exposure screen, full md5-byte re-derivation oracle)
+    "mm9_channel_histogram",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -15637,3 +15640,107 @@ def w27_daily_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("pct_q") / 1000000.0).alias("pct_change"),
         )
     )
+
+
+# ===========================================================================
+# Round-4g batch 8: image channel histogram + entropy (multimodal decode
+# feature the exposure/contrast screens run on).
+# ===========================================================================
+
+
+def _mm9_sql(width: int = 16, height: int = 12, bins: int = 16) -> str:
+    """DuckDB mirror of the mm9 pipeline: re-derive every md5 pixel byte
+    (mm2's byte CTE), bucket into ``bins`` intensity bins per channel,
+    then compute the global per-(channel, bin) pixel counts and the mean
+    per-image channel entropy — each entropy TERM floor-quantized to an
+    integer BEFORE summing, so no float accumulation order exists."""
+    n = width * height * 3
+    blocks = (n + 15) // 16
+    per_chan = width * height
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+    hx AS (
+      SELECT d.doc_id, b.b,
+             md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)) AS h
+      FROM d, (SELECT unnest(generate_series(0, {blocks - 1})) AS b) b
+    ),
+    bytes AS (
+      SELECT doc_id, (b * 16 + j.j) AS idx,
+             (strpos('0123456789abcdef', substr(h, 2 * j.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2 * j.j + 2, 1)) - 1) AS v
+      FROM hx, (SELECT unnest(generate_series(0, 15)) AS j) j
+      WHERE b * 16 + j.j < {n}
+    ),
+    hist AS (
+      SELECT doc_id, CAST(idx % 3 AS INTEGER) AS c,
+             CAST(v // {256 // bins} AS INTEGER) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM bytes GROUP BY 1, 2, 3
+    ),
+    terms AS (
+      SELECT doc_id, c,
+             CAST(SUM(CAST(FLOOR(1000000.0 * cnt / {per_chan}
+                                 * LN({per_chan}.0 / cnt)) AS BIGINT))
+               AS BIGINT) AS ent_q
+      FROM hist GROUP BY 1, 2
+    ),
+    chan_ent AS (
+      SELECT c,
+             FLOOR(CAST(SUM(ent_q) AS DOUBLE) / COUNT(*)) / 1000000.0
+               AS mean_entropy
+      FROM terms GROUP BY 1
+    ),
+    global_hist AS (
+      SELECT c, bin, CAST(SUM(cnt) AS BIGINT) AS n_pixels
+      FROM hist GROUP BY 1, 2
+    )
+    SELECT g.c, g.bin, g.n_pixels, e.mean_entropy
+    FROM global_hist g JOIN chan_ent e USING (c)
+    """
+
+
+@register(
+    "mm9_channel_histogram",
+    None,  # oracle attached below (generated byte re-derivation)
+    survey_rows="ext:multimodal decode features (per-channel intensity "
+    "histogram + entropy — the exposure/contrast screen); mm2 (decode), "
+    "mm5 (resize), t18 (entropy discipline)",
+    description="Image channel histogram + entropy: the PPM fixtures "
+    "decode in Arrow-batched mapInPandas to per-(channel, bin) intensity "
+    "counts (numpy bincount, fixed 3x16 rows out per image), and "
+    "everything downstream is exact integer Spark SQL — global bin "
+    "totals plus mean per-image channel entropy whose terms are "
+    "floor-quantized integers BEFORE summing (t18's discipline: no "
+    "float accumulation order). The exposure/contrast screen of an "
+    "image-corpus pipeline: a spiked histogram (low entropy) flags "
+    "flat/synthetic/corrupt images before they reach training, the "
+    "vision-side analog of t6's text quality score. The oracle "
+    "re-derives every md5 pixel byte (mm2's machinery), so decode -> "
+    "histogram -> entropy is verified end to end.",
+)
+def mm9_channel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_ppm_payloads, image_channel_histogram
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = attach_ppm_payloads(docs)
+    hist = image_channel_histogram(media).localCheckpoint()
+    per_chan = 16 * 12
+    term = F.floor(
+        1000000.0 * F.col("cnt") / F.lit(per_chan)
+        * F.log(F.lit(float(per_chan)) / F.col("cnt"))
+    ).cast("long")
+    terms = hist.groupBy("doc_id", "c").agg(F.sum(term).cast("long").alias("ent_q"))
+    chan_ent = terms.groupBy("c").agg(
+        (
+            F.floor(F.sum("ent_q").cast("double") / F.count(F.lit(1))) / 1000000.0
+        ).alias("mean_entropy")
+    )
+    global_hist = hist.groupBy("c", "bin").agg(
+        F.sum("cnt").cast("long").alias("n_pixels")
+    )
+    return global_hist.join(F.broadcast(chan_ent), "c").select(
+        "c", "bin", "n_pixels", "mean_entropy"
+    )
+
+
+CORPUS["mm9_channel_histogram"].oracle = _mm9_sql()
