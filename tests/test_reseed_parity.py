@@ -397,6 +397,13 @@ DOC_EVENT_QUERIES = [
     "e7_silhouette_audit",
     "s10_mmr_diversified_topk",
     "e8_power_iteration_audit",
+    # round-4g batches 8-9: md5-pixel histogram+entropy (fixture derives
+    # from doc_id only), interval-union sweep and runs test over events
+    # (duplicate timestamps stress the merge tie-break; tie days must
+    # drop identically through the NULL-sign filter)
+    "mm9_channel_histogram",
+    "w28_interval_coverage",
+    "m31_runs_test",
 ]
 
 

@@ -314,6 +314,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round-4g batch 8: image channel histogram + entropy (decode-feature
     # exposure screen, full md5-byte re-derivation oracle)
     "mm9_channel_histogram",
+    # round-4g batch 9: interval-union coverage (overlap merge sweep),
+    # Wald-Wolfowitz runs test
+    "w28_interval_coverage", "m31_runs_test",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -15744,3 +15747,183 @@ def mm9_channel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORPUS["mm9_channel_histogram"].oracle = _mm9_sql()
+
+
+# ===========================================================================
+# Round-4g batch 9: interval-union coverage (overlap merge), runs test.
+# ===========================================================================
+
+
+@register(
+    "w28_interval_coverage",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS s,
+             ts + INTERVAL 15 MINUTE AS e
+      FROM events
+    ),
+    ordered AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+      FROM iv
+    ),
+    grp AS (
+      SELECT user_id, s, e,
+             SUM(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS g
+      FROM ordered
+    ),
+    merged AS (
+      SELECT user_id, g, MIN(s) AS gs, MAX(e) AS ge
+      FROM grp GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(date_diff('second', gs, ge)) AS BIGINT)
+             AS covered_seconds
+    FROM merged GROUP BY 1
+    """,
+    survey_rows="ext:interval union / overlap merge (the engagement-"
+    "minutes shape: total covered time after merging overlapping "
+    "activity windows); j11 (interval overlap), w9 (sessionization)",
+    description="Interval-union coverage: each event opens a 15-minute "
+    "activity window, overlapping windows per user merge into maximal "
+    "covered intervals (the classic sweep: running MAX of interval ends "
+    "with a 1-PRECEDING frame detects gap starts, a running sum labels "
+    "the merged groups — one window shuffle, no self-join), and the "
+    "output is each user's interval count and total covered seconds — "
+    "the 'engagement minutes' / device-uptime metric that naive "
+    "SUM(duration) double-counts whenever windows overlap. Distinct "
+    "from w9 (which segments by gap >= threshold): this unions "
+    "fixed-length windows, the billing/SLA semantics. All timestamp "
+    "arithmetic is exact integer seconds.",
+)
+def w28_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    ordered = iv.withColumn(
+        "prev_max_e",
+        F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+    )
+    grp = ordered.withColumn(
+        "g",
+        F.sum(
+            F.when(
+                F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = grp.groupBy("user_id", "g").agg(
+        F.min("s").alias("gs"), F.max("e").alias("ge")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(F.col("ge").cast("long") - F.col("gs").cast("long"))
+        .cast("long")
+        .alias("covered_seconds"),
+    )
+
+
+@register(
+    "m31_runs_test",
+    """
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS dy,
+             CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS a
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+    ),
+    sgn AS (
+      SELECT event_type, dy,
+             CASE WHEN a > LAG(a) OVER w THEN 1
+                  WHEN a < LAG(a) OVER w THEN -1 END AS s
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY dy)
+    ),
+    seqd AS (
+      SELECT event_type, dy, s,
+             LAG(s) OVER (PARTITION BY event_type ORDER BY dy) AS prev_s
+      FROM sgn WHERE s IS NOT NULL
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+             CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dn,
+             CAST(SUM(CASE WHEN prev_s IS NULL OR s <> prev_s
+                           THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      FROM seqd GROUP BY 1
+    )
+    SELECT event_type, n_up, n_dn, runs,
+           FLOOR((runs - (2.0 * n_up * n_dn / n + 1))
+             / SQRT(2.0 * n_up * n_dn * (2.0 * n_up * n_dn - n)
+                    / (CAST(n AS DOUBLE) * n * (n - 1)))
+             * 1000000) / 1000000.0 AS z_stat
+    FROM stats
+    WHERE n > 1 AND n_up > 0 AND n_dn > 0
+      AND 2.0 * n_up * n_dn * (2.0 * n_up * n_dn - n) > 0
+    """,
+    survey_rows="ext:randomness diagnostics (Wald-Wolfowitz runs test on "
+    "daily up/down movements — completes the nonparametric family with "
+    "m15/m16/m21/m30); m19 (autocorrelation), w20 (CUSUM)",
+    description="Wald-Wolfowitz runs test on the signs of day-over-day "
+    "movements per event type: counts up-days, down-days, and RUNS "
+    "(maximal same-sign streaks), and z-scores the run count against "
+    "its null mean/variance — too few runs means trending (w20's CUSUM "
+    "will fire), too many means oscillation (a data-pipeline artifact "
+    "like alternating duplicate batches that m19's lag-1 correlation "
+    "also hints at, diagnosed here distribution-free). Ties (equal "
+    "consecutive days) drop on both engines identically via the "
+    "NULL-sign filter; all counts exact integers, the z formula "
+    "applied once with explicit DOUBLE casts.",
+)
+def m31_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("dy")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("a")
+    )
+    w = Window.partitionBy("event_type").orderBy("dy")
+    prev_a = F.lag("a").over(w)
+    sgn = d.select(
+        "event_type",
+        "dy",
+        F.when(F.col("a") > prev_a, 1).when(F.col("a") < prev_a, -1).alias("s"),
+    ).filter(F.col("s").isNotNull())
+    seqd = sgn.withColumn("prev_s", F.lag("s").over(w))
+    stats = seqd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).cast("long").alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).cast("long").alias("n_dn"),
+        F.sum(
+            F.when(F.col("prev_s").isNull() | (F.col("s") != F.col("prev_s")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n, nu, nd, runs = F.col("n"), F.col("n_up"), F.col("n_dn"), F.col("runs")
+    mu = 2.0 * nu * nd / n + 1
+    var = 2.0 * nu * nd * (2.0 * nu * nd - n) / (n.cast("double") * n * (n - 1))
+    return (
+        stats.filter((n > 1) & (nu > 0) & (nd > 0) & (2.0 * nu * nd * (2.0 * nu * nd - n) > 0))
+        .select(
+            "event_type",
+            "n_up",
+            "n_dn",
+            "runs",
+            q6((runs - mu) / F.sqrt(var)).alias("z_stat"),
+        )
+    )
