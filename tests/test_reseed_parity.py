@@ -404,6 +404,11 @@ DOC_EVENT_QUERIES = [
     "mm9_channel_histogram",
     "w28_interval_coverage",
     "m31_runs_test",
+    # round-4g batch 10: step-integral TWAP (NULL values and duplicate
+    # timestamps stress the LEAD tie-break and the dt >= 0 guard), id-gap
+    # audit (pure integer aggregation)
+    "w29_time_weighted_avg",
+    "dq11_id_gap_audit",
 ]
 
 

@@ -317,6 +317,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round-4g batch 9: interval-union coverage (overlap merge sweep),
     # Wald-Wolfowitz runs test
     "w28_interval_coverage", "m31_runs_test",
+    # round-4g batch 10: time-weighted average (step integral), id-gap
+    # ingestion-loss audit
+    "w29_time_weighted_avg", "dq11_id_gap_audit",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -15926,4 +15929,128 @@ def m31_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "runs",
             q6((runs - mu) / F.sqrt(var)).alias("z_stat"),
         )
+    )
+
+
+# ===========================================================================
+# Round-4g batch 10: time-weighted average (step-function integral),
+# id-sequence gap audit.
+# ===========================================================================
+
+
+@register(
+    "w29_time_weighted_avg",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nts
+      FROM events WHERE value IS NOT NULL
+    ),
+    seg AS (
+      SELECT user_id, v,
+             CAST(date_diff('second', ts, nts) AS BIGINT) AS dt
+      FROM seq WHERE nts IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dt) AS BIGINT) AS span_seconds,
+           FLOOR(CAST(SUM(v * dt) AS DOUBLE) / SUM(dt) / 1000 * 1000000)
+             / 1000000.0 AS twap
+    FROM seg WHERE dt >= 0 GROUP BY user_id HAVING SUM(dt) > 0
+    """,
+    survey_rows="ext:time-weighted average (step-function integral — the "
+    "TWAP/IoT-telemetry mean where the plain AVG is wrong whenever "
+    "sampling is irregular); W1 (lead), w23 (EWMA), w17 (grid resample)",
+    description="Time-weighted average per user: each event's value holds "
+    "until the user's next event (step-function semantics), so the mean "
+    "is the integral sum(v*dt)/sum(dt) — the TWAP / sensor-telemetry "
+    "statistic that differs from the plain AVG exactly when sampling is "
+    "bursty (a flurry of readings must not dominate the quiet hours; "
+    "irregular time series are why w17's grid resample exists, and this "
+    "is the aggregate that respects them without resampling). One LEAD "
+    "window per user, then exact integer milli-value x seconds products "
+    "summed (magnitudes bounded by span x value scale), one explicit "
+    "DOUBLE division at the end — no decimal-promotion rounding.",
+)
+def w29_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+        F.lead("ts").over(w).alias("nts"),
+    ).filter(F.col("nts").isNotNull())
+    seg = seq.select(
+        "user_id",
+        "v",
+        (F.col("nts").cast("long") - F.col("ts").cast("long")).alias("dt"),
+    ).filter(F.col("dt") >= 0)
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("dt").cast("long").alias("span_seconds"),
+            (
+                F.floor(
+                    F.sum(F.col("v") * F.col("dt")).cast("double")
+                    / F.sum("dt")
+                    / 1000
+                    * 1000000
+                )
+                / 1000000.0
+            ).alias("twap"),
+        )
+        .filter(F.col("span_seconds") > 0)
+    )
+
+
+@register(
+    "dq11_id_gap_audit",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS dy,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(MIN(event_id) AS BIGINT) AS lo,
+             CAST(MAX(event_id) AS BIGINT) AS hi
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(dy AS VARCHAR) AS dy, n_rows, lo, hi,
+           hi - lo + 1 - n_rows AS n_missing,
+           CASE WHEN hi - lo + 1 - n_rows > 0 THEN 'gap' ELSE 'dense' END
+             AS status
+    FROM d
+    """,
+    survey_rows="ext:sequence-gap audit (missing ids inside the daily "
+    "id range — the ingestion-loss detector); dq7 (time gaps), dq9 "
+    "(order inversions), A12",
+    description="Id-sequence gap audit: per day, compare the observed row "
+    "count against the id range the day spans (max - min + 1) — a "
+    "positive difference means ids inside the range never arrived, the "
+    "cheapest possible dropped-batch detector for sources that assign "
+    "monotonically increasing ids (Kafka offsets, DB sequences, CDC "
+    "LSNs). Complements dq7 (gaps in TIME can be organic quiet hours; "
+    "gaps in the ID SEQUENCE are always losses or reorders across the "
+    "day boundary) and dq9 (which checks order, not presence). One "
+    "scan-level aggregation, all integers.",
+)
+def dq11_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("dy0")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("event_id").cast("long").alias("lo"),
+        F.max("event_id").cast("long").alias("hi"),
+    )
+    missing = F.col("hi") - F.col("lo") + 1 - F.col("n_rows")
+    return d.select(
+        F.col("dy0").cast("string").alias("dy"),
+        "n_rows",
+        "lo",
+        "hi",
+        missing.alias("n_missing"),
+        F.when(missing > 0, "gap").otherwise("dense").alias("status"),
     )
