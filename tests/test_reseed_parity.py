@@ -409,6 +409,9 @@ DOC_EVENT_QUERIES = [
     # audit (pure integer aggregation)
     "w29_time_weighted_avg",
     "dq11_id_gap_audit",
+    # round-4g batch 10: incremental dedup ledger (NULL texts drop, the
+    # fixture's every-17th duplicate docs land in later batches)
+    "t48_incremental_dedup_ledger",
 ]
 
 

@@ -318,8 +318,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # Wald-Wolfowitz runs test
     "w28_interval_coverage", "m31_runs_test",
     # round-4g batch 10: time-weighted average (step integral), id-gap
-    # ingestion-loss audit
+    # ingestion-loss audit, incremental dedup ledger
     "w29_time_weighted_avg", "dq11_id_gap_audit",
+    "t48_incremental_dedup_ledger",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -16053,4 +16054,59 @@ def dq11_id_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hi",
         missing.alias("n_missing"),
         F.when(missing > 0, "gap").otherwise("dense").alias("status"),
+    )
+
+
+@register(
+    "t48_incremental_dedup_ledger",
+    """
+    WITH h AS (
+      SELECT doc_id, doc_id // 50 AS batch, md5(text) AS ch
+      FROM documents WHERE text IS NOT NULL
+    ),
+    first_seen AS (
+      SELECT ch, MIN(batch) AS first_batch FROM h GROUP BY 1
+    )
+    SELECT h.batch,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f.first_batch = h.batch THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_first_batch_content,
+           CAST(SUM(CASE WHEN f.first_batch < h.batch THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dup_of_earlier,
+           FLOOR(SUM(CASE WHEN f.first_batch < h.batch THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*) * 1000000) / 1000000.0 AS stale_frac
+    FROM h JOIN first_seen f USING (ch)
+    GROUP BY h.batch
+    """,
+    survey_rows="ext:incremental dedup accounting (per-ingest-batch "
+    "new-vs-duplicate ledger — the crawl-freshness table); t1 (exact "
+    "dedup), S8 (duplicate-tolerant load), cdc2 (incremental rollup)",
+    description="Incremental dedup ledger: docs arrive in batches (id "
+    "ranges standing in for crawl days), each batch reports how many of "
+    "its documents carry content FIRST SEEN in that batch vs duplicated "
+    "from an earlier one — the 'how much of this crawl is actually new' "
+    "table that decides whether a source is worth re-crawling, and the "
+    "accounting view of S8's duplicate-tolerant load. First-seen is one "
+    "min-aggregation on the content hash joined back (no window over "
+    "the full corpus, no pairs); at 100 TB the first_seen frame IS the "
+    "dedup ledger a production ingest keeps as a table and anti-joins "
+    "against (S9), so the query doubles as its backfill.",
+)
+def t48_incremental_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    h = docs.select(
+        F.expr("doc_id div 50").alias("batch"), F.md5("text").alias("ch")
+    )
+    first_seen = h.groupBy("ch").agg(F.min("batch").alias("first_batch"))
+    j = h.join(first_seen, "ch")
+    dup = F.sum(F.when(F.col("first_batch") < F.col("batch"), 1).otherwise(0))
+    return j.groupBy("batch").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("first_batch") == F.col("batch"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_first_batch_content"),
+        dup.cast("long").alias("n_dup_of_earlier"),
+        (F.floor(dup * 1.0 / F.count(F.lit(1)) * 1000000) / 1000000.0).alias(
+            "stale_frac"
+        ),
     )
