@@ -412,6 +412,9 @@ DOC_EVENT_QUERIES = [
     # round-4g batch 10: incremental dedup ledger (NULL texts drop, the
     # fixture's every-17th duplicate docs land in later batches)
     "t48_incremental_dedup_ledger",
+    # round-4g batch 11: interpolation join (duplicate timestamps stress
+    # the encoded-key carry; NULL values drop before bracketing)
+    "j13_interpolation_join",
 ]
 
 

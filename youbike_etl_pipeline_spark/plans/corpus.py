@@ -321,6 +321,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # ingestion-loss audit, incremental dedup ledger
     "w29_time_weighted_avg", "dq11_id_gap_audit",
     "t48_incremental_dedup_ledger",
+    # round-4g batch 11: temporal interpolation join (both-direction as-of
+    # carry in one window, integer-exact linear blend)
+    "j13_interpolation_join",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -16109,4 +16112,141 @@ def t48_incremental_dedup_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(dup * 1.0 / F.count(F.lit(1)) * 1000000) / 1000000.0).alias(
             "stale_frac"
         ),
+    )
+
+
+@register(
+    "j13_interpolation_join",
+    """
+    WITH ev AS (
+      SELECT user_id % 4 AS grp, ts, event_id,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS v_m,
+             0 AS is_cp
+      FROM events WHERE value IS NOT NULL AND event_id % 50 <> 0
+    ),
+    cps AS (
+      SELECT user_id % 4 AS grp, ts, event_id,
+             CAST(FLOOR(value * 1000) AS BIGINT) AS v_m,
+             1 AS is_cp
+      FROM events WHERE value IS NOT NULL AND event_id % 50 = 0
+    ),
+    u AS (
+      SELECT *,
+             MAX(CASE WHEN is_cp = 1
+                      THEN ((epoch_us(ts) // 1000000) * 10000000 + event_id) END)
+               OVER (PARTITION BY grp ORDER BY ts, is_cp DESC, event_id
+                     ROWS UNBOUNDED PRECEDING) AS prev_key,
+             MIN(CASE WHEN is_cp = 1
+                      THEN ((epoch_us(ts) // 1000000) * 10000000 + event_id) END)
+               OVER (PARTITION BY grp ORDER BY ts, is_cp DESC, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_key
+      FROM (SELECT * FROM ev UNION ALL SELECT * FROM cps)
+    ),
+    ck AS (
+      SELECT grp, ((epoch_us(ts) // 1000000) * 10000000 + event_id) AS key,
+             (epoch_us(ts) // 1000000) AS cts, v_m AS cv
+      FROM cps
+    ),
+    brk AS (
+      SELECT u.grp, u.event_id, (epoch_us(u.ts) // 1000000) AS t, u.v_m,
+             p.cts AS tp, p.cv AS vp, n.cts AS tn, n.cv AS vn
+      FROM u
+      JOIN ck p ON u.grp = p.grp AND u.prev_key = p.key
+      JOIN ck n ON u.grp = n.grp AND u.next_key = n.key
+      WHERE u.is_cp = 0 AND n.cts > p.cts
+    ),
+    interp AS (
+      SELECT grp,
+             ABS(v_m * 1000 - (vp * 1000
+               + ((vn - vp) * 1000 * (t - tp)) // (tn - tp))) AS err_q
+      FROM brk
+    )
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_interp,
+           FLOOR(CAST(SUM(err_q) AS DOUBLE) / COUNT(*)) / 1000000.0
+             AS mae_interp
+    FROM interp GROUP BY grp
+    """,
+    survey_rows="ext:temporal interpolation join (bracket each row with "
+    "its previous AND next checkpoint, blend linearly — the sensor-"
+    "calibration join); j7/j10 (as-of both directions), P11 "
+    "(within-series interpolation)",
+    description="Temporal interpolation join: every reading is bracketed "
+    "by its previous and next checkpoint row (one union + one window "
+    "per group — the as-of-join carry trick run in BOTH directions in "
+    "a single shuffle, no range join), then linearly interpolated "
+    "between them, reporting per-group how far actual values sit from "
+    "the checkpoint-implied line (the drift-vs-calibration error a "
+    "sensor pipeline tracks; P11 interpolates gaps WITHIN one series, "
+    "this blends ACROSS a reference series). The blend is exact "
+    "integer arithmetic end to end: milli-values, epoch seconds, and "
+    "an integer-division ratio (identical truncation on both engines), "
+    "so the interpolated micro-units match bit-for-bit. Checkpoint "
+    "identity travels through the window as an encoded "
+    "(epoch, event_id) integer key — MAX of a key is carry-forward of "
+    "the latest checkpoint without needing a struct-typed window "
+    "buffer.",
+)
+def j13_interpolation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev0 = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev0.select(
+        (F.col("user_id") % 4).alias("grp"),
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("v_m"),
+        F.when(F.col("event_id") % 50 == 0, 1).otherwise(0).alias("is_cp"),
+    )
+    key = F.col("ts").cast("long") * 10000000 + F.col("event_id")
+    w = Window.partitionBy("grp").orderBy(
+        "ts", F.col("is_cp").desc(), "event_id"
+    )
+    u = base.withColumn(
+        "prev_key",
+        F.max(F.when(F.col("is_cp") == 1, key)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    ).withColumn(
+        "next_key",
+        F.min(F.when(F.col("is_cp") == 1, key)).over(
+            w.rowsBetween(1, Window.unboundedFollowing)
+        ),
+    )
+    ck = base.filter(F.col("is_cp") == 1).select(
+        "grp",
+        key.alias("key"),
+        F.col("ts").cast("long").alias("cts"),
+        F.col("v_m").alias("cv"),
+    )
+    brk = (
+        u.filter(F.col("is_cp") == 0)
+        .join(
+            F.broadcast(ck.toDF("grp", "prev_key", "tp", "vp")),
+            ["grp", "prev_key"],
+        )
+        .join(
+            F.broadcast(ck.toDF("grp", "next_key", "tn", "vn")),
+            ["grp", "next_key"],
+        )
+        .filter(F.col("tn") > F.col("tp"))
+        .select(
+            "grp",
+            F.col("ts").cast("long").alias("t"),
+            "v_m",
+            "tp",
+            "vp",
+            "tn",
+            "vn",
+        )
+    )
+    interp_q = F.col("vp") * 1000 + F.expr(
+        "((vn - vp) * 1000 * (t - tp)) div (tn - tp)"
+    )
+    err = brk.select("grp", F.abs(F.col("v_m") * 1000 - interp_q).alias("err_q"))
+    return err.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_interp"),
+        (
+            F.floor(F.sum("err_q").cast("double") / F.count(F.lit(1))) / 1000000.0
+        ).alias("mae_interp"),
     )
