@@ -415,6 +415,10 @@ DOC_EVENT_QUERIES = [
     # round-4g batch 11: interpolation join (duplicate timestamps stress
     # the encoded-key carry; NULL values drop before bracketing)
     "j13_interpolation_join",
+    # round-4g batch 12: G-test (sparse cells exercise the obs > 0 drop),
+    # Simpson diversity (pure integer pair counts)
+    "m32_g_test",
+    "a26_simpson_diversity",
 ]
 
 

@@ -324,6 +324,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round-4g batch 11: temporal interpolation join (both-direction as-of
     # carry in one window, integer-exact linear blend)
     "j13_interpolation_join",
+    # round-4g batch 12: G-test of independence (m6's LR twin), Simpson
+    # diversity index
+    "m32_g_test", "a26_simpson_diversity",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -16249,4 +16252,132 @@ def j13_interpolation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.floor(F.sum("err_q").cast("double") / F.count(F.lit(1))) / 1000000.0
         ).alias("mae_interp"),
+    )
+
+
+# ===========================================================================
+# Round-4g batch 12: G-test of independence, Simpson diversity index.
+# ===========================================================================
+
+
+@register(
+    "m32_g_test",
+    """
+    WITH base AS (
+      SELECT event_type, user_id % 5 AS cohort FROM events
+    ),
+    o AS (
+      SELECT event_type, cohort, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM base GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT o.event_type, o.cohort, o.obs,
+             r.rt, c.ct, (SELECT COUNT(*) FROM base) AS n
+      FROM o
+      JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS rt
+            FROM base GROUP BY 1) r USING (event_type)
+      JOIN (SELECT cohort, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM base GROUP BY 1) c USING (cohort)
+    ),
+    terms AS (
+      SELECT CAST(FLOOR(2000000.0 * obs
+                        * LN(CAST(obs AS DOUBLE) * n / (rt * ct)))
+               AS BIGINT) AS gq,
+             CASE WHEN obs * n > rt * ct THEN 1 ELSE 0 END AS attract
+      FROM margins WHERE obs > 0
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM o) AS n_cells,
+           CAST(SUM(attract) AS BIGINT) AS n_overrepresented,
+           CAST(SUM(gq) AS BIGINT) / 1000000.0 AS g_stat
+    FROM terms
+    """,
+    survey_rows="ext:log-likelihood-ratio independence test (G-test — "
+    "m6's chi-square twin, better behaved for sparse cells and the "
+    "additive-decomposition form used in collocation mining); M6, t47 "
+    "(PMI terms)",
+    description="G-test of independence between event type and user "
+    "cohort: G = 2 * sum obs*ln(obs*N/(rowtotal*coltotal)) over the "
+    "contingency cells — the likelihood-ratio twin of m6's chi-square, "
+    "preferred when cells are sparse (no (O-E)^2/E blow-up for tiny "
+    "expectations) and the additive form whose per-cell terms ARE "
+    "t47's PMI weighted by observation count (the bridge from testing "
+    "to collocation mining). Each term is floor-quantized to an "
+    "integer micro-unit BEFORE summing (t18's discipline — no float "
+    "accumulation order); counts and margins are exact integers off "
+    "two hash aggregations and a broadcast margin join.",
+)
+def m32_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select("event_type", (F.col("user_id") % 5).alias("cohort"))
+    base = base.localCheckpoint()
+    n = base.count()
+    o = base.groupBy("event_type", "cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("obs")
+    )
+    r = base.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("rt"))
+    c = base.groupBy("cohort").agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    m = o.join(F.broadcast(r), "event_type").join(F.broadcast(c), "cohort")
+    gq = F.floor(
+        2000000.0
+        * F.col("obs")
+        * F.log(F.col("obs").cast("double") * F.lit(n) / (F.col("rt") * F.col("ct")))
+    ).cast("long")
+    attract = F.when(
+        F.col("obs") * F.lit(n) > F.col("rt") * F.col("ct"), 1
+    ).otherwise(0)
+    terms = m.filter(F.col("obs") > 0).select(gq.alias("gq"), attract.alias("at"))
+    n_cells = o.count()
+    return terms.agg(
+        F.lit(n_cells).cast("long").alias("n_cells"),
+        F.sum("at").cast("long").alias("n_overrepresented"),
+        (F.sum("gq").cast("long") / 1000000.0).alias("g_stat"),
+    )
+
+
+@register(
+    "a26_simpson_diversity",
+    """
+    WITH c AS (
+      SELECT user_id % 5 AS cohort, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_i
+      FROM events GROUP BY 1, 2
+    ),
+    per AS (
+      SELECT cohort,
+             CAST(SUM(n_i) AS BIGINT) AS n,
+             CAST(SUM(n_i * (n_i - 1)) AS BIGINT) AS s_pairs,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM c GROUP BY 1
+    )
+    SELECT cohort, n, n_types,
+           FLOOR((1.0 - CAST(s_pairs AS DOUBLE) / (n * (n - 1))) * 1000000)
+             / 1000000.0 AS simpson_d
+    FROM per WHERE n > 1
+    """,
+    survey_rows="ext:diversity index (Simpson's D over the event-type mix "
+    "— the concentration complement of t41's Chao1 richness and t18's "
+    "entropy); A12, m29 (Gini)",
+    description="Simpson diversity index per user cohort: the probability "
+    "that two randomly drawn events (without replacement) differ in "
+    "type, 1 - sum n_i(n_i-1)/(N(N-1)) — the diversity summary a "
+    "training-mixture dashboard shows beside richness (t41 Chao1: how "
+    "many kinds) and entropy (t18: how surprising): Simpson reads as a "
+    "plain probability and is insensitive to rare-type noise. The "
+    "statistic is a ratio of exact integer pair counts with ONE float "
+    "division (explicit DOUBLE cast — no decimal promotion), making it "
+    "the rare diversity index that needs no logarithm at all.",
+)
+def a26_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    c = ev.groupBy((F.col("user_id") % 5).alias("cohort"), "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_i")
+    )
+    per = c.groupBy("cohort").agg(
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum(F.col("n_i") * (F.col("n_i") - 1)).cast("long").alias("s_pairs"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+    )
+    d = 1.0 - F.col("s_pairs").cast("double") / (F.col("n") * (F.col("n") - 1))
+    return per.filter(F.col("n") > 1).select(
+        "cohort", "n", "n_types", q6(d).alias("simpson_d")
     )
