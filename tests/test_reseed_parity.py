@@ -419,6 +419,9 @@ DOC_EVENT_QUERIES = [
     # Simpson diversity (pure integer pair counts)
     "m32_g_test",
     "a26_simpson_diversity",
+    # round-4g batch 12: cardinality drift (NULL props drop through the
+    # item leg; integer week bucketing must agree on any ts spread)
+    "dq12_cardinality_drift",
 ]
 
 

@@ -325,8 +325,8 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # carry in one window, integer-exact linear blend)
     "j13_interpolation_join",
     # round-4g batch 12: G-test of independence (m6's LR twin), Simpson
-    # diversity index
-    "m32_g_test", "a26_simpson_diversity",
+    # diversity index, weekly cardinality-drift audit
+    "m32_g_test", "a26_simpson_diversity", "dq12_cardinality_drift",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -16380,4 +16380,99 @@ def a26_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = 1.0 - F.col("s_pairs").cast("double") / (F.col("n") * (F.col("n") - 1))
     return per.filter(F.col("n") > 1).select(
         "cohort", "n", "n_types", q6(d).alias("simpson_d")
+    )
+
+
+@register(
+    "dq12_cardinality_drift",
+    """
+    WITH wk AS (
+      SELECT (CAST(epoch_us(ts) // 1000000 AS BIGINT) - 1704067200)
+               // 604800 AS week,
+             user_id, event_type,
+             CAST(json_extract(props, '$.k') AS INT) AS item
+      FROM events
+    ),
+    per AS (
+      SELECT week, col, CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct
+      FROM (
+        SELECT week, 'user_id' AS col, CAST(user_id AS VARCHAR) AS v FROM wk
+        UNION ALL
+        SELECT week, 'event_type', event_type FROM wk
+        UNION ALL
+        SELECT week, 'item', CAST(item AS VARCHAR) FROM wk
+          WHERE item IS NOT NULL
+      ) GROUP BY 1, 2
+    )
+    SELECT week, col, n_distinct,
+           LAG(n_distinct) OVER (PARTITION BY col ORDER BY week)
+             AS prev_distinct,
+           CASE WHEN LAG(n_distinct) OVER (PARTITION BY col ORDER BY week)
+                     > 0
+                THEN (1000000 * (n_distinct
+                      - LAG(n_distinct) OVER (PARTITION BY col
+                                              ORDER BY week)))
+                     // LAG(n_distinct) OVER (PARTITION BY col
+                                              ORDER BY week)
+           END / 1000000.0 AS drift_frac
+    FROM per
+    """,
+    survey_rows="ext:cardinality-drift audit (week-over-week distinct "
+    "counts per key column — the silent-enum-change detector); A12, "
+    "dq8 (column profile), m23 (PSI)",
+    description="Cardinality-drift audit: exact distinct counts of each "
+    "key column (user, event type, item) per week, with the "
+    "week-over-week drift fraction — the detector for silent generator "
+    "or upstream-enum changes (a new client version doubling item ids, "
+    "a source dropping half its users) that value-distribution drift "
+    "(m23 PSI / m24 JS) misses because those compare FREQUENCIES, not "
+    "key SPACES. One multi-column unpivot (stack) into a single "
+    "distinct aggregation — a shape that scales by swapping "
+    "COUNT(DISTINCT) for the t45 HLL sketch per (week, column) at "
+    "100 TB, documented here as the route; drift is integer-division-"
+    "quantized. Week boundaries are integer epoch arithmetic pinned to "
+    "the 2024-01-01 corpus origin, identical on both engines.",
+)
+def dq12_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    item = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
+    week = F.expr("(cast(ts as long) - 1704067200) div 604800")
+    wk = ev.select(
+        week.alias("week"),
+        F.col("user_id").cast("string").alias("user_id"),
+        "event_type",
+        item.cast("string").alias("item"),
+    )
+    stacked = (
+        wk.select("week", F.lit("user_id").alias("col"), F.col("user_id").alias("v"))
+        .unionAll(
+            wk.select("week", F.lit("event_type").alias("col"), F.col("event_type").alias("v"))
+        )
+        .unionAll(
+            wk.filter(F.col("item").isNotNull()).select(
+                "week", F.lit("item").alias("col"), F.col("item").alias("v")
+            )
+        )
+    )
+    per = stacked.groupBy("week", "col").agg(
+        F.count_distinct("v").cast("long").alias("n_distinct")
+    )
+    w = Window.partitionBy("col").orderBy("week")
+    prev = F.lag("n_distinct").over(w)
+    drift = F.when(
+        prev > 0,
+        F.expr(
+            "(1000000 * (n_distinct - lag(n_distinct) over "
+            "(partition by col order by week))) div lag(n_distinct) over "
+            "(partition by col order by week)"
+        ),
+    )
+    return per.select(
+        "week",
+        "col",
+        "n_distinct",
+        prev.alias("prev_distinct"),
+        (drift / 1000000.0).alias("drift_frac"),
     )
