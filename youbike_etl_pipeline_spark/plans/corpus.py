@@ -16403,19 +16403,17 @@ def a26_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT week, 'item', CAST(item AS VARCHAR) FROM wk
           WHERE item IS NOT NULL
       ) GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT week, col, n_distinct,
+             LAG(n_distinct) OVER (PARTITION BY col ORDER BY week)
+               AS prev_distinct
+      FROM per
     )
-    SELECT week, col, n_distinct,
-           LAG(n_distinct) OVER (PARTITION BY col ORDER BY week)
-             AS prev_distinct,
-           CASE WHEN LAG(n_distinct) OVER (PARTITION BY col ORDER BY week)
-                     > 0
-                THEN (1000000 * (n_distinct
-                      - LAG(n_distinct) OVER (PARTITION BY col
-                                              ORDER BY week)))
-                     // LAG(n_distinct) OVER (PARTITION BY col
-                                              ORDER BY week)
-           END / 1000000.0 AS drift_frac
-    FROM per
+    SELECT week, col, n_distinct, prev_distinct,
+           (1000000 * (n_distinct - prev_distinct)) // prev_distinct
+             / 1000000.0 AS drift_frac
+    FROM lagged WHERE prev_distinct > 0
     """,
     survey_rows="ext:cardinality-drift audit (week-over-week distinct "
     "counts per key column — the silent-enum-change detector); A12, "
@@ -16460,19 +16458,20 @@ def dq12_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("v").cast("long").alias("n_distinct")
     )
     w = Window.partitionBy("col").orderBy("week")
-    prev = F.lag("n_distinct").over(w)
-    drift = F.when(
-        prev > 0,
-        F.expr(
-            "(1000000 * (n_distinct - lag(n_distinct) over "
-            "(partition by col order by week))) div lag(n_distinct) over "
-            "(partition by col order by week)"
-        ),
-    )
-    return per.select(
+    lagged = per.select(
         "week",
         "col",
         "n_distinct",
-        prev.alias("prev_distinct"),
+        F.lag("n_distinct").over(w).alias("prev_distinct"),
+    ).filter(F.col("prev_distinct") > 0)
+    # first-week rows are dropped, not NULL-filled: a NULL numeric cell
+    # materializes as 'None' (Spark object) vs 'nan' (DuckDB float64)
+    # under the driver's pandas stringify — found by the reseed probe
+    drift = F.expr("(1000000 * (n_distinct - prev_distinct)) div prev_distinct")
+    return lagged.select(
+        "week",
+        "col",
+        "n_distinct",
+        "prev_distinct",
         (drift / 1000000.0).alias("drift_frac"),
     )
