@@ -109,6 +109,13 @@ QUERIES = [
     "e8_power_iteration_audit",
     "t47_pmi_cooccurrence",
     "er2_golden_record",
+    # round-4g additions: interpolation join, incremental dedup ledger,
+    # interval-union coverage, weekly cardinality drift, time-weighted avg
+    "j13_interpolation_join",
+    "t48_incremental_dedup_ledger",
+    "w28_interval_coverage",
+    "dq12_cardinality_drift",
+    "w29_time_weighted_avg",
 ]
 
 SCALE_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

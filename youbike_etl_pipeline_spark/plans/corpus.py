@@ -15455,10 +15455,18 @@ def a25_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.sum("is_start").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    per_sess = sess.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.min_by("event_type", F.struct("ts", "event_id")).alias("first_type"),
+    # The session's first event IS the is_start=1 row (one per session), so
+    # the entry type needs no string-min aggregate — a filter + equi-join
+    # keeps the count in whole-stage hash aggregation (string min/max_by
+    # forces SortAggregate), and both sides inherit the window's user_id
+    # hash partitioning, so the join/agg add no Exchange.
+    firsts = sess.filter(F.col("is_start") == 1).select(
+        "user_id", "session_id", F.col("event_type").alias("first_type")
     )
+    counts = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    per_sess = counts.join(firsts, ["user_id", "session_id"])
     bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
     return per_sess.groupBy("first_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
