@@ -187,11 +187,17 @@ def asof_join_forward(
     ``right_ts >= left_ts`` within the same key (inclusive on ties) — the
     "when is the next checkpoint/deployment/batch" direction.
 
-    Same single-shuffle union composition as :func:`asof_join`, mirrored:
-    ``first(value, ignorenulls=True)`` over a ``[CURRENT ROW, UNBOUNDED
-    FOLLOWING]`` frame carries each right value backward onto preceding
-    left rows; left rows sort before right rows on timestamp ties so an
-    equal-timestamp right row is inside the left row's frame."""
+    Same single-shuffle union composition as :func:`asof_join`, mirrored.
+    The lookahead is expressed as ``last(value, ignorenulls=True)`` over a
+    GROWING frame on the REVERSED ordering — semantically identical to
+    ``first`` over ``[CURRENT ROW, UNBOUNDED FOLLOWING]`` (same frame set;
+    first-in-forward-order == last-in-reversed-order), but Spark evaluates
+    growing frames incrementally (O(n) per partition) while frames ending
+    at UNBOUNDED FOLLOWING recompute the aggregate per row (O(n²) —
+    ``UnboundedFollowingWindowFunctionFrame``), which melts down whenever
+    a partition key is coarse. Right rows sort before left rows on
+    timestamp ties in the reversed order, so an equal-timestamp right row
+    is inside the left row's frame (inclusive semantics preserved)."""
     lcols = [c for c in left.columns]
     l_tagged = left.select(
         F.col(on).alias("__k"),
@@ -210,14 +216,14 @@ def asof_join_forward(
     unioned = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col("__ts").desc(), F.col("__side").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
         "__k",
         "__side",
         "__lrow",
-        *[F.first(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in right_values],
+        *[F.last(f"__rv_{c}", ignorenulls=True).over(w).alias(f"__c_{c}") for c in right_values],
     ).filter(F.col("__side") == 0)
     return carried.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in lcols],

@@ -16213,6 +16213,17 @@ def j13_interpolation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("grp").orderBy(
         "ts", F.col("is_cp").desc(), "event_id"
     )
+    # next_key is the min checkpoint key STRICTLY AFTER the current row.
+    # Expressed over the REVERSED ordering as a growing frame ending one
+    # row before current — the same frame set, but Spark evaluates growing
+    # frames incrementally (O(n) per partition) whereas frames ending at
+    # UNBOUNDED FOLLOWING recompute per row (O(n²)); with grp as the only
+    # partition key that quadratic blows up at scale (caught by the 10×
+    # scaling probe: one task burned 55 CPU-minutes in
+    # UnboundedFollowingWindowFunctionFrame).
+    w_rev = Window.partitionBy("grp").orderBy(
+        F.col("ts").desc(), F.col("is_cp").asc(), F.col("event_id").desc()
+    )
     u = base.withColumn(
         "prev_key",
         F.max(F.when(F.col("is_cp") == 1, key)).over(
@@ -16221,7 +16232,7 @@ def j13_interpolation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "next_key",
         F.min(F.when(F.col("is_cp") == 1, key)).over(
-            w.rowsBetween(1, Window.unboundedFollowing)
+            w_rev.rowsBetween(Window.unboundedPreceding, -1)
         ),
     )
     ck = base.filter(F.col("is_cp") == 1).select(
