@@ -160,6 +160,7 @@ HEADLINE = [
     "st12_streaming_countmin",
     "m30_randomization_test",
     "e7_silhouette_audit",
+    "t49_prefix_filter_jaccard",
 ]
 
 

@@ -790,3 +790,49 @@ def test_image_ahash_buckets_neardups_not_distinct_images(spark):
     assert all(len(hs) == 1 for hs in groups.values())
     # and the four residues give more than one distinct hash overall
     assert len({next(iter(hs)) for hs in groups.values()}) > 1
+
+
+def test_prefix_filter_jaccard_lossless_vs_brute_force(spark, sf_small):
+    """Prefix filtering must be LOSSLESS: identical pair set, counts, and
+    jaccard values to the unfiltered inverted-index join (t2 without its
+    answer-changing doc-freq cap)."""
+    from youbike_etl_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    brute = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["n_a"], r["n_b"])
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["n_a"], r["n_b"])
+        for r in prefix_filter_jaccard_pairs(docs, k=3, threshold=0.5).collect()
+    }
+    assert pref == brute
+    assert brute, "fixture should produce at least one qualifying pair"
+
+
+def test_prefix_filter_jaccard_tiny_docs_edge(spark):
+    """Boundary rounding: docs whose shingle sets are tiny (n=1,2) still
+    keep at least one prefix element, so identical docs are always found."""
+    from youbike_etl_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),          # one 3-gram
+            (2, "alpha beta gamma"),          # identical: jaccard 1.0
+            (3, "alpha beta gamma delta"),    # 2 shingles, jac 1/2 vs 1&2
+            (4, "zz yy xx ww vv"),            # disjoint
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.5 and got[(2, 3)] == 0.5
+    assert not any(4 in k for k in got)

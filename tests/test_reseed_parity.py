@@ -422,6 +422,11 @@ DOC_EVENT_QUERIES = [
     # round-4g batch 12: cardinality drift (NULL props drop through the
     # item leg; integer week bucketing must agree on any ts spread)
     "dq12_cardinality_drift",
+    # round-4g batch 13: prefix-filter exact similarity (NULL/empty/CJK
+    # docs must tokenize identically, and the fixture's every-17th
+    # verbatim duplicates stress the prefix-collision path; the oracle is
+    # unfiltered brute force, so any lost pair fails the hash)
+    "t49_prefix_filter_jaccard",
 ]
 
 

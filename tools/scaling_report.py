@@ -116,6 +116,9 @@ QUERIES = [
     "w28_interval_coverage",
     "dq12_cardinality_drift",
     "w29_time_weighted_avg",
+    # lossless exact-similarity route (contrast t2: slope on the verbatim
+    # blow-up is inherent pair-output growth, not candidate explosion)
+    "t49_prefix_filter_jaccard",
 ]
 
 SCALE_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]

@@ -327,6 +327,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # round-4g batch 12: G-test of independence (m6's LR twin), Simpson
     # diversity index, weekly cardinality-drift audit
     "m32_g_test", "a26_simpson_diversity", "dq12_cardinality_drift",
+    # round-4g batch 13: exact all-pairs similarity via lossless prefix
+    # filtering (oracle = unfiltered brute force ⇒ losslessness proof)
+    "t49_prefix_filter_jaccard",
     # same readers feed these as the five regressions (outputs were
     # ts-scale-insensitive — the judge re-verified st2 by hand — so these
     # re-proof grades are deliberately LAST in the changed set: if the
@@ -16493,4 +16496,61 @@ def dq12_cardinality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         "prev_distinct",
         (drift / 1000000.0).alias("drift_frac"),
+    )
+
+
+# ===========================================================================
+# Round-4g batch 8: exact similarity self-join via prefix filtering — the
+# lossless candidate-pruning route for exact Jaccard at scale (contrast:
+# t2's doc-freq cap changes the answer; t7's MinHash trades recall).
+# ===========================================================================
+
+
+@register(
+    "t49_prefix_filter_jaccard",
+    """
+    WITH shing AS (
+      SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS s
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS words
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(words)-2)) AS i)
+      )
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM shing GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+      FROM shing a JOIN shing b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_common, ca.n AS n_a, cb.n AS n_b,
+           n_common / (ca.n + cb.n - n_common) AS jaccard
+    FROM inter
+    JOIN cnt ca ON id_a = ca.doc_id
+    JOIN cnt cb ON id_b = cb.doc_id
+    WHERE n_common / (ca.n + cb.n - n_common) >= 0.5
+    """,
+    survey_rows="ext:exact all-pairs similarity via prefix filtering "
+    "(Bayardo WWW'07) — the lossless exact-join scale route beside t2 "
+    "(answer-changing doc-freq cap) and t7 (recall-trading MinHash)",
+    description="Exact word-3-gram Jaccard >= 0.5 pairs via PREFIX "
+    "FILTERING: each doc's shingles are ranked by global rarity "
+    "(doc-frequency asc, shingle asc) and only the first n - ceil(t*n) + 1 "
+    "participate in the candidate self-join — any qualifying pair must "
+    "collide inside these prefixes (the suffixes are too small to hold a "
+    ">= ceil(t*n) intersection), so exact verification on candidates is "
+    "LOSSLESS. The oracle is the UNFILTERED brute-force inverted join: the "
+    "driver's hash-compare is therefore a machine-checked proof that the "
+    "filter dropped nothing. Frequent shingles sort to the END of the "
+    "rarity order and fall outside prefixes, so the candidate explosion "
+    "t2 controls with an answer-CHANGING doc-freq cap is controlled here "
+    "for free, exactly. Shuffles: df agg + one doc window + prefix "
+    "self-join + the standard verify join; no driver-side collection.",
+)
+def t49_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.5
     )
