@@ -836,3 +836,112 @@ def test_prefix_filter_jaccard_tiny_docs_edge(spark):
     assert got[(1, 2)] == 1.0
     assert got[(1, 3)] == 0.5 and got[(2, 3)] == 0.5
     assert not any(4 in k for k in got)
+
+
+def test_prefix_filter_jaccard_irrational_threshold_lossless(spark):
+    """Regression (round-5 advice): τ=2/3 has no exact 6-dp decimal. The
+    rational proxy must FLOOR (τ' ≤ τ lengthens prefixes — still lossless);
+    rounding UP (666667/10⁶ > 2/3) shortens B's prefix to its single rarest
+    shingle and silently drops the qualifying subset pair A={x,y} ⊂
+    B={x,y,z} with J=2/3 where z is globally rarest."""
+    from youbike_etl_pipeline_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),    # shingles {abc, bcd}
+            (2, "a b c d e"),  # shingles {abc, bcd, cde}; cde unique ⇒ rarest
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_pairs(docs, k=3, threshold=2 / 3).collect()
+    }
+    assert got == {(1, 2): 2 / 3}
+    # brute force agrees (losslessness at the awkward threshold)
+    brute = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=2 / 3).collect()
+    }
+    assert brute == got
+
+
+def test_interval_overlap_pairs_exact_vs_brute_force(spark):
+    """Uncapped interval_overlap_pairs must equal the quadratic
+    brute-force self-join (the j11 oracle shape), and a cap larger than
+    any bucket's occupancy must change nothing."""
+    import itertools
+    from datetime import datetime
+
+    from youbike_etl_pipeline_spark.operators.joins import interval_overlap_pairs
+
+    def t(h, m=0):
+        return datetime(2024, 1, 1, h, m)
+
+    rows = [
+        (1, 10, t(0, 0), t(2, 30)),   # spans 3 hour buckets
+        (1, 11, t(9, 0), t(9, 5)),
+        (2, 20, t(1, 0), t(1, 30)),   # overlaps 1/10
+        (2, 21, t(9, 4), t(10, 0)),   # overlaps 1/11
+        (3, 30, t(2, 0), t(3, 0)),    # overlaps 1/10 and nothing of 2
+        (4, 40, t(20, 0), t(21, 0)),  # isolated
+    ]
+    iv = spark.createDataFrame(
+        rows, "user_id int, session_id int, s timestamp, e timestamp"
+    )
+    got = {
+        (r["user_id_a"], r["user_id_b"]): r["n_copresent"]
+        for r in interval_overlap_pairs(iv).collect()
+    }
+    brute: dict = {}
+    for (ua, ia, sa, ea), (ub, ib, sb, eb) in itertools.combinations(rows, 2):
+        if ua < ub and sa <= eb and sb <= ea:
+            brute[(ua, ub)] = brute.get((ua, ub), 0) + 1
+        elif ub < ua and sb <= ea and sa <= eb:
+            brute[(ub, ua)] = brute.get((ub, ua), 0) + 1
+    assert got == brute and brute
+    capped_loose = {
+        (r["user_id_a"], r["user_id_b"]): r["n_copresent"]
+        for r in interval_overlap_pairs(iv, max_bucket_occupancy=100).collect()
+    }
+    assert capped_loose == brute
+
+
+def test_interval_overlap_pairs_cap_bounds_output(spark):
+    """max_bucket_occupancy=N keeps ≤ N intervals per bucket: with one hot
+    hour holding k overlapping intervals, pair counts drop from k·(k-1)/2
+    to ≤ N·(N-1)/2, the capped result is a subset of the exact one, and
+    the selection is deterministic across runs."""
+    from datetime import datetime
+
+    from youbike_etl_pipeline_spark.operators.joins import interval_overlap_pairs
+
+    k = 10
+    rows = [
+        (u, 100 + u, datetime(2024, 1, 1, 5, u), datetime(2024, 1, 1, 5, 59))
+        for u in range(k)  # all k users co-present in the same hot hour
+    ]
+    iv = spark.createDataFrame(
+        rows, "user_id int, session_id int, s timestamp, e timestamp"
+    )
+    exact = {
+        (r["user_id_a"], r["user_id_b"]): r["n_copresent"]
+        for r in interval_overlap_pairs(iv).collect()
+    }
+    assert len(exact) == k * (k - 1) // 2
+    n = 4
+    capped = {
+        (r["user_id_a"], r["user_id_b"]): r["n_copresent"]
+        for r in interval_overlap_pairs(iv, max_bucket_occupancy=n).collect()
+    }
+    assert len(capped) == n * (n - 1) // 2
+    assert set(capped) <= set(exact)
+    # deterministic rank order (s, key, id): the first n users survive
+    assert set(capped) == {(a, b) for a in range(n) for b in range(a + 1, n)}
+    again = {
+        (r["user_id_a"], r["user_id_b"]): r["n_copresent"]
+        for r in interval_overlap_pairs(iv, max_bucket_occupancy=n).collect()
+    }
+    assert again == capped

@@ -70,3 +70,34 @@ def test_approx_sketches_within_bounds(spark, sf_small):
         # HLL default rsd = 5%
         assert abs(r["approx_users"] - r["exact_users"]) <= max(3, 0.1 * r["exact_users"])
         assert r["approx_median"] == pytest.approx(r["exact_median"], rel=0.1)
+
+
+def test_repartition_for_rows_noop_and_widen(spark, sf_small):
+    from youbike_etl_pipeline_spark.operators.skew import (
+        parquet_row_count,
+        repartition_for_rows,
+    )
+
+    df = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    shuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # below the per-partition target: identical object, no exchange added
+    assert repartition_for_rows(df, shuf * 2_000_000 - 1, "l_orderkey") is df
+    # above it: hash-partitioned on the key at ceil(rows/target) partitions
+    widened = repartition_for_rows(
+        df, 10 * 2_000_000 + 1, "l_orderkey", rows_per_partition=2_000_000
+    )
+    assert widened.rdd.getNumPartitions() == 11
+    plan = widened._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(l_orderkey" in plan
+    assert widened.count() == df.count()
+
+
+def test_parquet_row_count_file_and_dir(spark, sf_small, tmp_path):
+    from youbike_etl_pipeline_spark.operators.skew import parquet_row_count
+
+    df = spark.read.parquet(f"{sf_small}/lineitem.parquet")
+    n = df.count()
+    assert parquet_row_count(f"{sf_small}/lineitem.parquet") == n
+    out = str(tmp_path / "li_dir.parquet")
+    df.repartition(3).write.mode("overwrite").parquet(out)
+    assert parquet_row_count(out) == n

