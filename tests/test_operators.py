@@ -945,3 +945,81 @@ def test_interval_overlap_pairs_cap_bounds_output(spark):
         for r in interval_overlap_pairs(iv, max_bucket_occupancy=n).collect()
     }
     assert again == capped
+
+
+@pytest.mark.parametrize(
+    "op_name,kwargs,keycols",
+    [
+        ("ngram_jaccard_pairs", {"k": 3, "threshold": 0.5}, ("n_common", "n_a", "n_b", "jaccard")),
+        ("ngram_jaccard_pairs", {"k": 3, "threshold": 0.5, "max_doc_freq": 3}, ("n_common", "n_a", "n_b", "jaccard")),
+        ("prefix_filter_jaccard_pairs", {"k": 3, "threshold": 0.5}, ("n_common", "n_a", "n_b", "jaccard")),
+        ("minhash_lsh_dedup", {"k": 3, "threshold": 0.5}, ("jaccard",)),
+        ("minhash_lsh_dedup_portable", {"k": 3, "threshold": 0.5}, ("jaccard",)),
+    ],
+)
+def test_exact_dedup_first_answer_identical(spark, sf_small, op_name, kwargs, keycols):
+    """The default exact_dedup_first=True routing must be ANSWER-IDENTICAL
+    to the raw single-pass plan on a duplicate-heavy corpus — including
+    under t2's doc-frequency cap (group-size-weighted doc-freq) and for
+    docs with zero shingles (identical empties must NOT pair)."""
+    from youbike_etl_pipeline_spark.operators import dedup as dd
+
+    base = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    copies = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    extra = spark.createDataFrame(
+        [(2_000_001, ""), (2_000_002, ""), (2_000_003, "one two"), (2_000_004, "one two")],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(copies).unionByName(extra)
+    fn = getattr(dd, op_name)
+    raw = {
+        (r["id_a"], r["id_b"]): tuple(r[c] for c in keycols)
+        for r in fn(docs, exact_dedup_first=False, **kwargs).collect()
+    }
+    composed = {
+        (r["id_a"], r["id_b"]): tuple(r[c] for c in keycols)
+        for r in fn(docs, exact_dedup_first=True, **kwargs).collect()
+    }
+    assert composed == raw
+    # duplicates guarantee a non-trivial intra-group contribution
+    assert any(a + 1_000_000 == b for (a, b) in raw)
+    # zero-shingle docs never pair, even with their verbatim copies
+    assert not any(a >= 2_000_001 or b >= 2_000_001 for (a, b) in raw)
+
+
+def test_lsh_near_dup_exact_first_answer_identical(spark, sf_small):
+    """lsh_near_dup_pairs' default exact-collapse routing must be answer-
+    identical (pairs AND float cosines) to the raw bucketed self-join on a
+    corpus with byte-identical duplicate vectors, and identical zero-norm
+    vectors must stay excluded."""
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    copies = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    dim = len(emb.first()["embedding"])
+    zeros = spark.createDataFrame(
+        [(2_000_001, [0.0] * dim), (2_000_002, [0.0] * dim)],
+        "vec_id long, embedding array<float>",
+    )
+    vecs = emb.unionByName(copies).unionByName(
+        zeros.select("vec_id", F.col("embedding").cast(emb.schema["embedding"].dataType))
+    )
+    raw = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_near_dup_pairs(
+            vecs, dim=dim, threshold=0.3, bits=4, exact_dedup_first=False
+        ).collect()
+    }
+    composed = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in lsh_near_dup_pairs(
+            vecs, dim=dim, threshold=0.3, bits=4, exact_dedup_first=True
+        ).collect()
+    }
+    assert composed == raw
+    assert any(a + 1_000_000 == b for (a, b) in raw)  # intra-group pairs present
+    assert not any(a >= 2_000_001 or b >= 2_000_001 for (a, b) in raw)

@@ -34,6 +34,110 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _exact_collapse(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse verbatim copies before a pair operator: returns
+    ``(rep_docs, mapping)`` where ``rep_docs`` keeps one representative
+    (lowest id) per identical ``md5(text)`` and ``mapping`` is the
+    checkpointed ``(__member, __rep, __gsize)`` membership frame.
+
+    This is the exact-first routing the 100× probe demanded as CODE
+    (previously a docstring note): on a duplicate-heavy corpus every LSH
+    bucket / shingle posting holds the whole duplicate cluster and the
+    candidate join grows with the duplication factor squared, while the
+    collapse itself is ONE linear shuffle on the content hash. The pair
+    operator then runs on representatives only;
+    :func:`_expand_collapsed_pairs` reconstructs the full answer exactly,
+    so the quadratic term survives only where it is the output itself.
+    """
+    groups = df.select(
+        F.col(id_col).alias("__member"), F.md5(F.col(text_col)).alias("__ch")
+    )
+    reps = groups.groupBy("__ch").agg(
+        F.min("__member").alias("__rep"), F.count(F.lit(1)).alias("__gsize")
+    )
+    mapping = (
+        groups.join(reps, "__ch")
+        .select("__member", "__rep", "__gsize")
+        .localCheckpoint(eager=True)
+    )
+    rep_docs = df.join(
+        mapping.filter(F.col("__member") == F.col("__rep")).select(
+            F.col("__member").alias(id_col)
+        ),
+        id_col,
+        "left_semi",
+    )
+    return rep_docs, mapping
+
+
+def _expand_collapsed_pairs(
+    rep_pairs: DataFrame,
+    mapping: DataFrame,
+    sizes: DataFrame,
+    with_counts: bool,
+) -> DataFrame:
+    """Expand representative-level pairs back to ALL document pairs so the
+    collapsed run is answer-identical to the uncollapsed one:
+
+    - cross-group: every (member of rep_a) × (member of rep_b) pair carries
+      rep-pair metrics verbatim (identical texts ⇒ identical shingle sets ⇒
+      identical n_common/n_a/n_b/jaccard), ids re-ordered with
+      least/greatest (groups are disjoint, so each pair appears once);
+    - intra-group: all ordered member pairs within a duplicate group have
+      Jaccard exactly 1.0 with n_common = n_a = n_b = the rep's (post-cap)
+      shingle count — the inner join against ``sizes`` (two columns:
+      rep id, count) reproduces the base operator's emptiness semantics:
+      a doc with zero surviving shingles never pairs, not even with its
+      own verbatim copies.
+    """
+    metric_cols = [c for c in rep_pairs.columns if c not in ("id_a", "id_b")]
+    ma = mapping.select(F.col("__rep").alias("id_a"), F.col("__member").alias("__m_a"))
+    mb = mapping.select(F.col("__rep").alias("id_b"), F.col("__member").alias("__m_b"))
+    # member ids need not sort the same way as their reps: when
+    # least/greatest flips the pair relative to the rep pair, the side-
+    # specific size columns flip with it (n_common/jaccard are symmetric)
+    swapped = F.col("__m_a") > F.col("__m_b")
+
+    def _side_aware(c: str):
+        if c == "n_a":
+            return F.when(swapped, F.col("n_b")).otherwise(F.col("n_a")).alias("n_a")
+        if c == "n_b":
+            return F.when(swapped, F.col("n_a")).otherwise(F.col("n_b")).alias("n_b")
+        return F.col(c)
+
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__m_a", "__m_b").alias("id_a"),
+            F.greatest("__m_a", "__m_b").alias("id_b"),
+            *[_side_aware(c) for c in metric_cols],
+        )
+    )
+    x = mapping.select(F.col("__rep").alias("__r"), F.col("__member").alias("__m_a"))
+    y = mapping.select(F.col("__rep").alias("__r"), F.col("__member").alias("__m_b"))
+    intra_ids = x.join(y, "__r").filter(F.col("__m_a") < F.col("__m_b"))
+    intra = intra_ids.join(sizes.toDF("__r", "__n"), "__r")
+    if with_counts:
+        intra = intra.select(
+            F.col("__m_a").alias("id_a"),
+            F.col("__m_b").alias("id_b"),
+            F.col("__n").alias("n_common"),
+            F.col("__n").alias("n_a"),
+            F.col("__n").alias("n_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    else:
+        intra = intra.select(
+            F.col("__m_a").alias("id_a"),
+            F.col("__m_b").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    return cross.unionByName(intra.select(*cross.columns))
+
+
 def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
     """Inverted index: one row per (doc, distinct word-k-shingle). Tokens
     are materialized as a projection first so the shingle lambda reads an
@@ -60,12 +164,23 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
+    exact_dedup_first: bool = True,
 ) -> DataFrame:
     """All document pairs with word-k-gram Jaccard ≥ threshold.
 
     |A∩B| via self-join of the inverted index; |A∪B| = |A|+|B|−|A∩B|.
     ``max_doc_freq`` drops shingles appearing in more than that many docs —
     they contribute little discrimination but dominate join skew at scale.
+
+    ``exact_dedup_first`` (default ON — the 100 TB-safe path is the obvious
+    one) collapses verbatim copies to one representative before the index
+    self-join and expands the answer back afterwards
+    (:func:`_exact_collapse` / :func:`_expand_collapsed_pairs`) —
+    ANSWER-IDENTICAL (pinned by tests), but the join cost stops growing
+    with the duplication factor squared; only the final emission is
+    output-sized. Doc-frequency for the cap is computed group-size-WEIGHTED
+    so capped results also match the uncollapsed run exactly. Opt out to
+    get the verbatim single-pass plan.
 
     **Scale routing:** exact pair enumeration is inherently superlinear in
     collision count (SCALING.md measured ~13× wall-clock at a 10× blow-up).
@@ -76,11 +191,25 @@ def ngram_jaccard_pairs(
     by feeding the candidate id-set as a semi-join filter on the index.
     Do not ship this standalone at 100× the tested scale.
     """
+    mapping = None
+    if exact_dedup_first:
+        df, mapping = _exact_collapse(df, text_col, id_col)
     idx = shingle_index(df, text_col, id_col, k)
     if max_doc_freq is not None:
-        keep = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
-            F.col("df") <= max_doc_freq
-        )
+        if mapping is not None:
+            # full-corpus doc-frequency = rep doc-frequency weighted by
+            # duplicate-group size (every member contributes its copy)
+            weights = mapping.filter(F.col("__member") == F.col("__rep")).select(
+                F.col("__rep").alias(id_col), "__gsize"
+            )
+            dfreq = (
+                idx.join(weights, id_col)
+                .groupBy("shingle")
+                .agg(F.sum("__gsize").alias("df"))
+            )
+        else:
+            dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        keep = dfreq.filter(F.col("df") <= max_doc_freq)
         # re-select: the equi-join moves the key column first, and the
         # positional toDF renames below depend on (id, shingle) order
         idx = idx.join(keep.select("shingle"), "shingle").select(id_col, "shingle")
@@ -99,13 +228,16 @@ def ngram_jaccard_pairs(
     sa = sizes.toDF("id_a", "n_a")
     sb = sizes.toDF("id_b", "n_b")
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
+    pairs = (
         inter.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
     )
+    if mapping is not None:
+        pairs = _expand_collapsed_pairs(pairs, mapping, sizes, with_counts=True)
+    return pairs
 
 
 def prefix_filter_jaccard_pairs(
@@ -114,6 +246,7 @@ def prefix_filter_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    exact_dedup_first: bool = True,
 ) -> DataFrame:
     """All document pairs with word-k-gram Jaccard ≥ threshold, computed
     EXACTLY via prefix filtering (Bayardo/Chaudhuri all-pairs similarity):
@@ -139,9 +272,20 @@ def prefix_filter_jaccard_pairs(
     Shuffle shape: one df aggregation + one window (both keyed on the
     shingle / doc), the prefix self-join on rare shingles, then the same
     verify join as ngram_jaccard_pairs. No driver-side collection.
+
+    ``exact_dedup_first`` (default ON) collapses verbatim copies before
+    the prefix self-join and expands the exact answer back afterwards —
+    answer-identical (the rarity order shifts to rep-corpus doc-frequency,
+    but the Bayardo bound is lossless under ANY consistent total order),
+    while the duplicate-mass quadratic survives only in the output
+    emission. This is the t49-at-100× routing made code instead of a
+    SCALING.md note.
     """
     import math
 
+    mapping = None
+    if exact_dedup_first:
+        df, mapping = _exact_collapse(df, text_col, id_col)
     idx = shingle_index(df, text_col, id_col, k).localCheckpoint(eager=True)
     dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w_doc = Window.partitionBy(id_col).orderBy("__df", "shingle")
@@ -189,13 +333,16 @@ def prefix_filter_jaccard_pairs(
     sa = sizes.toDF("id_a", "n_a")
     sb = sizes.toDF("id_b", "n_b")
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
+    pairs = (
         inter.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
     )
+    if mapping is not None:
+        pairs = _expand_collapsed_pairs(pairs, mapping, sizes, with_counts=True)
+    return pairs
 
 
 def minhash_signatures(
@@ -290,14 +437,27 @@ def minhash_lsh_dedup(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    exact_dedup_first: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH: banded candidates verified by exact
     Jaccard of shingle-hash sets (semi-joined to candidates only, so the
     verify join touches candidate pairs, not all pairs).
 
+    ``exact_dedup_first`` (default ON) collapses verbatim copies before
+    signatures and expands the answer back afterwards — answer-identical
+    (identical texts ⇒ identical signatures ⇒ identical banding, so
+    candidate-ness and verified Jaccard are unchanged pair-for-pair; intra-
+    group pairs are J=1.0 by construction and always bucket together), but
+    the bucket occupancy² blow-up the 100× probe measured (142× on a
+    corpus of 100 verbatim copies per doc) collapses to the linear content-
+    hash shuffle plus the output-sized emission.
+
     The shingle-hash index is built and checkpointed ONCE and shared by the
     signature step and the verify step — previously each rebuilt the
     tokenize+shingle subtree, which was ~11% of the whole bench."""
+    mapping = None
+    if exact_dedup_first:
+        df, mapping = _exact_collapse(df, text_col, id_col)
     idx = shingle_hash_index(df, text_col, id_col, k).localCheckpoint(eager=True)
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, index=idx)
     cands = minhash_lsh_candidates(sigs, id_col, bands)
@@ -317,13 +477,16 @@ def minhash_lsh_dedup(
     sa = sizes.toDF("id_a", "n_a")
     sb = sizes.toDF("id_b", "n_b")
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
+    pairs = (
         inter.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if mapping is not None:
+        pairs = _expand_collapsed_pairs(pairs, mapping, sizes, with_counts=False)
+    return pairs
 
 
 #: Modulus for the portable universal-hash MinHash family: prime < 2^30 so
@@ -428,6 +591,7 @@ def minhash_lsh_dedup_portable(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.5,
+    exact_dedup_first: bool = True,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs on the cross-engine-verifiable hash family.
 
@@ -438,7 +602,13 @@ def minhash_lsh_dedup_portable(
     (:func:`minhash_coeffs`), band keys as plain value-concat strings. ~3×
     slower than the xxhash64 fast path (hex-string md5 decode) — this is
     the PARITY path the driver grades; production calls use
-    :func:`minhash_lsh_dedup`."""
+    :func:`minhash_lsh_dedup`. ``exact_dedup_first`` routes verbatim
+    copies through the linear content-hash collapse first (answer-
+    identical; see :func:`minhash_lsh_dedup` — the t7-at-100× fix made
+    code)."""
+    mapping = None
+    if exact_dedup_first:
+        df, mapping = _exact_collapse(df, text_col, id_col)
     hidx, banded, sizes = portable_lsh_index(
         df, text_col, id_col, k, num_hashes, bands
     )
@@ -461,13 +631,16 @@ def minhash_lsh_dedup_portable(
     sa = sizes.toDF("id_a", "n_a")
     sb = sizes.toDF("id_b", "n_b")
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
-    return (
+    pairs = (
         inter.join(F.broadcast(sa), "id_a")
         .join(F.broadcast(sb), "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if mapping is not None:
+        pairs = _expand_collapsed_pairs(pairs, mapping, sizes, with_counts=False)
+    return pairs
 
 
 def md5_token_hash64(t: Column) -> Column:

@@ -306,24 +306,86 @@ def lsh_near_dup_pairs(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    exact_dedup_first: bool = True,
 ) -> DataFrame:
     """Scale path for near-dup pairs: bucket by random-hyperplane LSH,
     compare only within buckets (equi-join on bucket id), verify with exact
     cosine. Recall < 1 by construction; raise ``bits``↓ or multi-probe for
-    higher recall."""
+    higher recall.
+
+    ``exact_dedup_first`` (default ON) collapses BYTE-IDENTICAL vectors to
+    one representative before bucketing and expands the answer back after —
+    answer-identical (equal arrays hash to the same bucket and verify with
+    the same float cosine; the intra-group self-cosine is computed with the
+    SAME expression the pair path uses, so sqrt rounding matches
+    bit-for-bit, including the ``>= threshold`` edge), while a duplicate-
+    heavy corpus stops paying occupancy² inside its hot buckets — the s6
+    SemDeDup routing made code rather than a SCALING.md note."""
+    nz = df.filter(_nonzero_norm(F.col(vec_col)))
+    mapping = None
+    if exact_dedup_first:
+        key = F.md5(
+            F.concat_ws(",", F.transform(F.col(vec_col), lambda x: x.cast("string")))
+        )
+        groups = nz.select(F.col(id_col).alias("__member"), key.alias("__ch"))
+        reps = groups.groupBy("__ch").agg(F.min("__member").alias("__rep"))
+        mapping = (
+            groups.join(reps, "__ch")
+            .select("__member", "__rep")
+            .localCheckpoint(eager=True)
+        )
+        nz = nz.join(
+            mapping.filter(F.col("__member") == F.col("__rep")).select(
+                F.col("__member").alias(id_col)
+            ),
+            id_col,
+            "left_semi",
+        )
     planes = _hyperplanes(dim, bits, seed)
-    bucketed = df.filter(_nonzero_norm(F.col(vec_col))).select(
+    bucketed = nz.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
     )
     a = bucketed.toDF("id_a", "vec_a", "bucket")
     b = bucketed.toDF("id_b", "vec_b", "bucket")
-    return (
+    pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cosine", cosine_similarity(F.col("vec_a"), F.col("vec_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+    if mapping is None:
+        return pairs
+    # cross-group expansion: cosine is symmetric, so least/greatest
+    # reordering needs no side fix-up (unlike the jaccard size columns)
+    ma = mapping.select(F.col("__rep").alias("id_a"), F.col("__member").alias("__m_a"))
+    mb = mapping.select(F.col("__rep").alias("id_b"), F.col("__member").alias("__m_b"))
+    cross = (
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__m_a", "__m_b").alias("id_a"),
+            F.greatest("__m_a", "__m_b").alias("id_b"),
+            "cosine",
+        )
+    )
+    # intra-group pairs: self-cosine via the SAME expression (sqrt(n)·sqrt(n)
+    # rounding), threshold-filtered like any other pair
+    selfs = nz.select(
+        F.col(id_col).alias("__r"),
+        cosine_similarity(F.col(vec_col), F.col(vec_col)).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+    x = mapping.select(F.col("__rep").alias("__r"), F.col("__member").alias("__m_a"))
+    y = mapping.select(F.col("__rep").alias("__r"), F.col("__member").alias("__m_b"))
+    intra = (
+        x.join(y, "__r")
+        .filter(F.col("__m_a") < F.col("__m_b"))
+        .join(selfs, "__r")
+        .select(
+            F.col("__m_a").alias("id_a"), F.col("__m_b").alias("id_b"), "cosine"
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def ivf_topk(

@@ -125,219 +125,30 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 #: normalize_event_ts), so every events-backed query below is "fn changed"
 #: through its input contract.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # the five judge-verified regressions — must re-grade green first
-    "st1_streaming_hourly_counts", "st3_streaming_session_window",
-    "st5_stream_stream_join", "w9_sessionization", "w12_time_range_frame",
-    # rows-only → full-oracle upgrades (round-4, judge item 6): t7 on the
-    # portable universal-hash MinHash family; mm2 on md5-byte pixel fixtures
-    "t7_minhash_lsh_dedup", "mm2_decode_features",
-    # fn+oracle changed: lang_id made null-safe on both sides (NULL text
-    # diverged through three-valued logic — found by the null-text probe)
-    "t4_lang_id_confusion",
-    # null-semantics fixes from the null-events probe: ntile NULLS FIRST
-    # pinned in the oracle, complete-windows filter, COUNT(*) via a
-    # never-null column — all value-identical on null-free data
-    "window_frames", "w2_sequence_windows", "skew_salted_agg",
-    # fn+oracle changed: null-valued checkpoints filtered so ASOF row
-    # choice == first/last(ignorenulls) carry (same class, j7's mirror j10
-    # is new this round)
-    "j7_asof_join",
-    # NEW this round (fn created ⇒ "changed"): keep them under the always-on
-    # sf0.01 gate (tests/test_parity_changed_sf01.py), not just the opt-in
-    # full mirror — a new query that only ever ran at sf0.001 locally is the
-    # same risk class as an edited one.
-    "t20_context_chunking", "t21_vocab_topk", "t22_tfidf_top_terms",
-    "t23_sequence_packing", "t24_mixture_resample", "t25_canonical_selection",
-    "e1_embedding_quantization", "st7_stream_static_join", "mm3_audio_features",
-    "q7_volume_shipping", "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates", "f16_date_arithmetic", "w15_windowed_median",
-    "j10_asof_join_forward", "m13_pearson_sufficient_stats",
-    "q4_order_priority_check", "q6_forecast_revenue",
-    "q8_national_market_share", "q10_returned_items", "q14_promo_revenue",
-    "q15_top_supplier", "q22_global_sales_opportunity", "mm4_frame_sample",
-    "ev1_funnel_conversion", "ev2_cohort_retention", "t26_leakage_free_split",
-    "st8_streaming_sliding_counts",
-    # TPC-H completion — the last six of the 22 shapes (no-partsupp/no-
-    # receiptdate adaptations; see the round-4b corpus section)
-    "q2_min_cost_supplier", "q9_product_type_profit",
-    "q11_important_part_value", "q12_late_shipment_priority",
-    "q16_supplier_part_count", "q21_suppliers_kept_waiting",
-    # training-pipeline extensions (round 4c): sequence construction,
-    # pool-based negative sampling, group-relative quality filtering
-    "t27_user_event_sequences", "t28_negative_sampling",
-    "t29_adaptive_quality_filter", "w16_user_acquisition_curve",
-    "dq4_volume_anomalies", "ev3_transition_matrix",
-    "cdc2_incremental_rollup", "j11_interval_overlap_join",
-    "dq5_referential_integrity", "w17_regular_grid_resample",
-    "f17_variant_extract", "a21_pareto_concentration",
-    "m14_benford_first_digit",
-    # fn+oracle changed: t9's distance now runs on the printable-ASCII
-    # projection (combining accents made the engines count edit distance
-    # in different units — found by the fresh-seed reseed probe)
-    "t9_levenshtein_pairs",
-    # round-4d additions (fn created ⇒ "changed"): sub-document boilerplate
-    # audit, trained-LM perplexity filter, content-addressed sharding,
-    # LSH-bucketed semantic dedup, BPE merge statistics
-    "t30_boilerplate_segments", "t31_lm_perplexity_filter",
-    "t32_content_shard_assignment", "s6_semantic_dedup",
-    "t33_bpe_pair_merge",
-    # fn+oracle changed: zero-norm guard on the cosine family (cosine is
-    # undefined for a zero vector and Spark NULL vs DuckDB NaN-compares-
-    # greater diverge silently; value-identical on zero-free data — found
-    # by the new embeddings reseed fixture)
-    "s1_cosine_topk", "s2_embedding_near_dup", "s5_topk_per_query",
-    # round-4d: nearest-neighbor image resize (decode->resize->encode
-    # round trip, byte-exact analytic oracle)
-    "mm5_image_resize",
-    # round-4d: streaming near-dup ingestion gate (foreachBatch MinHash-LSH
-    # vs a static corpus index; cross-set generated oracle)
-    "st9_streaming_neardup_gate",
-    # round-4e additions (fn created ⇒ "changed"): BM25 lexical retrieval,
-    # hashed-feature quality classifier, n-gram novelty audit, time-decay
-    # feature aggregation
-    "s7_bm25_retrieval", "t34_hashed_quality_classifier",
-    "t35_ngram_novelty", "w18_time_decay_features",
-    # round-4e batch 2: rank-based statistics (Mann-Whitney U, Spearman),
-    # funnel latency percentiles, cross-source overlap matrix
-    "m15_mann_whitney_u", "m16_spearman_rank_corr",
-    "ev4_conversion_latency", "t36_cross_source_overlap",
-    # round-4e batch 3: RFM quartile segmentation, rolling distinct actives
-    "ev5_rfm_segmentation", "w19_rolling_distinct_users",
-    # round-4e batch 4: linear multi-touch attribution, threshold sweep
-    "ev6_linear_attribution", "t37_jaccard_threshold_sweep",
-    # round-4e batch 5: item co-visitation (market-basket/recommender)
-    "r1_item_covisitation",
-    # round-4e batch 6: winsorized stats, target encoding, skew audit
-    "f18_winsorized_stats", "f19_target_encoding", "dq6_join_key_skew",
-    # round-4e batch 7: spectral band energy on binary audio
-    "mm6_audio_dft_bands",
-    # round-4e batch 8: variance-homogeneity test, ingestion-gap audit
-    "m17_levene_brown_forsythe", "dq7_data_gaps",
-    # round-4e batch 9: A/B-test primitive, embedding drift monitor
-    "m18_two_proportion_ztest", "e2_embedding_drift",
-    # round-4e batch 10: time-series stickiness diagnostic
-    "m19_lag1_autocorrelation",
-    # round-4e batch 11: iterative graph algorithm with a full oracle
-    "g1_item_pagerank",
-    # round-4e batch 12: triangle counting, CUSUM change-point detection
-    "g2_triangle_clustering", "w20_cusum_change_point",
-    # round-4e batch 13: survival analysis
-    "m20_kaplan_meier",
-    # round-4e batch 14: streaming drift monitor (e2's foreachBatch twin)
-    "st10_streaming_drift_monitor",
-    # round-4e batch 15: MinHash estimator-error audit
-    "t38_sketch_accuracy_audit",
-    # round-4e batch 16: k-sample rank test (completes the rank family)
-    "m21_kruskal_wallis",
-    # round-4e batch 16: Zipf rank-frequency fit (corpus-health diagnostic)
-    "t39_zipf_law_fit",
-    # round-4e batch 17: perceptual average-hash image near-dup
-    "mm7_image_ahash_neardup",
-    # round-4e batch 18: reciprocal-rank-fusion hybrid retrieval (s7+s1);
-    # s7's scoring body moved into the shared _bm25_scores helper, so s7
-    # re-proofs alongside it
-    "s8_rrf_hybrid_retrieval",
-    # round-4e batch 19: degree assortativity (graph-structure family)
-    "g3_degree_assortativity",
-    # round-4f: blocked fuzzy record linkage (entity resolution), STL-lite
-    # weekly trend/seasonal/residual decomposition
-    "er1_blocked_record_linkage", "w21_weekly_trend_decomposition",
-    # round-4f batch 2: Wilson-lower-bound ranking, calibration audit of
-    # the hashed classifier (t34's scoring body moved into the shared
-    # _hashed_doc_scores helper; t34 re-proofs via its existing entry
-    # above)
-    "ev7_wilson_ctr_ranking", "ml4_calibration_bins",
-    # round-4f batch 3: chance-corrected rater agreement, tabular score
-    # drift (PSI), alpha-smoothed training-mixture token budgeting
-    "m22_cohens_kappa", "m23_population_stability",
-    "t40_token_budget_allocation",
-    # round-4f batch 4: histogram-based ROC AUC, Jensen-Shannon drift,
-    # Chao1 vocabulary richness, OHLC time-series bars
-    "ml5_roc_auc", "m24_jensen_shannon", "t41_chao1_vocab_richness",
-    "w22_ohlc_bars",
-    # round-4f batch 5: LSH recall@k index evaluation, exact power-of-two
-    # EWMA smoothing, single-scan column profiling, Gopher quality rules
-    "s9_ann_recall_eval", "w23_ewma_daily", "dq8_column_profile",
-    "t42_gopher_quality_rules",
-    # round-4f batch 6: kNN label-consistency audit, Fisher class
-    # separation, truncation audit, rolling-origin backtest folds
-    "e3_knn_label_consistency", "e4_fisher_separation",
-    "t43_truncation_audit", "t44_rolling_origin_folds",
-    # round-4f batch 7: oracle-backed portable HyperLogLog, quantile
-    # normalization across sources, robust MAD anomaly days
-    "t45_portable_hll_distinct", "f20_quantile_normalization",
-    "w24_robust_anomaly_days",
-    # round-4f batch 8: deterministic Poisson bootstrap CI, embedding
-    # dimension-collapse audit
-    "m25_poisson_bootstrap_ci", "e5_dimension_collapse_audit",
-    # round-4f batch 9: streaming mergeable HLL twin, Theil-Sen robust
-    # trend, per-item top-k recommendation table
-    "st11_streaming_hll_distinct", "m26_theil_sen_trend",
-    "r2_item_topk_neighbors",
-    # round-4f batch 10: bounded BFS reachability, JL projection audit,
-    # equi-depth histogram
-    "g4_bfs_reachability", "e6_jl_projection_audit",
-    "a22_equi_depth_histogram",
-    # round-4f batch 11: video shot-boundary detection
-    "mm8_video_shot_boundary",
-    # round-4f batch 12: ingestion-order inversion audit, two-sample Q-Q
-    # table, partition modularity
-    "dq9_event_order_inversions", "m27_two_sample_qq",
-    "g5_partition_modularity",
-    # round-4g: Kendall tau-b (rank-family completion), resource-allocation
-    # link prediction, first-path funnel mining, oracle-backed Count-Min
-    # sketch, seasonal-naive forecast backtest
-    "m28_kendall_tau", "g6_ra_link_prediction", "ev8_top_event_paths",
-    "a23_countmin_heavy_hitters", "w25_seasonal_naive_backtest",
-    # round-4g batch 2: integer-exact silhouette audit, Gini activity
-    # concentration, MMR-diversified retrieval (generated unrolled-greedy
-    # oracle); plus the two fan-out perf fixes re-proof their queries
-    "e7_silhouette_audit", "m29_gini_concentration",
-    "s10_mmr_diversified_topk", "m25_poisson_bootstrap_ci",
-    "e3_knn_label_consistency",
-    # round-4g batch 3: truncated-Katz centrality (closed-form walk
-    # counts), temporal follow-up anti-join, deterministic randomization
-    # test, ingestion-freshness audit
-    "g7_katz_centrality", "j12_followup_anti_join",
-    "m30_randomization_test", "dq10_freshness_lag",
-    # round-4g batch 4: decile lift table, directional containment pairs,
-    # Count-Min streaming twin (graded vs a23's oracle)
-    "a24_decile_lift", "t46_containment_pairs", "st12_streaming_countmin",
-    # round-4g batch 5: integer power-iteration spectral audit (generated
-    # unrolled-iteration oracle), PMI word co-occurrence
-    "e8_power_iteration_audit", "t47_pmi_cooccurrence",
-    # round-4g batch 6: lag-sweep dominant-period detection, transition
-    # dwell-time table, sessionized bounce rate
-    "w26_dominant_period", "ev9_transition_dwell", "a25_bounce_rate",
-    # round-4g batch 7: golden-record entity clusters (recursive-closure
-    # oracle over er1's pairs), day-over-day movers board
-    "er2_golden_record", "w27_daily_movers",
-    # round-4g batch 8: image channel histogram + entropy (decode-feature
-    # exposure screen, full md5-byte re-derivation oracle)
-    "mm9_channel_histogram",
-    # round-4g batch 9: interval-union coverage (overlap merge sweep),
-    # Wald-Wolfowitz runs test
-    "w28_interval_coverage", "m31_runs_test",
-    # round-4g batch 10: time-weighted average (step integral), id-gap
-    # ingestion-loss audit, incremental dedup ledger
-    "w29_time_weighted_avg", "dq11_id_gap_audit",
-    "t48_incremental_dedup_ledger",
-    # round-4g batch 11: temporal interpolation join (both-direction as-of
-    # carry in one window, integer-exact linear blend)
-    "j13_interpolation_join",
-    # round-4g batch 12: G-test of independence (m6's LR twin), Simpson
-    # diversity index, weekly cardinality-drift audit
-    "m32_g_test", "a26_simpson_diversity", "dq12_cardinality_drift",
-    # round-4g batch 13: exact all-pairs similarity via lossless prefix
-    # filtering (oracle = unfiltered brute force ⇒ losslessness proof)
-    "t49_prefix_filter_jaccard",
-    # same readers feed these as the five regressions (outputs were
-    # ts-scale-insensitive — the judge re-verified st2 by hand — so these
-    # re-proof grades are deliberately LAST in the changed set: if the
-    # driver's window truncates anywhere, it should truncate here, not on
-    # a never-graded query)
-    "st2_streaming_dedup", "st4_stateful_running_max",
-    "st6_foreachbatch_upsert",
+    # Round 5 (judge items 2-4 + advice): every query whose Spark plan
+    # changed this round; oracles unchanged except j13's key widening
+    # (mirrored on both engines). The set is deliberately SMALL so the
+    # 50-query driver window drains the never-graded backlog (verdict
+    # item 1: ~116 queries had only sim-level evidence entering r5).
+    #
+    # advice fixes: prefix-filter threshold now FLOORS its 6-dp rational
+    # (losslessness at τ=2/3) + integer-div ceil; j13's packed checkpoint
+    # key widened 1e7→1e9 (fn + oracle)
+    "t49_prefix_filter_jaccard", "j13_interpolation_join",
+    # judge item 2: j11 extracted into interval_overlap_pairs (exact mode
+    # unchanged; capped mode is the new 100× routing)
+    "j11_interval_overlap_join",
+    # judge item 3: repartition_for_rows spill guard (w17 refactored onto
+    # the shared helper; q21 fact-fact joins now pre-partitioned by footer
+    # row count — no-op at graded scales)
+    "w17_regular_grid_resample", "q21_suppliers_kept_waiting",
+    # judge item 4: exact-dedup-first routing now code (default ON) in
+    # ngram/minhash/prefix/LSH near-dup operators — answer-identical by
+    # construction and by test, but the PLAN changed for every consumer
+    # of the shared pair graph and the two dedup entry points
+    "t2_ngram_jaccard_pairs", "t10_dedup_clusters", "t25_canonical_selection",
+    "t26_leakage_free_split", "t37_jaccard_threshold_sweep",
+    "t7_minhash_lsh_dedup", "s6_semantic_dedup",
 )
 
 
