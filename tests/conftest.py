@@ -18,11 +18,15 @@ SF_MEDIUM = os.path.join(TESTDATA_ROOT, "sf0.01")
 
 @pytest.fixture(scope="session")
 def spark():
+    # local[8]/8 halves the suite's wall-clock vs local[4]/4 on the 32-core
+    # host (tests run sequentially; per-job parallelism is the only lever
+    # without xdist). Result parity is partitioning-independent — proven
+    # separately by the adversarial driver sim (SIM_SHUF/SIM_MASTER).
     session = get_spark(
         app_name="engine-tests",
-        master="local[4]",
-        shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g", "spark.sql.warehouse.dir": "/tmp/spark-warehouse-tests"},
+        master="local[8]",
+        shuffle_partitions=8,
+        extra_conf={"spark.driver.memory": "6g", "spark.sql.warehouse.dir": "/tmp/spark-warehouse-tests"},
     )
     yield session
 

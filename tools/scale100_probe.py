@@ -40,8 +40,36 @@ QUERIES = [
     "w17_regular_grid_resample",
     "ev3_transition_matrix",
     "j11_interval_overlap_join",
+    "j11_capped_occ64",
     "dq4_volume_anomalies",
 ]
+
+
+def _j11_capped_occ64(spark, sf_dir):
+    """The callable 100×-scale routing for co-presence: same sessionized
+    intervals as j11, paired under interval_overlap_pairs'
+    max_bucket_occupancy=64 (per-hour deterministic top-64 before pairing —
+    output bounded at Σ_bucket 64²/2 instead of occupancy²)."""
+    from pyspark.sql import functions as F
+
+    from youbike_etl_pipeline_spark.operators import joins as oj
+    from youbike_etl_pipeline_spark.operators import windows as ow
+    from youbike_etl_pipeline_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    sess = ow.sessionize(ev, key="user_id", ts="ts", gap_minutes=30.0, tiebreak=["event_id"])
+    intervals = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    return oj.interval_overlap_pairs(
+        intervals, key="user_id", interval_id="session_id", start="s", end="e",
+        max_bucket_occupancy=64,
+    )
+
+
+#: probe-only variants that exercise a scale routing the graded corpus
+#: entry deliberately does not (the graded path stays exact)
+EXTRA = {"j11_capped_occ64": _j11_capped_occ64}
 
 
 def main() -> None:
@@ -56,8 +84,9 @@ def main() -> None:
         from youbike_etl_pipeline_spark.plans import corpus as _corpus
 
         _corpus._PAIR_GRAPH_CACHE.clear()
+        fn = EXTRA[name] if name in EXTRA else CORPUS[name].fn
         t0 = time.perf_counter()
-        CORPUS[name].fn(spark, d).write.mode("overwrite").format("noop").save()
+        fn(spark, d).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
     print()
