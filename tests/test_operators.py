@@ -1023,3 +1023,32 @@ def test_lsh_near_dup_exact_first_answer_identical(spark, sf_small):
     assert composed == raw
     assert any(a + 1_000_000 == b for (a, b) in raw)  # intra-group pairs present
     assert not any(a >= 2_000_001 or b >= 2_000_001 for (a, b) in raw)
+
+
+def test_sketch_accuracy_audit_dedup_first_contract(spark, sf_small):
+    """sketch_accuracy_audit's exact_dedup_first routing: (a) on a
+    duplicate-FREE corpus the collapse is a no-op — identical one-row
+    result; (b) on a duplicate-heavy corpus the collapsed audit equals the
+    raw audit run directly on the representative set (the documented
+    semantics: measure the hash family on representatives, don't re-weight
+    by corpus duplication)."""
+    from youbike_etl_pipeline_spark.operators.dedup import sketch_accuracy_audit
+
+    base = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    row_plain = sketch_accuracy_audit(base, exact_dedup_first=False).first().asDict()
+    row_noop = sketch_accuracy_audit(base, exact_dedup_first=True).first().asDict()
+    assert row_noop == row_plain
+    assert row_plain["n_pairs"] > 0  # the fixture corpus has near-dups
+
+    copies = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    heavy = base.unionByName(copies)
+    row_collapsed = sketch_accuracy_audit(heavy, exact_dedup_first=True).first().asDict()
+    # reps are the min-id survivors == base exactly
+    assert row_collapsed == row_plain
+    # and the raw audit on the duplicated corpus sees MORE candidate pairs
+    row_heavy = sketch_accuracy_audit(heavy, exact_dedup_first=False).first().asDict()
+    assert row_heavy["n_pairs"] > row_plain["n_pairs"]

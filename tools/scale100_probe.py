@@ -67,9 +67,24 @@ def _j11_capped_occ64(spark, sf_dir):
     )
 
 
+def _t38_dedup_first(spark, sf_dir):
+    """The callable 100×-scale routing for the sketch audit: collapse
+    verbatim copies first (one linear content-hash shuffle), audit the
+    representative-level candidate distribution — the measurement a
+    duplicate-heavy corpus actually wants (identical pairs carry zero new
+    information about estimator error)."""
+    from youbike_etl_pipeline_spark.operators.dedup import sketch_accuracy_audit
+    from youbike_etl_pipeline_spark.sources.readers import read_parquet_table
+
+    docs = read_parquet_table(spark, sf_dir, "documents")
+    return sketch_accuracy_audit(
+        docs, num_hashes=32, bands=8, threshold=0.5, exact_dedup_first=True
+    )
+
+
 #: probe-only variants that exercise a scale routing the graded corpus
 #: entry deliberately does not (the graded path stays exact)
-EXTRA = {"j11_capped_occ64": _j11_capped_occ64}
+EXTRA = {"j11_capped_occ64": _j11_capped_occ64, "t38_dedup_first": _t38_dedup_first}
 
 
 def main() -> None:

