@@ -1052,3 +1052,34 @@ def test_sketch_accuracy_audit_dedup_first_contract(spark, sf_small):
     # and the raw audit on the duplicated corpus sees MORE candidate pairs
     row_heavy = sketch_accuracy_audit(heavy, exact_dedup_first=False).first().asDict()
     assert row_heavy["n_pairs"] > row_plain["n_pairs"]
+
+
+def test_knn_label_consistency_ann_routing(spark, sf_small):
+    """knn_label_consistency's ANN routing contract: with ann_bits=0 every
+    vector lands in the single bucket, so the LSH path must equal the exact
+    all-pairs path row-for-row; with a real bit width the audit still
+    returns the same schema and only loses vectors whose bucket held no
+    candidates (n_vecs <= exact per label)."""
+    from youbike_etl_pipeline_spark.operators.similarity import knn_label_consistency
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").limit(300)
+    dim = len(emb.first()["embedding"])
+    exact = {r["label"]: r.asDict() for r in knn_label_consistency(emb, k=5).collect()}
+    one_bucket = {
+        r["label"]: r.asDict()
+        for r in knn_label_consistency(emb, k=5, ann_bits=0, dim=dim).collect()
+    }
+    assert one_bucket == exact
+    assert sum(r["n_vecs"] for r in exact.values()) > 0
+    ann = {
+        r["label"]: r.asDict()
+        for r in knn_label_consistency(emb, k=5, ann_bits=4, dim=dim).collect()
+    }
+    assert set(ann) <= set(exact)
+    for lbl, row in ann.items():
+        assert row["n_vecs"] <= exact[lbl]["n_vecs"]
+        assert 0.0 <= row["consistency"] <= 1.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dim"):
+        knn_label_consistency(emb, ann_bits=4)

@@ -82,9 +82,29 @@ def _t38_dedup_first(spark, sf_dir):
     )
 
 
+def _e3_ann_bits6(spark, sf_dir):
+    """The callable 100×-scale routing for the kNN label audit: same
+    vec_id%5 sample, neighbors drawn from 6-bit hyperplane-LSH buckets
+    (Σ_bucket occupancy² candidate pairs) instead of the exact all-pairs
+    crossJoin the graded e3 runs."""
+    from pyspark.sql import functions as F
+
+    from youbike_etl_pipeline_spark.operators.similarity import knn_label_consistency
+    from youbike_etl_pipeline_spark.sources.readers import read_parquet_table
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    )
+    return knn_label_consistency(emb, k=5, ann_bits=6, dim=64)
+
+
 #: probe-only variants that exercise a scale routing the graded corpus
 #: entry deliberately does not (the graded path stays exact)
-EXTRA = {"j11_capped_occ64": _j11_capped_occ64, "t38_dedup_first": _t38_dedup_first}
+EXTRA = {
+    "j11_capped_occ64": _j11_capped_occ64,
+    "t38_dedup_first": _t38_dedup_first,
+    "e3_ann_bits6": _e3_ann_bits6,
+}
 
 
 def main() -> None:

@@ -154,6 +154,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # exact_dedup_first is the new callable routing for its 29.4×-at-100×
     # duplicate-mass candidate growth)
     "t38_sketch_accuracy_audit",
+    # round-5 probe find #2: e3's exact all-pairs audit (proportional
+    # sample ⇒ quadratic at scale; 100× probe aborted) extracted into
+    # operators/similarity.py::knn_label_consistency — graded path
+    # byte-identical; ann_bits is the callable LSH-candidate routing
+    "e3_knn_label_consistency",
 )
 
 
@@ -11490,67 +11495,15 @@ def t42_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "final consistency is one IEEE division, 6-dp floored.",
 )
 def e3_knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import _nonzero_norm, cosine_similarity
+    from ..operators.similarity import knn_label_consistency
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
-    nz = emb.filter(_nonzero_norm(F.col("embedding")))
-    # The broadcast crossJoin multiplies each probe row by the whole
-    # neighbor set (~n x n cosine evaluations); spread the probe side
-    # across the cluster first or the entire pairwise compute inherits the
-    # scan's partitioning (a bench-scale embeddings file is ONE partition).
-    # Same fan-out discipline as m25's replicate fan-out.
-    q = nz.select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qvec"),
-        F.col("label").alias("qlabel"),
-    ).repartition(spark.sparkContext.defaultParallelism)
-    n = nz.select(
-        F.col("vec_id").alias("nid"),
-        F.col("embedding").alias("nvec"),
-        F.col("label").alias("nlabel"),
-    )
-    crossed = (
-        q.crossJoin(F.broadcast(n))
-        .filter(F.col("qid") != F.col("nid"))
-        .select(
-            "qid",
-            "qlabel",
-            "nid",
-            "nlabel",
-            F.floor(
-                cosine_similarity(F.col("qvec"), F.col("nvec")) * 1000000
-            ).cast("long").alias("cq"),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cq").desc(), F.col("nid").asc())
-    per_vec = (
-        crossed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .groupBy("qid", "qlabel")
-        .agg(
-            F.sum(
-                F.when(F.col("qlabel") == F.col("nlabel"), 1).otherwise(0)
-            ).alias("n_same")
-        )
-    )
-    return (
-        per_vec.groupBy(F.col("qlabel").alias("label"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_vecs"),
-            F.sum("n_same").cast("long").alias("n_same_neighbors"),
-        )
-        .select(
-            "label",
-            "n_vecs",
-            "n_same_neighbors",
-            q6(
-                F.col("n_same_neighbors") * F.lit(1.0)
-                / (F.lit(5.0) * F.col("n_vecs"))
-            ).alias("consistency"),
-        )
-        .orderBy("label")
-    )
-
+    # ann_bits=None: the graded audit is the EXACT all-pairs search on the
+    # vec_id%5 sample (the oracle needs the same pairs). Because the sample
+    # is PROPORTIONAL, the exact path is quadratic at scale (the round-5
+    # 100x probe aborted it); the operator's ann_bits parameter is the
+    # callable LSH-candidate routing for that regime.
+    return knn_label_consistency(emb, k=5, ann_bits=None)
 
 @register(
     "e4_fisher_separation",
