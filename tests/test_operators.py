@@ -1083,3 +1083,34 @@ def test_knn_label_consistency_ann_routing(spark, sf_small):
 
     with _pytest.raises(ValueError, match="dim"):
         knn_label_consistency(emb, ann_bits=4)
+
+
+def test_knn_label_consistency_dedup_first_contract(spark, sf_small):
+    """exact_dedup_first: no-op on a duplicate-free corpus; on a corpus of
+    verbatim (vector, label) copies the collapsed audit equals the audit on
+    the min-id representative set; identical vectors with CONFLICTING
+    labels survive the collapse and keep flagging each other."""
+    from youbike_etl_pipeline_spark.operators.similarity import knn_label_consistency
+
+    emb = spark.read.parquet(f"{sf_small}/embeddings.parquet").limit(200)
+    plain = {r["label"]: r.asDict() for r in knn_label_consistency(emb, k=5).collect()}
+    noop = {
+        r["label"]: r.asDict()
+        for r in knn_label_consistency(emb, k=5, exact_dedup_first=True).collect()
+    }
+    assert noop == plain
+    copies = emb.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    heavy = emb.unionByName(copies)
+    collapsed = {
+        r["label"]: r.asDict()
+        for r in knn_label_consistency(heavy, k=5, exact_dedup_first=True).collect()
+    }
+    assert collapsed == plain
+    # conflicting-label duplicates survive: same vector, flipped label
+    flipped = copies.withColumn("label", F.col("label") + 1000)
+    conflict = emb.unionByName(flipped)
+    audited = {
+        r["label"]: r.asDict()
+        for r in knn_label_consistency(conflict, k=5, exact_dedup_first=True).collect()
+    }
+    assert any(lbl >= 1000 for lbl in audited)  # flipped copies still audited

@@ -159,6 +159,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # operators/similarity.py::knn_label_consistency — graded path
     # byte-identical; ann_bits is the callable LSH-candidate routing
     "e3_knn_label_consistency",
+    # round-5 probe find #3: f20's pooled-grid lookup mixed both sides'
+    # columns in its join condition → BroadcastNestedLoopJoin (O(n²)
+    # predicate evaluations; the 100× probe never finished). n_g now
+    # attaches as a broadcast scalar so the lookup is an integer equi-join.
+    "f20_quantile_normalization",
 )
 
 
@@ -11994,16 +11999,27 @@ def f20_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p"),
     )
     w_g = Window.orderBy("score", "doc_id")
-    glob = ds.select(
-        "score",
-        F.row_number().over(w_g).alias("rn_g"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_g"),
+    glob = ds.select("score", F.row_number().over(w_g).alias("rn_g"))
+    # n_g attached as a broadcast 1-row scalar so the grid position is
+    # computable ON THE POS SIDE — the join below is then a plain integer
+    # equi-join. The original formulation kept n_g as a glob-side window
+    # count inside the join condition, which mixes both sides' columns:
+    # Catalyst cannot extract equi-keys from that and falls back to
+    # BroadcastNestedLoopJoin — O(|pos|·|glob|) predicate evaluations,
+    # the round-5 100× probe's third find (it never finished; the
+    # equi-join version is linear).
+    n_g_row = ds.agg(F.count(F.lit(1)).alias("n_g"))
+    mapped = (
+        pos.crossJoin(F.broadcast(n_g_row))
+        .select(
+            "source",
+            (F.floor(F.col("p") * (F.col("n_g") - 1) / F.lit(10000.0)) + 1).alias(
+                "rn_key"
+            ),
+        )
+        .join(glob, F.col("rn_key") == F.col("rn_g"))
+        .select("source", F.col("score").alias("qnorm"))
     )
-    mapped = pos.join(
-        glob,
-        glob["rn_g"]
-        == (F.floor(pos["p"] * (glob["n_g"] - 1) / F.lit(10000.0)) + 1),
-    ).select("source", F.col("score").alias("qnorm"))
     return (
         mapped.groupBy("source")
         .agg(
