@@ -164,6 +164,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # predicate evaluations; the 100× probe never finished). n_g now
     # attaches as a broadcast scalar so the lookup is an integer equi-join.
     "f20_quantile_normalization",
+    # round-5 probe find #4: m28's tau-b tie-correction product overflowed
+    # long past ~2.1e9 pair rows (ARITHMETIC_OVERFLOW at the 100× probe);
+    # each factor now casts to double before the multiply, on both engines.
+    "m28_kendall_tau",
 )
 
 
@@ -13280,9 +13284,9 @@ def g5_partition_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_users,
            conc, disc,
            FLOOR((conc - disc)
-             / SQRT(CAST((n0 - tie_x) * (n0 - tie_y) AS DOUBLE))
+             / SQRT(CAST(n0 - tie_x AS DOUBLE) * CAST(n0 - tie_y AS DOUBLE))
              * 1000000) / 1000000.0 AS tau_b
-    FROM s WHERE (n0 - tie_x) * (n0 - tie_y) > 0
+    FROM s WHERE n0 - tie_x > 0 AND n0 - tie_y > 0
     """,
     survey_rows="ext:rank statistics (Kendall tau-b; completes the rank "
     "family with m15 Mann-Whitney, m16 Spearman, m21 Kruskal-Wallis); M13",
@@ -13323,11 +13327,22 @@ def m28_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("cy") == 0, 1).otherwise(0)).cast("long").alias("tie_y"),
     )
     n_users = u.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-    denom = (F.col("n0") - F.col("tie_x")) * (F.col("n0") - F.col("tie_y"))
-    tau = (F.col("conc") - F.col("disc")) / F.sqrt(denom.cast("double"))
+    # each tie-corrected factor casts to DOUBLE BEFORE the multiply: n0 is
+    # ~n_users²/2, so the long product overflows past ~2.1e9 pair rows (the
+    # round-5 100× probe aborted here with ARITHMETIC_OVERFLOW — at 150k
+    # users the product is ~1.2e20 > long max). double*double then sqrt is
+    # the identical IEEE sequence on both engines; the positivity filter
+    # tests each non-negative factor separately for the same reason.
+    denom = (F.col("n0") - F.col("tie_x")).cast("double") * (
+        F.col("n0") - F.col("tie_y")
+    ).cast("double")
+    tau = (F.col("conc") - F.col("disc")) / F.sqrt(denom)
     return (
         s.crossJoin(F.broadcast(n_users))
-        .filter(denom > 0)
+        .filter(
+            ((F.col("n0") - F.col("tie_x")) > 0)
+            & ((F.col("n0") - F.col("tie_y")) > 0)
+        )
         .select("n_users", "conc", "disc", q6(tau).alias("tau_b"))
     )
 
