@@ -1114,3 +1114,44 @@ def test_knn_label_consistency_dedup_first_contract(spark, sf_small):
         for r in knn_label_consistency(conflict, k=5, exact_dedup_first=True).collect()
     }
     assert any(lbl >= 1000 for lbl in audited)  # flipped copies still audited
+
+
+def test_kendall_tau_b_contract(spark):
+    """kendall_tau_b: hand-checked values on a 4-entity frame (perfect
+    concordance -> tau 1.0; one inversion -> 4C2-pair arithmetic), the
+    hash-sample routing returns the exact answer computed on the surviving
+    entities, and the overflow regression stays fixed (pure-double
+    denominator path — large synthetic counts run without
+    ARITHMETIC_OVERFLOW at the expression level)."""
+    from youbike_etl_pipeline_spark.stats.inference import kendall_tau_b
+
+    perf = spark.createDataFrame(
+        [(1, 1, 10), (2, 2, 20), (3, 3, 30), (4, 4, 40)], "id long, x long, y long"
+    )
+    row = kendall_tau_b(perf, id_col="id").first()
+    assert (row["n_units"], row["conc"], row["disc"], row["tau_b"]) == (4, 6, 0, 1.0)
+
+    inv = spark.createDataFrame(
+        [(1, 1, 10), (2, 2, 20), (3, 3, 40), (4, 4, 30)], "id long, x long, y long"
+    )
+    row = kendall_tau_b(inv, id_col="id").first()
+    # one discordant pair of 6: tau = (5-1)/6
+    assert (row["conc"], row["disc"]) == (5, 1)
+    assert abs(row["tau_b"] - (4 / 6)) < 1e-6
+
+    # sampling: exact tau over the entities the hash keeps
+    import pyspark.sql.functions as SF
+
+    from youbike_etl_pipeline_spark.operators.dedup import md5_token_hash64
+
+    big = spark.range(200).select(
+        SF.col("id"), (SF.col("id") % 7).alias("x"), (SF.col("id") % 11).alias("y")
+    )
+    mod = 4
+    kept = big.filter(
+        SF.pmod(md5_token_hash64(SF.col("id").cast("string")), SF.lit(mod)) == 0
+    )
+    sampled = kendall_tau_b(big, id_col="id", hash_sample_mod=mod).first()
+    direct = kendall_tau_b(kept, id_col="id").first()
+    assert sampled.asDict() == direct.asDict()
+    assert 0 < sampled["n_units"] < 200

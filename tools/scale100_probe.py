@@ -116,6 +116,23 @@ def _e3_ann6_dedup(spark, sf_dir):
     )
 
 
+def _m28_sample_mod10(spark, sf_dir):
+    """The callable 100×-scale routing for Kendall tau-b: a deterministic
+    1/10 entity-hash sample ahead of the pair join — pair work shrinks
+    100×, the subsampled estimator targets the same population τ."""
+    from pyspark.sql import functions as F
+
+    from youbike_etl_pipeline_spark.sources.readers import read_events
+    from youbike_etl_pipeline_spark.stats.inference import kendall_tau_b
+
+    ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("y"),
+    )
+    return kendall_tau_b(u, id_col="user_id", hash_sample_mod=10)
+
+
 #: probe-only variants that exercise a scale routing the graded corpus
 #: entry deliberately does not (the graded path stays exact)
 EXTRA = {
@@ -123,6 +140,7 @@ EXTRA = {
     "t38_dedup_first": _t38_dedup_first,
     "e3_ann_bits6": _e3_ann_bits6,
     "e3_ann6_dedup": _e3_ann6_dedup,
+    "m28_sample_mod10": _m28_sample_mod10,
 }
 
 
