@@ -1155,3 +1155,42 @@ def test_kendall_tau_b_contract(spark):
     direct = kendall_tau_b(kept, id_col="id").first()
     assert sampled.asDict() == direct.asDict()
     assert 0 < sampled["n_units"] < 200
+
+
+def test_levenshtein_blocked_pairs_exact_first_identity(spark, sf_small):
+    """levenshtein_blocked_pairs' default collapse must be ANSWER-IDENTICAL
+    to the raw within-block pair join on a duplicate-heavy corpus (identical
+    prefixes imply identical distances; intra-group pairs are distance 0),
+    and null-lang / null-text rows must never pair on either path."""
+    from youbike_etl_pipeline_spark.operators.dedup import levenshtein_blocked_pairs
+
+    base = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select("doc_id", "lang", "text")
+        .limit(40)
+    )
+    copies = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    nulls = spark.createDataFrame(
+        [(2_000_001, None, "same text"), (2_000_002, "en", None)],
+        "doc_id long, lang string, text string",
+    )
+    docs = base.unionByName(copies).unionByName(nulls)
+    raw = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in levenshtein_blocked_pairs(docs, exact_dedup_first=False).collect()
+    }
+    composed = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in levenshtein_blocked_pairs(docs, exact_dedup_first=True).collect()
+    }
+    assert composed == raw
+    assert any(a + 1_000_000 == b and d == 0 for (a, b), d in raw.items())
+    assert not any(a >= 2_000_001 or b >= 2_000_001 for (a, b) in raw)
+    # block cap: deterministic subset
+    capped = {
+        (r["id_a"], r["id_b"]): r["edit_dist"]
+        for r in levenshtein_blocked_pairs(docs, max_block_size=5).collect()
+    }
+    assert set(capped) <= set(raw) and capped == {
+        k: raw[k] for k in capped
+    }

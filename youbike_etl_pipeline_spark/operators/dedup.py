@@ -1009,3 +1009,110 @@ def sketch_accuracy_audit(
             ).otherwise(0)
         ).alias("n_missed"),
     )
+
+
+def levenshtein_blocked_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "lang",
+    prefix_len: int = 40,
+    max_dist: int = 12,
+    exact_dedup_first: bool = True,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Fuzzy near-dup pairs by Levenshtein distance over printable-ASCII
+    text prefixes, blocked by ``block_col`` (pairs enumerate within a
+    block, never corpus²). Distance runs on the ASCII projection because
+    Spark counts UTF-16 code units and DuckDB its own unit — combining
+    accents would make the engines disagree on raw text.
+
+    Scale contract: per-block work is occupancy², so both knobs the other
+    pair operators grew this round apply here —
+
+    - ``exact_dedup_first`` (default ON) collapses identical
+      (prefix, block) rows to one representative before pairing and
+      expands the exact answer back (cross-group pairs inherit the rep
+      distance — identical prefixes imply identical Levenshtein;
+      intra-group pairs are distance 0, always within ``max_dist``).
+      Answer-identical by construction; kills the duplicate-mass blow-up
+      (the round-5 100x probe could not finish the raw op's WARM 10x run:
+      ~10 languages x (600k/10)^2 prefix comparisons).
+    - ``max_block_size=N`` keeps each block's first N rows under the
+      deterministic (prefix, id) order before pairing — a bounded-subset
+      audit mode for blocks that stay huge after collapse (a real corpus
+      has millions of docs per language; the production block is a
+      shingle/SimHash bucket instead, per t8's banding).
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("__blk"),
+        F.substring(
+            F.regexp_replace(F.col(text_col), r"[^ -~]", ""), 1, prefix_len
+        ).alias("__prefix"),
+    )
+    # null block or null text can never pair in the raw op (inner equi-join
+    # on the block; levenshtein(NULL, _) is NULL) — dropping them up front
+    # is answer-identical AND keeps them out of the collapse groups (SQL
+    # GROUP BY would treat NULLs as equal and wrongly pair them at expand)
+    base = base.filter(F.col("__blk").isNotNull() & F.col("__prefix").isNotNull())
+    mapping = None
+    if exact_dedup_first:
+        # grouped on the (prefix, block) PAIR directly — no string-concat
+        # hash key whose separator a crafted prefix could collide with
+        reps = base.groupBy("__prefix", "__blk").agg(
+            F.min(id_col).alias("__rep")
+        )
+        mapping = (
+            base.join(reps, ["__prefix", "__blk"])
+            .select(F.col(id_col).alias("__member"), "__rep")
+            .localCheckpoint(eager=True)
+        )
+        base = base.join(
+            mapping.filter(F.col("__member") == F.col("__rep")).select(
+                F.col("__member").alias(id_col)
+            ),
+            id_col,
+            "left_semi",
+        )
+    if max_block_size is not None:
+        w_blk = Window.partitionBy("__blk").orderBy("__prefix", id_col)
+        base = (
+            base.withColumn("__bn", F.row_number().over(w_blk))
+            .filter(F.col("__bn") <= int(max_block_size))
+            .drop("__bn")
+        )
+    a = base.toDF("id_a", "__blk", "__pa")
+    b = base.toDF("id_b", "__blk", "__pb")
+    rep_pairs = (
+        a.join(b, "__blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("edit_dist", F.levenshtein("__pa", "__pb"))
+        .filter(F.col("edit_dist") <= max_dist)
+        .select("id_a", "id_b", "edit_dist")
+    )
+    if mapping is None:
+        return rep_pairs
+    ma = mapping.select(F.col("__rep").alias("id_a"), F.col("__member").alias("__m_a"))
+    mb = mapping.select(F.col("__rep").alias("id_b"), F.col("__member").alias("__m_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__m_a", "__m_b").alias("id_a"),
+            F.greatest("__m_a", "__m_b").alias("id_b"),
+            "edit_dist",  # symmetric — no side-aware swap needed
+        )
+    )
+    x = mapping.select(F.col("__rep").alias("__r"), F.col("__member").alias("__m_a"))
+    y = mapping.select(F.col("__rep").alias("__r"), F.col("__member").alias("__m_b"))
+    intra = (
+        x.join(y, "__r")
+        .filter(F.col("__m_a") < F.col("__m_b"))
+        .select(
+            F.col("__m_a").alias("id_a"),
+            F.col("__m_b").alias("id_b"),
+            F.lit(0).alias("edit_dist"),  # identical prefixes
+        )
+    )
+    return cross.unionByName(intra)

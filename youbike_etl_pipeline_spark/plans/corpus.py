@@ -168,6 +168,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # long past ~2.1e9 pair rows (ARITHMETIC_OVERFLOW at the 100× probe);
     # each factor now casts to double before the multiply, on both engines.
     "m28_kendall_tau",
+    # round-5 probe find #5: w26's autocorrelation products (ax*ay of
+    # micro-unit daily totals) overflowed long at the 100× probe; the
+    # sufficient statistics now accumulate in DECIMAL(38,0) / HUGEINT.
+    "w26_dominant_period",
 )
 
 
@@ -3320,19 +3324,20 @@ def w10_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "caught by the fresh-seed reseed probe, not the pinned seeds.",
 )
 def t9_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        F.substring(F.regexp_replace("text", r"[^ -~]", ""), 1, 40).alias("prefix"),
+    from ..operators.dedup import levenshtein_blocked_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    # exact_dedup_first (operator default ON) collapses identical
+    # (prefix, lang) rows before the within-block pair join and expands the
+    # exact answer back — answer-identical (identical prefixes => identical
+    # Levenshtein; intra-group pairs are distance 0), and the only reason
+    # the duplicate-heavy 100x blow-up finishes (raw per-language blocks
+    # pay occupancy^2 in 40-char Levenshtein calls).
+    return levenshtein_blocked_pairs(
+        docs, text_col="text", id_col="doc_id", block_col="lang",
+        prefix_len=40, max_dist=12,
     )
-    a = docs.toDF("id_a", "lang", "prefix_a")
-    b = docs.toDF("id_b", "lang", "prefix_b")
-    pairs = a.join(b, "lang").filter(F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.withColumn("edit_dist", F.levenshtein("prefix_a", "prefix_b"))
-        .filter(F.col("edit_dist") <= 12)
-        .select("id_a", "id_b", "edit_dist")
-    )
+
 
 
 # ===========================================================================
@@ -14887,12 +14892,12 @@ def t47_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks AS (SELECT unnest(generate_series(1, 10)) AS k),
     lagged AS (
       SELECT x.event_type, ks.k,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x.a) AS BIGINT) AS sx,
-             CAST(SUM(y.a) AS BIGINT) AS sy,
-             CAST(SUM(x.a * y.a) AS BIGINT) AS sxy,
-             CAST(SUM(x.a * x.a) AS BIGINT) AS sxx,
-             CAST(SUM(y.a * y.a) AS BIGINT) AS syy
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(CAST(x.a AS HUGEINT)) AS HUGEINT) AS sx,
+             CAST(SUM(CAST(y.a AS HUGEINT)) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x.a AS HUGEINT) * CAST(y.a AS HUGEINT)) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x.a AS HUGEINT) * CAST(x.a AS HUGEINT)) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y.a AS HUGEINT) * CAST(y.a AS HUGEINT)) AS HUGEINT) AS syy
       FROM d x
       JOIN ks ON TRUE
       JOIN d y ON y.event_type = x.event_type AND y.dy = x.dy + CAST(ks.k AS INTEGER)
@@ -14900,7 +14905,7 @@ def t47_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     r AS (
       SELECT event_type, k, n,
-             CAST(FLOOR((n * sxy - sx * sy)
+             CAST(FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
                / SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
                       * CAST(n * syy - sy * sy AS DOUBLE))
                * 1000000) AS BIGINT) AS r_q
@@ -14945,6 +14950,14 @@ def w26_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = spark.range(1, 11).select(F.col("id").cast("int").alias("k"))
     x = d.toDF("event_type", "dy", "ax").crossJoin(F.broadcast(ks))
     y = d.toDF("event_type", "dy2", "ay")
+    # sufficient statistics in DECIMAL(38,0): the daily micro-unit totals
+    # grow with the data, so ax*ay products overflow int64 past ~3e9
+    # micro-units (the round-5 100× probe aborted here with
+    # ARITHMETIC_OVERFLOW). DECIMAL keeps every statistic exact (~1e38
+    # headroom); the oracle mirrors with HUGEINT, and both engines convert
+    # the same exact integers to nearest-double only at the final
+    # correlation step.
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
     lagged = (
         x.join(
             y,
@@ -14954,12 +14967,12 @@ def w26_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop(y.event_type)
         .groupBy("event_type", "k")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("ax").cast("long").alias("sx"),
-            F.sum("ay").cast("long").alias("sy"),
-            F.sum(F.col("ax") * F.col("ay")).cast("long").alias("sxy"),
-            F.sum(F.col("ax") * F.col("ax")).cast("long").alias("sxx"),
-            F.sum(F.col("ay") * F.col("ay")).cast("long").alias("syy"),
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+            F.sum(dec("ax")).alias("sx"),
+            F.sum(dec("ay")).alias("sy"),
+            F.sum(dec("ax") * dec("ay")).alias("sxy"),
+            F.sum(dec("ax") * dec("ax")).alias("sxx"),
+            F.sum(dec("ay") * dec("ay")).alias("syy"),
         )
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
@@ -14970,7 +14983,11 @@ def w26_dominant_period(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "k",
-            F.floor((n * sxy - sx * sy) / F.sqrt(vx * 1.0 * vy) * 1000000)
+            F.floor(
+                (n * sxy - sx * sy).cast("double")
+                / F.sqrt(vx.cast("double") * vy.cast("double"))
+                * 1000000
+            )
             .cast("long")
             .alias("r_q"),
         )
