@@ -1194,3 +1194,127 @@ def test_levenshtein_blocked_pairs_exact_first_identity(spark, sf_small):
     assert set(capped) <= set(raw) and capped == {
         k: raw[k] for k in capped
     }
+
+
+def test_simhash_pairs_exact_first_identity(spark, sf_small):
+    """simhash_pairs' collapse must be ANSWER-IDENTICAL to the raw banded
+    join on a duplicate-heavy corpus: identical text ⇒ identical signature,
+    so cross-group pairs inherit the rep hamming and intra-group pairs are
+    hamming 0. Empty-token docs never pair on either path (no signature row
+    ⇒ no banding entry ⇒ no intra-group expansion)."""
+    from youbike_etl_pipeline_spark.operators.dedup import (
+        md5_token_hash64,
+        simhash_pairs,
+    )
+
+    base = (
+        spark.read.parquet(f"{sf_small}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    copies = base.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    empties = spark.createDataFrame(
+        [(2_000_001, "   "), (2_000_002, "   ")], "doc_id long, text string"
+    )
+    docs = base.unionByName(copies).unionByName(empties)
+    kw = dict(max_hamming=12, hash_fn=md5_token_hash64)
+    raw = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, exact_dedup_first=False, **kw).collect()
+    }
+    composed = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_pairs(docs, exact_dedup_first=True, **kw).collect()
+    }
+    assert composed == raw
+    # each original pairs with its verbatim copy at hamming 0
+    assert any(a + 1_000_000 == b and h == 0 for (a, b), h in raw.items())
+    # whitespace-only docs (zero tokens) never pair, not even with each other
+    assert not any(a >= 2_000_001 or b >= 2_000_001 for (a, b) in raw)
+
+
+def test_asof_join_bucketed_identity(spark, sf_small):
+    """asof_join's bucket_seconds routing must be ANSWER-IDENTICAL to the
+    single-window path: the local carry within (key, bucket) plus the
+    bucket-boundary carry-in reconstructs exactly the global
+    last-non-null-right-value-at-or-before-each-left-row. Probed because
+    the unbucketed path's parallelism equals the key count (the 4-key j7
+    measured 17.3x at the 100x sweep)."""
+    from youbike_etl_pipeline_spark.operators.joins import asof_join
+
+    ev = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .withColumn("grp", F.col("user_id") % 4)
+        .select("grp", F.col("ts").cast("timestamp").alias("ts"), "event_id", "value")
+    )
+    # tie-free right side: one checkpoint per (grp, ts) so both paths'
+    # tie-resolution classes never fire and equality is exact
+    cps = (
+        ev.filter((F.col("event_id") % 50 == 0) & F.col("value").isNotNull())
+        .groupBy("grp", F.col("ts").alias("cp_ts"))
+        .agg(F.max("value").alias("cp_value"))
+    )
+    left = ev.select("grp", "ts", "event_id", "value")
+    base = {
+        (r["grp"], r["event_id"]): r["cp_value"]
+        for r in asof_join(
+            left, cps, on="grp", left_ts="ts", right_ts="cp_ts",
+            right_values=["cp_value"],
+        ).collect()
+    }
+    assert any(v is not None for v in base.values())
+    assert any(v is None for v in base.values())  # rows before first cp
+    for bucket in (3600.0, 86400.0, 10**12):  # hour, day, single-bucket
+        got = {
+            (r["grp"], r["event_id"]): r["cp_value"]
+            for r in asof_join(
+                left, cps, on="grp", left_ts="ts", right_ts="cp_ts",
+                right_values=["cp_value"], bucket_seconds=bucket,
+            ).collect()
+        }
+        assert got == base, f"bucket_seconds={bucket}"
+
+
+def test_bucketed_row_number_identity(spark, sf_small):
+    """bucketed_row_number must equal the single-window row_number for any
+    bucket width (local rank + exclusive bucket prefix-count), including
+    widths that put everything in one bucket or one row per bucket."""
+    from pyspark.sql import Window
+
+    from youbike_etl_pipeline_spark.operators.windows import bucketed_row_number
+
+    ev = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .select("event_type", "event_id", "value")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("event_id").asc())
+    base = {
+        (r["event_type"], r["event_id"]): r["rn"]
+        for r in ev.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    for width in (1, 97, 10_000, 10**15):
+        got = {
+            (r["event_type"], r["event_id"]): r["rn"]
+            for r in bucketed_row_number(
+                ev, ["event_type"], "event_id", bucket_width=width
+            ).collect()
+        }
+        assert got == base, f"bucket_width={width}"
+    # tie-broken ordering: value has heavy ties, event_id resolves them;
+    # ties share a bucket (bucket is a function of value), so the two-level
+    # rank still equals the single window
+    ev_v = ev.filter(F.col("value").isNotNull())
+    w_v = Window.partitionBy("event_type").orderBy(
+        F.col("value").asc(), F.col("event_id").asc()
+    )
+    base_v = {
+        (r["event_type"], r["event_id"]): r["rn"]
+        for r in ev_v.withColumn("rn", F.row_number().over(w_v)).collect()
+    }
+    got_v = {
+        (r["event_type"], r["event_id"]): r["rn"]
+        for r in bucketed_row_number(
+            ev_v, ["event_type"], "value", bucket_width=10.0, tiebreak=["event_id"]
+        ).collect()
+    }
+    assert got_v == base_v

@@ -133,6 +133,151 @@ def _m28_sample_mod10(spark, sf_dir):
     return kendall_tau_b(u, id_col="user_id", hash_sample_mod=10)
 
 
+def _j7_bucketed_day(spark, sf_dir):
+    """The callable low-cardinality-key routing for the as-of join: j7's
+    exact query with bucket_seconds=86400, so each of the 4 demo keys sorts
+    per-day sub-partitions in parallel instead of one 2.5M-row partition
+    per key (the full sweep measured the unbucketed j7 at 17.3× at 100×).
+    Answer-identical for non-null timestamps (contract-tested)."""
+    from pyspark.sql import functions as F
+
+    from youbike_etl_pipeline_spark.operators import aggregations as agg
+    from youbike_etl_pipeline_spark.operators import joins as oj
+    from youbike_etl_pipeline_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).withColumn("grp", F.col("user_id") % 4)
+    cps = ev.filter((F.col("event_id") % 50 == 0) & F.col("value").isNotNull()).select(
+        "grp", F.col("ts").alias("cp_ts"), F.col("value").alias("cp_value")
+    )
+    joined = oj.asof_join(
+        ev.select("grp", "ts", "event_id", "value"),
+        cps,
+        on="grp",
+        left_ts="ts",
+        right_ts="cp_ts",
+        right_values=["cp_value"],
+        bucket_seconds=86400.0,
+    )
+    return joined.groupBy("grp").agg(
+        F.count("cp_value").alias("n_matched"),
+        agg.decimal_avg_q4(F.col("value") - F.col("cp_value")).alias("mean_delta"),
+    )
+
+
+def _w11_bucketed(spark, sf_dir):
+    """The callable low-cardinality-stratum routing for the systematic
+    sample: w11's exact query with windows.bucketed_row_number (local rank
+    per (event_type, event_id-range) + prefix-count offsets) instead of one
+    row_number window per stratum — answer-identical (contract-tested),
+    parallelism strata × buckets instead of strata."""
+    from pyspark.sql import functions as F
+
+    from youbike_etl_pipeline_spark.operators import aggregations as agg
+    from youbike_etl_pipeline_spark.operators.windows import bucketed_row_number
+    from youbike_etl_pipeline_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir)
+    ranked = bucketed_row_number(ev, ["event_type"], "event_id", bucket_width=1_000_000)
+    return (
+        ranked.filter(F.col("rn") % 10 == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), agg.decimal_sum("value").alias("sum_value"))
+    )
+
+
+def _e6_sample_mod4(spark, sf_dir):
+    """The callable routing for the JL distortion audit: e6's exact query
+    with hash_sample_mod=4 — a deterministic 1/4 id sample on BOTH sides of
+    the pair cross, so pair work shrinks 16× while the distortion envelope
+    still measures the same projection family (the full sweep measured the
+    exact proportional sample at 25×/93 s at 100×)."""
+    from youbike_etl_pipeline_spark.operators.similarity import jl_projection_audit
+    from youbike_etl_pipeline_spark.sources.readers import read_parquet_table
+
+    emb = read_parquet_table(spark, sf_dir, "embeddings")
+    return jl_projection_audit(emb, hash_sample_mod=4)
+
+
+def _m27_bucketed(spark, sf_dir):
+    """The low-cardinality-stratum routing for the two-sample Q-Q table:
+    m27's exact query with bucketed_row_number(tiebreak) — its 2-value grp
+    partitioner caps BOTH the rank window and the count-over-window at two
+    single-threaded partitions (12.4× at the clean 100× re-probe); the
+    routed variant ranks per (grp, value-range) and attaches counts from a
+    2-row broadcast frame. Answer-identical: same total order, same
+    order-statistic picks."""
+    from pyspark.sql import functions as F
+
+    from youbike_etl_pipeline_spark.operators.windows import bucketed_row_number
+    from youbike_etl_pipeline_spark.plans.corpus import q6
+    from youbike_etl_pipeline_spark.sources.readers import read_events
+
+    ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    v = ev.select("value", (F.col("user_id") % 2).alias("grp"), "event_id")
+    ranked = bucketed_row_number(
+        v, ["grp"], "value", bucket_width=10.0, tiebreak=["event_id"]
+    )
+    ns = v.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+    ranked = ranked.join(F.broadcast(ns), "grp")
+    deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("q"))
+    pick = ranked.join(
+        F.broadcast(deciles),
+        ranked["rn"] == (F.floor(deciles["q"] * (ranked["n"] - 1) / F.lit(10.0)) + 1),
+    ).select("q", "grp", "value")
+    g0 = F.max(F.when(F.col("grp") == 0, F.col("value")))
+    g1 = F.max(F.when(F.col("grp") == 1, F.col("value")))
+    return (
+        pick.groupBy("q")
+        .agg(q6(g0).alias("q_grp0"), q6(g1).alias("q_grp1"), q6(g1 - g0).alias("qq_gap"))
+        .orderBy("q")
+    )
+
+
+def _a22_bucketed(spark, sf_dir):
+    """The low-cardinality-stratum routing for the equi-depth histogram:
+    a22's ntile(4) derived arithmetically from bucketed_row_number + the
+    stratum count (ntile(n): first N%n buckets take N/n+1 rows) instead of
+    one window per event_type (11.5× at the clean 100× re-probe).
+    Answer-identical by the ntile definition."""
+    from pyspark.sql import functions as F
+
+    from youbike_etl_pipeline_spark.operators import aggregations as agg
+    from youbike_etl_pipeline_spark.operators.windows import bucketed_row_number
+    from youbike_etl_pipeline_spark.plans.corpus import q6
+    from youbike_etl_pipeline_spark.sources.readers import read_events
+
+    n_tiles = 4
+    ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
+    ranked = bucketed_row_number(
+        ev.select("event_type", "value", "event_id"),
+        ["event_type"],
+        "value",
+        bucket_width=10.0,
+        tiebreak=["event_id"],
+    )
+    ns = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("__N"))
+    ranked = ranked.join(F.broadcast(ns), "event_type")
+    b = ((F.col("__N") - F.pmod(F.col("__N"), n_tiles)) / n_tiles).cast("long")  # N div n
+    extra = F.pmod(F.col("__N"), n_tiles)
+    cutoff = extra * (b + 1)
+    tile = F.when(
+        F.col("rn") <= cutoff, F.floor((F.col("rn") - 1) / (b + 1)) + 1
+    ).otherwise(extra + F.floor((F.col("rn") - 1 - cutoff) / b) + 1)
+    tiled = ranked.select(
+        "event_type", "value", tile.cast("int").alias("bucket")
+    )
+    return (
+        tiled.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            q6(F.min("value")).alias("lo"),
+            q6(F.max("value")).alias("hi"),
+            agg.decimal_sum(F.col("value")).alias("bucket_sum"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
 #: probe-only variants that exercise a scale routing the graded corpus
 #: entry deliberately does not (the graded path stays exact)
 EXTRA = {
@@ -141,6 +286,11 @@ EXTRA = {
     "e3_ann_bits6": _e3_ann_bits6,
     "e3_ann6_dedup": _e3_ann6_dedup,
     "m28_sample_mod10": _m28_sample_mod10,
+    "j7_bucketed_day": _j7_bucketed_day,
+    "w11_bucketed": _w11_bucketed,
+    "e6_sample_mod4": _e6_sample_mod4,
+    "m27_bucketed": _m27_bucketed,
+    "a22_bucketed": _a22_bucketed,
 }
 
 

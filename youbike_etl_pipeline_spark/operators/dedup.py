@@ -711,12 +711,27 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     hash_fn=None,
+    exact_dedup_first: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
     Candidate generation by 16-bit chunk banding (pigeonhole: distance ≤ 3
     ⇒ at least one of 4 chunks identical), then exact popcount verify via
-    ``bit_count(a XOR b)``."""
+    ``bit_count(a XOR b)``.
+
+    ``exact_dedup_first`` (default ON) is the family's duplicate-mass
+    routing: verbatim copies share all four chunks, so every duplicate
+    cluster pays occupancy² in EVERY band — the full-corpus 100× probe
+    timed the raw op out (>360 s) where the collapsed run finishes linear.
+    Identical text ⇒ identical token multiset ⇒ identical signature, so
+    expanding representative pairs back (cross-group pairs inherit the rep
+    hamming; intra-group pairs are hamming 0, emitted only when the rep
+    actually produced a signature — empty-token docs never pair, matching
+    the raw op) is answer-identical by construction.
+    """
+    mapping = None
+    if exact_dedup_first:
+        df, mapping = _exact_collapse(df, text_col, id_col)
     sh = simhash_signature(df, text_col, id_col, hash_fn=hash_fn)
     chunks = sh.select(
         id_col,
@@ -734,9 +749,41 @@ def simhash_pairs(
         .distinct()
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return cands.withColumn("hamming", ham).filter(F.col("hamming") <= max_hamming).select(
-        "id_a", "id_b", "hamming"
+    rep_pairs = (
+        cands.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
     )
+    if mapping is None:
+        return rep_pairs
+    ma = mapping.select(F.col("__rep").alias("id_a"), F.col("__member").alias("__m_a"))
+    mb = mapping.select(F.col("__rep").alias("id_b"), F.col("__member").alias("__m_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__m_a", "__m_b").alias("id_a"),
+            F.greatest("__m_a", "__m_b").alias("id_b"),
+            "hamming",  # symmetric — no side-aware swap needed
+        )
+    )
+    # intra-group pairs exist only when the rep produced a signature row
+    # (a doc whose text yields zero tokens never enters the banding, so
+    # its verbatim copies never pair in the raw op either)
+    sig_reps = sh.select(F.col(id_col).alias("__r"))
+    x = mapping.select(F.col("__rep").alias("__r"), F.col("__member").alias("__m_a"))
+    y = mapping.select(F.col("__rep").alias("__r"), F.col("__member").alias("__m_b"))
+    intra = (
+        x.join(y, "__r")
+        .filter(F.col("__m_a") < F.col("__m_b"))
+        .join(sig_reps, "__r", "left_semi")
+        .select(
+            F.col("__m_a").alias("id_a"),
+            F.col("__m_b").alias("id_b"),
+            F.lit(0).cast("int").alias("hamming"),  # identical signatures
+        )
+    )
+    return cross.unionByName(intra)
 
 
 #: edge count below which the component computation runs as driver-side

@@ -163,3 +163,57 @@ def hour_bucket(ts: Column) -> Column:
     """Hour flooring (W4) — ``date_trunc('hour', ts)``
     (reference ``dt.floor('h')``, ``notebooks/03_data_merge.ipynb:L79``)."""
     return F.date_trunc("hour", ts)
+
+
+def bucketed_row_number(
+    df: DataFrame,
+    part_cols: list[str],
+    order_col: str,
+    bucket_width: float,
+    out_col: str = "rn",
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Two-level ``row_number()`` for LOW-CARDINALITY partition keys — the
+    rank twin of ``asof_join(bucket_seconds=...)``.
+
+    ``row_number().over(partitionBy(strata).orderBy(order))`` caps window
+    parallelism at the stratum count: a 5-value ``event_type`` stratifier
+    leaves 31 of 32 cores idle and single-threadedly sorts (then spills)
+    each stratum's whole partition — the full-corpus 100× sweep measured
+    the w11 systematic sample at 12.1× for exactly this reason.
+
+    Decomposition: rows sub-bucket by ``floor(order_col / bucket_width)``
+    (monotone in the order, so bucket boundaries respect it; ties of the
+    primary key stay within one bucket, where ``tiebreak`` columns resolve
+    them), each (stratum, bucket) computes a LOCAL row_number in parallel,
+    and a (strata × buckets)-sized count frame turns exclusive prefix sums
+    into per-bucket offsets. global rn = local rn + offset — identical to
+    the single-window ``row_number().over(partitionBy(strata).orderBy(
+    order_col, *tiebreak))`` whenever that ordering is total (unique
+    ``order_col``, or a unique tiebreak).
+
+    ``order_col`` must be numeric and non-null. One extra small shuffle
+    (the count frame) buys parallelism = strata × buckets.
+    """
+    bkt = F.floor(F.col(order_col) / F.lit(float(bucket_width))).cast("long")
+    tagged = df.withColumn("__bkt", bkt)
+    w_loc = Window.partitionBy(*part_cols, "__bkt").orderBy(
+        F.col(order_col).asc(), *[F.col(c).asc() for c in (tiebreak or [])]
+    )
+    counts = tagged.groupBy(*part_cols, "__bkt").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.partitionBy(*part_cols)
+        .orderBy("__bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *part_cols,
+        "__bkt",
+        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).cast("long").alias("__off"),
+    )
+    return (
+        tagged.withColumn("__lrn", F.row_number().over(w_loc))
+        .join(offsets, [*part_cols, "__bkt"])
+        .withColumn(out_col, (F.col("__lrn") + F.col("__off")).cast("int"))
+        .drop("__bkt", "__lrn", "__off")
+    )

@@ -172,6 +172,20 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # micro-unit daily totals) overflowed long at the 100× probe; the
     # sufficient statistics now accumulate in DECIMAL(38,0) / HUGEINT.
     "w26_dominant_period",
+    # round-5 probe find #6: t9's raw language-blocked pair join could not
+    # finish even its 10× warm run on verbatim-copy data; the query now
+    # routes through dedup.py::levenshtein_blocked_pairs with the family's
+    # exact_dedup_first collapse (answer-identical, oracle unchanged).
+    "t9_levenshtein_pairs",
+    # round-5 full-sweep find: t8's chunk banding pays occupancy² in every
+    # band on verbatim copies (100× sweep timeout >360 s); simhash_pairs
+    # gained the family's exact_dedup_first collapse/expand (identical
+    # text ⇒ identical signature ⇒ answer-identical; oracle unchanged).
+    "t8_simhash_pairs",
+    # round-5 full-sweep find: e6's proportional pair sample is quadratic
+    # (25× at 100×); extracted into similarity.py::jl_projection_audit —
+    # graded path byte-identical, hash_sample_mod is the callable routing.
+    "e6_jl_projection_audit",
 )
 
 
@@ -12836,45 +12850,12 @@ def _e6_oracle_sql() -> str:
     "corpus). Ratios floor to 6 dp before the decimal mean.",
 )
 def e6_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.arrays import dot_product
-    from ..operators.similarity import _hyperplanes, _query_lit
+    # graded exact path of operators/similarity.py::jl_projection_audit
+    # (the full-corpus 100× sweep measured the proportional pair sample at
+    # 25× — hash_sample_mod is the operator's callable routing)
+    from ..operators.similarity import jl_projection_audit
 
-    planes = _hyperplanes(64, 8, seed=7)
-    emb = _t(spark, sf_dir, "embeddings")
-    a = emb.filter(F.col("vec_id") % 29 == 0).select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
-    )
-    b = emb.filter(F.col("vec_id") % 31 == 0).select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
-    )
-    pairs = a.crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
-    dvec = F.zip_with(
-        F.col("va").cast("array<double>"),
-        F.col("vb").cast("array<double>"),
-        lambda x, y: x - y,
-    )
-    pd = pairs.select("id_a", "id_b", dvec.alias("dvec"))
-    proj_d2 = None
-    for plane in planes:
-        term = dot_product(F.col("dvec"), _query_lit(plane))
-        sq = term * term
-        proj_d2 = sq if proj_d2 is None else proj_d2 + sq
-    ratios = (
-        pd.select(
-            "id_a",
-            "id_b",
-            proj_d2.alias("proj_d2"),
-            dot_product(F.col("dvec"), F.col("dvec")).alias("orig_d2"),
-        )
-        .filter(F.col("orig_d2") > 0)
-        .select(q6(F.col("proj_d2") / F.col("orig_d2")).alias("ratio"))
-    )
-    return ratios.agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        q6(F.min("ratio")).alias("min_ratio"),
-        q6(F.max("ratio")).alias("max_ratio"),
-        q6(agg.decimal_avg(F.col("ratio"))).alias("mean_ratio"),
-    )
+    return jl_projection_audit(_t(spark, sf_dir, "embeddings"))
 
 
 CORPUS["e6_jl_projection_audit"].oracle = _e6_oracle_sql()
