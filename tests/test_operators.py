@@ -1318,3 +1318,34 @@ def test_bucketed_row_number_identity(spark, sf_small):
         ).collect()
     }
     assert got_v == base_v
+
+
+def test_bucketed_ntile_identity(spark, sf_small):
+    """bucketed_ntile must equal ntile(n) over the single per-stratum window
+    for several tile counts, including n that doesn't divide the stratum
+    size (the first N%n tiles take one extra row)."""
+    from pyspark.sql import Window
+
+    from youbike_etl_pipeline_spark.operators.windows import bucketed_ntile
+
+    ev = (
+        spark.read.parquet(f"{sf_small}/events.parquet")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value", "event_id")
+    )
+    for n in (4, 7):
+        w = Window.partitionBy("event_type").orderBy(
+            F.col("value").asc(), F.col("event_id").asc()
+        )
+        base = {
+            (r["event_type"], r["event_id"]): r["bucket"]
+            for r in ev.withColumn("bucket", F.ntile(n).over(w)).collect()
+        }
+        got = {
+            (r["event_type"], r["event_id"]): r["bucket"]
+            for r in bucketed_ntile(
+                ev, ["event_type"], "value", n_tiles=n, bucket_width=10.0,
+                tiebreak=["event_id"],
+            ).collect()
+        }
+        assert got == base, f"n_tiles={n}"

@@ -235,36 +235,25 @@ def _m27_bucketed(spark, sf_dir):
 
 def _a22_bucketed(spark, sf_dir):
     """The low-cardinality-stratum routing for the equi-depth histogram:
-    a22's ntile(4) derived arithmetically from bucketed_row_number + the
-    stratum count (ntile(n): first N%n buckets take N/n+1 rows) instead of
-    one window per event_type (11.5× at the clean 100× re-probe).
-    Answer-identical by the ntile definition."""
+    a22's ntile(4) through windows.bucketed_ntile (two-level rank + the
+    arithmetic ntile definition) instead of one window per event_type
+    (11.5× at the clean 100× re-probe). Answer-identical by construction
+    (operator identity test) and verified equal at sf0.01."""
     from pyspark.sql import functions as F
 
     from youbike_etl_pipeline_spark.operators import aggregations as agg
-    from youbike_etl_pipeline_spark.operators.windows import bucketed_row_number
+    from youbike_etl_pipeline_spark.operators.windows import bucketed_ntile
     from youbike_etl_pipeline_spark.plans.corpus import q6
     from youbike_etl_pipeline_spark.sources.readers import read_events
 
-    n_tiles = 4
     ev = read_events(spark, sf_dir).filter(F.col("value").isNotNull())
-    ranked = bucketed_row_number(
+    tiled = bucketed_ntile(
         ev.select("event_type", "value", "event_id"),
         ["event_type"],
         "value",
+        n_tiles=4,
         bucket_width=10.0,
         tiebreak=["event_id"],
-    )
-    ns = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("__N"))
-    ranked = ranked.join(F.broadcast(ns), "event_type")
-    b = ((F.col("__N") - F.pmod(F.col("__N"), n_tiles)) / n_tiles).cast("long")  # N div n
-    extra = F.pmod(F.col("__N"), n_tiles)
-    cutoff = extra * (b + 1)
-    tile = F.when(
-        F.col("rn") <= cutoff, F.floor((F.col("rn") - 1) / (b + 1)) + 1
-    ).otherwise(extra + F.floor((F.col("rn") - 1 - cutoff) / b) + 1)
-    tiled = ranked.select(
-        "event_type", "value", tile.cast("int").alias("bucket")
     )
     return (
         tiled.groupBy("event_type", "bucket")
