@@ -186,6 +186,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # (25× at 100×); extracted into similarity.py::jl_projection_audit —
     # graded path byte-identical, hash_sample_mod is the callable routing.
     "e6_jl_projection_audit",
+    # round-5 oracle-cost fix: s10's cand/sims CTEs are now MATERIALIZED —
+    # DuckDB inlines plain CTEs, so each unrolled greedy step re-ran the
+    # full embedding unnest (33 s → 0.2 s at sf0.01; same rows, Spark fn
+    # untouched). Re-graded because the oracle text changed.
+    "s10_mmr_diversified_topk",
 )
 
 
@@ -13809,9 +13814,13 @@ def _s10_oracle_sql(k: int = 5, n_cand: int = 20) -> str:
     cum{t} AS (SELECT vec_id FROM cum{t - 1}
                UNION ALL SELECT vec_id FROM sel{t})""")
     union = " UNION ALL ".join(f"SELECT * FROM sel{t}" for t in range(1, k + 1))
+    # cand/sims are MATERIALIZED: sel1..selk reference them 2-3 times each
+    # and DuckDB inlines plain CTEs, re-running the full embedding unnest
+    # per greedy step (measured 33 s -> materialized ~1 s at sf0.01; same
+    # rows, so the Spark parity is untouched)
     return f"""
     WITH {_EMB_DOTS},
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT vec_id,
              CAST(FLOOR(dot / (SQRT(aa) * SQRT(qq)) * 1000000) AS BIGINT)
                AS relq
@@ -13840,7 +13849,7 @@ def _s10_oracle_sql(k: int = 5, n_cand: int = 20) -> str:
       FROM pdots JOIN pn na ON va = na.vec_id JOIN pn nb ON vb = nb.vec_id
       WHERE na.nn > 0 AND nb.nn > 0
     ),
-    sims AS (
+    sims AS MATERIALIZED (
       SELECT va AS s, vb AS t, simq FROM sims0
       UNION ALL SELECT vb AS s, va AS t, simq FROM sims0
     ),
