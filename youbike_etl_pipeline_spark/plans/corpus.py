@@ -16255,3 +16255,143 @@ def t49_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(
         _t(spark, sf_dir, "documents"), k=3, threshold=0.5
     )
+
+
+# ===========================================================================
+# Round-5 batch — the low-cardinality-window scale routings as GRADED
+# queries. The full-corpus 100x sweep (SCALING.md) showed that windows
+# partitioned by a 2-5-value column cap parallelism at the key count; the
+# routings (asof_join's bucket_seconds, windows.bucketed_row_number /
+# bucketed_ntile) are answer-identical two-level decompositions, so they
+# share their exact twins' oracles — the driver's hash-compare is then a
+# machine-checked identity proof at grading scale, upgrading the contract
+# tests' evidence class.
+# ===========================================================================
+
+
+@register(
+    "j14_bucketed_asof_join",
+    f"""
+    WITH ev AS (SELECT user_id % 4 AS grp, ts, event_id, value FROM events),
+    cps AS (
+      SELECT user_id % 4 AS grp, ts AS cp_ts, value AS cp_value
+      FROM events WHERE event_id % 50 = 0 AND value IS NOT NULL
+    )
+    SELECT grp, COUNT(cp_value) AS n_matched,
+           {SQL_DAVG_Q4('value - cp_value')} AS mean_delta
+    FROM (
+      SELECT e.grp, e.value, c.cp_value
+      FROM ev e ASOF LEFT JOIN cps c ON e.grp = c.grp AND e.ts >= c.cp_ts
+    ) GROUP BY grp
+    """,
+    survey_rows="J2 (as-of generalization) — the bucket_seconds scale "
+    "routing of j7, driver-graded against the same ASOF oracle",
+    description="j7's as-of join through the LOW-CARDINALITY-KEY routing: "
+    "asof_join(bucket_seconds=86400) computes a local carry per (key, "
+    "day-bucket) in parallel plus a buckets-sized carry-in frame, instead "
+    "of one single-threaded sorted partition per key (4 keys = 4 busy "
+    "cores and a spill at 100x; 17.3x -> 2.9x at the probe). The oracle "
+    "is j7's — identical answers are the routing's contract.",
+)
+def j14_bucketed_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("grp", F.col("user_id") % 4)
+    cps = (
+        ev.filter((F.col("event_id") % 50 == 0) & F.col("value").isNotNull())
+        .select("grp", F.col("ts").alias("cp_ts"), F.col("value").alias("cp_value"))
+    )
+    joined = oj.asof_join(
+        ev.select("grp", "ts", "event_id", "value"),
+        cps,
+        on="grp",
+        left_ts="ts",
+        right_ts="cp_ts",
+        right_values=["cp_value"],
+        bucket_seconds=86400.0,
+    )
+    return joined.groupBy("grp").agg(
+        F.count("cp_value").alias("n_matched"),
+        agg.decimal_avg_q4(F.col("value") - F.col("cp_value")).alias("mean_delta"),
+    )
+
+
+@register(
+    "w28_bucketed_systematic_sample",
+    f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id ASC) AS rn
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n, {SQL_DSUM('value')} AS sum_value
+    FROM ranked WHERE rn % 10 = 1 GROUP BY event_type
+    """,
+    survey_rows="W7 (stratified extension) — w11 through the two-level "
+    "rank routing, driver-graded against the same oracle",
+    description="w11's stratified systematic sample through "
+    "windows.bucketed_row_number: local rank per (stratum, event_id "
+    "range) + prefix-count offsets instead of one window per stratum "
+    "(5 strata = 5 busy cores; 12.1x -> 1.6x at the probe). Same oracle "
+    "as w11 — the hash-compare proves the two-level rank is identical.",
+)
+def w28_bucketed_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ranked = ow.bucketed_row_number(
+        ev.select("event_type", "value", "event_id"),
+        ["event_type"],
+        "event_id",
+        bucket_width=10_000,
+    )
+    return (
+        ranked.filter(F.col("rn") % 10 == 1)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), agg.decimal_sum("value").alias("sum_value"))
+    )
+
+
+@register(
+    "a27_bucketed_equi_depth",
+    """
+    WITH v AS (
+      SELECT event_type, event_id, value FROM events WHERE value IS NOT NULL
+    ),
+    tiled AS (
+      SELECT event_type, value,
+             NTILE(4) OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS bucket
+      FROM v
+    )
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(MIN(value) * 1000000) / 1000000.0 AS lo,
+           FLOOR(MAX(value) * 1000000) / 1000000.0 AS hi,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS bucket_sum
+    FROM tiled GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    survey_rows="A3/M10/W6; ext:equi-depth histogram — a22 through the "
+    "bucketed_ntile routing, driver-graded against the same oracle",
+    description="a22's equi-depth histogram through windows.bucketed_ntile: "
+    "ntile(4) derived arithmetically from the two-level rank + stratum "
+    "counts (first N%4 tiles take one extra row) instead of one NTILE "
+    "window per event_type (11.5x -> 3.6x at the probe). Same oracle as "
+    "a22 — identical bucket assignment is the derivation's contract.",
+)
+def a27_bucketed_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    tiled = ow.bucketed_ntile(
+        ev.select("event_type", "value", "event_id"),
+        ["event_type"],
+        "value",
+        n_tiles=4,
+        bucket_width=10.0,
+        tiebreak=["event_id"],
+    )
+    return (
+        tiled.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            q6(F.min("value")).alias("lo"),
+            q6(F.max("value")).alias("hi"),
+            agg.decimal_sum(F.col("value")).alias("bucket_sum"),
+        )
+        .orderBy("event_type", "bucket")
+    )
