@@ -1,0 +1,109 @@
+"""1000x probe: a third slope point for the headline families.
+
+SCALING.md has sf0.1 -> 10x and 10x -> 100x for every corpus query; this
+probe adds 100x -> 1000x (600M lineitem rows / 100M events / 5M docs on
+local[32]) for a handful of headline operators — the scan-agg floor, the
+broadcast star join, exact dedup's linear hash shuffle, and the two
+event-sequence shapes. The point is confirming the ~10x-per-decade slope
+holds one more decade, at a data size where any hidden super-linear term
+or driver-side materialization would be unmissable.
+
+The 1000x tables build via one sequence-explode per table (not a
+1000-way union — plan size stays constant) with the same disjoint
+id-shift re-keying as the 10x/100x harness.
+
+Usage: python tools/scale1000_probe.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from youbike_etl_pipeline_spark.plans.corpus import CORPUS  # noqa: E402
+from youbike_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+QUERIES = [
+    "a1_tpch_q1_pricing_summary",
+    "flagship_segment_health",
+    "q3_shipping_priority",
+    "t1_exact_dedup",
+    "w9_sessionization",
+    "ev3_transition_matrix",
+]
+
+SHIFTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+}
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents"]
+
+
+def blow_up_1000(spark, out_dir: str, copies: int = 1000) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    for table in TABLES:
+        path = f"{out_dir}/{table}.parquet"
+        if os.path.exists(path):
+            continue
+        if table == "events":
+            from youbike_etl_pipeline_spark.sources.readers import read_events
+
+            base = read_events(spark, "/root/testdata/sf0.1")
+        else:
+            base = spark.read.parquet(f"/root/testdata/sf0.1/{table}.parquet")
+        if table in ("region", "nation", "supplier", "part"):
+            base.write.mode("overwrite").parquet(path)
+            continue
+        t0 = time.perf_counter()
+        # sf0.1 files are single-row-group, so without this the explode runs
+        # in ONE task; spreading the base first parallelizes the 1000x fan-out
+        out = base.repartition(64).withColumn(
+            "__c", F.explode(F.sequence(F.lit(0).cast("long"), F.lit(copies - 1).cast("long")))
+        )
+        for key in SHIFTS.get(table, []):
+            out = out.withColumn(
+                key, F.col(key) + F.col("__c") * F.lit(100_000_000).cast("long")
+            )
+        out.drop("__c").write.mode("overwrite").parquet(path)
+        print(f"built {table} x{copies}: {time.perf_counter() - t0:.0f}s", flush=True)
+
+
+def main() -> None:
+    names = sys.argv[1:] or QUERIES
+    spark = get_spark(app_name="scale1000-probe")
+    dir100 = "/tmp/spark_graft_sf10_synth"
+    dir1000 = "/tmp/spark_graft_sf100x10_synth"
+    from scaling_report import blow_up_sf01
+
+    blow_up_sf01(spark, dir100, copies=100)
+    blow_up_1000(spark, dir1000, copies=1000)
+
+    def run(name: str, d: str) -> float:
+        t0 = time.perf_counter()
+        CORPUS[name].fn(spark, d).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    print()
+    print("## 1000x probe (100x -> 1000x of sf0.1; linear ~ 10x)")
+    print()
+    print("| query | 100x | 1000x | ratio |")
+    print("|---|---|---|---|")
+    for name in names:
+        run(name, dir100)  # warm
+        t100 = run(name, dir100)
+        t1000 = run(name, dir1000)
+        print(f"| {name} | {t100:.2f}s | {t1000:.2f}s | {t1000 / t100:.1f}x |", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -191,6 +191,11 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # full embedding unnest (33 s → 0.2 s at sf0.01; same rows, Spark fn
     # untouched). Re-graded because the oracle text changed.
     "s10_mmr_diversified_topk",
+    # round-5 1000× probe finds: q3 (27.8×) and w9 (13.8×) hit the fixed-
+    # shuffle spill class one decade later than q21/w17 did; both gained
+    # the shared repartition_for_rows guard (no-op at graded scales) —
+    # 7.2× and 8.3× at the re-probe.
+    "q3_shipping_priority", "w9_sessionization",
 )
 
 
@@ -2622,6 +2627,14 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
+    # q21's spill guard (1000× probe: the li⋈orders sort-merge and the
+    # orderkey aggregation spill at the fixed shuffle width — 27.8× at
+    # 1000×, back to ~linear pre-partitioned). The orderkey partitioning
+    # is reused by both the join and the groupBy; no-op at graded scales.
+    li = osk.repartition_for_rows(
+        li, osk.parquet_row_count(os.path.join(sf_dir, "lineitem.parquet")),
+        "l_orderkey",
+    )
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey).join(
         F.broadcast(cust), orders.o_custkey == cust.c_custkey
     )
@@ -2843,6 +2856,14 @@ def sq_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w9_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # spill guard (1000× probe: the user window's sort at the fixed shuffle
+    # width spills past ~3M rows/partition — 13.8× at 1000×); pre-partition
+    # on the window key, sized to the footer row count. The sessionize
+    # window and both downstream user aggregations reuse the partitioning;
+    # no-op at graded scales.
+    ev = osk.repartition_for_rows(
+        ev, osk.parquet_row_count(os.path.join(sf_dir, "events.parquet")), "user_id"
+    )
     sess = ow.sessionize(ev, key="user_id", ts="ts", gap_minutes=30.0, tiebreak=["event_id"])
     return sess.groupBy("user_id").agg(
         F.countDistinct("session_id").alias("n_sessions"),
