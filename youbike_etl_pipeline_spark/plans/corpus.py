@@ -6385,6 +6385,9 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t27_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    # 1000× probe: 12.5× and NOT the spill class — the repartition guard
+    # was tried and changed nothing (11.5×); the constant is array_sort +
+    # struct shuffle, linear in events with a per-user-bounded sort.
     ordered = F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type")))
     return ev.groupBy("user_id").agg(
         F.array_join(
