@@ -89,6 +89,9 @@ def main() -> None:
     blow_up_1000(spark, dir1000, copies=1000)
 
     def run(name: str, d: str) -> float:
+        from youbike_etl_pipeline_spark.plans import corpus as _corpus
+
+        _corpus._PAIR_GRAPH_CACHE.clear()
         t0 = time.perf_counter()
         CORPUS[name].fn(spark, d).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
