@@ -96,3 +96,39 @@ def test_dedup_by_key_deterministic_survivor(spark):
     )
     out = dedup_by_key(df, ["key"], order_by=["ord"]).collect()
     assert len(out) == 1 and out[0]["v"] == "a"
+
+
+def test_stream_reader_tolerates_directory_layout(spark, tmp_path):
+    """The stream readers must read a table shipped as BOTH a single
+    `events.parquet` file in the sf dir (driver testdata) and an
+    `events.parquet/part-*.parquet` directory (any real warehouse) — the
+    old leaf-filename glob silently read ZERO files from the directory
+    layout (caught when the 1000x probe 'processed' 100M events in 0.3s)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from youbike_etl_pipeline_spark.sources.readers import read_events
+    from youbike_etl_pipeline_spark.streaming.ingest import read_events_stream
+
+    src = read_events(spark, "/root/testdata/sf0.001").limit(500)
+    d = str(tmp_path / "sfdir")
+    os.makedirs(d, exist_ok=True)
+    src.repartition(3).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+    stream = read_events_stream(spark, d)
+    name = "t_dirlayout"
+    q = (
+        stream.groupBy()
+        .agg(F.count(F.lit(1)).alias("n"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table(name).first()["n"]
+    finally:
+        q.stop()
+    assert got == 500
