@@ -38,9 +38,14 @@ BUDGET100 = float(os.environ.get("SWEEP_BUDGET100", "360"))
 
 
 def never_probed() -> list[str]:
+    """Corpus queries with no slope-TABLE row in SCALING.md.
+
+    Only `| name | ...` table rows count as "probed" — a query mentioned in
+    prose or a comment has no slope point, and the old any-snake_case-token
+    scan silently excluded such queries from the sweep (round-5 advice)."""
     text = open(os.path.join(os.path.dirname(__file__), "..", "SCALING.md")).read()
-    mentioned = set(re.findall(r"\b([a-z]+[a-z0-9]*_[a-z0-9_]+)\b", text))
-    return [n for n in CORPUS if n not in mentioned]
+    probed = set(re.findall(r"^\|\s*([a-z][a-z0-9_]*)\s*\|", text, re.MULTILINE))
+    return [n for n in CORPUS if n not in probed]
 
 
 def timed_run(spark, name: str, d: str, budget: float) -> dict:

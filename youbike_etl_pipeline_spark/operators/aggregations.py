@@ -12,6 +12,18 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def floor_quantize6(c: Column) -> Column:
+    """Tie-free 6-dp output quantization: FLOOR, not ROUND.
+
+    Rational quotients of integer/money sums land on exact .5 ties at any
+    ROUND scale, and half-rule behavior is an engine/version detail; FLOOR
+    is deterministic everywhere. The single shared definition — corpus.q6,
+    dedup, and similarity all import this so Spark/DuckDB hash parity can't
+    drift between copies (round-5 advice). SQL mirror: ``corpus.SQL_Q6``.
+    """
+    return F.floor(c * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
+
+
 def decimal_sum(col: Column | str, scale: int = 6) -> Column:
     """Order-insensitive exact sum of a double column.
 

@@ -1028,10 +1028,7 @@ def sketch_accuracy_audit(
         )
     )
 
-    def _q6(c: Column) -> Column:
-        # 6-dp floor quantization (engine-deterministic; mirror of the
-        # corpus q6/SQL_Q6 pair)
-        return F.floor(c * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
+    from .aggregations import floor_quantize6 as _q6
 
     errs = scored.select(
         _q6(F.abs(F.col("est_j") - F.col("exact_j"))).alias("err"),

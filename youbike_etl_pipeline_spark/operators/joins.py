@@ -151,10 +151,15 @@ def asof_join(
     spill. With it set, each (key, time-bucket) sorts independently
     (parallelism = keys × buckets) and a bucket-count-sized carry frame
     propagates the last right value across bucket boundaries — the answer
-    is identical (same carry, computed in two levels) for non-null
-    timestamps; rows with a null ``ts`` follow null-first window order in
-    the unbucketed path only, so keep the default when null timestamps are
-    meaningful. Same nondeterminism class as the unbucketed op when two
+    is identical (same carry, computed in two levels) for non-null keys
+    and timestamps. Null handling: left rows with a null ``ts`` or null
+    ``on`` key are PRESERVED (the carry join is a left join; they land in
+    the null bucket/key group and see only that group's local carry —
+    matching the unbucketed nulls-first order for null-ts left rows), but
+    a null-ts RIGHT row's values do not propagate across bucket
+    boundaries and carry does not cross into a null-key group, so keep
+    the default unbucketed path when null timestamps or keys carry
+    meaning. Same nondeterminism class as the unbucketed op when two
     right rows tie exactly on (key, ts): one of them wins.
     """
     lcols = [c for c in left.columns]
@@ -241,9 +246,12 @@ def asof_join(
             for c in right_values
         ],
     )
+    # LEFT join: left rows with a null timestamp (null __b) or null key
+    # must survive with a local-only carry — an inner join here silently
+    # dropped them (they can never equi-match carry_in's null bucket).
     carried = (
         loc.filter(F.col("__side") == 1)
-        .join(carry_in, ["__k", "__b"])
+        .join(carry_in, ["__k", "__b"], "left")
         .select(
             "__lrow",
             *[

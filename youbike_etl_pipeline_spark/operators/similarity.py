@@ -673,10 +673,9 @@ def jl_projection_audit(
         sq = term * term
         proj_d2 = sq if proj_d2 is None else proj_d2 + sq
 
-    def _q6(c: Column) -> Column:
-        return F.floor(c * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
-
     from ..operators import aggregations as _agg
+
+    _q6 = _agg.floor_quantize6
 
     ratios = (
         pd_.select(

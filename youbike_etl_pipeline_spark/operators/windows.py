@@ -192,10 +192,23 @@ def bucketed_row_number(
     order_col, *tiebreak))`` whenever that ordering is total (unique
     ``order_col``, or a unique tiebreak).
 
-    ``order_col`` must be numeric and non-null. One extra small shuffle
-    (the count frame) buys parallelism = strata × buckets.
+    ``order_col`` must be numeric and non-null — ENFORCED: a null
+    ``order_col`` raises at execution time rather than silently vanishing
+    through the null-unsafe offset join (the single-window twin would have
+    kept it nulls-first, so a silent drop would change row counts).
+    One extra small shuffle (the count frame) buys
+    parallelism = strata × buckets.
     """
-    bkt = F.floor(F.col(order_col) / F.lit(float(bucket_width))).cast("long")
+    bkt = F.when(
+        F.col(order_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"bucketed_row_number: null {order_col!r} — the two-level "
+                "decomposition requires a non-null order column; drop/fill "
+                "nulls first or use the single-window row_number()"
+            )
+        ).cast("long"),
+    ).otherwise(F.floor(F.col(order_col) / F.lit(float(bucket_width))).cast("long"))
     tagged = df.withColumn("__bkt", bkt)
     w_loc = Window.partitionBy(*part_cols, "__bkt").orderBy(
         F.col(order_col).asc(), *[F.col(c).asc() for c in (tiebreak or [])]

@@ -295,9 +295,9 @@ def SQL_Q6(expr: str) -> str:
     return f"FLOOR(({expr}) * 1000000) / 1000000.0"
 
 
-def q6(c) -> "F.Column":
-    """Spark mirror of :func:`SQL_Q6` (floor-quantize a double to 6 dp)."""
-    return F.floor(c * F.lit(1000000.0)).cast("double") / F.lit(1000000.0)
+#: Spark mirror of :func:`SQL_Q6` — the one shared floor-quantizer
+#: (hoisted to the operators layer, round-5 advice).
+q6 = agg.floor_quantize6
 
 
 # ===========================================================================
