@@ -638,9 +638,11 @@ def jl_projection_audit(
     regime. The distortion distribution is a STATISTICAL measurement whose
     precision is set by the pair count, not the corpus, so
     ``hash_sample_mod=M`` is the callable routing (m28's pattern): keep
-    ids whose md5-derived hash ≡ 0 (mod M) on BOTH sides before pairing —
-    deterministic, engine-portable, pair work ÷ M². Default ``None`` =
-    exact (the graded e6 path, byte-identical to the inline original).
+    ids whose md5-derived hash's LOW 31 BITS ≡ 0 (mod M) on BOTH sides
+    before pairing (the 31-bit mask keeps the predicate identical across
+    Spark's signed long and DuckDB's UBIGINT) — deterministic,
+    engine-portable, pair work ÷ M². Default ``None`` = exact (the graded
+    e6 path, byte-identical to the inline original).
     """
     from ..operators.dedup import md5_token_hash64
 
@@ -649,7 +651,9 @@ def jl_projection_audit(
     if hash_sample_mod is not None:
         base = base.filter(
             F.pmod(
-                md5_token_hash64(F.col(id_col).cast("string")),
+                md5_token_hash64(F.col(id_col).cast("string")).bitwiseAND(
+                    F.lit(2147483647)
+                ),
                 F.lit(int(hash_sample_mod)),
             )
             == 0

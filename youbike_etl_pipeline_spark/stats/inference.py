@@ -585,7 +585,10 @@ def kendall_tau_b(
     round-5 100× probe measured 30.3×/241 s at ~150k entities, after fixing
     the tie-product long overflow this function inherited —
     ``hash_sample_mod=M`` is the callable routing: keep entities whose
-    md5-derived 64-bit hash ≡ 0 (mod M) BEFORE pairing, a deterministic
+    md5-derived hash's LOW 31 BITS ≡ 0 (mod M) BEFORE pairing (the 31-bit
+    mask keeps the predicate identical across Spark's signed long and
+    DuckDB's UBIGINT — signed pmod diverges on negative hashes), a
+    deterministic
     1/M sample that shrinks pair work by M² and estimates the same
     population τ (sampling entities i.i.d. preserves pair exchangeability;
     the estimate's variance shrinks as the sample grows, the standard
@@ -599,7 +602,13 @@ def kendall_tau_b(
     u = df.select(F.col(id_col).alias("__id"), F.col(x_col).alias("__x"), F.col(y_col).alias("__y"))
     if hash_sample_mod is not None:
         u = u.filter(
-            F.pmod(md5_token_hash64(F.col("__id").cast("string")), F.lit(int(hash_sample_mod))) == 0
+            F.pmod(
+                md5_token_hash64(F.col("__id").cast("string")).bitwiseAND(
+                    F.lit(2147483647)
+                ),
+                F.lit(int(hash_sample_mod)),
+            )
+            == 0
         )
     a = u.toDF("ua", "xa", "ya")
     b = u.toDF("ub", "xb", "yb")
