@@ -161,6 +161,14 @@ HEADLINE = [
     "m30_randomization_test",
     "e7_silhouette_audit",
     "t49_prefix_filter_jaccard",
+    # round-6 additions (keys only ever append): the five scale routings
+    # promoted to graded corpus twins — benched so the routed paths'
+    # round-over-round cost is tracked alongside the exact paths they route
+    "j11b_interval_overlap_capped",
+    "m28b_kendall_tau_sampled",
+    "e6b_jl_audit_sampled",
+    "t38b_sketch_audit_dedup_first",
+    "e3b_knn_consistency_routed",
 ]
 
 

@@ -628,3 +628,50 @@ def test_g3_degree_joins_are_equi_joins(spark, sf_small):
     # (formatted mode prints each node again in the detail section, so
     # count tree lines, not string occurrences)
     assert txt.count("BroadcastNestedLoopJoin Cross") <= 1
+
+
+def _plan_tools():
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    import plan_report
+
+    return plan_report
+
+
+def test_unbounded_bnl_detector_flags_f20_bug_class(spark):
+    """The f20 regression gate (round-5 verdict item 7): a join condition
+    mixing both sides' columns gives Catalyst no equi-keys, so BOTH scaling
+    sides nested-loop — O(n·m) predicate evaluations that never finish at
+    the 100× probe. The detector must FAIL that shape while allowing the
+    legitimate scalar-broadcast BNL (attaching a global statistic)."""
+    from pyspark.sql import functions as F
+
+    pr = _plan_tools()
+    a = spark.range(100_000).toDF("x")
+    b = spark.range(100_000).toDF("y")
+    # the bug class: no extractable equi-key, both sides scale
+    bad = a.join(F.broadcast(b), F.col("x") * F.col("y") > 10)
+    assert "BroadcastNestedLoopJoin" in plan_text(bad, "simple")
+    assert pr.unbounded_bnl_joins(bad)
+    # acceptable: one side is a grouping-free (1-row) aggregate
+    stat = a.agg(F.max("x").alias("mx"))
+    ok = a.join(F.broadcast(stat), F.col("x") <= F.col("mx"))
+    assert "BroadcastNestedLoopJoin" in plan_text(ok, "simple")
+    assert pr.unbounded_bnl_joins(ok) == []
+    # acceptable: one side is a small constant frame (replicate/fold/grid)
+    reps = spark.range(200).toDF("r")
+    fan = a.join(F.broadcast(reps), F.col("x") % 7 > F.col("r") % 5)
+    assert "BroadcastNestedLoopJoin" in plan_text(fan, "simple")
+    assert pr.unbounded_bnl_joins(fan) == []
+
+
+def test_f20_pooled_grid_lookup_is_not_unbounded_bnl(spark, sf_small):
+    """f20's pooled-grid lookup — the query that MOTIVATED the detector —
+    must keep its fixed shape: any BNL in the plan has a ≤1-row side."""
+    pr = _plan_tools()
+    df = CORPUS["f20_quantile_normalization"].fn(spark, sf_small)
+    assert pr.unbounded_bnl_joins(df) == []

@@ -142,6 +142,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # e6's generated oracle text changed (the sample_mod parameterization
     # rewrote it over a base CTE; same rows for the graded mod=None form):
     "e6_jl_projection_audit",
+    # literal frames rebuilt as range+element_at so the BNL plan gate can
+    # prove the crossJoin side is a 3-row constant (and the pickled-RDD
+    # scan disappears from the plan):
+    "t43_truncation_audit", "t44_rolling_origin_folds",
 )
 
 
@@ -11688,7 +11692,15 @@ def t43_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = docs.select(F.size(tokens(F.lower(F.col("text")))).alias("ntok"))
-    ls = spark.createDataFrame([(32,), (64,), (128,)], "ctx_len int")
+    # range+element_at instead of createDataFrame: Range carries a static
+    # maxRows bound (so the plan audit can prove the crossJoin is O(3n),
+    # not both-sides-scaling) and skips the pickled-RDD scan entirely
+    ls = spark.range(3).select(
+        F.element_at(
+            F.array(F.lit(32), F.lit(64), F.lit(128)),
+            (F.col("id") + 1).cast("int"),
+        ).alias("ctx_len")
+    )
     lost = F.greatest(F.col("ntok") - F.col("ctx_len"), F.lit(0))
     return (
         toks.crossJoin(F.broadcast(ls))
@@ -11775,7 +11787,9 @@ def t44_rolling_origin_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     di = ev.crossJoin(F.broadcast(origin)).select(
         "user_id", F.datediff(F.col("day"), F.col("d0")).alias("idx")
     )
-    folds = spark.createDataFrame([(0,), (1,), (2,)], "fold int")
+    # range, not createDataFrame: the static 3-row bound is visible to the
+    # plan audit and there is no pickled-RDD scan (see t43)
+    folds = spark.range(3).select(F.col("id").cast("int").alias("fold"))
     marked = di.crossJoin(F.broadcast(folds)).select(
         "fold",
         "user_id",
