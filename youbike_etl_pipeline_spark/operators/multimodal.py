@@ -126,6 +126,142 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
     return rows[:, :, ::-1]  # BGR → RGB
 
 
+def encode_png(img: "np.ndarray") -> bytes:
+    """(H, W, 3) uint8 → PNG payload (8-bit truecolor, non-interlaced) —
+    pure stdlib ``zlib`` + ``struct``, no codec lib. Each scanline uses
+    filter type ``row % 5``, so a round-trip through :func:`decode_png`
+    exercises ALL five PNG filters (None/Sub/Up/Average/Paeth), not just
+    the trivial one."""
+    import zlib
+
+    h, w, _ = img.shape
+    img = img.astype(np.uint8)
+    raw = bytearray()
+    prior = np.zeros(w * 3, dtype=np.uint8)
+    for r in range(h):
+        line = img[r].reshape(-1)
+        ft = r % 5
+        if ft == 0:
+            filt = line
+        elif ft == 1:  # Sub: x - left
+            left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
+            filt = line - left
+        elif ft == 2:  # Up: x - prior
+            filt = line - prior
+        elif ft == 3:  # Average: x - (left + prior) // 2
+            left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
+            filt = line - (
+                (left.astype(np.uint16) + prior.astype(np.uint16)) // 2
+            ).astype(np.uint8)
+        else:  # Paeth
+            left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
+            ul = np.concatenate([np.zeros(3, np.uint8), prior[:-3]])
+            filt = line - _paeth_predictor(left, prior, ul)
+        raw.append(ft)
+        raw.extend(filt.tobytes())
+        prior = line
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth_predictor(a: "np.ndarray", b: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+    """Vectorized Paeth predictor over equal-length uint8 byte lanes."""
+    ai, bi, ci = (x.astype(np.int16) for x in (a, b, c))
+    p = ai + bi - ci
+    pa, pb, pc = np.abs(p - ai), np.abs(p - bi), np.abs(p - ci)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """Parse an 8-bit non-interlaced PNG (grayscale, RGB, or RGBA) with
+    stdlib ``zlib`` + numpy — chunk walk, DEFLATE inflate, and all five
+    scanline unfilters. Returns (H, W, 3) RGB: grayscale expands, RGBA
+    drops alpha (documented lossy-metadata step, pixel channels intact).
+    None/Up unfilter vectorize per row; Sub is a per-lane wrapping prefix
+    sum; Average/Paeth carry a true sequential dependence along x and run
+    per-pixel — fine for thumbnail-scale fixtures, and the production
+    contract (mapInPandas, one payload per row) is unchanged either way.
+    16-bit depth, palette, and interlaced PNGs raise ``ValueError``."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, meta = 8, bytearray(), None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, _comp, _filt, interlace = meta
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 6):
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, color={ctype}, "
+            f"interlace={interlace})"
+        )
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    raw = raw.reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ft, line = int(raw[r, 0]), raw[r, 1:].copy()
+        prior = out[r - 1] if r > 0 else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            out[r] = line
+        elif ft == 1:  # Sub: per-lane wrapping prefix sum
+            out[r] = np.add.accumulate(
+                line.reshape(-1, ch), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        elif ft == 2:  # Up
+            out[r] = line + prior
+        elif ft == 3:  # Average — sequential along x
+            cur = out[r]
+            for i in range(stride):
+                left = int(cur[i - ch]) if i >= ch else 0
+                cur[i] = (int(line[i]) + (left + int(prior[i])) // 2) & 0xFF
+        elif ft == 4:  # Paeth — sequential along x
+            cur = out[r]
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prior[i])
+                c = int(prior[i - ch]) if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+    img = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    return img[:, :, :3]
+
+
 def _real_feature(img: "np.ndarray") -> list[float]:
     """Per-channel mean/std + dimensions — the classic cheap image-quality
     feature block (8 values, matching the fake path's dim)."""
@@ -139,16 +275,17 @@ def _real_feature(img: "np.ndarray") -> list[float]:
 
 
 def decode_image(payload: bytes, fmt: str | None = None) -> "np.ndarray":
-    """Dispatch decode by sniffed/declared format. Real for PPM/BMP;
-    ``NotImplementedError`` for compressed formats (the codec-gated path)."""
+    """Dispatch decode by sniffed/declared format. Real for PPM/BMP and
+    8-bit non-interlaced PNG (stdlib zlib inflate + numpy unfilter);
+    ``NotImplementedError`` for formats that genuinely need a codec
+    library (JPEG's DCT entropy pipeline, webp)."""
     if payload[:2] == b"P6" or fmt == "ppm":
         return decode_ppm(payload)
     if payload[:2] == b"BM" or fmt == "bmp":
         return decode_bmp(payload)
-    if fmt in ("png", "jpg", "jpeg", "webp") or payload[:4] in (
-        b"\x89PNG",
-        b"\xff\xd8\xff\xe0",
-    ):
+    if payload[:4] == b"\x89PNG" or fmt == "png":
+        return decode_png(payload)
+    if fmt in ("jpg", "jpeg", "webp") or payload[:4] == b"\xff\xd8\xff\xe0":
         raise NotImplementedError(
             f"decoding {fmt or 'compressed image'} requires a codec library "
             "(Pillow/opencv) — not available in this environment"
@@ -172,12 +309,18 @@ def md5_pixels(doc_id: int, width: int, height: int) -> "np.ndarray":
 
 
 def attach_ppm_payloads(
-    df: DataFrame, id_col: str = "doc_id", width: int = 16, height: int = 12
+    df: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 16,
+    height: int = 12,
+    fmt: str = "ppm",
 ) -> DataFrame:
-    """Give every row a REAL decodable image payload: a deterministic PPM
-    whose pixels derive from the row id (:func:`md5_pixels`). This is
-    the test-fixture source for the real decode path — production replaces
-    it with a ``binaryFile`` read from object storage."""
+    """Give every row a REAL decodable image payload: a deterministic image
+    whose pixels derive from the row id (:func:`md5_pixels`). ``fmt``
+    selects the encoding — ``ppm`` (raw P6) or ``png`` (DEFLATE, every
+    scanline filter exercised). This is the test-fixture source for the
+    real decode path — production replaces it with a ``binaryFile`` read
+    from object storage."""
     out_schema = T.StructType(
         [
             T.StructField(id_col, T.LongType(), False),
@@ -185,17 +328,18 @@ def attach_ppm_payloads(
             T.StructField("media_meta", MEDIA_META, True),
         ]
     )
+    encoder = {"ppm": encode_ppm, "png": encode_png}[fmt]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads, metas = [], []
             for did in pdf[id_col]:
                 img = md5_pixels(int(did), width, height)
-                payloads.append(bytearray(encode_ppm(img)))
+                payloads.append(bytearray(encoder(img)))
                 metas.append(
                     {
                         "media_type": "image",
-                        "format": "ppm",
+                        "format": fmt,
                         "width": width,
                         "height": height,
                         "duration_ms": None,
