@@ -1349,3 +1349,81 @@ def test_bucketed_ntile_identity(spark, sf_small):
             ).collect()
         }
         assert got == base, f"n_tiles={n}"
+
+
+def test_real_png_decode_roundtrip_all_filters():
+    """Stdlib-zlib PNG codec: the encoder assigns scanline filter r%5, so a
+    tall-enough round trip exercises None/Sub/Up/Average/Paeth; gray
+    expands to RGB, RGBA drops alpha, corrupt DEFLATE degrades (non-strict)
+    instead of crashing the batch."""
+    import struct as _s
+    import zlib
+
+    import numpy as np
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        decode_image,
+        decode_png,
+        encode_png,
+        md5_pixels,
+    )
+
+    for w, h in [(16, 12), (7, 5), (1, 1), (3, 11)]:
+        img = md5_pixels(42 + w * h, w, h)
+        assert (decode_png(encode_png(img)) == img).all()
+        assert (decode_image(encode_png(img)) == img).all()
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            _s.pack(">I", len(body))
+            + tag
+            + body
+            + _s.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # grayscale 2x2 expands to 3 channels
+    g = sig + chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)) + chunk(
+        b"IDAT", zlib.compress(bytes([0, 10, 20, 0, 30, 40]))
+    ) + chunk(b"IEND", b"")
+    out = decode_png(g)
+    assert out.shape == (2, 2, 3) and tuple(out[1, 1]) == (40, 40, 40)
+    # RGBA 2x1 drops alpha
+    a = sig + chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0)) + chunk(
+        b"IDAT", zlib.compress(bytes([0, 1, 2, 3, 255, 4, 5, 6, 128]))
+    ) + chunk(b"IEND", b"")
+    assert tuple(decode_png(a)[0, 1]) == (4, 5, 6)
+    # 16-bit depth is honestly unsupported
+    d16 = sig + chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)) + chunk(
+        b"IDAT", zlib.compress(bytes(7))
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(d16)
+    # corrupt DEFLATE raises zlib.error from decode_png ...
+    bad = sig + chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)) + chunk(
+        b"IDAT", b"\x00garbage"
+    ) + chunk(b"IEND", b"")
+    with pytest.raises(zlib.error):
+        decode_png(bad)
+
+
+def test_png_features_in_spark_match_ppm_features(spark):
+    """The same md5-pixel image through PNG and PPM payloads must produce
+    identical feature vectors — the decode is lossless either way."""
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_ppm_payloads,
+        decode_image_features,
+    )
+
+    base = spark.range(5).select((F.col("id") * 5).alias("doc_id"))
+    f_ppm = {
+        r["doc_id"]: r["feature"]
+        for r in decode_image_features(attach_ppm_payloads(base)).collect()
+    }
+    f_png = {
+        r["doc_id"]: r["feature"]
+        for r in decode_image_features(
+            attach_ppm_payloads(base, fmt="png"), strict=True
+        ).collect()
+    }
+    assert f_ppm == f_png

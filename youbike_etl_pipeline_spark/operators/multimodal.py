@@ -474,19 +474,21 @@ def decode_image_features(
     the deterministic fake keeps the plumbing testable end-to-end.
     """
 
+    import zlib
+
     def one(payload: bytes) -> list[float] | None:
         if payload is None:
             return None
         try:
             return _real_feature(decode_image(payload))
         except NotImplementedError:
-            # decode_image's codec-gated path (PNG/JPEG magic): only strict
+            # decode_image's codec-gated path (JPEG/webp magic): only strict
             # mode propagates it — non-strict degrades to the deterministic
             # fake so a mixed-format corpus doesn't crash the whole job
             if strict:
                 raise
             return _fake_feature(payload, dim)
-        except (ValueError, IndexError, struct.error):
+        except (ValueError, IndexError, struct.error, zlib.error):
             if strict:
                 raise NotImplementedError(
                     "compressed/unknown image decode requires a codec library "

@@ -146,6 +146,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # prove the crossJoin side is a 3-row constant (and the pickled-RDD
     # scan disappears from the plan):
     "t43_truncation_audit", "t44_rolling_origin_folds",
+    # NEW: real PNG decode (stdlib zlib + numpy unfilter) graded against
+    # the md5-pixel oracle — closes the round-5 compressed-format gap:
+    "mm10_png_decode_features",
 )
 
 
