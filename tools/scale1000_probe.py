@@ -88,13 +88,18 @@ def main() -> None:
     blow_up_sf01(spark, dir100, copies=100)
     blow_up_1000(spark, dir1000, copies=1000)
 
-    def run(name: str, d: str) -> float:
-        from youbike_etl_pipeline_spark.plans import corpus as _corpus
+    # the sweep's watchdog budget (job-group cancel), so one pathological
+    # query at 600M rows cannot stall the whole probe
+    from scale_sweep import timed_run
 
-        _corpus._PAIR_GRAPH_CACHE.clear()
-        t0 = time.perf_counter()
-        CORPUS[name].fn(spark, d).write.mode("overwrite").format("noop").save()
-        return time.perf_counter() - t0
+    budget = float(os.environ.get("PROBE1000_BUDGET", "900"))
+
+    def cell(r: dict) -> str:
+        if "timeout" in r:
+            return f"TIMEOUT>{r['timeout']}s"
+        if "err" in r:
+            return "ERR " + r["err"][:60]
+        return f"{r['sec']}s"
 
     print()
     print("## 1000x probe (100x -> 1000x of sf0.1; linear ~ 10x)")
@@ -102,10 +107,15 @@ def main() -> None:
     print("| query | 100x | 1000x | ratio |")
     print("|---|---|---|---|")
     for name in names:
-        run(name, dir100)  # warm
-        t100 = run(name, dir100)
-        t1000 = run(name, dir1000)
-        print(f"| {name} | {t100:.2f}s | {t1000:.2f}s | {t1000 / t100:.1f}x |", flush=True)
+        timed_run(spark, name, dir100, budget)  # warm
+        r100 = timed_run(spark, name, dir100, budget)
+        r1000 = timed_run(spark, name, dir1000, budget)
+        ratio = (
+            f"{r1000['sec'] / r100['sec']:.1f}x"
+            if "sec" in r100 and "sec" in r1000
+            else "-"
+        )
+        print(f"| {name} | {cell(r100)} | {cell(r1000)} | {ratio} |", flush=True)
 
 
 if __name__ == "__main__":
