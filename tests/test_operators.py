@@ -1427,3 +1427,49 @@ def test_png_features_in_spark_match_ppm_features(spark):
         ).collect()
     }
     assert f_ppm == f_png
+
+
+SPARK_SAMPLE_IMAGES = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens"
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir(SPARK_SAMPLE_IMAGES),
+    reason="Spark sample images not present",
+)
+def test_decode_jpeg_conforms_to_jvm_imageio(spark):
+    """Cross-decoder conformance: the pure-numpy baseline JPEG decoder must
+    reproduce the pixels Spark's JVM format('image') reader (ImageIO /
+    libjpeg lineage) produces for the distribution's sample kittens —
+    within the decoder-legal variation budget (float vs islow-integer
+    IDCT): max |diff| ≤ 3 per sample and ≥ 98% of samples within ±1."""
+    import numpy as np
+
+    from youbike_etl_pipeline_spark.operators.multimodal import decode_jpeg
+    from youbike_etl_pipeline_spark.sources.readers import read_images
+
+    rows = read_images(spark, SPARK_SAMPLE_IMAGES).select("image.*").collect()
+    assert len(rows) == 4  # dropInvalid skips the planted not-image.txt
+    for r in rows:
+        ref = np.frombuffer(bytes(r["data"]), np.uint8).reshape(
+            r["height"], r["width"], r["nChannels"]
+        )[:, :, ::-1]  # BGR -> RGB
+        mine = decode_jpeg(open(r["origin"].replace("file:", ""), "rb").read())
+        d = np.abs(mine.astype(int) - ref.astype(int))
+        assert d.max() <= 3, (r["origin"], d.max())
+        assert (d <= 1).mean() >= 0.98, (r["origin"], (d <= 1).mean())
+
+
+def test_decode_jpeg_progressive_honestly_gated():
+    """Progressive JPEGs (SOF2) raise NotImplementedError with a message
+    that names the actual limitation, and garbage after a JPEG magic is a
+    ValueError — both degrade to the fake path in non-strict decode."""
+    import os
+
+    from youbike_etl_pipeline_spark.operators.multimodal import decode_jpeg
+
+    prog = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/grayscale.jpg"
+    if os.path.exists(prog):
+        with pytest.raises(NotImplementedError, match="baseline"):
+            decode_jpeg(open(prog, "rb").read())
+    with pytest.raises(ValueError, match="missing SOS"):
+        decode_jpeg(b"\xff\xd8" + b"\x00" * 64)

@@ -149,3 +149,28 @@ def read_jdbc(
             .option("upperBound", str(upper_bound if upper_bound is not None else 1_000_000))
         )
     return reader.load()
+
+
+def read_images(
+    spark: SparkSession,
+    path: str,
+    drop_invalid: bool = True,
+    recursive: bool = False,
+) -> DataFrame:
+    """Image-directory scan via Spark's built-in ``format("image")`` source
+    — the preferred 100 TB decode path: the JVM (ImageIO) decodes
+    JPEG/PNG/GIF/BMP executor-side with zero Python in the loop, yielding
+    ``image.(origin, height, width, nChannels, mode, data)`` where ``data``
+    is the row-major BGR(A) pixel buffer. Undecodable files surface as a
+    sentinel row (all dims −1), dropped by default so downstream feature
+    math never sees them; pass ``drop_invalid=False`` to audit them.
+
+    The numpy decoders in ``operators.multimodal`` (PPM/BMP/PNG/baseline
+    JPEG) serve the other regime — payloads already sitting in a binary
+    COLUMN of a table — and are conformance-tested against this source's
+    pixels, so the two decode paths agree.
+    """
+    reader = spark.read.format("image").option("dropInvalid", str(drop_invalid).lower())
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
