@@ -1437,39 +1437,47 @@ SPARK_SAMPLE_IMAGES = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kit
     reason="Spark sample images not present",
 )
 def test_decode_jpeg_conforms_to_jvm_imageio(spark):
-    """Cross-decoder conformance: the pure-numpy baseline JPEG decoder must
-    reproduce the pixels Spark's JVM format('image') reader (ImageIO /
-    libjpeg lineage) produces for the distribution's sample kittens —
-    within the decoder-legal variation budget (float vs islow-integer
-    IDCT): max |diff| ≤ 3 per sample and ≥ 98% of samples within ±1."""
+    """Cross-decoder conformance over EVERY Spark-distribution sample JPEG
+    — 4:2:0/4:4:4 baseline kittens AND the progressive color + grayscale
+    multi-channel samples: the pure-numpy decoder must reproduce the
+    pixels Spark's JVM format('image') reader (ImageIO / libjpeg lineage)
+    produces, within the decoder-legal variation budget (float vs
+    islow-integer IDCT): max |diff| ≤ 3 per sample, ≥ 98% within ±1."""
+    import os
+
     import numpy as np
 
     from youbike_etl_pipeline_spark.operators.multimodal import decode_jpeg
     from youbike_etl_pipeline_spark.sources.readers import read_images
 
-    rows = read_images(spark, SPARK_SAMPLE_IMAGES).select("image.*").collect()
-    assert len(rows) == 4  # dropInvalid skips the planted not-image.txt
-    for r in rows:
+    base = os.path.dirname(SPARK_SAMPLE_IMAGES)
+    rows = read_images(spark, base, recursive=True).select("image.*").collect()
+    jpegs = [r for r in rows if r["origin"].endswith((".jpg", ".jpeg"))]
+    assert len(jpegs) >= 6  # 4 baseline kittens + 2 progressive samples
+    for r in jpegs:
+        nc = r["nChannels"]
         ref = np.frombuffer(bytes(r["data"]), np.uint8).reshape(
-            r["height"], r["width"], r["nChannels"]
-        )[:, :, ::-1]  # BGR -> RGB
+            r["height"], r["width"], nc
+        )
+        ref = ref[:, :, ::-1] if nc == 3 else np.repeat(ref, 3, axis=2)
         mine = decode_jpeg(open(r["origin"].replace("file:", ""), "rb").read())
         d = np.abs(mine.astype(int) - ref.astype(int))
         assert d.max() <= 3, (r["origin"], d.max())
         assert (d <= 1).mean() >= 0.98, (r["origin"], (d <= 1).mean())
 
 
-def test_decode_jpeg_progressive_honestly_gated():
-    """Progressive JPEGs (SOF2) raise NotImplementedError with a message
-    that names the actual limitation, and garbage after a JPEG magic is a
-    ValueError — both degrade to the fake path in non-strict decode."""
-    import os
+def test_decode_jpeg_error_paths():
+    """Garbage after a JPEG magic is a ValueError; truly unsupported
+    coding classes (lossless/arithmetic SOF markers) raise
+    NotImplementedError naming the limitation — both degrade to the fake
+    path in non-strict decode_image_features."""
+    import struct as _s
 
     from youbike_etl_pipeline_spark.operators.multimodal import decode_jpeg
 
-    prog = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/multi-channel/grayscale.jpg"
-    if os.path.exists(prog):
-        with pytest.raises(NotImplementedError, match="baseline"):
-            decode_jpeg(open(prog, "rb").read())
     with pytest.raises(ValueError, match="missing SOS"):
         decode_jpeg(b"\xff\xd8" + b"\x00" * 64)
+    # hand-built SOF3 (lossless) segment
+    sof3 = b"\xff\xd8\xff\xc3" + _s.pack(">H", 8) + b"\x08" + _s.pack(">HH", 1, 1) + b"\x01"
+    with pytest.raises(NotImplementedError, match="lossless|arithmetic"):
+        decode_jpeg(sof3)
