@@ -4,11 +4,13 @@ Media travel as opaque ``binary`` columns with a typed metadata struct —
 the Spark-side contract (schema, partitioning, Arrow batch shape) is real
 and tested. The decode step is REAL with no codec library for: PPM (P6)
 and 24-bit BMP (pure numpy), 8-bit non-interlaced PNG (stdlib zlib
-inflate + numpy unfilter, :func:`decode_png`), and baseline JPEG
-(:func:`decode_jpeg` — Huffman entropy decode, IDCT, IJG fancy chroma
-upsample; conformance-tested within ±3/sample against Spark's JVM
-``format("image")`` decode of the distribution's sample JPEGs).
-Progressive JPEG and webp raise ``NotImplementedError`` (honest gates).
+inflate + numpy unfilter, :func:`decode_png`), and baseline AND
+progressive JPEG (:func:`decode_jpeg` — Huffman entropy decode,
+spectral-selection/successive-approximation scans, IDCT, IJG fancy
+chroma upsample; conformance-tested within ±3/sample against Spark's
+JVM ``format("image")`` decode of all six distribution sample JPEGs).
+Lossless/arithmetic JPEG and webp raise ``NotImplementedError``
+(honest gates).
 A deterministic fake remains for payloads with no parseable format so
 pipeline plumbing stays testable end-to-end. The JVM route
 (``sources.readers.read_images``) is the preferred 100 TB decode path —
