@@ -1481,3 +1481,47 @@ def test_decode_jpeg_error_paths():
     sof3 = b"\xff\xd8\xff\xc3" + _s.pack(">H", 8) + b"\x08" + _s.pack(">HH", 1, 1) + b"\x01"
     with pytest.raises(NotImplementedError, match="lossless|arithmetic"):
         decode_jpeg(sof3)
+
+
+def test_g711_luts_match_canonical_values():
+    """The μ-law/A-law expansion tables must hit the canonical ITU-T
+    anchor points (Sun ulaw2linear/alaw2linear): μ-law 0x00 → −32124,
+    0xFF → 0, 0x80 → +32124; A-law 0x55 → −8, 0xD5 → +8, 0x2A → −32256
+    (xor-0x55 gives 0x7F: mantissa 15 in segment 7, the negative max)."""
+    import numpy as np
+    import struct as _s
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        _ALAW_LUT,
+        _ULAW_LUT,
+        decode_wav,
+    )
+
+    assert _ULAW_LUT[0x00] == -32124
+    assert _ULAW_LUT[0xFF] == 0
+    assert _ULAW_LUT[0x80] == 32124
+    assert _ALAW_LUT[0x55] == -8
+    assert _ALAW_LUT[0xD5] == 8
+    assert _ALAW_LUT[0x2A] == -32256
+    # symmetric: flipping the sign bit negates (except μ-law ±0 both → 0)
+    assert (_ULAW_LUT[:128] == -_ULAW_LUT[128:]).all()
+    assert (_ALAW_LUT[:128] == -_ALAW_LUT[128:]).all()
+
+    # decode_wav dispatches format code 7/6 through the LUTs
+    raw = bytes(range(256))
+    for code, lut in ((7, _ULAW_LUT), (6, _ALAW_LUT)):
+        wav = (
+            b"RIFF" + _s.pack("<I", 36 + 256) + b"WAVE"
+            + b"fmt " + _s.pack("<IHHIIHH", 16, code, 1, 8000, 8000, 1, 8)
+            + b"data" + _s.pack("<I", 256) + raw
+        )
+        rate, samples = decode_wav(wav)
+        assert rate == 8000 and (samples == lut).all()
+    # float WAV stays honestly gated
+    fwav = (
+        b"RIFF" + _s.pack("<I", 36 + 4) + b"WAVE"
+        + b"fmt " + _s.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+        + b"data" + _s.pack("<I", 4) + b"\x00" * 4
+    )
+    with pytest.raises(NotImplementedError, match="float|ADPCM"):
+        decode_wav(fwav)

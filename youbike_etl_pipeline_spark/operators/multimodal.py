@@ -1113,14 +1113,44 @@ def encode_wav(samples: "np.ndarray", rate: int = 16000) -> bytes:
     return hdr + fmt + b"data" + struct.pack("<I", n) + data
 
 
+def _g711_luts() -> tuple["np.ndarray", "np.ndarray"]:
+    """256-entry μ-law / A-law expansion tables (ITU-T G.711, the Sun
+    ulaw2linear/alaw2linear formulas) — closed-form bit arithmetic, which
+    is what makes the G.711 decode ORACLE-verifiable: DuckDB re-derives
+    the same expansion with integer CASE/shift math (mm11)."""
+    ulaw = np.zeros(256, dtype=np.int16)
+    alaw = np.zeros(256, dtype=np.int16)
+    for b in range(256):
+        u = ~b & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        ulaw[b] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+        a = b ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        alaw[b] = t if (a & 0x80) else -t
+    return ulaw, alaw
+
+
+_ULAW_LUT, _ALAW_LUT = _g711_luts()
+
+
 def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
-    """Parse a mono 16-bit PCM RIFF/WAVE payload → (sample_rate, int16
-    samples). Walks the chunk list (fmt/data may be preceded by LIST etc.);
-    compressed/float formats raise ``NotImplementedError`` (codec-gated,
+    """Parse a mono RIFF/WAVE payload → (sample_rate, int16 samples).
+    Walks the chunk list (fmt/data may be preceded by LIST etc.). REAL
+    decode for 16-bit PCM (format 1) and 8-bit G.711 μ-law / A-law
+    (formats 7 / 6 — closed-form expansion, :func:`_g711_luts`); float /
+    ADPCM / extensible formats raise ``NotImplementedError`` (codec-gated,
     same contract as compressed images)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
-    pos, rate, bits, channels, data = 12, None, None, None, None
+    pos, rate, bits, channels, data, audio_fmt = 12, None, None, None, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
@@ -1128,18 +1158,23 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
         if cid == b"fmt ":
             audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
-            if audio_fmt != 1:
-                raise NotImplementedError(
-                    f"WAV audio format {audio_fmt} (non-PCM) requires a codec library"
-                )
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    if bits != 16 or channels != 1:
-        raise NotImplementedError(f"only mono 16-bit PCM supported (got {channels}ch/{bits}bit)")
-    return rate, np.frombuffer(data, dtype="<i2")
+    if channels != 1:
+        raise NotImplementedError(f"only mono WAV supported (got {channels}ch)")
+    if audio_fmt == 1 and bits == 16:
+        return rate, np.frombuffer(data, dtype="<i2")
+    if audio_fmt == 7 and bits == 8:  # G.711 μ-law
+        return rate, _ULAW_LUT[np.frombuffer(data, dtype=np.uint8)]
+    if audio_fmt == 6 and bits == 8:  # G.711 A-law
+        return rate, _ALAW_LUT[np.frombuffer(data, dtype=np.uint8)]
+    raise NotImplementedError(
+        f"WAV audio format {audio_fmt}/{bits}bit (float/ADPCM/extensible) "
+        "requires a codec library"
+    )
 
 
 def md5_samples(doc_id: int, n_samples: int) -> "np.ndarray":
@@ -1178,6 +1213,56 @@ def attach_wav_payloads(
                     {
                         "media_type": "audio",
                         "format": "wav",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": n_samples * 1000 // rate,
+                    }
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
+
+    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
+def attach_g711_payloads(
+    df: DataFrame, id_col: str = "doc_id", n_samples: int = 256, rate: int = 8000
+) -> DataFrame:
+    """Give every row a REAL compressed-audio payload: the md5 byte stream
+    AS the G.711 companded data (one byte = one sample), wrapped in a WAV
+    whose format code alternates per row — μ-law (7) when ``id % 10 == 0``,
+    A-law (6) otherwise — so one graded query exercises BOTH expansions.
+    Production replaces this with a ``binaryFile`` read of telephony
+    captures."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                buf = b"".join(
+                    hashlib.md5(f"{did}:{b}".encode()).digest()
+                    for b in range((n_samples + 15) // 16)
+                )[:n_samples]
+                code = 7 if did % 10 == 0 else 6
+                hdr = b"RIFF" + struct.pack("<I", 36 + n_samples) + b"WAVE"
+                fmt = b"fmt " + struct.pack(
+                    "<IHHIIHH", 16, code, 1, rate, rate, 1, 8
+                )
+                payloads.append(
+                    bytearray(hdr + fmt + b"data" + struct.pack("<I", n_samples) + buf)
+                )
+                metas.append(
+                    {
+                        "media_type": "audio",
+                        "format": "ulaw" if code == 7 else "alaw",
                         "width": None,
                         "height": None,
                         "duration_ms": n_samples * 1000 // rate,

