@@ -1429,13 +1429,35 @@ def test_png_features_in_spark_match_ppm_features(spark):
     assert f_ppm == f_png
 
 
-SPARK_SAMPLE_IMAGES = "/opt/spark-4.1.2-bin-hadoop3/data/mllib/images/origin/kittens"
+def _spark_sample_images() -> str:
+    """Locate the Spark distribution's sample image dir wherever this
+    machine put it (SPARK_HOME, /opt/spark-*, or the pip package) — a
+    hard-coded version path would silently skip the only cross-decoder
+    JPEG conformance test after a Spark upgrade."""
+    import glob as _glob
+    import os as _os
+
+    roots = []
+    if _os.environ.get("SPARK_HOME"):
+        roots.append(_os.environ["SPARK_HOME"])
+    roots.extend(sorted(_glob.glob("/opt/spark-*")))
+    try:
+        import pyspark
+
+        roots.append(_os.path.dirname(pyspark.__file__))
+    except ImportError:
+        pass
+    for r in roots:
+        d = _os.path.join(r, "data", "mllib", "images", "origin", "kittens")
+        if _os.path.isdir(d):
+            return d
+    return ""
 
 
-@pytest.mark.skipif(
-    not __import__("os").path.isdir(SPARK_SAMPLE_IMAGES),
-    reason="Spark sample images not present",
-)
+SPARK_SAMPLE_IMAGES = _spark_sample_images()
+
+
+@pytest.mark.skipif(not SPARK_SAMPLE_IMAGES, reason="Spark sample images not found under SPARK_HOME, /opt/spark-*, or the pyspark package")
 def test_decode_jpeg_conforms_to_jvm_imageio(spark):
     """Cross-decoder conformance over EVERY Spark-distribution sample JPEG
     — 4:2:0/4:4:4 baseline kittens AND the progressive color + grayscale
@@ -1525,3 +1547,55 @@ def test_g711_luts_match_canonical_values():
     )
     with pytest.raises(NotImplementedError, match="float|ADPCM"):
         decode_wav(fwav)
+
+
+def test_corrupt_jpeg_degrades_not_crashes(spark):
+    """Round-6 review finding: a corrupt JPEG (SOS naming a component
+    absent from SOF, or referencing an undefined DHT id) must degrade to
+    the fake feature in non-strict mode — one bad payload in a
+    mixed-format corpus must never kill the mapInPandas job. 12-bit and
+    CMYK variants are honestly gated, not silently mis-decoded."""
+    import struct as _s
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        decode_image_features,
+        decode_jpeg,
+    )
+
+    sof = (
+        b"\xff\xc0" + _s.pack(">H", 11) + b"\x08" + _s.pack(">HH", 8, 8)
+        + b"\x01" + bytes([1, 0x11, 0])
+    )
+    sos_bad_comp = (
+        b"\xff\xda" + _s.pack(">H", 8) + b"\x01" + bytes([9, 0x00])
+        + bytes([0, 63, 0])
+    )
+    sos_no_dht = (
+        b"\xff\xda" + _s.pack(">H", 8) + b"\x01" + bytes([1, 0x00])
+        + bytes([0, 63, 0])
+    )
+    with pytest.raises(ValueError, match="absent from SOF"):
+        decode_jpeg(b"\xff\xd8" + sof + sos_bad_comp + b"\x00" * 8)
+    with pytest.raises(KeyError):
+        decode_jpeg(b"\xff\xd8" + sof + sos_no_dht + b"\x00" * 8)
+    cmyk = (
+        b"\xff\xd8" + b"\xff\xc0" + _s.pack(">H", 20) + b"\x08"
+        + _s.pack(">HH", 8, 8) + b"\x04"
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0, 4, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError, match="CMYK"):
+        decode_jpeg(cmyk)
+    twelve = (
+        b"\xff\xd8" + b"\xff\xc1" + _s.pack(">H", 11) + b"\x0c"
+        + _s.pack(">HH", 8, 8) + b"\x01" + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(NotImplementedError, match="8-bit"):
+        decode_jpeg(twelve)
+    rows = [
+        (1, bytearray(b"\xff\xd8" + sof + sos_bad_comp + b"\x00" * 8)),
+        (2, bytearray(b"\xff\xd8" + sof + sos_no_dht + b"\x00" * 8)),
+        (3, bytearray(cmyk)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = decode_image_features(df).collect()  # non-strict: all degrade
+    assert len(got) == 3 and all(len(r["feature"]) == 8 for r in got)

@@ -74,17 +74,19 @@ def _side_max_rows(node) -> int | None:
 
 #: BNL-bearing queries whose nested loop is quadratic BY SEMANTICS on a
 #: data-derived (hence statically unbounded) side — each documented in its
-#: docstring with the callable scale routing. The detector must stay loud
-#: for every OTHER query: a new name here needs the same adjudication.
+#: docstring with the callable scale routing. Values are (max adjudicated
+#: BNL nodes, reason): the adjudication is COUNT-AWARE, so a NEW unbounded
+#: BNL creeping into an already-adjudicated query still fails loud instead
+#: of hiding behind the name.
 BNL_QUADRATIC_BY_DESIGN = {
-    "f4_haversine_distance": "5x25 dim-dim min-distance (region x nation)",
-    "s5_topk_per_query": "per-query ranking: query frame x vectors, "
-    "query side is a deliberate small filter of the corpus",
-    "e3_knn_label_consistency": "exact pair audit; routing = e3b (ann_bits)",
-    "e6_jl_projection_audit": "exact pair audit; routing = e6b (sample_mod)",
-    "m28_kendall_tau": "entity-pair tau-b; routing = m28b (sample_mod)",
-    "e6b_jl_audit_sampled": "e6's routing: same BNL shape, pair work / 16",
-    "m28b_kendall_tau_sampled": "m28's routing: same shape, pair work / 100",
+    "f4_haversine_distance": (1, "5x25 dim-dim min-distance (region x nation)"),
+    "s5_topk_per_query": (1, "per-query ranking: query frame x vectors, "
+    "query side is a deliberate small filter of the corpus"),
+    "e3_knn_label_consistency": (1, "exact pair audit; routing = e3b (ann_bits)"),
+    "e6_jl_projection_audit": (1, "exact pair audit; routing = e6b (sample_mod)"),
+    "m28_kendall_tau": (1, "entity-pair tau-b; routing = m28b (sample_mod)"),
+    "e6b_jl_audit_sampled": (1, "e6's routing: same BNL shape, pair work / 16"),
+    "m28b_kendall_tau_sampled": (1, "m28's routing: same shape, pair work / 100"),
 }
 
 BOUNDED_SIDE_ROWS = 10_000  # a side statically bounded below this is a
@@ -162,8 +164,13 @@ def main() -> None:
             flags.append("row-at-a-time PythonUDF")
         if "BroadcastNestedLoopJoin" in simple:
             bnl = unbounded_bnl_joins(df)
-            if bnl and name in BNL_QUADRATIC_BY_DESIGN:
+            max_adj = BNL_QUADRATIC_BY_DESIGN.get(name, (0, ""))[0]
+            if bnl and len(bnl) <= max_adj:
                 flags.append("BNL-quadratic-by-design (adjudicated)")
+            elif bnl and max_adj:
+                # more unbounded BNLs than adjudicated: surface ALL of them
+                flags.append(f"BNL-count-exceeds-adjudication ({len(bnl)}>{max_adj})")
+                flags.extend(bnl)
             else:
                 flags.extend(bnl)
         flags_total += len(flags)

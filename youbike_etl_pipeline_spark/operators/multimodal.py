@@ -414,8 +414,17 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 i += 1 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline-class, SOF2 progressive
             progressive = marker == 0xC2
+            if body[0] != 8:  # SOF1/2 legally allow 12-bit — honest gate
+                raise NotImplementedError(
+                    f"only 8-bit JPEG precision is supported (got {body[0]}-bit)"
+                )
             h, w = struct.unpack_from(">HH", body, 1)
             ncomp = body[5]
+            if ncomp not in (1, 3):  # Adobe CMYK/YCCK would decode as garbage
+                raise NotImplementedError(
+                    f"only 1- or 3-component JPEG is supported (got {ncomp} — "
+                    "CMYK/YCCK needs the Adobe transform)"
+                )
             comps = []
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
@@ -466,7 +475,11 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             scan_comps = []
             for c in range(ns):
                 cs, tables = body[1 + 2 * c], body[2 + 2 * c]
-                comp = next(x for x in comps if x["id"] == cs)
+                comp = next((x for x in comps if x["id"] == cs), None)
+                if comp is None:
+                    raise ValueError(
+                        f"JPEG SOS names component {cs} absent from SOF"
+                    )
                 scan_comps.append({**comp, "dc": tables >> 4, "ac": tables & 15})
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             a = body[3 + 2 * ns]
@@ -738,10 +751,11 @@ def _real_feature(img: "np.ndarray") -> list[float]:
 
 
 def decode_image(payload: bytes, fmt: str | None = None) -> "np.ndarray":
-    """Dispatch decode by sniffed/declared format. Real for PPM/BMP and
-    8-bit non-interlaced PNG (stdlib zlib inflate + numpy unfilter);
-    ``NotImplementedError`` for formats that genuinely need a codec
-    library (JPEG's DCT entropy pipeline, webp)."""
+    """Dispatch decode by sniffed/declared format. Real for PPM/BMP,
+    8-bit non-interlaced PNG (stdlib zlib inflate + numpy unfilter), and
+    8-bit 1/3-component baseline+progressive JPEG (:func:`decode_jpeg`);
+    ``NotImplementedError`` for the variants that stay honestly gated
+    (12-bit / CMYK / lossless / arithmetic JPEG, webp)."""
     if payload[:2] == b"P6" or fmt == "ppm":
         return decode_ppm(payload)
     if payload[:2] == b"BM" or fmt == "bmp":
@@ -749,7 +763,7 @@ def decode_image(payload: bytes, fmt: str | None = None) -> "np.ndarray":
     if payload[:4] == b"\x89PNG" or fmt == "png":
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8" or fmt in ("jpg", "jpeg"):
-        return decode_jpeg(payload)  # baseline; progressive raises inside
+        return decode_jpeg(payload)  # unsupported variants raise inside
     if fmt == "webp" or payload[:4] == b"RIFF":
         raise NotImplementedError(
             "decoding webp requires a codec library (Pillow/opencv) — "
@@ -932,11 +946,13 @@ def decode_image_features(
 ) -> DataFrame:
     """Image decode + feature extraction via ``mapInPandas`` (Arrow batches).
 
-    Payloads in an uncompressed format (PPM/BMP) are REALLY decoded
-    (:func:`decode_image`, pure numpy) into per-channel mean/std features.
-    Other payloads: ``strict=True`` raises ``NotImplementedError`` (the
-    codec-gated path — compressed formats need Pillow/opencv), otherwise
-    the deterministic fake keeps the plumbing testable end-to-end.
+    Payloads in a supported format (PPM/BMP/PNG/baseline+progressive
+    JPEG) are REALLY decoded (:func:`decode_image`, pure numpy/stdlib)
+    into per-channel mean/std features. Unsupported variants (12-bit /
+    CMYK / lossless JPEG, webp) and malformed payloads: ``strict=True``
+    raises ``NotImplementedError``; otherwise the deterministic fake
+    keeps a mixed-format corpus running end-to-end — no payload class
+    may kill the job in non-strict mode.
     """
 
     import zlib
@@ -953,7 +969,9 @@ def decode_image_features(
             if strict:
                 raise
             return _fake_feature(payload, dim)
-        except (ValueError, IndexError, struct.error, zlib.error):
+        except (ValueError, IndexError, KeyError, struct.error, zlib.error):
+            # KeyError: a corrupt JPEG referencing an undefined DQT/DHT id —
+            # every malformed-payload class must degrade, not kill the job
             if strict:
                 raise NotImplementedError(
                     "compressed/unknown image decode requires a codec library "
