@@ -142,3 +142,26 @@ def test_decimal_sum_partitioning_invariant(spark_prop, values, n_parts):
     a = df.coalesce(1).agg(decimal_sum("x").alias("s")).collect()[0]["s"]
     b = df.repartition(n_parts).agg(decimal_sum("x").alias("s")).collect()[0]["s"]
     assert a == b  # exact, not approx
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(w, h, seed):
+    """PNG encode→decode is the identity on arbitrary 8-bit RGB images of
+    any geometry — heights ≥5 exercise all five scanline filters (the
+    encoder assigns filter r%5), widths exercise the per-lane Sub/Paeth
+    byte offsets."""
+    import numpy as np
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
