@@ -427,6 +427,17 @@ DOC_EVENT_QUERIES = [
     # verbatim duplicates stress the prefix-collision path; the oracle is
     # unfiltered brute force, so any lost pair fails the hash)
     "t49_prefix_filter_jaccard",
+    # round-6: the new codec queries (md5 fixtures derive from doc_id
+    # only, so the parity must hold under any reseed), the routing twins
+    # over events/documents, and the capped interval join
+    "mm10_png_decode_features",
+    "mm11_g711_audio_decode",
+    "t38b_sketch_audit_dedup_first",
+    "m28b_kendall_tau_sampled",
+    "j11b_interval_overlap_capped",
+    "j14_bucketed_asof_join",
+    "w28_bucketed_systematic_sample",
+    "a27_bucketed_equi_depth",
 ]
 
 

@@ -1035,22 +1035,33 @@ def sketch_accuracy_audit(
         "est_j",
         "exact_j",
     )
+    # zero-candidate corpora (possible after collapse on an all-unique
+    # reseed) must yield well-defined zeros, not engine-flavored NULL/NaN
     return errs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        _q6(
-            F.sum(F.col("err").cast("decimal(27,6)")).cast("double")
-            / F.count("err")
+        F.coalesce(
+            _q6(
+                F.sum(F.col("err").cast("decimal(27,6)")).cast("double")
+                / F.count("err")
+            ),
+            F.lit(0.0),
         ).alias("mean_abs_err"),
-        F.max("err").alias("max_abs_err"),
-        F.sum(
-            F.when(
-                (F.col("est_j") >= threshold) & (F.col("exact_j") < threshold), 1
-            ).otherwise(0)
+        F.coalesce(F.max("err"), F.lit(0.0)).alias("max_abs_err"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("est_j") >= threshold) & (F.col("exact_j") < threshold), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("n_false_pos"),
-        F.sum(
-            F.when(
-                (F.col("est_j") < threshold) & (F.col("exact_j") >= threshold), 1
-            ).otherwise(0)
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("est_j") < threshold) & (F.col("exact_j") >= threshold), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         ).alias("n_missed"),
     )
 

@@ -153,6 +153,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # mirror of the closed-form ITU-T expansion (the non-PCM half of the
     # round-5 compressed-format gap):
     "mm11_g711_audio_decode",
+    # zero-candidate guard (reseed-harness find): the sketch audit's
+    # aggregates now coalesce to 0.0/0 on an empty candidate set, on both
+    # engines — t38 shares the operator and the generated oracle:
+    "t38_sketch_accuracy_audit",
 )
 
 
@@ -9622,13 +9626,13 @@ def _t38_sketch_audit_sql(
       FROM scored
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           FLOOR(CAST(SUM(CAST(err AS DECIMAL(27,6))) AS DOUBLE) / COUNT(err)
-                 * 1000000) / 1000000.0 AS mean_abs_err,
-           MAX(err) AS max_abs_err,
-           CAST(SUM(CASE WHEN est_j >= {threshold} AND exact_j < {threshold}
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
-           CAST(SUM(CASE WHEN est_j < {threshold} AND exact_j >= {threshold}
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+           COALESCE(FLOOR(CAST(SUM(CAST(err AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(err) * 1000000) / 1000000.0, 0.0) AS mean_abs_err,
+           COALESCE(MAX(err), 0.0) AS max_abs_err,
+           CAST(COALESCE(SUM(CASE WHEN est_j >= {threshold} AND exact_j < {threshold}
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_false_pos,
+           CAST(COALESCE(SUM(CASE WHEN est_j < {threshold} AND exact_j >= {threshold}
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_missed
     FROM errs
     """
 
