@@ -1599,3 +1599,42 @@ def test_corrupt_jpeg_degrades_not_crashes(spark):
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = decode_image_features(df).collect()  # non-strict: all degrade
     assert len(got) == 3 and all(len(r["feature"]) == 8 for r in got)
+
+
+def test_ima_adpcm_decode_block_and_framing():
+    """IMA ADPCM: known-nibble hand-check (step table walk, clamping,
+    LOW-nibble-first order) plus multi-block WAV framing — each block
+    restarts prediction from its own header."""
+    import struct as _s
+
+    import numpy as np
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        _IMA_STEPS,
+        _ima_adpcm_decode_block,
+        decode_wav,
+    )
+
+    # one byte 0x81 → nibbles (1, 8) from predictor 100, index 0 (step 7):
+    # n=1: diff = 7>>3 + 7>>2 = 0+1 = 1 → pred 101, idx -1→0
+    # n=8: diff = -(7>>3) = 0 → pred 101, idx 0+(-1)→0... INDEX_ADJ[0]=-1
+    blk = _s.pack("<hBB", 100, 0, 0) + bytes([0x81])
+    out = _ima_adpcm_decode_block(blk)
+    assert out.tolist() == [100, 101, 101]
+    # saturating clamp at int16 max: start near the top on the biggest step
+    blk2 = _s.pack("<hBB", 32700, 88, 0) + bytes([0x77])  # n=7 twice, +diff
+    out2 = _ima_adpcm_decode_block(blk2)
+    assert out2[0] == 32700 and (out2[1:] == 32767).all()
+    # two-block WAV: prediction restarts per block header
+    block_align = 5
+    b1 = _s.pack("<hBB", 10, 0, 0) + bytes([0x00])
+    b2 = _s.pack("<hBB", -10, 5, 0) + bytes([0x00])
+    wav = (
+        b"RIFF" + _s.pack("<I", 36 + 10) + b"WAVE"
+        + b"fmt " + _s.pack("<IHHIIHH", 16, 0x11, 1, 8000, 4000, block_align, 4)
+        + b"data" + _s.pack("<I", 10) + b1 + b2
+    )
+    rate, samples = decode_wav(wav)
+    assert rate == 8000 and len(samples) == 6
+    assert samples[0] == 10 and samples[3] == -10
+    assert len(_IMA_STEPS) == 89

@@ -432,6 +432,7 @@ DOC_EVENT_QUERIES = [
     # over events/documents, and the capped interval join
     "mm10_png_decode_features",
     "mm11_g711_audio_decode",
+    "mm12_adpcm_audio_decode",
     "t38b_sketch_audit_dedup_first",
     "m28b_kendall_tau_sampled",
     "j11b_interval_overlap_capped",

@@ -1158,6 +1158,50 @@ def _g711_luts() -> tuple["np.ndarray", "np.ndarray"]:
 
 _ULAW_LUT, _ALAW_LUT = _g711_luts()
 
+#: IMA ADPCM (WAV format 0x11 / DVI4) tables — IMA reference algorithm
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ],
+    dtype=np.int64,
+)
+_IMA_INDEX_ADJ = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int64)
+
+
+def _ima_adpcm_decode_block(block: bytes) -> "np.ndarray":
+    """Decode one mono IMA ADPCM block: 4-byte header (int16 predictor,
+    uint8 step index, reserved), then 4-bit nibbles LOW-first. The header
+    predictor is emitted as the block's first sample (standard WAV IMA
+    framing). Pure-python state recursion — each nibble updates
+    (predictor, step index); the DuckDB oracle (mm12) replays the same
+    recursion as a recursive CTE joined to the 89-entry step table."""
+    pred = struct.unpack_from("<h", block, 0)[0]
+    idx = min(88, max(0, block[2]))
+    out = [pred]
+    for b in block[4:]:
+        for n in (b & 0x0F, b >> 4):
+            step = int(_IMA_STEPS[idx])
+            diff = step >> 3
+            if n & 1:
+                diff += step >> 2
+            if n & 2:
+                diff += step >> 1
+            if n & 4:
+                diff += step
+            if n & 8:
+                diff = -diff
+            pred = min(32767, max(-32768, pred + diff))
+            idx = min(88, max(0, idx + int(_IMA_INDEX_ADJ[n & 7])))
+            out.append(pred)
+    return np.asarray(out, dtype=np.int16)
+
 
 def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     """Parse a mono RIFF/WAVE payload → (sample_rate, int16 samples).
@@ -1169,12 +1213,14 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, bits, channels, data, audio_fmt = 12, None, None, None, None, None
+    block_align = None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            block_align = struct.unpack_from("<H", body, 12)[0]
             bits = struct.unpack_from("<H", body, 14)[0]
         elif cid == b"data":
             data = body
@@ -1189,8 +1235,17 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
         return rate, _ULAW_LUT[np.frombuffer(data, dtype=np.uint8)]
     if audio_fmt == 6 and bits == 8:  # G.711 A-law
         return rate, _ALAW_LUT[np.frombuffer(data, dtype=np.uint8)]
+    if audio_fmt == 0x11 and bits == 4:  # IMA ADPCM
+        if not block_align or block_align < 5:
+            raise ValueError("IMA ADPCM WAV missing a usable block_align")
+        chunks = [
+            _ima_adpcm_decode_block(data[i : i + block_align])
+            for i in range(0, len(data), block_align)
+            if len(data[i : i + block_align]) >= 5
+        ]
+        return rate, np.concatenate(chunks) if chunks else np.zeros(0, np.int16)
     raise NotImplementedError(
-        f"WAV audio format {audio_fmt}/{bits}bit (float/ADPCM/extensible) "
+        f"WAV audio format {audio_fmt}/{bits}bit (float/MS-ADPCM/extensible) "
         "requires a codec library"
     )
 
@@ -1284,6 +1339,56 @@ def attach_g711_payloads(
                         "width": None,
                         "height": None,
                         "duration_ms": n_samples * 1000 // rate,
+                    }
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
+
+    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
+def attach_adpcm_payloads(
+    df: DataFrame, id_col: str = "doc_id", n_data_bytes: int = 124, rate: int = 8000
+) -> DataFrame:
+    """Give every row a REAL IMA-ADPCM WAV payload: one block whose 4-byte
+    header carries predictor 0 and step index ``id % 89`` (so every
+    starting step size is exercised across the corpus) and whose nibble
+    data is the md5 byte stream — 2·n_data_bytes + 1 samples per row. The
+    mm12 oracle replays the exact prediction recursion in SQL."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+    block_align = n_data_bytes + 4
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                buf = b"".join(
+                    hashlib.md5(f"{did}:{b}".encode()).digest()
+                    for b in range((n_data_bytes + 15) // 16)
+                )[:n_data_bytes]
+                block = struct.pack("<hBB", 0, did % 89, 0) + buf
+                hdr = b"RIFF" + struct.pack("<I", 36 + len(block)) + b"WAVE"
+                fmt = b"fmt " + struct.pack(
+                    "<IHHIIHH", 16, 0x11, 1, rate, rate // 2, block_align, 4
+                )
+                payloads.append(
+                    bytearray(hdr + fmt + b"data" + struct.pack("<I", len(block)) + block)
+                )
+                metas.append(
+                    {
+                        "media_type": "audio",
+                        "format": "ima-adpcm",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": (2 * n_data_bytes + 1) * 1000 // rate,
                     }
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})

@@ -157,6 +157,9 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # aggregates now coalesce to 0.0/0 on an empty candidate set, on both
     # engines — t38 shares the operator and the generated oracle:
     "t38_sketch_accuracy_audit",
+    # NEW: IMA ADPCM decode graded against a recursive-CTE replay of the
+    # prediction state machine (completes the WAV family):
+    "mm12_adpcm_audio_decode",
 )
 
 
@@ -16871,6 +16874,104 @@ def mm11_g711_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id",
         F.when(F.col("doc_id") % 10 == 0, "ulaw").otherwise("alaw").alias("fmt"),
+        "n_samples",
+        "peak",
+        "zero_crossings",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+def _mm12_adpcm_sql(n_data_bytes: int = 124) -> str:
+    """DuckDB mirror of the IMA ADPCM decode: a RECURSIVE CTE replays the
+    per-nibble prediction state machine — diff = (step>>3) + bit-weighted
+    step fractions, sign from bit 3, predictor clamped to int16, step
+    index walked through the 89-entry IMA table (embedded as VALUES) —
+    over the same md5 nibble stream the fixture wraps. t23's
+    recursive-CTE precedent, applied to a codec."""
+    from ..operators.multimodal import _IMA_STEPS
+
+    blocks = (n_data_bytes + 15) // 16
+    n_nibbles = n_data_bytes * 2
+    steps_rows = ", ".join(f"({i}, {int(s)})" for i, s in enumerate(_IMA_STEPS))
+    return f"""
+    WITH RECURSIVE d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+    hx AS (
+      SELECT d.doc_id, b.b, md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)) AS h
+      FROM d, (SELECT unnest(generate_series(0, {blocks - 1})) AS b) b
+    ),
+    bytes AS (
+      SELECT doc_id, (b * 16 + j.j) AS bi,
+             (strpos('0123456789abcdef', substr(h, 2 * j.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2 * j.j + 2, 1)) - 1) AS v
+      FROM hx, (SELECT unnest(generate_series(0, 15)) AS j) j
+      WHERE b * 16 + j.j < {n_data_bytes}
+    ),
+    nib AS (
+      SELECT doc_id, bi * 2 AS k, v % 16 AS n FROM bytes
+      UNION ALL
+      SELECT doc_id, bi * 2 + 1 AS k, v // 16 AS n FROM bytes
+    ),
+    steps(i, st) AS (VALUES {steps_rows}),
+    adpcm AS (
+      SELECT doc_id, -1 AS k, 0 AS pred, doc_id % 89 AS idx FROM d
+      UNION ALL
+      SELECT a.doc_id, a.k + 1,
+             CAST(GREATEST(-32768, LEAST(32767,
+               a.pred + (CASE WHEN nb.n >= 8 THEN -1 ELSE 1 END)
+                 * (s.st // 8 + (nb.n % 2) * (s.st // 4)
+                    + ((nb.n // 2) % 2) * (s.st // 2)
+                    + ((nb.n // 4) % 2) * s.st))) AS INT),
+             CAST(GREATEST(0, LEAST(88,
+               a.idx + CASE nb.n % 8 WHEN 4 THEN 2 WHEN 5 THEN 4
+                                     WHEN 6 THEN 6 WHEN 7 THEN 8
+                                     ELSE -1 END)) AS INT)
+      FROM adpcm a
+      JOIN nib nb ON nb.doc_id = a.doc_id AND nb.k = a.k + 1
+      JOIN steps s ON s.i = a.idx
+      WHERE a.k < {n_nibbles - 1}
+    ),
+    samples AS (SELECT doc_id, k + 1 AS si, pred AS s FROM adpcm),
+    lagged AS (
+      SELECT doc_id, si, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY si) AS prev
+      FROM samples
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND s * prev < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           ROUND(SQRT(CAST(SUM(CAST(s AS BIGINT) * s) AS DOUBLE) / COUNT(*)), 6) AS rms
+    FROM lagged GROUP BY doc_id
+    """
+
+
+@register(
+    "mm12_adpcm_audio_decode",
+    _mm12_adpcm_sql(),
+    survey_rows="ext:multimodal-audio — IMA ADPCM (WAV format 0x11) "
+    "decode; the oracle replays the prediction state machine as a "
+    "recursive CTE",
+    description="REAL adaptive-predictive audio decode with no codec "
+    "library: the fixture wraps md5 nibbles as a one-block IMA ADPCM WAV "
+    "(predictor 0, starting step index doc_id%89 so the whole step table "
+    "is exercised corpus-wide), decode_wav walks the block structure and "
+    "runs the per-nibble prediction recursion "
+    "(multimodal.py::_ima_adpcm_decode_block), and the time-domain "
+    "feature block reduces the expanded samples. The oracle is a "
+    "RECURSIVE CTE over the identical state machine — 249 iterations of "
+    "clamped integer prediction joined to the embedded 89-entry step "
+    "table — so the driver hash-compare proves a STATEFUL codec decode "
+    "end-to-end, completing the WAV family (PCM16 + G.711 + IMA ADPCM; "
+    "float/MS-ADPCM stay honestly gated).",
+)
+def mm12_adpcm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_adpcm_payloads, decode_audio_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    feats = decode_audio_features(attach_adpcm_payloads(docs))
+    return feats.select(
+        "doc_id",
         "n_samples",
         "peak",
         "zero_crossings",
