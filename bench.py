@@ -169,6 +169,10 @@ HEADLINE = [
     "e6b_jl_audit_sampled",
     "t38b_sketch_audit_dedup_first",
     "e3b_knn_consistency_routed",
+    # round-6 codec additions: the no-codec-lib decode family
+    "mm10_png_decode_features",
+    "mm11_g711_audio_decode",
+    "mm12_adpcm_audio_decode",
 ]
 
 
