@@ -303,8 +303,16 @@ class _BitReader:
         self.data, self.pos, self.buf, self.nbits = data, start, 0, 0
 
     def _fill(self) -> None:
+        if self.pos >= len(self.data):  # truncated stream: pad with 1-bits
+            self.buf = (self.buf << 8) | 0xFF
+            self.nbits += 8
+            return
         b = self.data[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(self.data):  # lone trailing 0xFF: pad
+                self.buf = (self.buf << 8) | 0xFF
+                self.nbits += 8
+                return
             nxt = self.data[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
