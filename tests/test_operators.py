@@ -447,7 +447,7 @@ def test_grid_nn_join_matches_brute_force(spark):
     }
     grid = {
         r["station_no"]: r["dist_nn"]
-        for r in grid_nn_join(sdf, mdf, "station_no", cell_deg=0.02).collect()
+        for r in grid_nn_join(sdf, mdf, cell_deg=0.02).collect()
     }
     assert set(grid) == set(exact)
     for k in exact:
@@ -1638,3 +1638,76 @@ def test_ima_adpcm_decode_block_and_framing():
     assert rate == 8000 and len(samples) == 6
     assert samples[0] == 10 and samples[3] == -10
     assert len(_IMA_STEPS) == 89
+
+
+def test_round6_review_null_and_default_semantics(spark):
+    """Round-6 self-review regression pack: (1) nearest_neighbor_join's
+    default right_keep orders by every right column instead of crashing on
+    an empty ORDER BY; (2) numeric_nn_join excludes null right values and
+    preserves null-left-value rows with a null match (previously a
+    null-valued right row lent its id to every left row); (3)
+    asof_join_forward gives null-ts left rows a null carry (previously the
+    EARLIEST right row); (4) hour_bucket_join neither leaks its bucket key
+    nor clobbers a pre-existing hour_key column; (5) the two-level
+    rank/ntile keep a null stratum as its own partition (null-safe offset
+    joins) exactly like the single-window twins."""
+    from pyspark.sql import Window
+
+    from youbike_etl_pipeline_spark.operators.joins import (
+        asof_join_forward,
+        hour_bucket_join,
+        nearest_neighbor_join,
+        numeric_nn_join,
+    )
+    from youbike_etl_pipeline_spark.operators.windows import (
+        bucketed_ntile,
+        bucketed_row_number,
+    )
+
+    left = spark.createDataFrame([(1, 0.0), (2, 5.0)], "id long, x double")
+    right = spark.createDataFrame([(10, 1.0), (11, 1.0)], "rid long, rx double")
+    out = nearest_neighbor_join(left, right, "id", F.abs(F.col("x") - F.col("rx")))
+    assert sorted((r["id"], r["rid"]) for r in out.collect()) == [(1, 10), (2, 10)]
+
+    l = spark.createDataFrame([(1, 5.0), (2, None)], "lid long, v double")
+    r = spark.createDataFrame([(7, None), (8, 6.0)], "rid long, rv double")
+    rows = {x["lid"]: x for x in numeric_nn_join(l, r, "v", "rid", "rv").collect()}
+    assert rows[1]["nn_rid"] == 8 and rows[1]["nn_distance"] == 1.0
+    assert rows[2]["nn_rid"] is None and rows[2]["nn_distance"] is None
+
+    lf = spark.createDataFrame(
+        [("a", None, 1), ("a", 10.0, 2)], "k string, ts double, lid int"
+    )
+    rt = spark.createDataFrame(
+        [("a", 1.0, 100), ("a", 20.0, 200)], "k string, ts double, rv int"
+    )
+    fwd = {
+        x["lid"]: x["rv"]
+        for x in asof_join_forward(
+            lf, rt, on="k", left_ts="ts", right_ts="ts", right_values=["rv"]
+        ).collect()
+    }
+    assert fwd == {1: None, 2: 200}
+
+    fact = spark.createDataFrame(
+        [(1, "2024-01-01 10:30:00", "keep-me")], "id long, ts string, hour_key string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    hourly = spark.createDataFrame(
+        [("2024-01-01 10:00:00", 9.0)], "hk string, avgv double"
+    ).withColumn("hk", F.col("hk").cast("timestamp"))
+    joined = hour_bucket_join(fact, hourly, "ts", "hk", how="inner")
+    assert set(joined.columns) == {"id", "ts", "hour_key", "avgv"}
+    assert joined.collect()[0]["hour_key"] == "keep-me"
+
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), (None, 3.0), ("a", 4.0)], "k string, v double"
+    )
+    rn = bucketed_row_number(df, ["k"], "v", 1.0)
+    assert rn.count() == 4  # the null stratum survives
+    w = Window.partitionBy("k").orderBy("v")
+    single = {
+        (r["k"], r["v"]): r["rn"]
+        for r in df.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert {(r["k"], r["v"]): r["rn"] for r in rn.collect()} == single
+    assert bucketed_ntile(df, ["k"], "v", n_tiles=2, bucket_width=1.0).count() == 4

@@ -35,10 +35,13 @@ def hour_bucket_join(
     """Time-bucket join (J2): floor fact timestamps to the hour and equi-join
     the hourly series — each sub-hourly reading joins its containing hour
     (reference ``notebooks/03_data_merge.ipynb:L79-L87``). The hourly side is
-    small (one row per hour) → broadcast."""
-    keyed = fact.withColumn("hour_key", F.date_trunc("hour", F.col(fact_ts)))
-    rhs = hourly.withColumnRenamed(hourly_ts, "hour_key")
-    return keyed.join(F.broadcast(rhs), on="hour_key", how=how)
+    small (one row per hour) → broadcast. Output = fact columns + the
+    hourly side's value columns; the synthesized bucket key is internal
+    (a reserved ``__hour_key``, dropped after the join, so it can't shadow
+    a real fact column or leak into downstream schemas)."""
+    keyed = fact.withColumn("__hour_key", F.date_trunc("hour", F.col(fact_ts)))
+    rhs = hourly.withColumnRenamed(hourly_ts, "__hour_key")
+    return keyed.join(F.broadcast(rhs), on="__hour_key", how=how).drop("__hour_key")
 
 
 def anti_join_new_rows(incoming: DataFrame, existing: DataFrame, on: str | list[str]) -> DataFrame:
@@ -98,7 +101,10 @@ def nearest_neighbor_join(
     at_min = crossed.join(F.broadcast(minima), on=left_id, how="inner").filter(
         F.col("__dist") == F.col("__min_dist")
     )
-    w = Window.partitionBy(left_id).orderBy(*[F.col(c).asc() for c in (right_keep or [])])
+    # default tie-break: every right column — an empty ORDER BY is an
+    # AnalysisException, and an unordered tie pick would be nondeterministic
+    keep = right_keep if right_keep else list(right.columns)
+    w = Window.partitionBy(left_id).orderBy(*[F.col(c).asc() for c in keep])
     return (
         at_min.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -307,7 +313,11 @@ def asof_join_forward(
     unioned = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").desc(), F.col("__side").desc())
+        # desc_nulls_first mirrors the backward join's nulls-first group:
+        # a null-ts left row sees no real right row's carry (plain desc
+        # puts nulls LAST, where the null-ts row would wrongly inherit the
+        # EARLIEST right row as its "next" match)
+        .orderBy(F.col("__ts").desc_nulls_first(), F.col("__side").desc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = unioned.select(
@@ -344,7 +354,10 @@ def range_band_join(
     multiply, matching SQL semantics of the equivalent inequality join).
     """
     if bucket_width is None:
-        min_width = bands.agg(F.min(F.col(hi_col) - F.col(lo_col))).collect()[0][0]
+        min_width, max_width = bands.agg(
+            F.min(F.col(hi_col) - F.col(lo_col)),
+            F.max(F.col(hi_col) - F.col(lo_col)),
+        ).collect()[0]
         if min_width is None or float(min_width) <= 0.0:
             raise ValueError(
                 f"range_band_join: degenerate band (min {hi_col}-{lo_col} = "
@@ -352,6 +365,18 @@ def range_band_join(
                 "an explicit bucket_width > 0"
             )
         bucket_width = float(min_width)
+        # one band 100k x wider than the narrowest would explode into 100k+
+        # bucket rows (sequence-length/broadcast hazard) under the
+        # min-width default — fail loud and let the caller pick the width
+        if float(max_width) / bucket_width > 100_000:
+            raise ValueError(
+                "range_band_join: band widths span a "
+                f"{float(max_width) / bucket_width:.0f}x ratio — the "
+                "min-width default would replicate the widest band into "
+                "that many buckets; pass an explicit bucket_width sized "
+                "for the wide bands (narrow bands still match exactly "
+                "through the residual range predicate)"
+            )
     w = float(bucket_width)
     if w <= 0.0:
         raise ValueError(f"range_band_join: bucket_width must be > 0, got {w}")
@@ -375,7 +400,6 @@ def range_band_join(
 def grid_nn_join(
     left: DataFrame,
     right: DataFrame,
-    left_id: str,
     cell_deg: float = 0.01,
     lat_col: str = "lat",
     lng_col: str = "lng",
@@ -396,6 +420,11 @@ def grid_nn_join(
     neighborhood; with ``cell_deg`` ≥ the expected NN distance this does not
     occur — pick the cell size from the right-side density (documented
     contract; the fallback covers empty neighborhoods, not mis-ranking).
+
+    Cardinality contract: output is one row per DISTINCT left row (the
+    min-distance aggregation groups on all left columns), so byte-identical
+    duplicate left rows collapse — give rows a unique id column if per-row
+    multiplicity matters.
     """
     lat_cell = F.floor(F.col(lat_col) / cell_deg).cast("long")
     lng_cell = F.floor(F.col(lng_col) / cell_deg).cast("long")
@@ -427,8 +456,8 @@ def grid_nn_join(
         on=["__cell_lat", "__cell_lng"],
         how="left_anti",
     ).drop("__cell_lat", "__cell_lng")
-    if uncovered.isEmpty():
-        return near
+    # no isEmpty() probe: that fired an eager anti-join job at plan time
+    # and recomputed it when non-empty; an empty union arm is free
     far = (
         uncovered.crossJoin(F.broadcast(r_pts))
         .withColumn(
@@ -447,7 +476,6 @@ def grid_nn_join(
 def numeric_nn_join(
     left: DataFrame,
     right: DataFrame,
-    left_id: str,
     left_val: str,
     right_id: str,
     right_val: str,
@@ -455,6 +483,12 @@ def numeric_nn_join(
 ) -> DataFrame:
     """1-D nearest-neighbor join in O(n log n): for each left row, the right
     row minimizing |left_val − right_val|, ties broken by smaller right id.
+
+    Null semantics: right rows with a null ``right_val`` cannot be anyone's
+    neighbor and are excluded; left rows with a null ``left_val`` are
+    PRESERVED with a null match (id and distance both null) — previously a
+    null-valued right row could lend its id to every left row while its
+    value stayed null, pairing an id with a distance from different rows.
 
     The cross-product formulation (:func:`nearest_neighbor_join`) is
     O(L×R) — measured 92× slower at a 10× blow-up (SCALING.md). On a sorted
@@ -475,9 +509,13 @@ def numeric_nn_join(
     exchange, carries O(rows/bucket) memory — this is the boundary-row
     exchange the 100 TB plan needs.
     """
-    rvals = right.groupBy(F.col(right_val).alias("__v")).agg(
-        F.min(right_id).alias("__rid")
+    rvals = (
+        right.filter(F.col(right_val).isNotNull())
+        .groupBy(F.col(right_val).alias("__v"))
+        .agg(F.min(right_id).alias("__rid"))
     )
+    null_left = left.filter(F.col(left_val).isNull())
+    left = left.filter(F.col(left_val).isNotNull())
     if n_buckets is None:
         n_buckets = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     # driver-side scalar list: ≤ n_buckets−1 cut points from a GK sketch,
@@ -544,10 +582,21 @@ def numeric_nn_join(
             | ((pd_ == nd_) & (F.col("__pid") <= F.col("__nid")))
         )
     )
-    return carried.select(
+    out = carried.select(
         *[F.col(f"__lrow.{c}").alias(c) for c in carried.schema["__lrow"].dataType.fieldNames()],
         F.when(prev_wins, F.col("__pid")).otherwise(F.col("__nid")).alias("nn_" + right_id),
         F.when(prev_wins, pd_).otherwise(nd_).alias("nn_distance"),
+    )
+    # null-left_val rows come back with a null match (no isEmpty probe — an
+    # empty union arm contributes nothing and costs nothing)
+    nn_id_t = out.schema["nn_" + right_id].dataType
+    nn_d_t = out.schema["nn_distance"].dataType
+    return out.unionByName(
+        null_left.select(
+            *null_left.columns,
+            F.lit(None).cast(nn_id_t).alias("nn_" + right_id),
+            F.lit(None).cast(nn_d_t).alias("nn_distance"),
+        )
     )
 
 

@@ -120,7 +120,9 @@ def interpolate_linear_pandas(
     schema = df.schema
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(ts)
+        # stable sort: the default quicksort permutes timestamp ties
+        # run-to-run, breaking the module's determinism invariant
+        pdf = pdf.sort_values(ts, kind="mergesort")
         pdf[cols] = pdf[cols].interpolate("linear").ffill().bfill()
         return pdf
 
@@ -219,16 +221,26 @@ def bucketed_row_number(
         .orderBy("__bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = counts.select(
-        *part_cols,
-        "__bkt",
-        F.coalesce(F.sum("__n").over(w_off), F.lit(0)).cast("long").alias("__off"),
+    # NULL-SAFE join on the partition columns: the single-window twin keeps
+    # a null stratum as its own partition, so a null-unsafe equi-join here
+    # would silently drop those rows (same failure class as the null
+    # order_col this function already raises on). The offset frame is
+    # strata x buckets — broadcast it.
+    offsets = F.broadcast(
+        counts.select(
+            *[F.col(c).alias(f"__p_{c}") for c in part_cols],
+            F.col("__bkt").alias("__obkt"),
+            F.coalesce(F.sum("__n").over(w_off), F.lit(0)).cast("long").alias("__off"),
+        )
     )
+    cond = F.col("__bkt") == F.col("__obkt")
+    for c in part_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__p_{c}"))
     return (
         tagged.withColumn("__lrn", F.row_number().over(w_loc))
-        .join(offsets, [*part_cols, "__bkt"])
+        .join(offsets, cond)
         .withColumn(out_col, (F.col("__lrn") + F.col("__off")).cast("int"))
-        .drop("__bkt", "__lrn", "__off")
+        .drop("__bkt", "__lrn", "__off", "__obkt", *[f"__p_{c}" for c in part_cols])
     )
 
 
@@ -253,8 +265,19 @@ def bucketed_ntile(
     ranked = bucketed_row_number(
         df, part_cols, order_col, bucket_width, out_col="__rn", tiebreak=tiebreak
     )
-    ns = df.groupBy(*part_cols).agg(F.count(F.lit(1)).alias("__N"))
-    ranked = ranked.join(F.broadcast(ns), part_cols)
+    # null-safe on part_cols for the same reason as bucketed_row_number's
+    # offset join: a null stratum is a real ntile partition, not a drop
+    ns = F.broadcast(
+        df.groupBy(*part_cols)
+        .agg(F.count(F.lit(1)).alias("__N"))
+        .select(
+            *[F.col(c).alias(f"__q_{c}") for c in part_cols], "__N"
+        )
+    )
+    cond = F.lit(True)
+    for c in part_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__q_{c}"))
+    ranked = ranked.join(ns, cond).drop(*[f"__q_{c}" for c in part_cols])
     base = ((F.col("__N") - F.pmod(F.col("__N"), n_tiles)) / n_tiles).cast("long")
     extra = F.pmod(F.col("__N"), n_tiles)
     cutoff = extra * (base + 1)

@@ -160,6 +160,15 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # NEW: IMA ADPCM decode graded against a recursive-CTE replay of the
     # prediction state machine (completes the WAV family):
     "mm12_adpcm_audio_decode",
+    # round-6 self-review fixes (operator plans changed; answers
+    # unchanged on the graded inputs): hour_bucket_join's internal key is
+    # now reserved+dropped (j2), numeric_nn_join routes null values
+    # explicitly and dropped its dead left_id param (j5), range_band_join
+    # guards the min-width default against wide-band explosion (j8), and
+    # asof_join_forward orders desc_nulls_first so null-ts left rows get
+    # a null match instead of the earliest right row (j10):
+    "j2_hour_bucket_join", "j5_nearest_neighbor_join",
+    "j8_range_band_join", "j10_asof_join_forward",
 )
 
 
@@ -560,7 +569,7 @@ def j5_nearest_neighbor_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
     nn = oj.numeric_nn_join(
-        supp, part, "s_suppkey", "s_acctbal", "p_partkey", "p_retailprice"
+        supp, part, "s_acctbal", "p_partkey", "p_retailprice"
     )
     return nn.select(
         "s_suppkey",
