@@ -170,3 +170,63 @@ def test_wav_roundtrip_and_decode_gates():
     payload[20:22] = (3).to_bytes(2, "little")
     with _pt.raises(NotImplementedError):
         decode_wav(bytes(payload))
+
+
+def test_round6_dedup_review_regressions(spark):
+    """Round-6 self-review regression pack for the dedup/similarity family:
+    (1) knn_label_consistency's collapse groups on the (vector, label)
+    column pair, so a label containing a comma cannot collide with another
+    row's serialized form; (2) levenshtein's max_block_size gates the
+    intra-group expansion — a duplicate group whose representative was
+    capped out of the block emits NO pairs; (3) portable_lsh_index rejects
+    band counts that would produce empty band keys (a universal-collision
+    n² cross product)."""
+    import pyspark.sql.functions as F
+    import pytest as _pt
+
+    from youbike_etl_pipeline_spark.operators.dedup import (
+        levenshtein_blocked_pairs,
+        portable_lsh_index,
+    )
+    from youbike_etl_pipeline_spark.operators.similarity import (
+        knn_label_consistency,
+    )
+
+    # (1) comma-injection: [0.5, 0.25]/'x' vs [0.5]/'0.25,x' must NOT
+    # collapse together (the old concat_ws md5 key made them identical)
+    emb = spark.createDataFrame(
+        [
+            (0, [0.5, 0.25], "x"),
+            (5, [0.5, 0.25], "x"),       # true duplicate of 0 — collapses
+            (10, [0.5, 0.25], "0.25,x"),  # same vector, crafted label
+            (15, [1.0, 0.0], "x"),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    out = knn_label_consistency(
+        emb, k=1, ann_bits=None, exact_dedup_first=True
+    )
+    n_vecs = {r["label"]: r["n_vecs"] for r in out.collect()}
+    # reps: 0 (x), 10 (crafted), 15 (x) — the crafted-label row survives
+    assert n_vecs.get("0.25,x") == 1
+    assert n_vecs.get("x") == 2
+
+    # (2) cap + collapse: one block where the duplicate group's rep ranks
+    # past the cap — its members may not re-enter via intra pairs
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "aaaa"),  # rank 1 under (prefix, id)
+            (2, "en", "bbbb"),  # rank 2 — capped out (max_block_size=1)
+            (3, "en", "bbbb"),  # duplicate of 2, collapses to rep 2
+        ],
+        "doc_id long, lang string, text string",
+    )
+    pairs = levenshtein_blocked_pairs(
+        docs, block_col="lang", prefix_len=4, max_dist=12,
+        exact_dedup_first=True, max_block_size=1,
+    ).collect()
+    assert pairs == []  # rep 2 never paired, so (2,3) must not appear
+
+    # (3) ragged/empty bands fail loud
+    with _pt.raises(ValueError, match="evenly divide"):
+        portable_lsh_index(docs, num_hashes=32, bands=64)

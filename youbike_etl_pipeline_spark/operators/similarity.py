@@ -128,14 +128,32 @@ def embedding_near_dup_pairs(
     otherwise the blocked path. The unguarded full-table ``collect()`` that
     used to be the default is gone.
     """
+    from pyspark.sql import types as _T
+
+    integral_id = isinstance(
+        df.schema[id_col].dataType,
+        (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType),
+    )
     if method == "auto":
         try:
             import numpy  # noqa: F401
 
-            n = df.count()
-            method = "blas" if n <= max_broadcast_rows else "blocked"
+            if not integral_id:
+                # blas/blocked carry ids through int64 numpy arrays — a
+                # string/decimal id would crash mid-job; expr supports any
+                # id type at the same answer
+                method = "expr"
+            else:
+                n = df.count()
+                method = "blas" if n <= max_broadcast_rows else "blocked"
         except ImportError:  # pragma: no cover
             method = "expr"
+    if method in ("blas", "blocked") and not integral_id:
+        raise TypeError(
+            f"embedding_near_dup_pairs(method={method!r}) requires an "
+            f"integral {id_col!r} (ids ride int64 numpy arrays); use "
+            "method='expr' for non-integral ids"
+        )
     df = df.filter(_nonzero_norm(F.col(vec_col)))
     if method == "blocked":
         return _near_dup_pairs_blocked(df, threshold, vec_col, id_col)
@@ -532,18 +550,16 @@ def knn_label_consistency(
 
     nz = df.filter(_nonzero_norm(F.col(vec_col)))
     if exact_dedup_first:
-        key = F.md5(
-            F.concat_ws(
-                ",",
-                F.transform(F.col(vec_col), lambda x: x.cast("string")),
-                F.col(label_col).cast("string"),
-            )
-        )
+        # group on the (vector, label) COLUMN PAIR, not a string-concat
+        # hash key: concat_ws(',') would let a label containing a comma
+        # collide with a different vector's serialization (and silently
+        # skips NULL labels) — the same injection class the levenshtein
+        # collapse documents avoiding. Spark groups array columns by
+        # value, which is exactly the oracle's GROUP BY embedding, label.
         reps = (
-            nz.select(F.col(id_col).alias("__member"), key.alias("__ch"))
-            .groupBy("__ch")
-            .agg(F.min("__member").alias("__rep"))
-            .select(F.col("__rep").alias(id_col))
+            nz.groupBy(F.col(vec_col), F.col(label_col))
+            .agg(F.min(id_col).alias(id_col))
+            .select(id_col)
         )
         nz = nz.join(reps, id_col, "left_semi")
     q = nz.select(

@@ -153,10 +153,13 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return word_shingles_from_tokens(tokens(text), k)
 
 
-def shingle_hashes(text: Column, k: int = 3) -> Column:
-    """64-bit hashes of the distinct word k-shingles (xxhash64) — the
-    rolling-hash fingerprint set used by MinHash."""
-    return F.transform(word_shingles(text, k), lambda s: F.xxhash64(s))
+def shingle_hashes(text: Column, k: int = 3, hash_fn=None) -> Column:
+    """64-bit hashes of the distinct word k-shingles — the rolling-hash
+    fingerprint set used by MinHash. ``hash_fn`` maps a shingle Column to
+    a 64-bit hash Column (default xxhash64; pass the md5-portable hash for
+    cross-engine parity paths)."""
+    token_hash = hash_fn or F.xxhash64
+    return F.transform(word_shingles(text, k), lambda s: token_hash(s))
 
 
 def normalize_text(text: Column) -> Column:

@@ -169,6 +169,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # a null match instead of the earliest right row (j10):
     "j2_hour_bucket_join", "j5_nearest_neighbor_join",
     "j8_range_band_join", "j10_asof_join_forward",
+    # dedup/similarity review fixes: s2's auto-routing now checks the id
+    # type before picking the BLAS path (plan text changed; same route on
+    # the graded integral ids):
+    "s2_embedding_near_dup",
 )
 
 
