@@ -1711,3 +1711,64 @@ def test_round6_review_null_and_default_semantics(spark):
     }
     assert {(r["k"], r["v"]): r["rn"] for r in rn.collect()} == single
     assert bucketed_ntile(df, ["k"], "v", n_tiles=2, bucket_width=1.0).count() == 4
+
+
+def test_round7_advice_regressions(spark):
+    """Round-6 advice pack: (1) bucketed_row_number's null-order raise path
+    is actually exercised (a regression back to silent row drop would pass
+    the null-STRATUM test above); (2) decode_png bounds the IDAT inflate —
+    a bomb-ratio DEFLATE claiming a small image fails with the mismatch
+    ValueError without materializing the expansion; (3) a truncated
+    restart-interval JPEG raises ValueError from sync_restart, not
+    IndexError."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        _BitReader,
+        decode_png,
+    )
+    from youbike_etl_pipeline_spark.operators.windows import bucketed_row_number
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("b", 2.0)], "k string, v double"
+    )
+    with _pytest.raises(Exception, match="bucketed_row_number: null"):
+        bucketed_row_number(df, ["k"], "v", 1.0).collect()
+
+    def _chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + tag
+            + body
+            + struct.pack(">I", zlib.crc32(tag + body))
+        )
+
+    # IHDR claims 2x2 grayscale (expected inflate = 2*(2+1) = 6 bytes) but
+    # IDAT inflates to 10 MB — must fail fast on the bound, not allocate
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+        + _chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="size mismatch"):
+        decode_png(bomb)
+
+    # the well-formed twin of the same geometry still decodes
+    good = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x07\x09\x00\x05\x06"))
+        + _chunk(b"IEND", b"")
+    )
+    img = decode_png(good)
+    assert img.shape == (2, 2, 3) and img.dtype == np.uint8
+
+    br = _BitReader(b"\xff\x00\x12\x34\x56", 0)
+    with _pytest.raises(ValueError, match="truncated JPEG"):
+        br.sync_restart()

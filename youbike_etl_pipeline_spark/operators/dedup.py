@@ -396,7 +396,20 @@ def minhash_lsh_candidates(
     A dropped bucket is almost always an exact-duplicate cluster — route
     those through :func:`exact_dedup` first, which finds them at flat
     cost; the cap is the backstop for the ones that remain (boilerplate,
-    templates). Default ``None`` keeps exact recall for the graded path."""
+    templates). Default ``None`` keeps exact recall for the graded path.
+
+    Ragged-band contract (round-6 advice — the strictness asymmetry with
+    :func:`portable_lsh_index` is INTENTIONAL): ``bands`` should divide
+    the signature length. When it doesn't, each band keeps
+    ``floor(len/bands)`` hashes and the trailing ``len % bands`` are
+    ignored; when ``bands`` exceeds the signature length the empty band
+    slices are dropped (their keys would collide universally), shrinking
+    the effective band count — both lower recall below the nominal
+    banding, never correctness. This entry point is the exploratory bulk
+    path where a config/data mismatch degrading recall beats killing a
+    long job at runtime; ``portable_lsh_index`` builds a persisted
+    artifact whose band geometry downstream readers depend on, so it
+    raises on the same condition."""
     if bands < 1:
         raise ValueError(f"minhash_lsh_candidates: bands must be >= 1, got {bands}")
     n = signatures
