@@ -1,0 +1,139 @@
+"""JPEG decoder conformance matrix on GENERATED fixtures (round-6 verdict
+item 7): the Spark-distribution samples cover 4:2:0/4:4:4 baseline and
+progressive, but the decoder's 4:2:2 upsample, restart-interval resync, and
+16-bit (Pq=1) quantization branches were only truncation-fuzzed. The
+spec-subset encoder in ``tests/_jpeg_fixtures.py`` generates deterministic
+files per branch; ground truth is (a) Spark's JVM ``format("image")``
+ImageIO decode wherever ImageIO accepts the variant, (b) exact
+branch-equivalence (restart markers / table precision must not change
+pixels), and (c) closed-form flat-field expectations for the >255 quant
+values only Pq=1 can express.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from youbike_etl_pipeline_spark.operators.multimodal import decode_jpeg
+
+from _jpeg_fixtures import encode_jpeg, test_image
+
+test_image.__test__ = False  # fixture generator, not a test
+
+
+def _jvm_decode(spark, payload: bytes, tmpdir) -> "np.ndarray | None":
+    """Decode via Spark's JVM image source; None when ImageIO rejects the
+    variant (undecoded images come back mode == -1)."""
+    from youbike_etl_pipeline_spark.sources.readers import read_images
+
+    d = tmpdir.mkdir("jvm")
+    with open(os.path.join(str(d), "img.jpg"), "wb") as fh:
+        fh.write(payload)
+    row = read_images(spark, str(d)).select("image.*").collect()[0]
+    if row["mode"] == -1 or row["height"] <= 0:
+        return None
+    nc = row["nChannels"]
+    arr = np.frombuffer(bytes(row["data"]), np.uint8).reshape(
+        row["height"], row["width"], nc
+    )
+    return arr[:, :, ::-1] if nc == 3 else np.repeat(arr, 3, axis=2)
+
+
+def _assert_close(mine: "np.ndarray", ref: "np.ndarray", tag: str) -> None:
+    assert mine.shape == ref.shape, (tag, mine.shape, ref.shape)
+    d = np.abs(mine.astype(int) - ref.astype(int))
+    assert d.max() <= 3, (tag, d.max())
+    assert (d <= 1).mean() >= 0.98, (tag, (d <= 1).mean())
+
+
+@pytest.mark.parametrize("sampling", ["444", "422", "420"])
+def test_generated_sampling_matrix_conforms_to_jvm(spark, tmpdir, sampling):
+    """4:2:2 joins 4:4:4/4:2:0 with a deterministic generated fixture
+    (37x29 — odd dims exercise the partial-MCU padding): the numpy decode
+    must match ImageIO within the decoder-legal budget."""
+    img = test_image()
+    payload = encode_jpeg(img, sampling=sampling)
+    mine = decode_jpeg(payload)
+    ref = _jvm_decode(spark, payload, tmpdir)
+    assert ref is not None, f"ImageIO rejected generated {sampling} fixture"
+    _assert_close(mine, ref, f"sampling={sampling}")
+    # and the lossy round-trip stays near the source (quant=4 is ~q95):
+    # catches an encoder/decoder bug pair that cancels in the cross-check
+    d_src = np.abs(mine.astype(int) - img.astype(int))
+    assert d_src.mean() <= 6.0, d_src.mean()
+
+
+@pytest.mark.parametrize("sampling", ["444", "422", "420"])
+@pytest.mark.parametrize("dri", [1, 2, 5])
+def test_restart_intervals_do_not_change_pixels(sampling, dri):
+    """RST markers segment the entropy stream; decoded coefficients are
+    identical by construction, so the no-DRI decode is an EXACT oracle for
+    every interval — across all three sampling layouts (interleaved-MCU
+    restart counting differs from the single-component case)."""
+    img = test_image()
+    base = decode_jpeg(encode_jpeg(img, sampling=sampling))
+    with_rst = decode_jpeg(
+        encode_jpeg(img, sampling=sampling, restart_interval=dri)
+    )
+    assert np.array_equal(base, with_rst), (sampling, dri)
+
+
+def test_restart_interval_grayscale_and_jvm(spark, tmpdir):
+    """Non-interleaved restart counting (single-component scan counts
+    BLOCKS, not MCUs) + one JVM cross-check of a restart-bearing file."""
+    img = test_image()
+    gray_base = decode_jpeg(encode_jpeg(img, grayscale=True))
+    gray_rst = decode_jpeg(encode_jpeg(img, grayscale=True, restart_interval=3))
+    assert np.array_equal(gray_base, gray_rst)
+    payload = encode_jpeg(img, sampling="420", restart_interval=2)
+    ref = _jvm_decode(spark, payload, tmpdir)
+    assert ref is not None, "ImageIO rejected the DRI fixture"
+    _assert_close(decode_jpeg(payload), ref, "dri=2 vs ImageIO")
+
+
+def test_16bit_quant_same_values_match_8bit_exactly():
+    """Pq=1 parse path vs Pq=0 with identical table values: byte-for-byte
+    identical pixels (only the DQT encoding differs)."""
+    img = test_image()
+    for sampling in ("444", "422"):
+        p8 = encode_jpeg(img, sampling=sampling, quant=4, quant_16bit=False)
+        p16 = encode_jpeg(img, sampling=sampling, quant=4, quant_16bit=True)
+        assert p8 != p16  # different DQT bytes on disk...
+        assert np.array_equal(decode_jpeg(p8), decode_jpeg(p16))  # ...same pixels
+
+
+def test_16bit_quant_values_over_255_flat_field_analytic():
+    """A quant step only Pq=1 can express (512) on a flat gray-200 field:
+    Y-center 72 -> DC 576 -> quantized 1 -> dequant 512 -> IDCT 64 ->
+    +128 = exactly 192 everywhere, chroma coefficients exactly 0. A
+    closed-form expectation through the 16-bit dequant multiply, no
+    decoder in the loop as its own oracle."""
+    img = np.full((24, 24, 3), 200, dtype=np.uint8)
+    payload = encode_jpeg(img, sampling="444", quant=512, quant_16bit=True)
+    out = decode_jpeg(payload)
+    assert out.shape == (24, 24, 3)
+    assert np.array_equal(out, np.full((24, 24, 3), 192, dtype=np.uint8))
+
+
+def test_16bit_quant_reject_oversize_in_8bit():
+    with pytest.raises(ValueError, match="quant_16bit"):
+        encode_jpeg(test_image(), quant=512, quant_16bit=False)
+
+
+def test_generated_truncation_fuzz_422_and_restart():
+    """Truncation fuzz extended to the NEW branch fixtures: every prefix
+    cut must either decode (1-bit padding per spec) or raise ValueError /
+    NotImplementedError — never IndexError (the round-6 advice class)."""
+    for payload in (
+        encode_jpeg(test_image(), sampling="422"),
+        encode_jpeg(test_image(), sampling="420", restart_interval=2),
+    ):
+        for cut in range(2, len(payload), max(1, len(payload) // 20)):
+            try:
+                out = decode_jpeg(payload[:cut])
+                assert out.ndim == 3
+            except (ValueError, NotImplementedError):
+                pass

@@ -432,7 +432,15 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 2
             continue
+        # a header segment cut off mid-declaration is malformed input, not
+        # an internal error — found by the generated-fixture truncation
+        # fuzz (small files put every cut point inside the header region
+        # the distribution-image fuzz never reached)
+        if pos + 4 > len(payload):
+            raise ValueError("truncated JPEG header segment")
         (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if pos + 2 + seglen > len(payload):
+            raise ValueError("truncated JPEG header segment")
         body = payload[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
             i = 0
@@ -489,6 +497,11 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             while i < len(body):
                 tc, th = body[i] >> 4, body[i] & 15
                 counts = body[i + 1 : i + 17]
+                if len(counts) < 16 or i + 17 + sum(counts) > len(body):
+                    raise ValueError(
+                        "malformed JPEG DHT segment (declared counts "
+                        "exceed the segment body)"
+                    )
                 vals = body[i + 17 : i + 17 + sum(counts)]
                 table: dict[tuple[int, int], int] = {}
                 code, k = 0, 0
