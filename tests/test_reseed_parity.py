@@ -439,6 +439,39 @@ DOC_EVENT_QUERIES = [
     "j14_bucketed_asof_join",
     "w28_bucketed_systematic_sample",
     "a27_bucketed_equi_depth",
+    # round-7: the rest of the never-driver-graded backlog enters the r7
+    # grading window on FRESH-SEED data — the r4 lesson says this exact
+    # class regresses on regeneration, so every one of them gets reseed
+    # coverage BEFORE its first driver grade. Events-only shapes (NULL
+    # values/ts, duplicate timestamps, and .5 boundaries stress each
+    # family's tie-breaks and guards):
+    "w23_ewma_daily",
+    "dq8_column_profile",
+    "t45_portable_hll_distinct",
+    "w24_robust_anomaly_days",
+    "m25_poisson_bootstrap_ci",
+    "m26_theil_sen_trend",
+    "r2_item_topk_neighbors",
+    "g4_bfs_reachability",
+    "a22_equi_depth_histogram",
+    "dq9_event_order_inversions",
+    "m27_two_sample_qq",
+    "g5_partition_modularity",
+    "st11_streaming_hll_distinct",
+    # documents-only (NULL/empty/CJK docs must score and shot-segment
+    # identically; mm8's frame payloads derive from doc_id alone):
+    "t42_gopher_quality_rules",
+    "mm8_video_shot_boundary",
+    # embeddings-only (NULL/zero/duplicate vectors must drop or tie
+    # identically through the class-separation, variance-collapse, JL
+    # pair, and kNN-consistency paths — e6/e6b also changed call sites
+    # this round, so their reseed row doubles as the regression net):
+    "e4_fisher_separation",
+    "e5_dimension_collapse_audit",
+    "e6_jl_projection_audit",
+    "e6b_jl_audit_sampled",
+    "e3_knn_label_consistency",
+    "e3b_knn_consistency_routed",
 ]
 
 

@@ -285,6 +285,11 @@ STAR_QUERIES = [
     # the seed) and the join-key skew audit (lineitem key multiplicities)
     "f19_target_encoding",
     "dq6_join_key_skew",
+    # round-7: the one never-driver-graded query over the star schema —
+    # golden-record survivorship over part (brand/container vote counts
+    # regenerate with the seed, so the deterministic tie-breaks must hold
+    # on any vote distribution) — graded for the first time this round
+    "er2_golden_record",
 ]
 
 

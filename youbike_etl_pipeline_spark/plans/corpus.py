@@ -11443,8 +11443,20 @@ def t42_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(toks, lambda t: t.rlike("[a-z]"))
         ).alias("n_alpha_words"),
     )
-    mean_wl = F.col("n_word_chars") * F.lit(1.0) / F.col("n_words")
-    alpha_frac = F.col("n_alpha_words") * F.lit(1.0) / F.col("n_words")
+    # ratios guarded INSIDE a when: ANSI mode (Spark 4 default) raises
+    # DIVIDE_BY_ZERO even when the zero branch is masked by a sibling `&`
+    # conjunct (no short-circuit in codegen) — a whitespace-only doc has
+    # n_words = 0 and crashed the whole query (round-7 reseed-fixture find;
+    # /root/testdata happened to contain no zero-token non-null doc).
+    # CaseWhen branches ARE lazily evaluated, so the guarded form never
+    # divides; the NULL ratio then fails the outer when() to 0 exactly
+    # like the oracle's CASE.
+    mean_wl = F.when(
+        F.col("n_words") > 0, F.col("n_word_chars") * F.lit(1.0) / F.col("n_words")
+    )
+    alpha_frac = F.when(
+        F.col("n_words") > 0, F.col("n_alpha_words") * F.lit(1.0) / F.col("n_words")
+    )
     flags = stats.select(
         "source",
         F.when(F.col("n_words").between(20, 100000), 1).otherwise(0).alias("r_len"),
@@ -12117,8 +12129,8 @@ def f20_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS mad_total,
            CAST(SUM(CASE WHEN dev2 * 1.0 > 3.0 * 1.4826 * mad2
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
-           FLOOR(MAX(CASE WHEN mad2 > 0
-                          THEN dev2 * 1.0 / (1.4826 * mad2) END)
+           FLOOR(COALESCE(MAX(CASE WHEN mad2 > 0
+                          THEN dev2 * 1.0 / (1.4826 * mad2) END), 0.0)
                  * 1000000) / 1000000.0 AS max_abs_z
     FROM scored GROUP BY 1 ORDER BY 1
     """,
@@ -12177,13 +12189,21 @@ def w24_robust_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
                     1,
                 ).otherwise(0)
             ).cast("long").alias("n_anomalies"),
+            # coalesce to 0.0 when NO day in the group has mad2 > 0 (a
+            # degenerate all-identical-totals group): a NULL double here
+            # surfaces as pandas None on the Spark side but NaN through
+            # DuckDB's .df(), which the driver's strict cell compare
+            # flags — round-7 reseed-fixture find
             q6(
-                F.max(
-                    F.when(
-                        F.col("mad2") > 0,
-                        F.col("dev2") * F.lit(1.0)
-                        / (F.lit(1.4826) * F.col("mad2")),
-                    )
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("mad2") > 0,
+                            F.col("dev2") * F.lit(1.0)
+                            / (F.lit(1.4826) * F.col("mad2")),
+                        )
+                    ),
+                    F.lit(0.0),
                 )
             ).alias("max_abs_z"),
         )
