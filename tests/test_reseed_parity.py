@@ -144,6 +144,24 @@ def _gen_embeddings(seed: int, n: int = 300, dim: int = 64) -> pa.Table:
     )
 
 
+def _gen_customer(seed: int, n: int = 12) -> pa.Table:
+    """Tiny customer dim keyed into the events user_id space [0, 15): some
+    users have no customer row (inner-join drops must agree), one segment
+    is NULL (string group-by-null path), and segments regenerate with the
+    seed. Only the columns the stream-static join reads."""
+    rng = np.random.default_rng(seed + 11)
+    segs = ["MACHINERY", "BUILDING", "FURNITURE", "AUTOMOBILE", "HOUSEHOLD"]
+    seg = [segs[int(x)] for x in rng.integers(0, 5, n)]
+    seg[n - 1] = None
+    return pa.table(
+        {
+            "c_custkey": pa.array(range(n), pa.int64()),
+            "c_name": pa.array([f"Customer#{i:09d}" for i in range(n)], pa.string()),
+            "c_mktsegment": pa.array(seg, pa.string()),
+        }
+    )
+
+
 def _seed_params():
     """Two pinned seeds (one per ts encoding) + any extras from
     SPARK_GRAFT_RESEED_SEEDS (comma-separated) — an escape hatch to prove
@@ -166,6 +184,7 @@ def reseed_dir(request, tmp_path_factory):
     pq.write_table(_gen_documents(seed), os.path.join(d, "documents.parquet"))
     pq.write_table(_gen_events(seed, ts_unit=ts_unit), os.path.join(d, "events.parquet"))
     pq.write_table(_gen_embeddings(seed), os.path.join(d, "embeddings.parquet"))
+    pq.write_table(_gen_customer(seed), os.path.join(d, "customer.parquet"))
     return str(d)
 
 
@@ -472,6 +491,47 @@ DOC_EVENT_QUERIES = [
     "e6b_jl_audit_sampled",
     "e3_knn_label_consistency",
     "e3b_knn_consistency_routed",
+    # round-7 close-out: EVERY remaining oracle query whose inputs the
+    # fixture can generate — previously-graded greens included, because
+    # the r4 lesson is that a fresh seed can break a green (these grades
+    # predate at least one regeneration). Events/documents/embeddings
+    # shapes:
+    "a14_sorted_array_agg",
+    "a18_bool_aggregates",
+    "a6_pivot_user_hour_profile",
+    "ev7_wilson_ctr_ranking",
+    "f5_f6_bucket_and_label",
+    "f_json_struct",
+    "j2_hour_bucket_join",
+    "j8_range_band_join",
+    "m24_jensen_shannon",
+    "ml5_roc_auc",
+    "mm1_multimodal_binary",
+    "p10_ffill_per_series",
+    "p11_interpolate_linear",
+    "p12_try_cast_json",
+    "p4_dedup_by_key",
+    "p9_null_fill_coalesce",
+    "s9_ann_recall_eval",
+    "t40_token_budget_allocation",
+    "t41_chao1_vocab_richness",
+    "t43_truncation_audit",
+    "t44_rolling_origin_folds",
+    "w10_sliding_windows",
+    "w11_stratified_systematic_sample",
+    "w13_first_last_value",
+    "w14_longest_streak",
+    "w21_weekly_trend_decomposition",
+    "w22_ohlc_bars",
+    "w7_systematic_sample",
+    # documents-only via the shared hashed-score frame:
+    "m22_cohens_kappa",
+    "m23_population_stability",
+    "ml4_calibration_bins",
+    "f20_quantile_normalization",
+    # stream-static join: the fixture's new tiny customer dim keys into
+    # the events user_id space (inner-join drops + NULL segment group)
+    "st7_stream_static_join",
 ]
 
 
@@ -484,7 +544,7 @@ def test_reseed_parity(spark, reseed_dir, name):
     spark_pd = spark_to_pandas(sdf.collect(), sdf.columns)
 
     con = duckdb.connect()
-    for t in ("documents", "events", "embeddings"):
+    for t in ("documents", "events", "embeddings", "customer"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{os.path.join(reseed_dir, t)}.parquet')"

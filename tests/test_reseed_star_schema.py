@@ -290,6 +290,25 @@ STAR_QUERIES = [
     # regenerate with the seed, so the deterministic tie-breaks must hold
     # on any vote distribution) — graded for the first time this round
     "er2_golden_record",
+    # round-7 close-out: every remaining oracle query over star tables —
+    # previously-graded greens included (their grades predate at least one
+    # regeneration; the r4 lesson says greens break on fresh seeds)
+    "a13_percent_rank_cume_dist",
+    "a17_having_filter",
+    "a19_grouping_sets",
+    "a6b_unpivot_melt",
+    "a7b_crosstab_normalized",
+    "a8_crosstab_row_totals",
+    "a9b_cube_hierarchy",
+    "er1_blocked_record_linkage",
+    "f16_date_arithmetic",
+    "f4_haversine_distance",
+    "f8_f10_string_functions",
+    "p1_p2_project_rename",
+    "p5_distinct_pairs",
+    "p6_filter_predicates",
+    "w6_rank_within_group",
+    "w8_top_k_limit",
 ]
 
 
