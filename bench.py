@@ -173,6 +173,8 @@ HEADLINE = [
     "mm10_png_decode_features",
     "mm11_g711_audio_decode",
     "mm12_adpcm_audio_decode",
+    # round-7 codec additions
+    "mm13_jpeg_lossless_decode",
 ]
 
 

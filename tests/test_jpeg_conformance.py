@@ -137,3 +137,152 @@ def test_generated_truncation_fuzz_422_and_restart():
                 assert out.ndim == 3
             except (ValueError, NotImplementedError):
                 pass
+
+
+# ---------------------------------------------------------------- lossless
+
+
+def test_lossless_roundtrip_matrix():
+    """SOF3 lossless: decode(encode(img)) is BIT-EXACT — the definition of
+    the process — across every T.81 predictor, restart intervals that do
+    and don't divide the row length, RGB + grayscale, and degenerate
+    shapes (single row / single column stress the first-line Ra and
+    line-start Rb rules)."""
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+        md5_pixels,
+    )
+
+    shapes = [
+        md5_pixels(1, 16, 12),
+        md5_pixels(2, 37, 29),
+        md5_pixels(3, 1, 9)[:, :, 0],  # single-column grayscale
+        md5_pixels(4, 9, 1),  # single row
+        md5_pixels(5, 1, 1),
+    ]
+    for predictor in range(1, 8):
+        for ri in (0, 5, 37):
+            for img in shapes:
+                payload = encode_jpeg_lossless(
+                    img, predictor=predictor, restart_interval=ri
+                )
+                out = decode_jpeg(payload)
+                want = img if img.ndim == 3 else np.repeat(img[:, :, None], 3, 2)
+                assert np.array_equal(out, want), (predictor, ri, img.shape)
+
+
+def test_lossless_point_transform_roundtrip():
+    """Pt right-shifts before coding and shifts back after: the round trip
+    reproduces the image with the low Pt bits cleared, exactly."""
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+        md5_pixels,
+    )
+
+    img = md5_pixels(6, 16, 12)
+    for pt in (1, 2, 3):
+        out = decode_jpeg(encode_jpeg_lossless(img, predictor=4, point_transform=pt))
+        assert np.array_equal(out, ((img >> pt).astype(np.uint8) << pt)), pt
+
+
+def test_lossless_restart_intervals_are_independent():
+    """Splice test for DPCM restart resync: two images encoded with one
+    restart interval per ROW share a header, so a stream stitched from
+    alternating per-row entropy segments must decode to the exactly
+    alternating rows — each interval resets prediction to scan-start
+    state, making rows fully independent."""
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+        md5_pixels,
+    )
+
+    w, h = 11, 6
+    a8, b8 = md5_pixels(7, w, h), md5_pixels(8, w, h)
+
+    def split(payload: bytes) -> tuple[bytes, list[bytes], bytes]:
+        sos = payload.index(b"\xff\xda")
+        seglen = int.from_bytes(payload[sos + 2 : sos + 4], "big")
+        start = sos + 2 + seglen
+        body = payload[start : payload.index(b"\xff\xd9")]
+        segs, cur, i = [], bytearray(), 0
+        while i < len(body):
+            if body[i] == 0xFF and i + 1 < len(body) and 0xD0 <= body[i + 1] <= 0xD7:
+                segs.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            cur.append(body[i])
+            i += 1
+        segs.append(bytes(cur))
+        return payload[:start], segs, b"\xff\xd9"
+
+    pa = encode_jpeg_lossless(a8, predictor=4, restart_interval=w)
+    pb = encode_jpeg_lossless(b8, predictor=4, restart_interval=w)
+    head, segs_a, tail = split(pa)
+    _, segs_b, _ = split(pb)
+    assert len(segs_a) == h == len(segs_b)
+    spliced = bytearray(head)
+    for r in range(h):
+        seg = segs_a[r] if r % 2 == 0 else segs_b[r]
+        spliced.extend(seg)
+        if r < h - 1:
+            spliced.extend((0xFF, 0xD0 + (r % 8)))
+    spliced.extend(tail)
+    out = decode_jpeg(bytes(spliced))
+    want = np.where(
+        (np.arange(h) % 2 == 0)[:, None, None], a8.astype(int), b8.astype(int)
+    ).astype(np.uint8)
+    assert np.array_equal(out, want)
+
+
+def test_lossless_truncation_fuzz():
+    """Every prefix cut of a lossless payload decodes (1-bit pad) or
+    raises ValueError/NotImplementedError — never IndexError."""
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+        md5_pixels,
+    )
+
+    for payload in (
+        encode_jpeg_lossless(md5_pixels(9, 16, 12), predictor=5),
+        encode_jpeg_lossless(md5_pixels(10, 16, 12), predictor=2, restart_interval=3),
+    ):
+        for cut in range(2, len(payload), max(1, len(payload) // 25)):
+            try:
+                out = decode_jpeg(payload[:cut])
+                assert out.ndim == 3
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_lossless_jvm_or_gate(spark, tmpdir):
+    """ImageIO generally has no lossless-JPEG plugin: if the JVM declines
+    (mode == -1) that CONFIRMS this decoder serves a format the JVM route
+    can't; if some ImageIO build does decode it, the pixels must agree
+    bit-exactly (lossless has no rounding latitude)."""
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        encode_jpeg_lossless,
+        md5_pixels,
+    )
+
+    from youbike_etl_pipeline_spark.sources.readers import read_images
+
+    img = md5_pixels(11, 16, 12)
+    d = tmpdir.mkdir("jvmll")
+    with open(os.path.join(str(d), "img.jpg"), "wb") as fh:
+        fh.write(encode_jpeg_lossless(img, predictor=1))
+    rows = read_images(spark, str(d)).select("image.*").collect()
+    if not rows or rows[0]["mode"] == -1 or rows[0]["height"] <= 0:
+        pytest.skip(
+            "ImageIO rejects lossless JPEG (expected) — numpy path is the "
+            "only decode route"
+        )
+    nc = rows[0]["nChannels"]
+    ref = np.frombuffer(bytes(rows[0]["data"]), np.uint8).reshape(
+        rows[0]["height"], rows[0]["width"], nc
+    )[:, :, ::-1]
+    assert np.array_equal(ref, img)

@@ -1490,19 +1490,26 @@ def test_decode_jpeg_conforms_to_jvm_imageio(spark):
 
 def test_decode_jpeg_error_paths():
     """Garbage after a JPEG magic is a ValueError; truly unsupported
-    coding classes (lossless/arithmetic SOF markers) raise
-    NotImplementedError naming the limitation — both degrade to the fake
-    path in non-strict decode_image_features."""
+    coding classes (arithmetic SOF markers — SOF3 lossless decodes for
+    real now) raise NotImplementedError naming the limitation — both
+    degrade to the fake path in non-strict decode_image_features."""
     import struct as _s
 
     from youbike_etl_pipeline_spark.operators.multimodal import decode_jpeg
 
     with pytest.raises(ValueError, match="missing SOS"):
         decode_jpeg(b"\xff\xd8" + b"\x00" * 64)
-    # hand-built SOF3 (lossless) segment
-    sof3 = b"\xff\xd8\xff\xc3" + _s.pack(">H", 8) + b"\x08" + _s.pack(">HH", 1, 1) + b"\x01"
-    with pytest.raises(NotImplementedError, match="lossless|arithmetic"):
-        decode_jpeg(sof3)
+    # hand-built SOF9 (arithmetic sequential DCT) segment
+    sof9 = b"\xff\xd8\xff\xc9" + _s.pack(">H", 8) + b"\x08" + _s.pack(">HH", 1, 1) + b"\x01"
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(sof9)
+    # 16-bit lossless stays gated (SOF3 legally allows 2-16 bit)
+    sof3_16 = (
+        b"\xff\xd8\xff\xc3" + _s.pack(">H", 11) + b"\x10"
+        + _s.pack(">HH", 1, 1) + b"\x01" + b"\x01\x11\x00"
+    )
+    with pytest.raises(NotImplementedError, match="8-bit lossless"):
+        decode_jpeg(sof3_16)
 
 
 def test_g711_luts_match_canonical_values():

@@ -153,6 +153,16 @@ REGRADE_FIRST: tuple[str, ...] = (
     "w12_time_range_frame",
 )
 
+#: Queries ADDED mid-round-7, after the grading window was already full
+#: (3 changed + 44 never-graded + 4 regen-canary re-grades = 51 ≈ the
+#: driver's observed ~50/round capacity). Ranking them in the ordinary
+#: never-graded tier would push the judge-mandated regen re-grades out of
+#: the window, so they rank BEHIND those and grade in the round-8 window
+#: instead. Remove entries once graded (they would then rotate normally).
+NEW_PAST_WINDOW: tuple[str, ...] = (
+    "mm13_jpeg_lossless_decode",
+)
+
 
 def _last_graded_round() -> dict[str, int]:
     """Per-query round of the most recent driver grade, read from the
@@ -182,6 +192,8 @@ def _export_order() -> list[str]:
        oracle-bearing before rows-only, registration order,
     3. REGRADE_FIRST — graded greens whose grade predates a testdata
        regeneration (the r4 streaming-regression class),
+    3b. NEW_PAST_WINDOW — queries added after this round's window filled;
+       they grade next round rather than evicting the tier-3 re-grades,
     4. everything else — graded greens AND graded rows-only — STALEST grade
        first (then registration order): the tail of the window re-checks
        prior grades for regressions, and rotating by grade age means every
@@ -200,14 +212,18 @@ def _export_order() -> list[str]:
     # the driver's 50-query window for several rounds running.
     priority = {n: i for i, n in enumerate(("t48_incremental_dedup_ledger",))}
 
+    deferred = {n: i for i, n in enumerate(NEW_PAST_WINDOW)}
+
     def rank(n: str) -> tuple:
         if n in changed:
             return (0, changed[n], 0)
+        if n in deferred:
+            return (3, 1, deferred[n])
         if n not in last:
             tier = 1 if CORPUS[n].oracle is not None else 2
             return (tier, priority.get(n, len(priority)), pos[n])
         if n in regrade:
-            return (3, regrade[n], pos[n])
+            return (3, 0, regrade[n])
         return (4, last[n], pos[n])
 
     return sorted(names, key=rank)
@@ -2149,7 +2165,9 @@ def mm1_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mm2_decode_sql(width: int = 16, height: int = 12, fmt: str = "ppm") -> str:
+def _mm2_decode_sql(
+    width: int = 16, height: int = 12, fmt: str = "ppm", mod: int = 5
+) -> str:
     """DuckDB mirror of the mm2 fixture+decode pipeline: the payload pixels
     are md5-digest bytes (``operators.multimodal.md5_pixels``), so the
     oracle re-derives every byte with md5 hex-digit arithmetic, groups by
@@ -2161,9 +2179,10 @@ def _mm2_decode_sql(width: int = 16, height: int = 12, fmt: str = "ppm") -> str:
     n = width * height * 3
     blocks = (n + 15) // 16
     header_len = len(b"P6\n%d %d\n255\n" % (width, height))
-    if fmt == "png":
-        # PNG payload length depends on the zlib build, so the graded
-        # output is encoding-independent: dims + the feature block only.
+    if fmt in ("png", "jpegl"):
+        # compressed payload length depends on the encoder (zlib build /
+        # per-row Huffman predictor), so the graded output is
+        # encoding-independent: dims + the feature block only.
         final = f"""
     SELECT doc_id,
            CAST({width} AS INT) AS width, CAST({height} AS INT) AS height,
@@ -2177,7 +2196,7 @@ def _mm2_decode_sql(width: int = 16, height: int = 12, fmt: str = "ppm") -> str:
     FROM sq GROUP BY doc_id
     """
     return f"""
-    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % {mod} = 0),
     hx AS (
       SELECT d.doc_id, b.b, md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)) AS h
       FROM d, (SELECT unnest(generate_series(0, {blocks - 1})) AS b) b
@@ -16998,4 +17017,39 @@ def mm12_adpcm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         "zero_crossings",
         F.round("rms", 6).alias("rms"),
+    )
+
+
+@register(
+    "mm13_jpeg_lossless_decode",
+    _mm2_decode_sql(width=12, height=8, fmt="jpegl", mod=10),
+    survey_rows="ext:multimodal-decode — lossless (SOF3 Huffman DPCM) "
+    "JPEG decode, previously codec-gated; mm2's md5-pixel oracle "
+    "verifies the samples bit-exactly",
+    description="REAL lossless-JPEG decode with no codec library: the "
+    "md5-pixel fixture encodes as SOF3 Huffman DPCM "
+    "(multimodal.py::encode_jpeg_lossless) with the T.81 predictor "
+    "varying per doc (1 + doc_id%7, so ALL seven predictors appear in "
+    "the graded corpus), and decode_jpeg's _decode_lossless_scan "
+    "reverses it inside the same Arrow-batched mapInPandas as mm2/mm10. "
+    "Lossless decode has zero rounding latitude, so the md5-arithmetic "
+    "oracle proves the DPCM round trip reproduces every sample exactly "
+    "— clearing the 'lossless JPEG' codec gate; arithmetic coding and "
+    "webp remain honestly gated. Sized 12x8 @ doc_id%10 because the "
+    "per-sample Huffman walk is Python-side (the decoder docstring "
+    "points large corpora at the JVM image source).",
+)
+def mm13_jpeg_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_ppm_payloads, decode_image_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    media = attach_ppm_payloads(docs, width=12, height=8, fmt="jpegl")
+    feats = decode_image_features(media)
+    return feats.select(
+        "doc_id",
+        F.lit(12).cast("int").alias("width"),
+        F.lit(8).cast("int").alias("height"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("feat_sum"),
     )
