@@ -175,6 +175,7 @@ HEADLINE = [
     "mm12_adpcm_audio_decode",
     # round-7 codec additions
     "mm13_jpeg_lossless_decode",
+    "mm14_webp_lossless_decode",
 ]
 
 

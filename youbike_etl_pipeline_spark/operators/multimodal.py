@@ -10,8 +10,9 @@ progressive AND lossless (SOF3 Huffman DPCM, bit-exact round trip) JPEG
 spectral-selection/successive-approximation scans, IDCT, IJG fancy
 chroma upsample; conformance-tested within ±3/sample against Spark's
 JVM ``format("image")`` decode of all six distribution sample JPEGs).
-Arithmetic-coded JPEG and webp raise ``NotImplementedError``
-(honest gates).
+WebP-lossless (VP8L — prefix codes, LZ77, color cache, all four
+transforms) decodes for real in :mod:`.vp8l`; arithmetic-coded JPEG and
+lossy WebP raise ``NotImplementedError`` (honest gates).
 A deterministic fake remains for payloads with no parseable format so
 pipeline plumbing stays testable end-to-end. The JVM route
 (``sources.readers.read_images``) is the preferred 100 TB decode path —
@@ -1086,10 +1087,11 @@ def _real_feature(img: "np.ndarray") -> list[float]:
 
 def decode_image(payload: bytes, fmt: str | None = None) -> "np.ndarray":
     """Dispatch decode by sniffed/declared format. Real for PPM/BMP,
-    8-bit non-interlaced PNG (stdlib zlib inflate + numpy unfilter), and
+    8-bit non-interlaced PNG (stdlib zlib inflate + numpy unfilter),
     8-bit 1/3-component baseline+progressive+lossless(SOF3) JPEG
-    (:func:`decode_jpeg`); ``NotImplementedError`` for the variants that
-    stay honestly gated (12-bit / CMYK / arithmetic JPEG, webp)."""
+    (:func:`decode_jpeg`), and WebP-lossless (:func:`.vp8l.decode_webp`);
+    ``NotImplementedError`` for the variants that stay honestly gated
+    (12-bit / CMYK / arithmetic JPEG, lossy VP8/VP8X WebP)."""
     if payload[:2] == b"P6" or fmt == "ppm":
         return decode_ppm(payload)
     if payload[:2] == b"BM" or fmt == "bmp":
@@ -1099,10 +1101,10 @@ def decode_image(payload: bytes, fmt: str | None = None) -> "np.ndarray":
     if payload[:2] == b"\xff\xd8" or fmt in ("jpg", "jpeg"):
         return decode_jpeg(payload)  # unsupported variants raise inside
     if fmt == "webp" or payload[:4] == b"RIFF":
-        raise NotImplementedError(
-            "decoding webp requires a codec library (Pillow/opencv) — "
-            "not available in this environment"
-        )
+        from .vp8l import decode_webp
+
+        # lossless VP8L decodes for real; lossy VP8/VP8X raises inside
+        return decode_webp(payload)
     raise ValueError("unrecognized image payload")
 
 
@@ -1142,11 +1144,30 @@ def attach_ppm_payloads(
         ]
     )
     # lossless JPEG varies the T.81 predictor with the row id so all seven
-    # predictors appear in the graded corpus, not just one
+    # predictors appear in the graded corpus, not just one; lossless WebP
+    # rotates through the VP8L feature combinations (plain / LZ77 /
+    # subtract-green / spatial predictor / color transform / color cache /
+    # meta groups) the same way
+    def _webpl(img: "np.ndarray", did: int) -> bytes:
+        from .vp8l import encode_webp_lossless
+
+        combos = (
+            dict(use_lz77=False),
+            dict(),
+            dict(use_subtract_green=True),
+            dict(cache_bits=4),
+            dict(predictor_bits=2),
+            dict(color_bits=2),
+            dict(meta_bits=2),
+            dict(use_subtract_green=True, predictor_bits=3, cache_bits=6),
+        )
+        return encode_webp_lossless(img, **combos[did % len(combos)])
+
     encoder = {
         "ppm": lambda img, did: encode_ppm(img),
         "png": lambda img, did: encode_png(img),
         "jpegl": lambda img, did: encode_jpeg_lossless(img, predictor=1 + did % 7),
+        "webpl": _webpl,
     }[fmt]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1287,9 +1308,9 @@ def decode_image_features(
     """Image decode + feature extraction via ``mapInPandas`` (Arrow batches).
 
     Payloads in a supported format (PPM/BMP/PNG/baseline+progressive+
-    lossless JPEG) are REALLY decoded (:func:`decode_image`, pure
-    numpy/stdlib) into per-channel mean/std features. Unsupported
-    variants (12-bit / CMYK / arithmetic JPEG, webp) and malformed
+    lossless JPEG/WebP-lossless) are REALLY decoded (:func:`decode_image`,
+    pure numpy/stdlib) into per-channel mean/std features. Unsupported
+    variants (12-bit / CMYK / arithmetic JPEG, lossy WebP) and malformed
     payloads: ``strict=True``
     raises ``NotImplementedError``; otherwise the deterministic fake
     keeps a mixed-format corpus running end-to-end — no payload class

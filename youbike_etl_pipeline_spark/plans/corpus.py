@@ -161,6 +161,7 @@ REGRADE_FIRST: tuple[str, ...] = (
 #: instead. Remove entries once graded (they would then rotate normally).
 NEW_PAST_WINDOW: tuple[str, ...] = (
     "mm13_jpeg_lossless_decode",
+    "mm14_webp_lossless_decode",
 )
 
 
@@ -2179,7 +2180,7 @@ def _mm2_decode_sql(
     n = width * height * 3
     blocks = (n + 15) // 16
     header_len = len(b"P6\n%d %d\n255\n" % (width, height))
-    if fmt in ("png", "jpegl"):
+    if fmt in ("png", "jpegl", "webpl"):
         # compressed payload length depends on the encoder (zlib build /
         # per-row Huffman predictor), so the graded output is
         # encoding-independent: dims + the feature block only.
@@ -17049,6 +17050,46 @@ def mm13_jpeg_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.lit(12).cast("int").alias("width"),
         F.lit(8).cast("int").alias("height"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("feat_sum"),
+    )
+
+
+@register(
+    "mm14_webp_lossless_decode",
+    _mm2_decode_sql(width=16, height=12, fmt="webpl", mod=20),
+    survey_rows="ext:multimodal-decode — WebP-lossless (VP8L) decode, "
+    "previously codec-gated; mm2's md5-pixel oracle verifies the pixels "
+    "bit-exactly",
+    description="REAL WebP-lossless decode with no codec library: the "
+    "md5-pixel fixture encodes as a RIFF/VP8L stream "
+    "(operators/vp8l.py::encode_webp_lossless) whose feature combination "
+    "rotates per doc through plain literals, LZ77 runs, subtract-green, "
+    "the 14-mode spatial predictor transform, the signed cross-channel "
+    "color transform, the color cache, and meta prefix groups — so every "
+    "decoder path (operators/vp8l.py::decode_webp: canonical prefix "
+    "codes with DEFLATE-style code-length coding, the 120-entry 2D "
+    "distance map, all four inverse transforms) appears in the graded "
+    "corpus. VP8L is lossless with zero rounding latitude, so the "
+    "md5-arithmetic oracle proves the full bitstream round trip — "
+    "clearing the 'webp' codec gate for the lossless half; lossy VP8 "
+    "stays honestly gated. ImageIO has no WebP plugin (tests/"
+    "test_vp8l.py::test_jvm_or_gate), so this is the ONLY decode route "
+    "in this environment, not a twin of the JVM source. Sized 16x12 @ "
+    "doc_id%20 because the entropy decode is per-symbol Python (same "
+    "sizing posture as mm13).",
+)
+def mm14_webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_ppm_payloads, decode_image_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    media = attach_ppm_payloads(docs, width=16, height=12, fmt="webpl")
+    feats = decode_image_features(media)
+    return feats.select(
+        "doc_id",
+        F.lit(16).cast("int").alias("width"),
+        F.lit(12).cast("int").alias("height"),
         F.round(
             F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
         ).alias("feat_sum"),
