@@ -62,21 +62,34 @@ _PREDICTOR, _COLOR, _SUBTRACT_GREEN, _COLOR_INDEXING = 0, 1, 2, 3
 
 
 class _LsbReader:
-    """LSB-first bit reader (DEFLATE convention — the opposite of JPEG's)."""
+    """LSB-first bit reader (DEFLATE convention — the opposite of JPEG's).
+    Backed by an unpacked bit array so a multi-bit read is one vectorized
+    dot product, and prefix decoding can peek a whole window at once."""
 
     def __init__(self, data: bytes) -> None:
-        self.data = data
+        self.bitarr = np.unpackbits(
+            np.frombuffer(data, dtype=np.uint8), bitorder="little"
+        ).astype(np.int64)
+        self.n = len(self.bitarr)
         self.pos = 0  # bit position
+        self._pow = (1 << np.arange(16, dtype=np.int64))
 
     def bits(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            byte_i, bit_i = divmod(self.pos, 8)
-            if byte_i >= len(self.data):
-                raise ValueError("truncated VP8L bitstream")
-            v |= ((self.data[byte_i] >> bit_i) & 1) << i
-            self.pos += 1
+        if n == 0:
+            return 0
+        end = self.pos + n
+        if end > self.n:
+            raise ValueError("truncated VP8L bitstream")
+        v = int(self.bitarr[self.pos : end] @ self._pow[:n])
+        self.pos = end
         return v
+
+    def peek(self, n: int) -> tuple[int, int]:
+        """(window value, bits actually available) — zero-padded past the
+        stream end so short tail codes still resolve."""
+        end = min(self.pos + n, self.n)
+        seg = self.bitarr[self.pos : end]
+        return int(seg @ self._pow[: len(seg)]), end - self.pos
 
 
 class _Prefix:
@@ -97,28 +110,37 @@ class _Prefix:
         kraft = sum(1 / (1 << length) for length, _ in nz)
         if abs(kraft - 1.0) > 1e-12:
             raise ValueError("VP8L prefix code is not complete")
-        self.table = {}
+        if any(length > 15 for length, _ in nz):
+            raise ValueError("VP8L prefix code length exceeds 15")
+        # one-shot decode table over a max-length window: codewords are
+        # read MSB-of-code-first from the LSB-first stream, so each
+        # codeword's bit-reversal indexes the window's low bits and every
+        # high-bit padding maps to the same symbol
+        self.maxlen = max(length for length, _ in nz)
+        size = 1 << self.maxlen
+        self.sym_arr = np.zeros(size, dtype=np.int32)
+        self.len_arr = np.zeros(size, dtype=np.int32)
         code = 0
         prev_len: int | None = None
         for length, sym in sorted(nz):
             if prev_len is not None and length > prev_len:
                 code <<= length - prev_len
-            self.table[(length, code)] = sym
+            rev = _reverse_bits(code, length)
+            idx = np.arange(rev, size, 1 << length)
+            self.sym_arr[idx] = sym
+            self.len_arr[idx] = length
             code += 1
             prev_len = length
 
     def read(self, br: "_LsbReader") -> int:
         if self.single is not None:
             return self.single
-        code, length = 0, 0
-        while True:
-            code = (code << 1) | br.bits(1)
-            length += 1
-            sym = self.table.get((length, code))
-            if sym is not None:
-                return sym
-            if length > 15:
-                raise ValueError("invalid VP8L prefix code")
+        window, avail = br.peek(self.maxlen)
+        length = int(self.len_arr[window])
+        if length == 0 or length > avail:
+            raise ValueError("invalid VP8L prefix code")
+        br.pos += length
+        return int(self.sym_arr[window])
 
 
 def _read_prefix_code(br: "_LsbReader", alphabet_size: int) -> _Prefix:
