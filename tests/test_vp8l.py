@@ -132,3 +132,65 @@ def test_jvm_or_gate(spark, tmpdir):
         rows[0]["height"], rows[0]["width"], nc
     )[:, :, ::-1]
     assert np.array_equal(ref[:, :, :3], img)
+
+
+# ----------------------------------------------------------- property tests
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _images(draw):
+    """Adversarial image shapes the md5 fixtures never produce: flat
+    fields (maximal LZ77 runs), saturated channels (clamp boundaries in
+    predictors 12/13), tiny dims, and plain noise."""
+    w = draw(st.integers(1, 21))
+    h = draw(st.integers(1, 17))
+    kind = draw(st.sampled_from(["noise", "flat", "saturated", "gradient"]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    if kind == "noise":
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    elif kind == "flat":
+        img = np.full((h, w, 3), rng.integers(0, 256), np.uint8)
+    elif kind == "saturated":
+        img = rng.choice(np.array([0, 255], np.uint8), (h, w, 3))
+    else:
+        img = (
+            (np.arange(h)[:, None, None] * 7 + np.arange(w)[None, :, None] * 13)
+            % 256
+        ).astype(np.uint8).repeat(3, axis=2)
+    return img
+
+
+@given(
+    img=_images(),
+    kw=st.sampled_from(
+        [
+            dict(),
+            dict(use_subtract_green=True),
+            dict(predictor_bits=2),
+            dict(color_bits=2),
+            dict(cache_bits=5),
+            dict(use_subtract_green=True, predictor_bits=2, cache_bits=3),
+        ]
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_property_roundtrip_vp8l(img, kw):
+    assert np.array_equal(decode_webp(encode_webp_lossless(img, **kw)), img)
+
+
+@given(img=_images(), predictor=st.integers(1, 7), ri=st.sampled_from([0, 1, 7]))
+@settings(max_examples=40, deadline=None)
+def test_property_roundtrip_jpeg_lossless(img, predictor, ri):
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    out = decode_jpeg(
+        encode_jpeg_lossless(img, predictor=predictor, restart_interval=ri)
+    )
+    assert np.array_equal(out, img)

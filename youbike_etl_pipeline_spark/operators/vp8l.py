@@ -596,7 +596,14 @@ def _write_prefix_code(
     code-length-coded form with 17/18 zero-runs) and return the symbol →
     (code, length) map for payload writing."""
     used = [sym for sym, length in enumerate(lengths) if length]
-    if len(used) <= 2 and all(lengths[s] == 1 for s in used) and used:
+    # the simple form stores symbols in at most 8 bits — green alphabet
+    # symbols ≥ 256 (LZ77 lengths / cache indices) need the full form
+    if (
+        used
+        and len(used) <= 2
+        and max(used) <= 255
+        and all(lengths[s] == 1 for s in used)
+    ):
         bw.write(1, 1)  # simple
         bw.write(len(used) - 1, 1)
         if len(used) == 1:
