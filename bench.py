@@ -176,6 +176,7 @@ HEADLINE = [
     # round-7 codec additions
     "mm13_jpeg_lossless_decode",
     "mm14_webp_lossless_decode",
+    "mm15_avi_mjpeg_frames",
 ]
 
 

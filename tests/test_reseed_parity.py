@@ -452,10 +452,11 @@ DOC_EVENT_QUERIES = [
     "mm10_png_decode_features",
     "mm11_g711_audio_decode",
     "mm12_adpcm_audio_decode",
-    # round-7: lossless-JPEG + WebP-lossless decode (md5 fixtures derive
-    # from doc_id only)
+    # round-7: lossless-JPEG + WebP-lossless + AVI/MJPEG decode (md5
+    # fixtures derive from doc_id only)
     "mm13_jpeg_lossless_decode",
     "mm14_webp_lossless_decode",
+    "mm15_avi_mjpeg_frames",
     "t38b_sketch_audit_dedup_first",
     "m28b_kendall_tau_sampled",
     "j11b_interval_overlap_capped",

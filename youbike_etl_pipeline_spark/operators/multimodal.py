@@ -1943,6 +1943,161 @@ def attach_video_frames(
     return df.select(id_col).mapInPandas(fn, schema=VIDEO_FRAME_SCHEMA)
 
 
+def encode_avi_mjpeg(
+    frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Encoded JPEG frames → minimal RIFF/AVI (MJPEG) container: 'hdrl'
+    (avih + one 'vids'/'MJPG' stream with a BITMAPINFOHEADER) and a 'movi'
+    list of '00dc' chunks, word-aligned per RIFF. Pure struct — the
+    conformance fixture for :func:`decode_avi_mjpeg`."""
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", tag + body)
+
+    avih = struct.pack(
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<10I", 0, 0, 0, 1, fps, 0, len(frames), 0, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi_mjpeg(payload: bytes) -> list["np.ndarray"]:
+    """RIFF/AVI (MJPEG) → decoded frames: walks the chunk tree to the
+    'movi' list and decodes every video chunk ('NNdc'/'NNdb') through
+    :func:`decode_jpeg` — a REAL compressed-video-container decode with
+    no codec library (any JPEG coding this decoder supports works as the
+    frame codec, baseline through lossless). Other AVI stream codecs
+    raise ``NotImplementedError``; malformed containers ``ValueError``."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    frames: list[np.ndarray] = []
+
+    def walk(data: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            body_end = body_start + size
+            if body_end > end:
+                raise ValueError("truncated AVI chunk")
+            if tag == b"LIST":
+                ltype = data[body_start : body_start + 4]
+                if ltype in (b"movi", b"hdrl", b"strl", b"rec "):
+                    walk(data, body_start + 4, body_end)
+            elif tag[2:4] in (b"dc", b"db") and size:
+                frame = data[body_start:body_end]
+                if frame[:2] != b"\xff\xd8":
+                    raise NotImplementedError(
+                        "AVI video chunk is not JPEG-coded — only MJPEG "
+                        "streams decode without a codec library"
+                    )
+                frames.append(decode_jpeg(frame))
+            pos = body_end + (size & 1)  # RIFF word alignment
+
+    # a truncated file may DECLARE more bytes than it carries — clamp the
+    # walk to the actual buffer so the chunk checks raise ValueError
+    (declared,) = struct.unpack_from("<I", payload, 4)
+    walk(payload, 12, min(8 + declared, len(payload)))
+    if not frames:
+        raise ValueError("AVI contains no decodable video chunks")
+    return frames
+
+
+#: (doc_id, frame_idx, r_sum, g_sum, b_sum) — per decoded frame
+FRAME_CHANNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("r_sum", T.LongType(), True),
+        T.StructField("g_sum", T.LongType(), True),
+        T.StructField("b_sum", T.LongType(), True),
+    ]
+)
+
+
+def attach_avi_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = 4,
+    width: int = 8,
+    height: int = 6,
+) -> DataFrame:
+    """Give every row a REAL compressed-video payload: ``n_frames``
+    md5-pixel frames (keyed ``id*16 + frame`` so the driver's DuckDB
+    oracle re-derives every byte) coded as lossless JPEG (bit-exact, so
+    the container round trip has zero latitude; the T.81 predictor
+    rotates per frame) inside a RIFF/AVI MJPEG container."""
+    if n_frames > 16:
+        raise ValueError("n_frames > 16 would collide the id*16+frame keys")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                frames = [
+                    encode_jpeg_lossless(
+                        md5_pixels(did * 16 + f, width, height),
+                        predictor=1 + (did + f) % 7,
+                    )
+                    for f in range(n_frames)
+                ]
+                payloads.append(bytearray(encode_avi_mjpeg(frames, width, height)))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
+def decode_video_channel_sums(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """AVI payload column → one row per decoded frame with per-channel
+    pixel sums (integer math — oracle-checkable exactly). Same Arrow-
+    batched ``mapInPandas`` fan-out shape as :func:`sample_frames`."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, rs, gs, bs = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                for f_idx, frame in enumerate(decode_avi_mjpeg(bytes(payload))):
+                    sums = frame.astype(np.int64).sum(axis=(0, 1))
+                    ids.append(int(did))
+                    idxs.append(f_idx)
+                    rs.append(int(sums[0]))
+                    gs.append(int(sums[1]))
+                    bs.append(int(sums[2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "r_sum": rs,
+                    "g_sum": gs,
+                    "b_sum": bs,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=FRAME_CHANNEL_SCHEMA)
+
+
 def frame_sad(frames: DataFrame) -> DataFrame:
     """Per-video sequential frame differencing: for each doc, the sum of
     absolute byte differences (SAD) between every frame and its

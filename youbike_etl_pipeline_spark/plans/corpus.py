@@ -162,6 +162,7 @@ REGRADE_FIRST: tuple[str, ...] = (
 NEW_PAST_WINDOW: tuple[str, ...] = (
     "mm13_jpeg_lossless_decode",
     "mm14_webp_lossless_decode",
+    "mm15_avi_mjpeg_frames",
 )
 
 
@@ -17094,3 +17095,64 @@ def mm14_webp_lossless_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
         ).alias("feat_sum"),
     )
+
+
+def _mm15_avi_sql(
+    width: int = 8, height: int = 6, n_frames: int = 4, mod: int = 10
+) -> str:
+    """DuckDB mirror of the AVI/MJPEG pipeline: frame pixels are md5 bytes
+    keyed ``doc_id*16 + frame``, so the oracle re-derives every byte and
+    recomputes the per-frame channel sums — proving the RIFF container
+    walk AND the per-frame lossless-JPEG decode reproduce every pixel."""
+    n = width * height * 3
+    blocks = (n + 15) // 16
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % {mod} = 0),
+    fr AS (
+      SELECT d.doc_id, f.f
+      FROM d, (SELECT unnest(generate_series(0, {n_frames - 1})) AS f) f
+    ),
+    hx AS (
+      SELECT doc_id, f, b.b,
+             md5(CAST(doc_id * 16 + f AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)) AS h
+      FROM fr, (SELECT unnest(generate_series(0, {blocks - 1})) AS b) b
+    ),
+    bytes AS (
+      SELECT doc_id, f, (b * 16 + j.j) AS idx,
+             (strpos('0123456789abcdef', substr(h, 2 * j.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2 * j.j + 2, 1)) - 1) AS v
+      FROM hx, (SELECT unnest(generate_series(0, 15)) AS j) j
+      WHERE b * 16 + j.j < {n}
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame_idx,
+           CAST(SUM(CASE WHEN idx % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS r_sum,
+           CAST(SUM(CASE WHEN idx % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS g_sum,
+           CAST(SUM(CASE WHEN idx % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS b_sum
+    FROM bytes GROUP BY 1, 2
+    """
+
+
+@register(
+    "mm15_avi_mjpeg_frames",
+    _mm15_avi_sql(),
+    survey_rows="ext:multimodal-video — compressed video CONTAINER "
+    "(RIFF/AVI MJPEG) decode, previously gated; the md5-pixel oracle "
+    "verifies every frame's pixels through the container walk",
+    description="REAL compressed-video-container decode with no codec "
+    "library: each doc's fixture is a RIFF/AVI whose '00dc' chunks are "
+    "lossless-JPEG frames (multimodal.py::encode_avi_mjpeg over "
+    "encode_jpeg_lossless, the T.81 predictor rotating per frame), and "
+    "decode_avi_mjpeg walks the chunk tree to the 'movi' list and "
+    "decodes every frame through decode_jpeg inside the same "
+    "Arrow-batched mapInPandas fan-out as mm4 (one input row -> "
+    "n_frames output rows). Lossless frames have zero rounding "
+    "latitude, so the oracle's per-frame channel sums prove container "
+    "framing + entropy decode end-to-end — narrowing the round-6 "
+    "'compressed video containers' gate to inter-frame codecs "
+    "(H.26x/VP9), which stay honestly gated.",
+)
+def mm15_avi_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_avi_payloads, decode_video_channel_sums
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return decode_video_channel_sums(attach_avi_payloads(docs))
