@@ -177,6 +177,7 @@ HEADLINE = [
     "mm13_jpeg_lossless_decode",
     "mm14_webp_lossless_decode",
     "mm15_avi_mjpeg_frames",
+    "mm16_gif_decode",
 ]
 
 

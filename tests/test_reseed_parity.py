@@ -457,6 +457,7 @@ DOC_EVENT_QUERIES = [
     "mm13_jpeg_lossless_decode",
     "mm14_webp_lossless_decode",
     "mm15_avi_mjpeg_frames",
+    "mm16_gif_decode",
     "t38b_sketch_audit_dedup_first",
     "m28b_kendall_tau_sampled",
     "j11b_interval_overlap_capped",

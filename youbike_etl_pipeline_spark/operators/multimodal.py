@@ -1105,6 +1105,10 @@ def decode_image(payload: bytes, fmt: str | None = None) -> "np.ndarray":
 
         # lossless VP8L decodes for real; lossy VP8/VP8X raises inside
         return decode_webp(payload)
+    if fmt == "gif" or payload[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import decode_gif
+
+        return decode_gif(payload)[0]  # still image: the first frame
     raise ValueError("unrecognized image payload")
 
 
@@ -1163,11 +1167,20 @@ def attach_ppm_payloads(
         )
         return encode_webp_lossless(img, **combos[did % len(combos)])
 
+    def _gif(img: "np.ndarray", did: int) -> bytes:
+        from .gif import encode_gif
+
+        # rotate interlace / local-palette coverage across the corpus
+        return encode_gif(
+            img, interlace=bool(did % 20 == 10), local_palettes=bool(did % 30 == 20)
+        )
+
     encoder = {
         "ppm": lambda img, did: encode_ppm(img),
         "png": lambda img, did: encode_png(img),
         "jpegl": lambda img, did: encode_jpeg_lossless(img, predictor=1 + did % 7),
         "webpl": _webpl,
+        "gif": _gif,
     }[fmt]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

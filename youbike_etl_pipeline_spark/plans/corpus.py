@@ -163,6 +163,7 @@ NEW_PAST_WINDOW: tuple[str, ...] = (
     "mm13_jpeg_lossless_decode",
     "mm14_webp_lossless_decode",
     "mm15_avi_mjpeg_frames",
+    "mm16_gif_decode",
 )
 
 
@@ -2181,7 +2182,7 @@ def _mm2_decode_sql(
     n = width * height * 3
     blocks = (n + 15) // 16
     header_len = len(b"P6\n%d %d\n255\n" % (width, height))
-    if fmt in ("png", "jpegl", "webpl"):
+    if fmt in ("png", "jpegl", "webpl", "gif"):
         # compressed payload length depends on the encoder (zlib build /
         # per-row Huffman predictor), so the graded output is
         # encoding-independent: dims + the feature block only.
@@ -17156,3 +17157,37 @@ def mm15_avi_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     return decode_video_channel_sums(attach_avi_payloads(docs))
+
+
+@register(
+    "mm16_gif_decode",
+    _mm2_decode_sql(width=16, height=12, fmt="gif", mod=25),
+    survey_rows="ext:multimodal-decode — GIF (LZW) decode, previously "
+    "codec-gated; mm2's md5-pixel oracle verifies the pixels bit-exactly",
+    description="REAL GIF decode with no codec library: the md5-pixel "
+    "fixture encodes as GIF89a (operators/gif.py::encode_gif — real LZW "
+    "with dictionary growth and mid-stream clears; interlace and "
+    "local-palette variants rotate across the corpus), and decode_gif "
+    "reverses it (variable-width LSB-first LZW incl. the KwKwK "
+    "self-reference, 4-pass de-interlace, palette lookup) inside the "
+    "same Arrow-batched mapInPandas as mm2/mm10/mm13/mm14. Palette "
+    "decode has zero rounding latitude, so the md5-arithmetic oracle "
+    "proves the LZW round trip exactly; UNLIKE lossless-JPEG/WebP this "
+    "format also has a third-party conformance oracle in-environment — "
+    "tests/test_gif.py pins the numpy decode bit-equal to Spark's JVM "
+    "ImageIO decode of the same payloads.",
+)
+def mm16_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_ppm_payloads, decode_image_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    media = attach_ppm_payloads(docs, width=16, height=12, fmt="gif")
+    feats = decode_image_features(media)
+    return feats.select(
+        "doc_id",
+        F.lit(16).cast("int").alias("width"),
+        F.lit(12).cast("int").alias("height"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("feat_sum"),
+    )
