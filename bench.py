@@ -178,6 +178,7 @@ HEADLINE = [
     "mm14_webp_lossless_decode",
     "mm15_avi_mjpeg_frames",
     "mm16_gif_decode",
+    "mm17_flac_audio_decode",
 ]
 
 

@@ -1,0 +1,134 @@
+"""FLAC codec conformance: round trips are BIT-EXACT (lossless, zero
+rounding latitude) across every subframe type, stereo decorrelation mode,
+Rice method, partition layout, and frame split the spec-subset encoder can
+write — and the decoder's OWN integrity machinery (CRC-8 header check,
+CRC-16 frame check, STREAMINFO MD5 of the decoded PCM) must catch
+single-byte corruption anywhere in the stream."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from youbike_etl_pipeline_spark.operators.flac import (
+    _read_coded_number,
+    _write_coded_number,
+    _MsbReader,
+    _MsbWriter,
+    decode_flac,
+    encode_flac,
+)
+from youbike_etl_pipeline_spark.operators.multimodal import md5_samples
+
+
+@pytest.mark.parametrize(
+    "mode", ["verbatim", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4", "lpc"]
+)
+def test_mono_subframe_matrix(mode):
+    x = md5_samples(1, 256)
+    rate, out = decode_flac(encode_flac(x, mode=mode))
+    assert rate == 16000
+    assert np.array_equal(out, x.astype(np.int64))
+
+
+def test_constant_subframe():
+    flat = np.full(192, -123, np.int16)
+    _, out = decode_flac(encode_flac(flat, mode="constant"))
+    assert np.array_equal(out, flat.astype(np.int64))
+
+
+@pytest.mark.parametrize(
+    "stereo", ["independent", "left_side", "right_side", "mid_side"]
+)
+def test_stereo_decorrelation_matrix(stereo):
+    st = np.stack([md5_samples(2, 256), md5_samples(3, 256)], axis=1)
+    _, out = decode_flac(encode_flac(st, mode="fixed2", stereo=stereo))
+    assert np.array_equal(out, st.astype(np.int64))
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(blocksize=256, partition_order=2),
+        dict(blocksize=128, method=1),
+        dict(escape_first=True),
+        dict(blocksize=256, partition_order=1, method=1, escape_first=True),
+    ],
+    ids=lambda kw: "+".join(f"{k}={v}" for k, v in kw.items()),
+)
+def test_frames_partitions_methods(kw):
+    x = md5_samples(4, 1024)
+    _, out = decode_flac(encode_flac(x, mode="fixed1", **kw))
+    assert np.array_equal(out, x.astype(np.int64))
+
+
+def test_saturated_and_edge_values():
+    """int16 extremes stress the side channel's bps+1 bit width and the
+    Rice zigzag at its widest."""
+    x = np.array([32767, -32768, 32767, -32768] * 64, np.int16)
+    for stereo in ("left_side", "mid_side"):
+        st = np.stack([x, x[::-1].copy()], axis=1)
+        _, out = decode_flac(encode_flac(st, mode="verbatim", stereo=stereo))
+        assert np.array_equal(out, st.astype(np.int64)), stereo
+
+
+def test_coded_number_roundtrip():
+    """The UTF-8-style frame number across every byte-length regime."""
+    for v in (0, 1, 0x7F, 0x80, 0x7FF, 0x800, 0xFFFF, 0x1FFFFF, 2**31, 2**36 - 1):
+        bw = _MsbWriter()
+        _write_coded_number(bw, v)
+        bw.align()
+        assert _read_coded_number(_MsbReader(bytes(bw.out))) == v, v
+
+
+def test_integrity_checks_catch_corruption():
+    """Flipping any single byte must fail SOME check (CRC-8, CRC-16,
+    STREAMINFO MD5, or structural) — never return wrong samples
+    silently, and never escape as IndexError."""
+    x = md5_samples(5, 256)
+    payload = bytearray(encode_flac(x, mode="fixed2"))
+    want = x.astype(np.int64)
+    silent_wrong = 0
+    for i in range(4, len(payload)):
+        corrupted = bytearray(payload)
+        corrupted[i] ^= 0x01
+        try:
+            _, out = decode_flac(bytes(corrupted))
+        except ValueError:
+            continue
+        except NotImplementedError:
+            continue
+        if not np.array_equal(out, want):
+            silent_wrong += 1
+    assert silent_wrong == 0
+
+
+def test_truncation_fuzz():
+    payload = encode_flac(md5_samples(6, 512), mode="fixed1", blocksize=128)
+    for cut in range(4, len(payload) - 1, 11):
+        with pytest.raises(ValueError):
+            decode_flac(payload[:cut])
+
+
+def test_error_paths():
+    with pytest.raises(ValueError, match="not a FLAC"):
+        decode_flac(b"fLaX" + b"\x00" * 40)
+
+
+def test_spark_feature_dispatch(spark):
+    """decode_audio_features dispatches FLAC payloads and the distributed
+    features equal the local ground truth."""
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_flac_payloads,
+        decode_audio_features,
+    )
+
+    df = spark.range(0, 90, 10).withColumnRenamed("id", "doc_id")
+    rows = decode_audio_features(attach_flac_payloads(df)).collect()
+    assert len(rows) == 9
+    for r in rows:
+        x = md5_samples(r["doc_id"], 256).astype(np.int64)
+        assert r["n_samples"] == 256
+        assert r["peak"] == int(np.abs(x).max())
+        assert r["zero_crossings"] == int(((x[:-1] * x[1:]) < 0).sum())
+        assert abs(r["rms"] - float(np.sqrt((x * x).sum() / 256))) < 1e-9

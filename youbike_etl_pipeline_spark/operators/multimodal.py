@@ -1771,6 +1771,63 @@ def attach_adpcm_payloads(
     return df.select(id_col).mapInPandas(fn, schema=out_schema)
 
 
+def attach_flac_payloads(
+    df: DataFrame, id_col: str = "doc_id", n_samples: int = 256, rate: int = 16000
+) -> DataFrame:
+    """Give every row a REAL FLAC payload over the SAME md5 int16 samples
+    as the WAV fixture (:func:`md5_samples`), with the subframe strategy,
+    Rice-parameter method, partition order, and escape usage rotating per
+    row id so every decoder path appears in the graded corpus. Lossless,
+    so mm3's sample-level oracle grades the full bitstream round trip."""
+    from .flac import encode_flac
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+    combos = (
+        dict(mode="verbatim"),
+        dict(mode="fixed0"),
+        dict(mode="fixed1", method=1),
+        dict(mode="fixed2"),
+        dict(mode="fixed3", partition_order=2),
+        dict(mode="fixed4"),
+        dict(mode="lpc"),
+        dict(mode="fixed2", blocksize=n_samples // 2, partition_order=1),
+        dict(mode="fixed1", escape_first=True),
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                payloads.append(
+                    bytearray(
+                        encode_flac(
+                            md5_samples(did, n_samples),
+                            rate=rate,
+                            **combos[did % len(combos)],
+                        )
+                    )
+                )
+                metas.append(
+                    {
+                        "media_type": "audio",
+                        "format": "flac",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": n_samples * 1000 // rate,
+                    }
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
+
+    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
 AUDIO_FEATURES = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -1783,12 +1840,25 @@ AUDIO_FEATURES = T.StructType(
 )
 
 
+def decode_audio(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """Dispatch audio decode by magic: RIFF/WAVE → :func:`decode_wav`
+    (PCM16 / G.711 / IMA ADPCM), fLaC → :func:`.flac.decode_flac` (all
+    subframe types, CRC + MD5 verified). Stereo FLAC returns interleaved
+    1-D samples so the feature block has one definition per payload."""
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        rate, x = decode_flac(payload)
+        return rate, x.reshape(-1).astype(np.int64)
+    return decode_wav(payload)
+
+
 def decode_audio_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Audio decode + features via ``mapInPandas``: REAL WAV parse
-    (:func:`decode_wav`), then peak / zero-crossing count (exact ints) and
-    RMS (float64, rounded by callers needing cross-engine equality)."""
+    """Audio decode + features via ``mapInPandas``: REAL WAV/FLAC parse
+    (:func:`decode_audio`), then peak / zero-crossing count (exact ints)
+    and RMS (float64, rounded by callers needing cross-engine equality)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1799,7 +1869,7 @@ def decode_audio_features(
                 if payload is None:
                     n_samp.append(None); peak.append(None); zc.append(None); rms.append(None)
                     continue
-                _, x = decode_wav(bytes(payload))
+                _, x = decode_audio(bytes(payload))
                 xl = x.astype(np.int64)
                 n_samp.append(len(x))
                 peak.append(int(np.abs(xl).max()) if len(x) else 0)

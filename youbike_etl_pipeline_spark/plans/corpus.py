@@ -164,6 +164,7 @@ NEW_PAST_WINDOW: tuple[str, ...] = (
     "mm14_webp_lossless_decode",
     "mm15_avi_mjpeg_frames",
     "mm16_gif_decode",
+    "mm17_flac_audio_decode",
 )
 
 
@@ -5191,14 +5192,15 @@ def t25_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def _audio_sample_ctes(n_samples: int = 256) -> str:
+def _audio_sample_ctes(n_samples: int = 256, mod: int = 5) -> str:
     """Shared oracle fragment: re-derive every PCM16 sample of the audio
     fixture (md5-digest bytes, little-endian int16 pairs) with md5
-    hex-digit arithmetic — the d/hx/bytes/samples CTE chain used by both
-    mm3 (time-domain features) and mm6 (spectral band energies)."""
+    hex-digit arithmetic — the d/hx/bytes/samples CTE chain used by mm3
+    (time-domain features), mm6 (spectral band energies) and mm17 (the
+    FLAC round trip over the same samples)."""
     n = n_samples * 2
     blocks = (n + 15) // 16
-    return f"""d AS (SELECT doc_id FROM documents WHERE doc_id % 5 = 0),
+    return f"""d AS (SELECT doc_id FROM documents WHERE doc_id % {mod} = 0),
     hx AS (
       SELECT d.doc_id, b.b, md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)) AS h
       FROM d, (SELECT unnest(generate_series(0, {blocks - 1})) AS b) b
@@ -17190,4 +17192,60 @@ def mm16_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
         ).alias("feat_sum"),
+    )
+
+
+def _mm17_flac_sql(n_samples: int = 256, mod: int = 10) -> str:
+    """DuckDB mirror of the FLAC pipeline: the fixture codes the SAME md5
+    int16 samples as mm3, and FLAC is lossless, so the oracle is mm3's
+    sample re-derivation + feature block (minus n_bytes — the compressed
+    payload length depends on the rotating subframe strategy)."""
+    return f"""
+    WITH {_audio_sample_ctes(n_samples, mod=mod)},
+    lagged AS (
+      SELECT doc_id, si, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY si) AS prev
+      FROM samples
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND s * prev < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)), 6) AS rms
+    FROM lagged GROUP BY doc_id
+    """
+
+
+@register(
+    "mm17_flac_audio_decode",
+    _mm17_flac_sql(),
+    survey_rows="ext:multimodal-audio — FLAC decode, previously "
+    "codec-gated; mm3's sample-level oracle verifies the expanded PCM "
+    "bit-exactly",
+    description="REAL FLAC decode with no codec library: the fixture "
+    "codes mm3's md5 int16 samples as FLAC (operators/flac.py::"
+    "encode_flac) with the subframe strategy rotating per doc across "
+    "verbatim / fixed orders 0-4 / quantized LPC, both Rice-parameter "
+    "methods, multi-partition and multi-frame layouts, and escape "
+    "partitions — and operators/flac.py::decode_flac reverses it "
+    "(CRC-8-verified frame headers, CRC-16-verified bodies, Rice "
+    "residual decode, fixed/LPC prediction recursion, STREAMINFO MD5 "
+    "integrity check) inside the same Arrow-batched mapInPandas as "
+    "mm3/mm11/mm12. FLAC is lossless with zero rounding latitude, so "
+    "the md5-arithmetic oracle proves the full bitstream round trip — "
+    "clearing the 'FLAC' audio gate; perceptual codecs (MP3/AAC/Opus) "
+    "stay honestly gated.",
+)
+def mm17_flac_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_flac_payloads, decode_audio_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = decode_audio_features(attach_flac_payloads(docs))
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        "peak",
+        "zero_crossings",
+        F.round("rms", 6).alias("rms"),
     )
