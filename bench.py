@@ -179,6 +179,7 @@ HEADLINE = [
     "mm15_avi_mjpeg_frames",
     "mm16_gif_decode",
     "mm17_flac_audio_decode",
+    "mm18_tiff_decode",
 ]
 
 

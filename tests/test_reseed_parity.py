@@ -459,6 +459,7 @@ DOC_EVENT_QUERIES = [
     "mm15_avi_mjpeg_frames",
     "mm16_gif_decode",
     "mm17_flac_audio_decode",
+    "mm18_tiff_decode",
     "t38b_sketch_audit_dedup_first",
     "m28b_kendall_tau_sampled",
     "j11b_interval_overlap_capped",

@@ -1109,6 +1109,10 @@ def decode_image(payload: bytes, fmt: str | None = None) -> "np.ndarray":
         from .gif import decode_gif
 
         return decode_gif(payload)[0]  # still image: the first frame
+    if fmt in ("tif", "tiff") or payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .tiff import decode_tiff
+
+        return decode_tiff(payload)[0]  # still image: the first page
     raise ValueError("unrecognized image payload")
 
 
@@ -1175,12 +1179,28 @@ def attach_ppm_payloads(
             img, interlace=bool(did % 20 == 10), local_palettes=bool(did % 30 == 20)
         )
 
+    def _tiff(img: "np.ndarray", did: int) -> bytes:
+        from .tiff import encode_tiff
+
+        # rotate compression / predictor / byte order / striping so every
+        # baseline-TIFF decode path appears in the graded corpus
+        combos = (
+            dict(compression=1),
+            dict(compression=5),
+            dict(compression=5, predictor=2),
+            dict(compression=32773),
+            dict(compression=5, big_endian=True, rows_per_strip=5),
+            dict(compression=32773, big_endian=True),
+        )
+        return encode_tiff(img, **combos[(did // 10) % len(combos)])
+
     encoder = {
         "ppm": lambda img, did: encode_ppm(img),
         "png": lambda img, did: encode_png(img),
         "jpegl": lambda img, did: encode_jpeg_lossless(img, predictor=1 + did % 7),
         "webpl": _webpl,
         "gif": _gif,
+        "tiff": _tiff,
     }[fmt]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

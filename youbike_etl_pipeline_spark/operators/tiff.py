@@ -1,0 +1,387 @@
+"""Baseline TIFF decode — and a conformance encoder — in pure numpy +
+stdlib, no codec library.
+
+Implements the public TIFF 6.0 baseline: both byte orders (II/MM), IFD
+walking with the 12-byte entry layout (inline values vs offsets,
+multi-IFD chains for multi-page files), strip-based image data
+(RowsPerStrip / StripOffsets / StripByteCounts), 8-bit grayscale and RGB
+(PhotometricInterpretation 1/2, chunky planar config), and three
+compressions: none (1), LZW (5 — the TIFF variant: MSB-first packing,
+9-bit start, and the EARLY-CHANGE code-width convention that differs
+from GIF), and PackBits (32773). The horizontal-differencing Predictor
+(tag 317, value 2) is honored. Tiled TIFFs, planar=2, and other
+photometrics raise ``NotImplementedError`` — honest gates.
+
+:func:`encode_tiff` writes real strips with selectable compression /
+predictor / byte order / strip height, so decode(encode(img)) is
+bit-exact. Same cost posture as the sibling decoders: per-code Python
+LZW sized for thumbnail fixtures; large corpora route through the JVM
+``sources.readers.read_images`` source (ImageIO decodes TIFF).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def _lzw_decode_tiff(data: bytes, max_out: int) -> bytes:
+    """TIFF LZW: MSB-first bit packing, clear=256, EOI=257, first dynamic
+    code 258, and the early-change convention (the code width bumps when
+    the table reaches 2^w - 1, one entry earlier than GIF)."""
+    out = bytearray()
+    bitpos = 0
+    total = len(data) * 8
+    width = 9
+    table: list[bytes] = [bytes((i,)) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > total:
+            return 257  # treat truncation at the tail as EOI
+        v = 0
+        for i in range(width):
+            p = bitpos + i
+            v = (v << 1) | ((data[p >> 3] >> (7 - (p & 7))) & 1)
+        bitpos += width
+        return v
+
+    while len(out) < max_out:
+        code = read_code()
+        if code == 256:
+            table = [bytes((i,)) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == 257:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("invalid TIFF LZW code")
+        out.extend(entry)
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        # EARLY change (the TIFF convention, JVM-calibrated in
+        # tests/test_tiff.py): the decoder bumps when its next-to-fill
+        # index reaches 2^w - 1 — one entry before a GIF decoder would
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+    if len(out) < max_out:
+        raise ValueError("TIFF LZW strip ended early")
+    return bytes(out[:max_out])
+
+
+def _lzw_encode_tiff(data: bytes) -> bytes:
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+        acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes((i,)): i for i in range(256)}
+    next_code = 258
+    emit(256)  # clear
+    seq = b""
+    for byte in data:
+        cand = seq + bytes((byte,))
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq])
+        table[cand] = next_code
+        next_code += 1
+        # the encoder's counter runs one ahead of the decoder's table (a
+        # decoder learns an entry only on the FOLLOWING code), so ITS
+        # bump lands at 2^w — together these realize the early change
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code == 4094:
+            emit(256)
+            table = {bytes((i,)): i for i in range(256)}
+            next_code = 258
+            width = 9
+        seq = bytes((byte,))
+    if seq:
+        emit(table[seq])
+    emit(257)  # EOI
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < max_out:
+        if i >= len(data):
+            raise ValueError("TIFF PackBits strip ended early")
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1
+            out.extend(data[i : i + n + 1])
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("TIFF PackBits strip ended early")
+            out.extend(bytes((data[i],)) * (257 - n))
+            i += 1
+        # n == 128: no-op
+    return bytes(out[:max_out])
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and data[i + run] == data[i] and run < 128:
+            run += 1
+        if run >= 2:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        lit_start = i
+        i += 1
+        while (
+            i < n
+            and i - lit_start < 128
+            and not (i + 1 < n and data[i] == data[i + 1])
+        ):
+            i += 1
+        out.append(i - lit_start - 1)
+        out.extend(data[lit_start:i])
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> "list[np.ndarray]":
+    """TIFF → one (H, W, 3) uint8 RGB array per IFD page (grayscale
+    expands). Raises ``ValueError`` on malformed files,
+    ``NotImplementedError`` on out-of-subset features."""
+    if payload[:4] == b"II*\x00":
+        endian = "<"
+    elif payload[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+    if len(payload) < 8:
+        raise ValueError("truncated TIFF header")
+
+    def u16(off: int) -> int:
+        return struct.unpack_from(endian + "H", payload, off)[0]
+
+    def u32(off: int) -> int:
+        return struct.unpack_from(endian + "I", payload, off)[0]
+
+    pages: list[np.ndarray] = []
+    ifd_off = u32(4)
+    seen = set()
+    while ifd_off:
+        if ifd_off in seen:
+            raise ValueError("TIFF IFD loop")
+        seen.add(ifd_off)
+        if ifd_off + 2 > len(payload):
+            raise ValueError("truncated TIFF IFD")
+        n_entries = u16(ifd_off)
+        tags: dict[int, list[int]] = {}
+        for i in range(n_entries):
+            e = ifd_off + 2 + 12 * i
+            if e + 12 > len(payload):
+                raise ValueError("truncated TIFF IFD entry")
+            tag, ttype = u16(e), u16(e + 2)
+            count = u32(e + 4)
+            size = {1: 1, 3: 2, 4: 4}.get(ttype)
+            if size is None:
+                continue  # rationals etc. — not needed for the subset
+            total = size * count
+            voff = e + 8 if total <= 4 else u32(e + 8)
+            if voff + total > len(payload):
+                raise ValueError("truncated TIFF tag value")
+            vals = [
+                u16(voff + 2 * k) if size == 2 else (
+                    u32(voff + 4 * k) if size == 4 else payload[voff + k]
+                )
+                for k in range(count)
+            ]
+            tags[tag] = vals
+        w = tags.get(256, [0])[0]
+        h = tags.get(257, [0])[0]
+        if not w or not h:
+            raise ValueError("TIFF missing dimensions")
+        bps = tags.get(258, [1])
+        spp = tags.get(277, [1])[0]
+        if any(b != 8 for b in bps) or spp not in (1, 3):
+            raise NotImplementedError(
+                "only 8-bit grayscale/RGB TIFF is supported"
+            )
+        photometric = tags.get(262, [1])[0]
+        if photometric not in (0, 1, 2):
+            raise NotImplementedError(
+                f"TIFF photometric {photometric} needs a codec library"
+            )
+        compression = tags.get(259, [1])[0]
+        if tags.get(284, [1])[0] != 1:
+            raise NotImplementedError("planar TIFF (PlanarConfiguration=2)")
+        if 322 in tags or 323 in tags:
+            raise NotImplementedError("tiled TIFF")
+        predictor = tags.get(317, [1])[0]
+        if predictor not in (1, 2):
+            raise NotImplementedError(f"TIFF predictor {predictor}")
+        rows_per_strip = tags.get(278, [h])[0] or h
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing strip layout")
+        row_bytes = w * spp
+        raw = bytearray()
+        for s_i, (off, cnt) in enumerate(zip(offsets, counts)):
+            n_rows = min(rows_per_strip, h - s_i * rows_per_strip)
+            if n_rows <= 0:
+                raise ValueError("TIFF has more strips than rows")
+            strip = payload[off : off + cnt]
+            if len(strip) < cnt:
+                raise ValueError("truncated TIFF strip")
+            want = n_rows * row_bytes
+            if compression == 1:
+                if len(strip) < want:
+                    raise ValueError("short uncompressed TIFF strip")
+                raw.extend(strip[:want])
+            elif compression == 5:
+                raw.extend(_lzw_decode_tiff(strip, want))
+            elif compression == 32773:
+                raw.extend(_packbits_decode(strip, want))
+            else:
+                raise NotImplementedError(
+                    f"TIFF compression {compression} needs a codec library"
+                )
+        img = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
+        if predictor == 2:  # horizontal differencing per sample lane
+            img = np.cumsum(img.astype(np.uint32), axis=1).astype(np.uint8)
+        if photometric == 0:  # WhiteIsZero inverts
+            img = 255 - img
+        if spp == 1:
+            img = np.repeat(img, 3, axis=2)
+        pages.append(img.copy())
+        ifd_off = u32(ifd_off + 2 + 12 * n_entries)
+    if not pages:
+        raise ValueError("TIFF contains no pages")
+    return pages
+
+
+# --------------------------------------------------------------- encoder
+
+
+def encode_tiff(
+    pages: "list[np.ndarray] | np.ndarray",
+    compression: int = 5,
+    predictor: int = 1,
+    big_endian: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """(H, W, 3) or (H, W) uint8 page(s) → TIFF. ``compression`` is 1
+    (none), 5 (LZW) or 32773 (PackBits); ``predictor`` 2 applies
+    horizontal differencing before compression; multiple pages chain
+    through next-IFD offsets."""
+    if isinstance(pages, np.ndarray):
+        pages = [pages]
+    endian = ">" if big_endian else "<"
+    out = bytearray(b"MM\x00*" if big_endian else b"II*\x00")
+    out.extend(struct.pack(endian + "I", 0))  # first IFD offset, patched
+
+    def pack(fmt: str, *vals: int) -> bytes:
+        return struct.pack(endian + fmt, *vals)
+
+    prev_link = 4
+    for page in pages:
+        if page.ndim == 2:
+            page = page[:, :, None]
+        h, w, spp = page.shape
+        rps = rows_per_strip or h
+        data = page
+        if predictor == 2:
+            d = page.astype(np.int16)
+            d[:, 1:] -= page[:, :-1].astype(np.int16)
+            data = (d & 0xFF).astype(np.uint8)
+        strips = []
+        for y0 in range(0, h, rps):
+            raw = data[y0 : y0 + rps].tobytes()
+            if compression == 1:
+                strips.append(raw)
+            elif compression == 5:
+                strips.append(_lzw_encode_tiff(raw))
+            elif compression == 32773:
+                strips.append(_packbits_encode(raw))
+            else:
+                raise ValueError(f"unsupported encode compression {compression}")
+        strip_offsets = []
+        for s in strips:
+            strip_offsets.append(len(out))
+            out.extend(s)
+            if len(out) & 1:
+                out.append(0)
+        bps_off = None
+        if spp == 3:  # BitsPerSample needs 3 shorts = 6 bytes → offset
+            bps_off = len(out)
+            out.extend(pack("HHH", 8, 8, 8))
+        arr_off = {}
+        for name, vals in (("offsets", strip_offsets), ("counts", [len(s) for s in strips])):
+            if len(vals) > 1:
+                arr_off[name] = len(out)
+                for v in vals:
+                    out.extend(pack("I", v))
+        entries = []
+
+        def entry(tag: int, ttype: int, count: int, value: int) -> None:
+            entries.append(pack("HHI", tag, ttype, count) + pack("I", value))
+
+        def entry_short(tag: int, value: int) -> None:
+            # SHORT inline values sit in the HIGH-order... no: they sit in
+            # the first bytes of the value field in file byte order
+            entries.append(
+                pack("HHI", tag, 3, 1) + pack("H", value) + b"\x00\x00"
+            )
+
+        entry_short(256, w)
+        entry_short(257, h)
+        if spp == 3:
+            entry(258, 3, 3, bps_off)  # type: ignore[arg-type]
+        else:
+            entry_short(258, 8)
+        entry_short(259, compression)
+        entry_short(262, 2 if spp == 3 else 1)
+        entry(
+            273, 4, len(strips),
+            arr_off.get("offsets", strip_offsets[0]),
+        )
+        entry_short(277, spp)
+        entry_short(278, rps)
+        entry(
+            279, 4, len(strips),
+            arr_off.get("counts", len(strips[0])),
+        )
+        if predictor == 2:
+            entry_short(317, 2)
+        entries.sort(key=lambda b: struct.unpack(endian + "H", b[:2])[0])
+        ifd_off = len(out)
+        struct.pack_into(endian + "I", out, prev_link, ifd_off)
+        out.extend(pack("H", len(entries)))
+        for e in entries:
+            out.extend(e)
+        prev_link = len(out)
+        out.extend(pack("I", 0))
+    return bytes(out)

@@ -165,6 +165,7 @@ NEW_PAST_WINDOW: tuple[str, ...] = (
     "mm15_avi_mjpeg_frames",
     "mm16_gif_decode",
     "mm17_flac_audio_decode",
+    "mm18_tiff_decode",
 )
 
 
@@ -2183,7 +2184,7 @@ def _mm2_decode_sql(
     n = width * height * 3
     blocks = (n + 15) // 16
     header_len = len(b"P6\n%d %d\n255\n" % (width, height))
-    if fmt in ("png", "jpegl", "webpl", "gif"):
+    if fmt in ("png", "jpegl", "webpl", "gif", "tiff"):
         # compressed payload length depends on the encoder (zlib build /
         # per-row Huffman predictor), so the graded output is
         # encoding-independent: dims + the feature block only.
@@ -17248,4 +17249,40 @@ def mm17_flac_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         "zero_crossings",
         F.round("rms", 6).alias("rms"),
+    )
+
+
+@register(
+    "mm18_tiff_decode",
+    _mm2_decode_sql(width=16, height=12, fmt="tiff", mod=25),
+    survey_rows="ext:multimodal-decode — baseline TIFF (LZW/PackBits) "
+    "decode, previously codec-gated; mm2's md5-pixel oracle verifies "
+    "the pixels bit-exactly",
+    description="REAL baseline-TIFF decode with no codec library: the "
+    "md5-pixel fixture encodes as TIFF (operators/tiff.py::encode_tiff) "
+    "with the compression (none / LZW / PackBits), horizontal-"
+    "differencing predictor, byte order (II/MM), and strip layout "
+    "rotating per doc, and decode_tiff reverses it (IFD walk, strip "
+    "reassembly, the TIFF-LZW EARLY-CHANGE width convention — JVM-"
+    "calibrated: tests/test_tiff.py pins the numpy codec bit-equal to "
+    "Spark's ImageIO decode through TWO code-width bumps, which caught "
+    "a real off-by-one the self-round-trip could not) inside the same "
+    "Arrow-batched mapInPandas as the other image queries. Palette "
+    "formats aside, TIFF is byte-lossless here, so the md5-arithmetic "
+    "oracle proves the strip/LZW round trip exactly; tiled/planar/"
+    "16-bit TIFF stay honestly gated.",
+)
+def mm18_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_ppm_payloads, decode_image_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    media = attach_ppm_payloads(docs, width=16, height=12, fmt="tiff")
+    feats = decode_image_features(media)
+    return feats.select(
+        "doc_id",
+        F.lit(16).cast("int").alias("width"),
+        F.lit(12).cast("int").alias("height"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("feat_sum"),
     )
