@@ -92,10 +92,13 @@ def test_error_paths_and_truncation_fuzz():
 
 def test_jvm_imageio_conformance(spark, tmpdir):
     """ImageIO decodes GIF — the numpy decode must agree bit-exactly on
-    stills, interlaced or not. (This is the same external-oracle pattern
-    as the baseline-JPEG conformance suite, but exact.)"""
+    stills, interlaced or not, INCLUDING a 64x48 stream whose LZW crosses
+    the 512/1024 code-width bumps (the TIFF-LZW calibration found an
+    off-by-one exactly there that self-round-trips could never catch)."""
     from youbike_etl_pipeline_spark.sources.readers import read_images
 
+    pal = md5_pixels(7, 200, 1)[0]
+    big = pal[md5_pixels(123, 64, 48).astype(np.int64).sum(axis=2) % 200]
     for tag, payload, img in (
         ("plain", encode_gif(md5_pixels(10, 16, 12)), md5_pixels(10, 16, 12)),
         (
@@ -103,6 +106,7 @@ def test_jvm_imageio_conformance(spark, tmpdir):
             encode_gif(md5_pixels(11, 16, 12), interlace=True),
             md5_pixels(11, 16, 12),
         ),
+        ("width_bumps", encode_gif(big), big),
     ):
         d = tmpdir.mkdir(f"jvmgif_{tag}")
         with open(os.path.join(str(d), "img.gif"), "wb") as fh:
