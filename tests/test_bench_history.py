@@ -53,6 +53,12 @@ def test_committed_history_last_two_rounds_hold_the_invariant():
     lines = [json.loads(ln) for ln in open(path) if ln.strip()]
     if len(lines) < 2:
         pytest.skip("fewer than two bench rounds recorded")
+    if lines[-1].get("new_instance"):
+        # a line recorded on a different VM instance declares itself (the
+        # round-7 close-out measured ~1.5x cross-instance variance on
+        # untouched query families); the same-machine invariant is only
+        # meaningful between consecutive same-instance lines
+        pytest.skip("latest line declares a VM instance change (see its note)")
     regs = find_regressions(lines[-1], lines[-2])
     assert regs == [], f"history says these regressed: {regs}"
 

@@ -132,3 +132,13 @@ def test_spark_feature_dispatch(spark):
         assert r["peak"] == int(np.abs(x).max())
         assert r["zero_crossings"] == int(((x[:-1] * x[1:]) < 0).sum())
         assert abs(r["rms"] - float(np.sqrt((x * x).sum() / 256))) < 1e-9
+
+
+def test_round7_review_escape_width():
+    """Escape-partition raw width is sized from the residuals: fixed
+    orders 3-4 on full-scale input exceed the old hardcoded 18 bits and
+    silently wrapped into an MD5-mismatching stream."""
+    x = np.array([32767, -32768] * 256, np.int16)
+    for mode in ("fixed3", "fixed4"):
+        _, out = decode_flac(encode_flac(x, mode=mode, escape_first=True))
+        assert np.array_equal(out, x.astype(np.int64)), mode

@@ -121,3 +121,29 @@ def test_jvm_imageio_conformance(spark, tmpdir):
         mine = decode_gif(payload)[0]
         assert np.array_equal(mine, ref), tag
         assert np.array_equal(mine, img), tag
+
+
+def test_round7_review_png_zero_dim_bomb():
+    """(Housed here with the other image-format regressions:) a PNG
+    declaring h=0 must be rejected BEFORE the inflate — zlib treats
+    max_length=0 as unlimited, re-opening the bomb the round-6 bound
+    closed."""
+    import struct
+    import zlib
+
+    from youbike_etl_pipeline_spark.operators.multimodal import decode_png
+
+    def chunk(tag, body):
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 0, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 1_000_000, 9))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="zero dimension"):
+        decode_png(bomb)

@@ -194,3 +194,30 @@ def test_property_roundtrip_jpeg_lossless(img, predictor, ri):
         encode_jpeg_lossless(img, predictor=predictor, restart_interval=ri)
     )
     assert np.array_equal(out, img)
+
+
+def test_round7_review_regressions():
+    """Review findings pinned: (a) single-tile meta grids declare ONE
+    group — the decoder counts groups from the meta image's max index;
+    (b) dims beyond the 14-bit header fields raise instead of silently
+    truncating; (c) the bit reader serves the 17/18-bit extra fields of
+    distance prefix codes 36-39 (real large-image VP8L uses them even
+    though the subset encoder never does)."""
+    from youbike_etl_pipeline_spark.operators.vp8l import _LsbReader, _prefix_value
+
+    img = md5_pixels(20, 3, 3)
+    assert np.array_equal(decode_webp(encode_webp_lossless(img, meta_bits=3)), img)
+    with pytest.raises(ValueError, match="16384"):
+        encode_webp_lossless(np.zeros((1, 16385, 3), np.uint8))
+    # dist code 39: extra = 18 bits, offset = 3 << 18; all-ones extra
+    br = _LsbReader(bytes([0xFF] * 4))
+    assert _prefix_value(br, 39) == (3 << 18) + ((1 << 18) - 1) + 1
+
+
+def test_simple_code_cannot_carry_wide_symbols():
+    """A flat 1-wide image forces a 2-symbol green code containing an
+    LZW length symbol >= 256 — it must take the full form (the simple
+    form's 8-bit field would truncate it; hypothesis found the corrupt
+    first pixel this produced)."""
+    img = np.full((9, 1, 3), 217, np.uint8)
+    assert np.array_equal(decode_webp(encode_webp_lossless(img)), img)

@@ -76,7 +76,12 @@ def main() -> None:
         else last_history_line(os.path.join(root, "BENCH_HISTORY.jsonl"))
     )
     regs = find_regressions(new, ref)
-    common = set(pick_timings(new)) & set(pick_timings(ref))
+    # count the SAME key sets find_regressions compared (min-vs-min only
+    # when both sides carry it — round-7 review finding)
+    if new.get("queries_min") and ref.get("queries_min"):
+        common = set(new["queries_min"]) & set(ref["queries_min"])
+    else:
+        common = set(new["queries"]) & set(ref["queries"])
     ref_tag = ref.get("round", "HISTORY[-1]")
     if regs:
         print(

@@ -314,7 +314,8 @@ def decode_flac(payload: bytes) -> tuple[int, "np.ndarray"]:
         else np.stack([np.array(c, dtype=np.int64) for c in chans], axis=1)
     )
     if want_md5 != b"\x00" * 16 and bps == 16:
-        inter = out.reshape(-1) if channels == 1 else out.reshape(-1)
+        # row-major reshape of (n, ch) interleaves channels, per the spec
+        inter = out.reshape(-1)
         got = hashlib.md5(inter.astype("<i2").tobytes()).digest()
         if got != want_md5:
             raise ValueError("FLAC STREAMINFO MD5 mismatch")
@@ -380,10 +381,17 @@ def _write_residual(
         part = resid[i : i + n]
         i += n
         if escape_first and p == 0:
+            # raw width sized from the data: fixed orders 3-4 can push
+            # residuals past 18 bits (round-7 review finding)
+            raw_bits = max(
+                (1 + (abs(v) - (1 if v < 0 else 0)).bit_length() for v in part),
+                default=1,
+            )
+            raw_bits = min(max(raw_bits, 2), 31)
             bw.write(escape, plen)
-            bw.write(18, 5)  # raw residuals wide enough for any 16-bit delta
+            bw.write(raw_bits, 5)
             for v in part:
-                bw.signed(v, 18)
+                bw.signed(v, raw_bits)
             continue
         zig = [(v << 1) if v >= 0 else ((-v << 1) - 1) for v in part]
         best_k = 0

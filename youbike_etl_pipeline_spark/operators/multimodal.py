@@ -361,6 +361,8 @@ def decode_png(payload: bytes) -> "np.ndarray":
     # unconsumed output beyond the bound is the same mismatch error the
     # unbounded path raised, detected without materializing it.
     expected = h * (stride + 1)
+    if expected <= 0:  # h or w == 0: max_length=0 would mean UNBOUNDED
+        raise ValueError("PNG declares a zero dimension")
     dec = zlib.decompressobj()
     raw_bytes = dec.decompress(bytes(idat), expected)
     extra = (
@@ -1169,7 +1171,9 @@ def attach_ppm_payloads(
             dict(meta_bits=2),
             dict(use_subtract_green=True, predictor_bits=3, cache_bits=6),
         )
-        return encode_webp_lossless(img, **combos[did % len(combos)])
+        # did // 20 because mm14 feeds multiples of 20 — did % 8 would
+        # collapse to two combos (gcd trap; found in the round-7 review)
+        return encode_webp_lossless(img, **combos[(did // 20) % len(combos)])
 
     def _gif(img: "np.ndarray", did: int) -> bytes:
         from .gif import encode_gif

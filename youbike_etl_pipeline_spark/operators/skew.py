@@ -134,7 +134,13 @@ def cheap_row_count(df: DataFrame) -> int:
         if files and all(f.endswith(".parquet") for f in files):
             import pyarrow.parquet as _pq
 
-            return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+            try:
+                # pyarrow opens local paths; a remote filesystem scheme
+                # (s3://, hdfs://, abfs://) raises here and falls back to
+                # the exact count job (round-7 review finding)
+                return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+            except OSError:
+                pass
     return df.count()
 
 

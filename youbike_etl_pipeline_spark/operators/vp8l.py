@@ -72,7 +72,8 @@ class _LsbReader:
         ).astype(np.int64)
         self.n = len(self.bitarr)
         self.pos = 0  # bit position
-        self._pow = (1 << np.arange(16, dtype=np.int64))
+        # 24 lanes: distance prefix codes 36-39 read 17-18 extra bits
+        self._pow = (1 << np.arange(24, dtype=np.int64))
 
     def bits(self, n: int) -> int:
         if n == 0:
@@ -730,6 +731,8 @@ def encode_webp_lossless(
     if img.ndim == 2:
         img = img[:, :, None].repeat(3, axis=2)
     h, w, nch = img.shape
+    if w > 16384 or h > 16384:
+        raise ValueError("VP8L dimensions are limited to 16384 (14-bit fields)")
     if nch == 3:
         img = np.concatenate([img, np.full((h, w, 1), 255, np.uint8)], axis=2)
     argb = (
@@ -945,7 +948,9 @@ def _encode_image_stream(
             # group index rides (red << 8) | green — here just green 0/1
             meta_img = (group << 8) | (np.uint32(0xFF) << 24)
             _encode_image_stream(bw, meta_img.reshape(-1), mw, mh, 0, False)
-            n_groups = 2
+            # the DECODER counts groups from the meta image's max index —
+            # a single-tile meta grid only declares one group
+            n_groups = int(group.max()) + 1
         else:
             bw.write(0, 1)
     green_alpha = 256 + 24 + cache_size
