@@ -180,6 +180,7 @@ HEADLINE = [
     "mm16_gif_decode",
     "mm17_flac_audio_decode",
     "mm18_tiff_decode",
+    "mm19_msadpcm_audio_decode",
 ]
 
 

@@ -142,3 +142,57 @@ def test_round7_review_escape_width():
     for mode in ("fixed3", "fixed4"):
         _, out = decode_flac(encode_flac(x, mode=mode, escape_first=True))
         assert np.array_equal(out, x.astype(np.int64)), mode
+
+
+# -------------------------------------------------- MS-ADPCM (same family)
+
+
+def test_msadpcm_state_machine_anchors():
+    """Hand-computed anchors for the MS-ADPCM recursion: coefficient pair
+    0 (c1=256, c2=0 → pred == s1), nibble arithmetic, both clamps."""
+    import struct
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        _ms_adpcm_decode_block,
+    )
+
+    # header: ci=0, delta=100, s1=1000, s2=-500; nibbles: +1, -1 (0x1F)
+    block = struct.pack("<Bhhh", 0, 100, 1000, -500) + bytes([0x1F])
+    out = _ms_adpcm_decode_block(block)
+    # samples: s2, s1, then:
+    #   n=1: pred = s1 = 1000; new = 1000 + 1*100 = 1100; delta = max(16, 230*100>>8) = 89
+    #   n=15 (signed -1): pred = floor((1100*256 + 1000*0)/256) = 1100; new = 1100 - 89 = 1011
+    assert list(out) == [-500, 1000, 1100, 1011]
+    # sample clamp: big delta drives past int16
+    block = struct.pack("<Bhhh", 0, 32000, 32000, 0) + bytes([0x77])
+    out = _ms_adpcm_decode_block(block)
+    assert out[2] == 32767  # 32000 + 7*32000 clamps
+    # delta floor at 16 and ceiling at 32767
+    block = struct.pack("<Bhhh", 0, 16, 0, 0) + bytes([0x00, 0x00])
+    out = _ms_adpcm_decode_block(block)
+    assert len(out) == 6
+    with pytest.raises(ValueError, match="coefficient index"):
+        _ms_adpcm_decode_block(struct.pack("<Bhhh", 7, 16, 0, 0) + b"\x00")
+
+
+def test_msadpcm_spark_dispatch_matches_local(spark):
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        _ms_adpcm_decode_block,
+        attach_msadpcm_payloads,
+        decode_audio_features,
+        decode_wav,
+    )
+
+    df = spark.range(0, 70, 10).withColumnRenamed("id", "doc_id")
+    payload_rows = attach_msadpcm_payloads(df).collect()
+    feat_rows = {r["doc_id"]: r for r in decode_audio_features(
+        attach_msadpcm_payloads(df)
+    ).collect()}
+    assert len(feat_rows) == 7  # doc_ids 0..60 cover all 7 coefficient pairs
+    for r in payload_rows:
+        rate, x = decode_wav(bytes(r["payload"]))
+        xl = x.astype(np.int64)
+        f = feat_rows[r["doc_id"]]
+        assert f["n_samples"] == len(x) == 252
+        assert f["peak"] == int(np.abs(xl).max())
+        assert f["zero_crossings"] == int(((xl[:-1] * xl[1:]) < 0).sum())

@@ -460,6 +460,7 @@ DOC_EVENT_QUERIES = [
     "mm16_gif_decode",
     "mm17_flac_audio_decode",
     "mm18_tiff_decode",
+    "mm19_msadpcm_audio_decode",
     "t38b_sketch_audit_dedup_first",
     "m28b_kendall_tau_sampled",
     "j11b_interval_overlap_capped",

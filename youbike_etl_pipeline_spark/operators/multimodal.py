@@ -1170,6 +1170,10 @@ def attach_ppm_payloads(
             dict(color_bits=2),
             dict(meta_bits=2),
             dict(use_subtract_green=True, predictor_bits=3, cache_bits=6),
+            # 16x12 md5 noise has ≤192 distinct colors, so COLOR_INDEXING
+            # is encodable (width_bits=0 regime; sub-byte bundling needs
+            # ≤16 colors and lives in tests/test_vp8l.py)
+            dict(use_palette=True),
         )
         # did // 20 because mm14 feeds multiples of 20 — did % 8 would
         # collapse to two combos (gcd trap; found in the round-7 review)
@@ -1602,6 +1606,44 @@ def _ima_adpcm_decode_block(block: bytes) -> "np.ndarray":
     return np.asarray(out, dtype=np.int16)
 
 
+#: MS-ADPCM predictor coefficient pairs (the 7 standard pairs) and the
+#: 16-entry delta adaptation table, from the published WAVE format spec
+_MS_COEFFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64), (240, 0), (460, -208), (392, -232)
+)
+_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614, 768, 614, 512, 409, 307, 230, 230, 230
+)
+
+
+def _ms_adpcm_decode_block(block: bytes) -> "np.ndarray":
+    """Decode one mono MS-ADPCM block: 7-byte header (coefficient index,
+    int16 initial delta, int16 sample1, int16 sample2 — sample2 is the
+    OLDER sample and plays first), then 4-bit nibbles HIGH-first. Per
+    nibble: predict ``(s1·c1 + s2·c2) >> 8`` (arithmetic shift = floor),
+    add ``signed_nibble · delta``, clamp to int16, then adapt
+    ``delta = clamp((adapt[nibble] · delta) >> 8, 16, 32767)`` — the
+    upper clamp is the int16-storage interpretation (the block header
+    stores iDelta as int16, so no conforming stream can carry more;
+    random nibble streams would otherwise grow delta without bound).
+    The mm19 oracle replays this exact recursion as a recursive CTE."""
+    ci = block[0]
+    if ci >= len(_MS_COEFFS):
+        raise ValueError(f"MS-ADPCM coefficient index {ci} out of range")
+    c1, c2 = _MS_COEFFS[ci]
+    delta, s1, s2 = struct.unpack_from("<hhh", block, 1)
+    out = [s2, s1]
+    for b in block[7:]:
+        for n in (b >> 4, b & 0x0F):
+            signed = n - 16 if n >= 8 else n
+            pred = (s1 * c1 + s2 * c2) >> 8
+            new = min(32767, max(-32768, pred + signed * delta))
+            s2, s1 = s1, new
+            delta = min(32767, max(16, (_MS_ADAPT[n] * delta) >> 8))
+            out.append(new)
+    return np.asarray(out, dtype=np.int16)
+
+
 def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     """Parse a mono RIFF/WAVE payload → (sample_rate, int16 samples).
     Walks the chunk list (fmt/data may be preceded by LIST etc.). REAL
@@ -1643,8 +1685,17 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
             if len(data[i : i + block_align]) >= 5
         ]
         return rate, np.concatenate(chunks) if chunks else np.zeros(0, np.int16)
+    if audio_fmt == 2 and bits == 4:  # MS-ADPCM
+        if not block_align or block_align < 8:
+            raise ValueError("MS-ADPCM WAV missing a usable block_align")
+        chunks = [
+            _ms_adpcm_decode_block(data[i : i + block_align])
+            for i in range(0, len(data), block_align)
+            if len(data[i : i + block_align]) >= 8
+        ]
+        return rate, np.concatenate(chunks) if chunks else np.zeros(0, np.int16)
     raise NotImplementedError(
-        f"WAV audio format {audio_fmt}/{bits}bit (float/MS-ADPCM/extensible) "
+        f"WAV audio format {audio_fmt}/{bits}bit (float/extensible) "
         "requires a codec library"
     )
 
@@ -1788,6 +1839,66 @@ def attach_adpcm_payloads(
                         "width": None,
                         "height": None,
                         "duration_ms": (2 * n_data_bytes + 1) * 1000 // rate,
+                    }
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
+
+    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
+def attach_msadpcm_payloads(
+    df: DataFrame, id_col: str = "doc_id", n_data_bytes: int = 125, rate: int = 8000
+) -> DataFrame:
+    """Give every row a REAL MS-ADPCM WAV payload: one block whose header
+    carries coefficient pair ``id % 7`` (every predictor pair exercised
+    corpus-wide), initial delta ``16 + id % 100``, and header samples
+    derived from the id, with the md5 byte stream as the nibble data —
+    ``2·n_data_bytes + 2`` samples per row. The mm19 oracle replays the
+    exact prediction/adaptation recursion in SQL."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+    block_align = n_data_bytes + 7
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                buf = b"".join(
+                    hashlib.md5(f"{did}:{b}".encode()).digest()
+                    for b in range((n_data_bytes + 15) // 16)
+                )[:n_data_bytes]
+                block = (
+                    struct.pack(
+                        "<Bhhh",
+                        did % 7,
+                        16 + did % 100,
+                        (did * 29) % 1000,
+                        -((did * 13) % 1000),
+                    )
+                    + buf
+                )
+                hdr = b"RIFF" + struct.pack("<I", 36 + len(block)) + b"WAVE"
+                fmt = b"fmt " + struct.pack(
+                    "<IHHIIHH", 16, 0x02, 1, rate, rate // 2, block_align, 4
+                )
+                payloads.append(
+                    bytearray(hdr + fmt + b"data" + struct.pack("<I", len(block)) + block)
+                )
+                metas.append(
+                    {
+                        "media_type": "audio",
+                        "format": "ms-adpcm",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": (2 * n_data_bytes + 2) * 1000 // rate,
                     }
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})

@@ -166,6 +166,7 @@ NEW_PAST_WINDOW: tuple[str, ...] = (
     "mm16_gif_decode",
     "mm17_flac_audio_decode",
     "mm18_tiff_decode",
+    "mm19_msadpcm_audio_decode",
 )
 
 
@@ -17285,4 +17286,113 @@ def mm18_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
         ).alias("feat_sum"),
+    )
+
+
+def _mm19_msadpcm_sql(n_data_bytes: int = 125, mod: int = 10) -> str:
+    """DuckDB mirror of the MS-ADPCM decode: a RECURSIVE CTE replays the
+    two-sample prediction recursion — pred = floor((s1·c1 + s2·c2)/256)
+    with the coefficient pair selected by doc_id%7, plus
+    signed_nibble·delta clamped to int16, delta adapted through the
+    16-entry table with the int16-storage clamp — over the same md5
+    nibble stream (HIGH nibble first, unlike IMA) the fixture wraps.
+    mm12's recursive-codec precedent with a 3-variable state."""
+    blocks = (n_data_bytes + 15) // 16
+    n_nibbles = n_data_bytes * 2
+    return f"""
+    WITH RECURSIVE d AS (SELECT doc_id FROM documents WHERE doc_id % {mod} = 0),
+    hx AS (
+      SELECT d.doc_id, b.b, md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)) AS h
+      FROM d, (SELECT unnest(generate_series(0, {blocks - 1})) AS b) b
+    ),
+    bytes AS (
+      SELECT doc_id, (b * 16 + j.j) AS bi,
+             (strpos('0123456789abcdef', substr(h, 2 * j.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2 * j.j + 2, 1)) - 1) AS v
+      FROM hx, (SELECT unnest(generate_series(0, 15)) AS j) j
+      WHERE b * 16 + j.j < {n_data_bytes}
+    ),
+    nib AS (
+      SELECT doc_id, bi * 2 AS k, v // 16 AS n FROM bytes
+      UNION ALL
+      SELECT doc_id, bi * 2 + 1 AS k, v % 16 AS n FROM bytes
+    ),
+    coef(ci, c1, c2) AS (VALUES
+      (0, 256, 0), (1, 512, -256), (2, 0, 0), (3, 192, 64),
+      (4, 240, 0), (5, 460, -208), (6, 392, -232)),
+    adapt(ai, av) AS (VALUES
+      (0, 230), (1, 230), (2, 230), (3, 230), (4, 307), (5, 409),
+      (6, 512), (7, 614), (8, 768), (9, 614), (10, 512), (11, 409),
+      (12, 307), (13, 230), (14, 230), (15, 230)),
+    ms AS (
+      SELECT doc_id, -1 AS k,
+             CAST((doc_id * 29) % 1000 AS BIGINT) AS s1,
+             CAST(-((doc_id * 13) % 1000) AS BIGINT) AS s2,
+             CAST(16 + doc_id % 100 AS BIGINT) AS delta
+      FROM d
+      UNION ALL
+      SELECT m.doc_id, m.k + 1,
+        GREATEST(-32768, LEAST(32767,
+          CAST(FLOOR((m.s1 * c.c1 + m.s2 * c.c2) / 256.0) AS BIGINT)
+          + (CASE WHEN nb.n >= 8 THEN nb.n - 16 ELSE nb.n END) * m.delta)),
+        m.s1,
+        LEAST(32767, GREATEST(16, (a.av * m.delta) // 256))
+      FROM ms m
+      JOIN nib nb ON nb.doc_id = m.doc_id AND nb.k = m.k + 1
+      JOIN coef c ON c.ci = m.doc_id % 7
+      JOIN adapt a ON a.ai = nb.n
+      WHERE m.k < {n_nibbles - 1}
+    ),
+    samples AS (
+      SELECT doc_id, 0 AS si, CAST(-((doc_id * 13) % 1000) AS BIGINT) AS s FROM d
+      UNION ALL
+      SELECT doc_id, 1, CAST((doc_id * 29) % 1000 AS BIGINT) FROM d
+      UNION ALL
+      SELECT doc_id, k + 2, s1 FROM ms WHERE k >= 0
+    ),
+    lagged AS (
+      SELECT doc_id, si, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY si) AS prev
+      FROM samples
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND s * prev < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)), 6) AS rms
+    FROM lagged GROUP BY doc_id
+    """
+
+
+@register(
+    "mm19_msadpcm_audio_decode",
+    _mm19_msadpcm_sql(),
+    survey_rows="ext:multimodal-audio — MS-ADPCM (WAV format 0x02) "
+    "decode; the oracle replays the two-sample prediction recursion as "
+    "a recursive CTE",
+    description="REAL MS-ADPCM decode with no codec library: the fixture "
+    "wraps md5 nibbles as a one-block MS-ADPCM WAV whose header rotates "
+    "the coefficient pair (doc_id%7 — all seven standard predictors "
+    "graded corpus-wide), initial delta, and header samples per doc; "
+    "decode_wav dispatches format 0x02 to "
+    "multimodal.py::_ms_adpcm_decode_block (floor-shift prediction over "
+    "TWO history samples, int16 sample clamp, adaptation-table delta "
+    "walk with the int16-storage clamp), and the feature block reduces "
+    "the expanded samples. The oracle is a RECURSIVE CTE over the "
+    "identical 3-variable state machine — completing the WAV family "
+    "(PCM16 + G.711 + IMA + MS-ADPCM; float/extensible stay honestly "
+    "gated).",
+)
+def mm19_msadpcm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_msadpcm_payloads, decode_audio_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = decode_audio_features(attach_msadpcm_payloads(docs))
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        "peak",
+        "zero_crossings",
+        F.round("rms", 6).alias("rms"),
     )
