@@ -1647,10 +1647,11 @@ def _ms_adpcm_decode_block(block: bytes) -> "np.ndarray":
 def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
     """Parse a mono RIFF/WAVE payload → (sample_rate, int16 samples).
     Walks the chunk list (fmt/data may be preceded by LIST etc.). REAL
-    decode for 16-bit PCM (format 1) and 8-bit G.711 μ-law / A-law
-    (formats 7 / 6 — closed-form expansion, :func:`_g711_luts`); float /
-    ADPCM / extensible formats raise ``NotImplementedError`` (codec-gated,
-    same contract as compressed images)."""
+    decode for 16-bit PCM (format 1), 8-bit G.711 μ-law / A-law
+    (formats 7 / 6 — closed-form expansion, :func:`_g711_luts`), IMA
+    ADPCM (format 0x11) and MS-ADPCM (format 0x02); float / extensible
+    formats raise ``NotImplementedError`` (codec-gated, same contract
+    as compressed images)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, bits, channels, data, audio_fmt = 12, None, None, None, None, None
