@@ -98,3 +98,46 @@ def test_jvm_imageio_conformance(spark, tmpdir):
         )
         ref = ref[:, :, :3][:, :, ::-1] if nc >= 3 else np.repeat(ref, 3, axis=2)
         assert np.array_equal(ref, big if tag.startswith("lzw_bumps") else img), tag
+
+
+# ----------------------------------------------------------- property tests
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _tiff_images(draw):
+    w = draw(st.integers(1, 23))
+    h = draw(st.integers(1, 19))
+    kind = draw(st.sampled_from(["noise", "flat", "stripes"]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    if kind == "noise":
+        return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    if kind == "flat":
+        return np.full((h, w, 3), rng.integers(0, 256), np.uint8)
+    return (
+        (np.arange(w)[None, :, None] % 2 * 255).astype(np.uint8).repeat(h, 0).repeat(3, 2)
+    )
+
+
+@given(
+    img=_tiff_images(),
+    compression=st.sampled_from([1, 5, 32773]),
+    predictor=st.sampled_from([1, 2]),
+    big_endian=st.booleans(),
+    rps=st.sampled_from([None, 3]),
+)
+@settings(max_examples=40, deadline=None)
+def test_property_roundtrip_tiff(img, compression, predictor, big_endian, rps):
+    out = decode_tiff(
+        encode_tiff(
+            img,
+            compression=compression,
+            predictor=predictor,
+            big_endian=big_endian,
+            rows_per_strip=rps,
+        )
+    )
+    assert len(out) == 1 and np.array_equal(out[0], img)
