@@ -167,10 +167,24 @@ def test_msadpcm_state_machine_anchors():
     block = struct.pack("<Bhhh", 0, 32000, 32000, 0) + bytes([0x77])
     out = _ms_adpcm_decode_block(block)
     assert out[2] == 32767  # 32000 + 7*32000 clamps
-    # delta floor at 16 and ceiling at 32767
+    # delta floor at 16
     block = struct.pack("<Bhhh", 0, 16, 0, 0) + bytes([0x00, 0x00])
     out = _ms_adpcm_decode_block(block)
     assert len(out) == 6
+    # C-style truncation toward zero (round-8 advisor fix): ci=3
+    # (c1=192, c2=64), s1=1, s2=-4 → sum = 192 - 256 = -64;
+    # trunc(-64/256) = 0 (floor would give -1). Nibble 0 → sample = pred.
+    block = struct.pack("<Bhhh", 3, 16, 1, -4) + bytes([0x00])
+    out = _ms_adpcm_decode_block(block)
+    assert list(out) == [-4, 1, 0, 0]
+    # delta may legally exceed 32767 mid-block (round-8 advisor fix: the
+    # spec clamps the LOWER bound only): nibble 8 adapts by 768/256 = 3×.
+    # ci=2 (c1=c2=0 → pred always 0), delta=30000, nibbles 0x88:
+    #   n=8: signed=-8 → sample clamp -32768; delta → 30000*3 = 90000
+    #   n=8: sample = 0 - 8*90000 → clamp -32768; delta → 270000
+    block = struct.pack("<Bhhh", 2, 30000, 0, 0) + bytes([0x88, 0x00])
+    out = _ms_adpcm_decode_block(block)
+    assert list(out) == [0, 0, -32768, -32768, 0, 0]
     with pytest.raises(ValueError, match="coefficient index"):
         _ms_adpcm_decode_block(struct.pack("<Bhhh", 7, 16, 0, 0) + b"\x00")
 

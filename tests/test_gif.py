@@ -54,6 +54,56 @@ def test_roundtrip_animation_with_delta_frames():
             assert np.array_equal(got, want), kw
 
 
+def test_disposal_methods_roundtrip():
+    """Round-8 advisor fix: the GCE disposal method (bits 2-4) is
+    honored. The encoder simulates the decoder's canvas (background
+    start, per-frame disposal) when computing delta masks, so a
+    bit-exact round trip under transparent_runs PROVES the compositing:
+    a decoder that ignored disposal would read stale canvas pixels
+    through the transparency holes and produce wrong frames."""
+    f0 = md5_pixels(31, 16, 12)
+    f1 = f0.copy()
+    f1[2:5, 3:8] = md5_pixels(32, 5, 3)
+    f2 = f1.copy()
+    f2[7, 1] = (200, 100, 50)
+    for disp in (2, 3, [0, 2, 3], [2, 3, 0], [3, 2, 1]):
+        for kw in (dict(), dict(local_palettes=True), dict(interlace=True)):
+            out = decode_gif(
+                encode_gif([f0, f1, f2], transparent_runs=True, disposal=disp, **kw)
+            )
+            assert len(out) == 3, (disp, kw)
+            for i, (got, want) in enumerate(zip(out, (f0, f1, f2))):
+                assert np.array_equal(got, want), (disp, kw, i)
+    with pytest.raises(ValueError, match="disposal"):
+        encode_gif([f0, f1], disposal=4)
+    with pytest.raises(ValueError, match="disposal"):
+        encode_gif([f0, f1], disposal=[0])
+
+
+def test_reserved_disposal_raises():
+    """Reserved disposal methods 4-7 are honestly gated, not silently
+    decoded as keep-in-place."""
+    payload = bytearray(encode_gif(md5_pixels(33, 8, 6), disposal=1))
+    i = payload.index(b"\x21\xf9\x04")
+    payload[i + 3] = (payload[i + 3] & ~0x1C) | (5 << 2)
+    with pytest.raises(NotImplementedError, match="disposal method 5"):
+        decode_gif(bytes(payload))
+
+
+def test_first_frame_transparency_over_background():
+    """Round-8 advisor fix: first-frame transparency must composite over
+    the logical-screen BACKGROUND color, not a zero canvas. The fixture
+    pins a nonzero color that sorts first (palette slot 0 == the LSD
+    background entry) so the pre-fix zero-canvas behavior would decode
+    those pixels black and fail."""
+    img = np.clip(md5_pixels(34, 16, 12), 10, 255)
+    img[4:8, 2:6] = (1, 2, 3)  # sorts before every clipped noise color
+    payload = encode_gif(img, transparent_runs=True)
+    assert b"\x21\xf9\x04" in payload  # frame 0 carries a GCE now
+    out = decode_gif(payload)
+    assert len(out) == 1 and np.array_equal(out[0], img)
+
+
 def test_lzw_kwkwk_case():
     """The code==len(table) self-referential entry (KwKwK): a run of one
     symbol forces it immediately — decode must synthesize prev+prev[0]."""

@@ -5,8 +5,10 @@ Implements the public GIF specification: logical screen descriptor,
 global/local color tables, the variable-width LSB-first LZW decompressor
 (3-12 bit codes, clear/EOI handling, dictionary growth with the deferred
 code-width increase, 4096-entry cap), 4-pass interlacing, graphic control
-extensions (transparency index honored as "keep previous frame's pixel"
-compositing for animations), and multi-frame streams with frame offsets.
+extensions (transparency composites the current canvas; disposal methods
+0-3 honored — restore-to-background uses the logical-screen background
+color, the canvas's start state too; reserved 4-7 raise), and
+multi-frame streams with frame offsets.
 :func:`encode_gif` writes real LZW (dictionary growth and clear codes
 exercised, optional interlace, optional per-frame local palettes), so
 decode(encode(img)) is bit-exact — GIF is palette-lossless with zero
@@ -95,15 +97,23 @@ def _deinterlace(idx: "np.ndarray", w: int, h: int) -> "np.ndarray":
 
 
 def decode_gif(payload: bytes) -> list["np.ndarray"]:
-    """GIF → list of (H, W, 3) uint8 RGB frames (composited onto the
-    previous frame where a transparency index is declared, per the
-    common disposal-0/1 behavior). Raises ``ValueError`` on malformed
-    payloads."""
+    """GIF → list of (H, W, 3) uint8 RGB frames, composited per the
+    GIF89a graphic-control semantics: transparency reads the current
+    canvas, and the DISPOSAL method (GCE bits 2-4) is honored — 0/1
+    leave the frame, 2 restores the frame's region to the
+    logical-screen background color, 3 restores the pre-draw canvas;
+    reserved methods 4-7 raise. The canvas starts as the background
+    color (GCT entry named by the logical screen descriptor; zeros when
+    there is no GCT), so first-frame transparency shows the background
+    rather than black. Note: returning RGB means disposal-2 regions are
+    the spec's literal background COLOR; renderers that treat them as
+    transparent (browser convention) have no RGB equivalent here.
+    Raises ``ValueError`` on malformed payloads."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     if len(payload) < 13:
         raise ValueError("truncated GIF header")
-    w, h, packed, _bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
+    w, h, packed, bg, _aspect = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     gct = None
     if packed & 0x80:
@@ -113,8 +123,12 @@ def decode_gif(payload: bytes) -> list["np.ndarray"]:
             raise ValueError("truncated GIF global color table")
         pos += 3 * n
     frames: list[np.ndarray] = []
-    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).astype(np.uint8).copy()
     transparent: int | None = None
+    disposal = 0
     while pos < len(payload):
         block = payload[pos]
         pos += 1
@@ -138,6 +152,11 @@ def decode_gif(payload: bytes) -> list["np.ndarray"]:
             if label == 0xF9 and subs:  # graphic control
                 gce = subs[0]
                 transparent = gce[3] if len(gce) >= 4 and gce[0] & 1 else None
+                disposal = (gce[0] >> 2) & 7
+                if disposal > 3:
+                    raise NotImplementedError(
+                        f"reserved GIF disposal method {disposal}"
+                    )
             continue
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02X}")
@@ -180,13 +199,20 @@ def decode_gif(payload: bytes) -> list["np.ndarray"]:
         if int(idx2d.max()) >= len(ct):
             raise ValueError("GIF pixel index outside the color table")
         region = canvas[top : top + fh, left : left + fw]
+        saved = region.copy() if disposal == 3 else None
         rgb = ct[idx2d]
         if transparent is not None and transparent < len(ct):
             mask = (idx2d == transparent)[:, :, None]
             rgb = np.where(mask, region, rgb)
         canvas[top : top + fh, left : left + fw] = rgb
         frames.append(canvas.copy())
-        transparent = None
+        # disposal applies AFTER its frame is displayed, preparing the
+        # canvas the NEXT frame composites over
+        if disposal == 2:
+            canvas[top : top + fh, left : left + fw] = bg_rgb
+        elif disposal == 3:
+            canvas[top : top + fh, left : left + fw] = saved
+        transparent, disposal = None, 0
     if not frames:
         raise ValueError("GIF contains no image frames")
     return frames
@@ -249,17 +275,29 @@ def encode_gif(
     interlace: bool = False,
     local_palettes: bool = False,
     transparent_runs: bool = False,
+    disposal: "int | list[int] | tuple[int, ...]" = 0,
 ) -> bytes:
     """(H, W, 3) uint8 frame(s) → GIF89a. The palette is built from the
     distinct colors (≤256 required — the md5 fixtures' pixel count bounds
     this). ``interlace`` writes 4-pass rows; ``local_palettes`` gives
     every frame its own color table instead of a global one;
-    ``transparent_runs`` declares a transparency index on frames ≥ 1 and
-    substitutes it wherever a pixel equals the previous frame (the
-    standard delta-frame trick — exercises the decoder's compositing)."""
+    ``transparent_runs`` declares a transparency index and substitutes
+    it wherever a pixel equals the CANVAS the decoder will composite
+    over (the standard delta-frame trick) — the encoder simulates the
+    decoder's canvas, including the background-color start state and
+    per-frame ``disposal`` (0/1 keep, 2 restore-to-background, 3
+    restore-to-previous; scalar or one per frame), so
+    decode(encode(frames)) is bit-exact for every disposal mix."""
     if isinstance(frames, np.ndarray):
         frames = [frames]
     h, w, _ = frames[0].shape
+    disposals = (
+        [int(disposal)] * len(frames)
+        if isinstance(disposal, int)
+        else [int(d) for d in disposal]
+    )
+    if len(disposals) != len(frames) or any(not 0 <= d <= 3 for d in disposals):
+        raise ValueError("disposal must be 0-3, scalar or one per frame")
 
     def palette_of(imgs: list) -> tuple[np.ndarray, int]:
         flat = np.concatenate([f.reshape(-1, 3) for f in imgs])
@@ -278,7 +316,13 @@ def encode_gif(
     out.extend(struct.pack("<HHBBB", w, h, packed, 0, 0))
     if gct is not None:
         out.extend(gct.tobytes())
-    prev: np.ndarray | None = None
+    # mirror of the decoder's canvas state: background-color start (GCT
+    # entry 0 — the LSD background byte written above), disposal applied
+    # after each frame; deltas are computed against THIS, not the raw
+    # previous frame, so disposal 2/3 change the masks and the round
+    # trip proves the compositing
+    bg_rgb = gct[0] if gct is not None else np.zeros(3, np.uint8)
+    canvas = np.broadcast_to(bg_rgb, (h, w, 3)).astype(np.uint8).copy()
     for f_i, frame in enumerate(frames):
         ct, bits = (palette_of([frame]) if local_palettes else (gct, gbits))
         lut = {tuple(c): i for i, c in enumerate(ct)}
@@ -286,11 +330,15 @@ def encode_gif(
             [lut[tuple(px)] for px in frame.reshape(-1, 3)], dtype=np.uint8
         ).reshape(h, w)
         t_index = None
-        if transparent_runs and prev is not None:
+        if transparent_runs:
             t_index = (1 << bits) - 1  # the reserved slack slot
-            same = (frame == prev).all(axis=2)
+            same = (frame == canvas).all(axis=2)
             idx = np.where(same, np.uint8(t_index), idx)
-            out.extend(b"\x21\xf9\x04" + bytes((1, 0, 0, t_index)) + b"\x00")
+        if t_index is not None or disposals[f_i]:
+            flags = (disposals[f_i] << 2) | (1 if t_index is not None else 0)
+            out.extend(
+                b"\x21\xf9\x04" + bytes((flags, 0, 0, t_index or 0)) + b"\x00"
+            )
         if interlace:
             rows = []
             for start, step in _INTERLACE_PASSES:
@@ -312,6 +360,11 @@ def encode_gif(
             out.append(len(chunk))
             out.extend(chunk)
         out.append(0)
-        prev = frame
+        prev_canvas = canvas.copy()
+        canvas = frame.astype(np.uint8).copy()
+        if disposals[f_i] == 2:
+            canvas[:] = bg_rgb
+        elif disposals[f_i] == 3:
+            canvas = prev_canvas
     out.append(0x3B)
     return bytes(out)

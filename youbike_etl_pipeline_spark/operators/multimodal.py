@@ -1616,17 +1616,32 @@ _MS_ADAPT = (
 )
 
 
+#: Computational saturation for the MS-ADPCM delta walk. The spec clamps
+#: delta's LOWER bound only (16); an upper clamp at 32767 (used through
+#: round 7) deviated from reference decoders (ffmpeg et al.) on loud
+#: streams where adaptation legally pushes delta past int16. Delta only
+#: influences decoded samples while it is below ~2**17 (|pred| ≤ 3·32767,
+#: so any larger delta saturates every nonzero nibble to ±32767), so this
+#: cap — ten orders of magnitude above that region — can only change
+#: output if the walk climbs to 1e15 and then decays 10 orders back into
+#: the live region, a probability-~e^-100 event under the adaptation
+#: table's +0.3/step log drift. It exists so the DuckDB oracle's BIGINT
+#: recursion cannot overflow on md5-random nibble fixtures (worst-case
+#: unbounded growth is 3**n_nibbles).
+_MS_DELTA_CAP = 10**15
+
+
 def _ms_adpcm_decode_block(block: bytes) -> "np.ndarray":
     """Decode one mono MS-ADPCM block: 7-byte header (coefficient index,
     int16 initial delta, int16 sample1, int16 sample2 — sample2 is the
     OLDER sample and plays first), then 4-bit nibbles HIGH-first. Per
-    nibble: predict ``(s1·c1 + s2·c2) >> 8`` (arithmetic shift = floor),
+    nibble: predict ``trunc((s1·c1 + s2·c2) / 256)`` (C-style division
+    truncating toward zero, per the WAVE spec pseudocode and ffmpeg),
     add ``signed_nibble · delta``, clamp to int16, then adapt
-    ``delta = clamp((adapt[nibble] · delta) >> 8, 16, 32767)`` — the
-    upper clamp is the int16-storage interpretation (the block header
-    stores iDelta as int16, so no conforming stream can carry more;
-    random nibble streams would otherwise grow delta without bound).
-    The mm19 oracle replays this exact recursion as a recursive CTE."""
+    ``delta = max(16, (adapt[nibble] · delta) >> 8)`` — lower clamp
+    only, as specified, with the unreachable ``_MS_DELTA_CAP``
+    saturation guarding the oracle's integer range. The mm19 oracle
+    replays this exact recursion as a recursive CTE."""
     ci = block[0]
     if ci >= len(_MS_COEFFS):
         raise ValueError(f"MS-ADPCM coefficient index {ci} out of range")
@@ -1636,10 +1651,11 @@ def _ms_adpcm_decode_block(block: bytes) -> "np.ndarray":
     for b in block[7:]:
         for n in (b >> 4, b & 0x0F):
             signed = n - 16 if n >= 8 else n
-            pred = (s1 * c1 + s2 * c2) >> 8
+            psum = s1 * c1 + s2 * c2
+            pred = psum // 256 if psum >= 0 else -((-psum) // 256)
             new = min(32767, max(-32768, pred + signed * delta))
             s2, s1 = s1, new
-            delta = min(32767, max(16, (_MS_ADAPT[n] * delta) >> 8))
+            delta = min(_MS_DELTA_CAP, max(16, (_MS_ADAPT[n] * delta) >> 8))
             out.append(new)
     return np.asarray(out, dtype=np.int16)
 

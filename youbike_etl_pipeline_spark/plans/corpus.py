@@ -125,19 +125,19 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 #: normalize_event_ts), so every events-backed query below is "fn changed"
 #: through its input contract.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # Round 7. The hash_sample_mod budget knob self-sizes now (round-6
-    # verdict item 2): the operator default moved None -> "auto"
-    # (skew.auto_sample_mod over skew.cheap_row_count), so the two graded
-    # exact queries pin hash_sample_mod=None EXPLICITLY at their call
-    # sites. Answers and plans are unchanged (None is the same exact code
-    # path), but the corpus fn text changed, so both re-grade:
-    "m28_kendall_tau",
-    "e6_jl_projection_audit",
-    # mm1's oracle swapped CAST(text AS BLOB) -> encode(text): the CAST
-    # form CRASHES DuckDB on any non-ASCII document (round-7 reseed find —
-    # today's testdata happens to be pure ASCII, the next regen may not
-    # be). Same bytes on ASCII, so the grade is a confirmation.
-    "mm1_multimodal_binary",
+    # Round 8 (advisor conformance fixes, applied BEFORE these queries'
+    # first driver grade): mm19's MS-ADPCM predictor now truncates toward
+    # zero (C-style /256, the WAVE-spec / ffmpeg convention) instead of
+    # arithmetic-shift floor, and the delta upper clamp is dropped (spec
+    # clamps the LOWER bound only) — decoder and recursive-CTE oracle
+    # changed in lockstep. mm16's GIF compositor now honours the GCE
+    # disposal method (0-3 implemented, reserved 4-7 raise) and paints
+    # first-frame transparency over the logical-screen background colour
+    # (tests/test_gif.py pins both via canvas-simulated delta encoding).
+    # Neither query has ever been driver-graded, so these are first
+    # grades of the corrected semantics rather than re-grades.
+    "mm16_gif_decode",
+    "mm19_msadpcm_audio_decode",
 )
 
 #: Graded-green queries whose last driver grade PREDATES the latest
@@ -147,9 +147,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: (round-6 verdict item 3). Drop entries once CORRECTNESS_r07 grades
 #: them on post-regen data.
 REGRADE_FIRST: tuple[str, ...] = (
-    "st1_streaming_hourly_counts",
-    "st3_streaming_session_window",
-    "st5_stream_stream_join",
+    # st1/st3/st5 re-graded green in r7 (post-regen) and dropped. w12 sat
+    # at window position 51 in r7 (just past the cut) and its last grade
+    # (r4) still predates the 2026-08-15 regeneration — it re-grades
+    # ahead of the ordinary staleness rotation.
     "w12_time_range_frame",
 )
 
@@ -159,15 +160,11 @@ REGRADE_FIRST: tuple[str, ...] = (
 #: never-graded tier would push the judge-mandated regen re-grades out of
 #: the window, so they rank BEHIND those and grade in the round-8 window
 #: instead. Remove entries once graded (they would then rotate normally).
-NEW_PAST_WINDOW: tuple[str, ...] = (
-    "mm13_jpeg_lossless_decode",
-    "mm14_webp_lossless_decode",
-    "mm15_avi_mjpeg_frames",
-    "mm16_gif_decode",
-    "mm17_flac_audio_decode",
-    "mm18_tiff_decode",
-    "mm19_msadpcm_audio_decode",
-)
+#: Round 8: emptied — the seven round-7 codec queries now grade through
+#: the ordinary tiers (mm16/mm19 via CHANGED_THIS_ROUND after the advisor
+#: conformance fixes; mm13/mm14/mm15/mm17/mm18 via the never-graded tier,
+#: which they top as the only never-graded queries left in the corpus).
+NEW_PAST_WINDOW: tuple[str, ...] = ()
 
 
 def _last_graded_round() -> dict[str, int]:
@@ -17291,10 +17288,14 @@ def mm18_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mm19_msadpcm_sql(n_data_bytes: int = 125, mod: int = 10) -> str:
     """DuckDB mirror of the MS-ADPCM decode: a RECURSIVE CTE replays the
-    two-sample prediction recursion — pred = floor((s1·c1 + s2·c2)/256)
-    with the coefficient pair selected by doc_id%7, plus
-    signed_nibble·delta clamped to int16, delta adapted through the
-    16-entry table with the int16-storage clamp — over the same md5
+    two-sample prediction recursion — pred = trunc((s1·c1 + s2·c2)/256)
+    (C-style truncation toward zero, matching the WAVE-spec pseudocode
+    and reference decoders) with the coefficient pair selected by
+    doc_id%7, plus signed_nibble·delta clamped to int16, delta adapted
+    through the 16-entry table with ONLY the spec's lower clamp at 16
+    plus the decoder's unreachable 1e15 saturation (multimodal.py::
+    _MS_DELTA_CAP — keeps this CTE's BIGINT state in range on md5-random
+    nibbles without affecting any decodable sample) — over the same md5
     nibble stream (HIGH nibble first, unlike IMA) the fixture wraps.
     mm12's recursive-codec precedent with a 3-variable state."""
     blocks = (n_data_bytes + 15) // 16
@@ -17333,10 +17334,10 @@ def _mm19_msadpcm_sql(n_data_bytes: int = 125, mod: int = 10) -> str:
       UNION ALL
       SELECT m.doc_id, m.k + 1,
         GREATEST(-32768, LEAST(32767,
-          CAST(FLOOR((m.s1 * c.c1 + m.s2 * c.c2) / 256.0) AS BIGINT)
+          CAST(TRUNC((m.s1 * c.c1 + m.s2 * c.c2) / 256.0) AS BIGINT)
           + (CASE WHEN nb.n >= 8 THEN nb.n - 16 ELSE nb.n END) * m.delta)),
         m.s1,
-        LEAST(32767, GREATEST(16, (a.av * m.delta) // 256))
+        LEAST(1000000000000000, GREATEST(16, (a.av * m.delta) // 256))
       FROM ms m
       JOIN nib nb ON nb.doc_id = m.doc_id AND nb.k = m.k + 1
       JOIN coef c ON c.ci = m.doc_id % 7
@@ -17376,13 +17377,14 @@ def _mm19_msadpcm_sql(n_data_bytes: int = 125, mod: int = 10) -> str:
     "the coefficient pair (doc_id%7 — all seven standard predictors "
     "graded corpus-wide), initial delta, and header samples per doc; "
     "decode_wav dispatches format 0x02 to "
-    "multimodal.py::_ms_adpcm_decode_block (floor-shift prediction over "
-    "TWO history samples, int16 sample clamp, adaptation-table delta "
-    "walk with the int16-storage clamp), and the feature block reduces "
-    "the expanded samples. The oracle is a RECURSIVE CTE over the "
-    "identical 3-variable state machine — completing the WAV family "
-    "(PCM16 + G.711 + IMA + MS-ADPCM; float/extensible stay honestly "
-    "gated).",
+    "multimodal.py::_ms_adpcm_decode_block (C-style truncating-division "
+    "prediction over TWO history samples per the WAVE spec pseudocode, "
+    "int16 sample clamp, adaptation-table delta walk with only the "
+    "spec's lower clamp plus an unreachable 1e15 oracle-range "
+    "saturation), and the feature block reduces the expanded samples. "
+    "The oracle is a RECURSIVE CTE over the identical 3-variable state "
+    "machine — completing the WAV family (PCM16 + G.711 + IMA + "
+    "MS-ADPCM + float32; extensible headers stay honestly gated).",
 )
 def mm19_msadpcm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import attach_msadpcm_payloads, decode_audio_features
