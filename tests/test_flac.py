@@ -210,3 +210,117 @@ def test_msadpcm_spark_dispatch_matches_local(spark):
         assert f["n_samples"] == len(x) == 252
         assert f["peak"] == int(np.abs(xl).max())
         assert f["zero_crossings"] == int(((xl[:-1] * xl[1:]) < 0).sum())
+
+
+# -------------------------------------------------- float-PCM WAV (round 8)
+
+
+def test_float_wav_roundtrip_matrix():
+    """Format-3 WAV is bit reinterpretation: every width x header-shape
+    combination must round-trip bit-exactly, including special values
+    (inf/nan/-0.0/subnormals) that scaling-based decoders would mangle."""
+    import struct
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav_float,
+        md5_samples,
+    )
+
+    x = md5_samples(11, 256).astype(np.float64) / 32768.0
+    for bits, dt in ((32, np.float32), (64, np.float64)):
+        for ext in (False, True):
+            rate, back = decode_wav(encode_wav_float(x, 22050, bits=bits, extensible=ext))
+            assert rate == 22050 and back.dtype == dt, (bits, ext)
+            assert np.array_equal(back, x.astype(dt)), (bits, ext)
+    special = np.array(
+        [0.0, -0.0, np.inf, -np.inf, np.nan, 1e-40, -1e-40, 2.0, -2.0],
+        dtype=np.float64,
+    )
+    for bits in (32, 64):
+        _, back = decode_wav(encode_wav_float(special, bits=bits))
+        want = special.astype(np.float32 if bits == 32 else np.float64)
+        assert back.tobytes() == want.tobytes(), bits  # bit-level incl. nan/-0.0
+    with pytest.raises(ValueError, match="32- or 64-bit"):
+        encode_wav_float(special, bits=16)
+
+
+def test_extensible_header_unwrap_and_gates():
+    """WAVE_FORMAT_EXTENSIBLE wraps ANY classic code: a PCM16 payload
+    behind an 0xFFFE header must decode identically; truncated fmt and
+    non-KSDATAFORMAT GUIDs raise."""
+    import struct
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        _WAVE_EXT_GUID_TAIL,
+        decode_wav,
+        encode_wav,
+        md5_samples,
+    )
+
+    x = md5_samples(12, 64)
+    # hand-build an extensible PCM16 container around the same data
+    data = x.astype("<i2").tobytes()
+    fmt_body = struct.pack(
+        "<HHIIHHHHI", 0xFFFE, 1, 8000, 16000, 2, 16, 22, 16, 4
+    ) + struct.pack("<H", 1) + b"\x00\x00" + _WAVE_EXT_GUID_TAIL
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt_body) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rate, back = decode_wav(wav)
+    assert rate == 8000 and np.array_equal(back, x)
+    # truncated extensible fmt chunk (no GUID)
+    short_fmt = fmt_body[:18]
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(short_fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(short_fmt)) + short_fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    with pytest.raises(ValueError, match="extensible"):
+        decode_wav(bad)
+    # foreign GUID (e.g. Dolby) is honestly gated, not misread as PCM
+    foreign_fmt = fmt_body[:24] + b"\x92\x00\x00\x00" + b"\xde\xad" * 6
+    bad2 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(foreign_fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(foreign_fmt)) + foreign_fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    with pytest.raises(NotImplementedError, match="GUID"):
+        decode_wav(bad2)
+
+
+def test_float_wav_spark_dispatch_matches_local(spark):
+    """Distributed == local for the full mm20 path, covering all four
+    header rotations (32/64-bit x classic/extensible), and the int
+    feature path REFUSES float payloads instead of truncating."""
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_float_wav_payloads,
+        decode_audio_features,
+        decode_wav,
+    )
+
+    df = spark.range(0, 70, 10).withColumnRenamed("id", "doc_id")
+    payload_rows = attach_float_wav_payloads(df).collect()
+    feat_rows = {
+        r["doc_id"]: r
+        for r in decode_audio_features(
+            attach_float_wav_payloads(df), float_features=True
+        ).collect()
+    }
+    assert len(feat_rows) == 7
+    seen_formats = set()
+    for r in payload_rows:
+        seen_formats.add(r["media_meta"]["format"])
+        rate, x = decode_wav(bytes(r["payload"]))
+        xf = x.astype(np.float64)
+        f = feat_rows[r["doc_id"]]
+        assert f["n_samples"] == len(x) == 256
+        assert f["n_bytes"] == len(r["payload"])
+        assert f["peak"] == float(np.abs(xf).max())
+        assert f["zero_crossings"] == int(((xf[:-1] * xf[1:]) < 0).sum())
+        assert abs(f["rms"] - float(np.sqrt((xf * xf).sum() / len(x)))) < 1e-12
+    assert seen_formats == {"float32-wav", "float64-wav"}
+    with pytest.raises(Exception, match="float_features=True"):
+        decode_audio_features(attach_float_wav_payloads(df)).collect()

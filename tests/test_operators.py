@@ -1546,14 +1546,22 @@ def test_g711_luts_match_canonical_values():
         )
         rate, samples = decode_wav(wav)
         assert rate == 8000 and (samples == lut).all()
-    # float WAV stays honestly gated
+    # float WAV decodes since round 8 (format 3, bit reinterpretation)
     fwav = (
         b"RIFF" + _s.pack("<I", 36 + 4) + b"WAVE"
         + b"fmt " + _s.pack("<IHHIIHH", 16, 3, 1, 8000, 32000, 4, 32)
+        + b"data" + _s.pack("<I", 4) + _s.pack("<f", 0.25)
+    )
+    rate, fsamples = decode_wav(fwav)
+    assert rate == 8000 and list(fsamples) == [0.25]
+    # perceptual codecs inside WAV stay honestly gated (0x55 = MP3)
+    mp3wav = (
+        b"RIFF" + _s.pack("<I", 36 + 4) + b"WAVE"
+        + b"fmt " + _s.pack("<IHHIIHH", 16, 0x55, 1, 8000, 8000, 1, 0)
         + b"data" + _s.pack("<I", 4) + b"\x00" * 4
     )
-    with pytest.raises(NotImplementedError, match="float|ADPCM"):
-        decode_wav(fwav)
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_wav(mp3wav)
 
 
 def test_corrupt_jpeg_degrades_not_crashes(spark):

@@ -165,7 +165,8 @@ def test_wav_roundtrip_and_decode_gates():
     assert np.array_equal(back2, edge)
     with _pt.raises(ValueError):
         decode_wav(b"nonsense")
-    # non-PCM gate: patch the fmt audio-format field to 3 (IEEE float)
+    # malformed-combination gate: format 3 (IEEE float) with 16-bit
+    # samples is not a real format — float decode needs 32/64 bits
     payload = bytearray(encode_wav(x))
     payload[20:22] = (3).to_bytes(2, "little")
     with _pt.raises(NotImplementedError):

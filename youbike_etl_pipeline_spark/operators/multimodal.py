@@ -1534,6 +1534,34 @@ def encode_wav(samples: "np.ndarray", rate: int = 16000) -> bytes:
     return hdr + fmt + b"data" + struct.pack("<I", n) + data
 
 
+def encode_wav_float(
+    samples: "np.ndarray",
+    rate: int = 16000,
+    bits: int = 32,
+    extensible: bool = False,
+) -> bytes:
+    """Mono IEEE-float RIFF/WAVE encoder (format 3, 32- or 64-bit), with
+    an optional WAVE_FORMAT_EXTENSIBLE (0xFFFE) header whose SubFormat
+    GUID names IEEE float — the two header shapes real DAW exports use.
+    Values are written verbatim (no clamp/scale), so the round trip is
+    bit-exact by construction."""
+    if bits not in (32, 64):
+        raise ValueError("float WAV must be 32- or 64-bit")
+    data = samples.astype("<f4" if bits == 32 else "<f8").tobytes()
+    n = len(data)
+    block = bits // 8
+    hdr = b"RIFF"
+    if extensible:
+        fmt_body = struct.pack(
+            "<HHIIHHHHI", 0xFFFE, 1, rate, rate * block, block, bits, 22, bits, 4
+        ) + struct.pack("<H", 3) + b"\x00\x00" + _WAVE_EXT_GUID_TAIL
+    else:
+        fmt_body = struct.pack("<HHIIHH", 3, 1, rate, rate * block, block, bits)
+    fmt = b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+    riff_len = 4 + len(fmt) + 8 + n
+    return hdr + struct.pack("<I", riff_len) + b"WAVE" + fmt + b"data" + struct.pack("<I", n) + data
+
+
 def _g711_luts() -> tuple["np.ndarray", "np.ndarray"]:
     """256-entry μ-law / A-law expansion tables (ITU-T G.711, the Sun
     ulaw2linear/alaw2linear formulas) — closed-form bit arithmetic, which
@@ -1660,18 +1688,27 @@ def _ms_adpcm_decode_block(block: bytes) -> "np.ndarray":
     return np.asarray(out, dtype=np.int16)
 
 
+#: WAVE_FORMAT_EXTENSIBLE SubFormat GUID tail shared by every standard
+#: KSDATAFORMAT subtype ({xxxxxxxx-0000-0010-8000-00AA00389B71}); the
+#: leading Data1 dword carries the classic format code little-endian.
+_WAVE_EXT_GUID_TAIL = b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+
+
 def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
-    """Parse a mono RIFF/WAVE payload → (sample_rate, int16 samples).
-    Walks the chunk list (fmt/data may be preceded by LIST etc.). REAL
-    decode for 16-bit PCM (format 1), 8-bit G.711 μ-law / A-law
-    (formats 7 / 6 — closed-form expansion, :func:`_g711_luts`), IMA
-    ADPCM (format 0x11) and MS-ADPCM (format 0x02); float / extensible
-    formats raise ``NotImplementedError`` (codec-gated, same contract
-    as compressed images)."""
+    """Parse a mono RIFF/WAVE payload → (sample_rate, samples). Walks
+    the chunk list (fmt/data may be preceded by LIST etc.). REAL decode
+    for 16-bit PCM (format 1), IEEE float32/float64 PCM (format 3 —
+    returned as the native float dtype, no scaling), 8-bit G.711 μ-law
+    / A-law (formats 7 / 6 — closed-form expansion, :func:`_g711_luts`),
+    IMA ADPCM (format 0x11) and MS-ADPCM (format 0x02), each also
+    reachable through a WAVE_FORMAT_EXTENSIBLE (0xFFFE) fmt chunk whose
+    KSDATAFORMAT SubFormat GUID names it. Perceptual codecs (MP3 inside
+    WAV etc.) and non-KSDATAFORMAT GUIDs raise ``NotImplementedError``
+    (codec-gated, same contract as compressed images)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, bits, channels, data, audio_fmt = 12, None, None, None, None, None
-    block_align = None
+    block_align, fmt_body = None, None
     while pos + 8 <= len(payload):
         cid = payload[pos : pos + 4]
         size = struct.unpack_from("<I", payload, pos + 4)[0]
@@ -1680,15 +1717,34 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
             audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             block_align = struct.unpack_from("<H", body, 12)[0]
             bits = struct.unpack_from("<H", body, 14)[0]
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if audio_fmt == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: unwrap the GUID
+        # fmt body: 16 base + cbSize(2) + validbits(2) + channelmask(4)
+        # + 16-byte SubFormat GUID = 40 bytes minimum
+        if fmt_body is None or len(fmt_body) < 40:
+            raise ValueError("extensible WAV fmt chunk truncated")
+        guid = fmt_body[24:40]
+        if guid[2:4] != b"\x00\x00" or guid[4:] != _WAVE_EXT_GUID_TAIL:
+            raise NotImplementedError(
+                f"non-KSDATAFORMAT WAV SubFormat GUID {guid.hex()}"
+            )
+        audio_fmt = struct.unpack_from("<H", guid, 0)[0]
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
     if channels != 1:
         raise NotImplementedError(f"only mono WAV supported (got {channels}ch)")
     if audio_fmt == 1 and bits == 16:
         return rate, np.frombuffer(data, dtype="<i2")
+    if audio_fmt == 3 and bits in (32, 64):  # IEEE float PCM
+        # bit reinterpretation only — no scaling, no entropy coding; the
+        # native float dtype is returned so nominal [-1, 1] semantics
+        # (and any out-of-range or non-finite values) pass through
+        dt = "<f4" if bits == 32 else "<f8"
+        n_full = (len(data) // (bits // 8)) * (bits // 8)
+        return rate, np.frombuffer(data[:n_full], dtype=dt)
     if audio_fmt == 7 and bits == 8:  # G.711 μ-law
         return rate, _ULAW_LUT[np.frombuffer(data, dtype=np.uint8)]
     if audio_fmt == 6 and bits == 8:  # G.711 A-law
@@ -1712,8 +1768,7 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
         ]
         return rate, np.concatenate(chunks) if chunks else np.zeros(0, np.int16)
     raise NotImplementedError(
-        f"WAV audio format {audio_fmt}/{bits}bit (float/extensible) "
-        "requires a codec library"
+        f"WAV audio format {audio_fmt}/{bits}bit requires a codec library"
     )
 
 
@@ -1923,6 +1978,55 @@ def attach_msadpcm_payloads(
     return df.select(id_col).mapInPandas(fn, schema=out_schema)
 
 
+def attach_float_wav_payloads(
+    df: DataFrame, id_col: str = "doc_id", n_samples: int = 256, rate: int = 16000
+) -> DataFrame:
+    """Give every row a REAL IEEE-float WAV payload carrying the SAME md5
+    int16 samples as the PCM fixture, scaled by 1/32768 — every value is
+    an exact dyadic rational (≤15 significand bits), representable
+    without rounding in float32 AND float64, which is what lets the mm20
+    oracle re-derive peak/RMS from integer md5 arithmetic. The header
+    shape rotates per doc: 64-bit when ``id % 20 == 10`` (else 32-bit),
+    wrapped in a WAVE_FORMAT_EXTENSIBLE fmt chunk when ``id % 30 == 20``
+    — all four format-3 header paths appear in the graded corpus."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                x = md5_samples(did, n_samples).astype(np.float64) / 32768.0
+                bits = 64 if did % 20 == 10 else 32
+                payloads.append(
+                    bytearray(
+                        encode_wav_float(
+                            x, rate, bits=bits, extensible=(did % 30 == 20)
+                        )
+                    )
+                )
+                metas.append(
+                    {
+                        "media_type": "audio",
+                        "format": f"float{bits}-wav",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": n_samples * 1000 // rate,
+                    }
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
+            )
+
+    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
 def attach_flac_payloads(
     df: DataFrame, id_col: str = "doc_id", n_samples: int = 256, rate: int = 16000
 ) -> DataFrame:
@@ -2005,12 +2109,33 @@ def decode_audio(payload: bytes) -> tuple[int, "np.ndarray"]:
     return decode_wav(payload)
 
 
+#: Feature schema for float-PCM audio: peak is a DOUBLE (nominal [-1, 1]
+#: range), everything else matches :data:`AUDIO_FEATURES`.
+AUDIO_FEATURES_F = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
 def decode_audio_features(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    float_features: bool = False,
 ) -> DataFrame:
     """Audio decode + features via ``mapInPandas``: REAL WAV/FLAC parse
     (:func:`decode_audio`), then peak / zero-crossing count (exact ints)
-    and RMS (float64, rounded by callers needing cross-engine equality)."""
+    and RMS (float64, rounded by callers needing cross-engine equality).
+    ``float_features`` switches to the float-PCM schema (double peak,
+    float64 arithmetic throughout) — required for format-3 WAV payloads,
+    whose float samples would otherwise be silently truncated; the int
+    path raises on a float decode to keep that contract honest."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -2022,6 +2147,18 @@ def decode_audio_features(
                     n_samp.append(None); peak.append(None); zc.append(None); rms.append(None)
                     continue
                 _, x = decode_audio(bytes(payload))
+                if float_features:
+                    xf = x.astype(np.float64)
+                    n_samp.append(len(x))
+                    peak.append(float(np.abs(xf).max()) if len(x) else 0.0)
+                    zc.append(int(((xf[:-1] * xf[1:]) < 0).sum()) if len(x) > 1 else 0)
+                    rms.append(float(np.sqrt((xf * xf).sum() / len(x))) if len(x) else 0.0)
+                    continue
+                if np.issubdtype(x.dtype, np.floating):
+                    raise TypeError(
+                        "float-PCM audio decoded; call decode_audio_features"
+                        "(float_features=True) — int16 features would truncate"
+                    )
                 xl = x.astype(np.int64)
                 n_samp.append(len(x))
                 peak.append(int(np.abs(xl).max()) if len(x) else 0)
@@ -2032,13 +2169,17 @@ def decode_audio_features(
                     "doc_id": ids,
                     "n_bytes": pd.array(n_bytes, dtype="int64"),
                     "n_samples": pd.array(n_samp, dtype="Int64"),
-                    "peak": pd.array(peak, dtype="Int64"),
+                    "peak": pd.array(
+                        peak, dtype="float64" if float_features else "Int64"
+                    ),
                     "zero_crossings": pd.array(zc, dtype="Int64"),
                     "rms": pd.array(rms, dtype="float64"),
                 }
             )
 
-    return df.select(id_col, payload_col).mapInPandas(fn, schema=AUDIO_FEATURES)
+    return df.select(id_col, payload_col).mapInPandas(
+        fn, schema=AUDIO_FEATURES_F if float_features else AUDIO_FEATURES
+    )
 
 
 def dft_quantized_basis(period: int, scale: int = 10_000) -> tuple[list[int], list[int]]:

@@ -17398,3 +17398,72 @@ def mm19_msadpcm_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zero_crossings",
         F.round("rms", 6).alias("rms"),
     )
+
+
+def _mm20_float_wav_sql(n_samples: int = 256, mod: int = 10) -> str:
+    """DuckDB mirror of the float-PCM WAV decode: the fixture's float
+    samples are the md5 int16 samples scaled by 1/32768 — exact dyadic
+    rationals in float32 AND float64 — so the oracle re-derives them
+    from integer md5 arithmetic and divides once. Every intermediate is
+    exact: s² ≤ 2³⁰, the 256-term sum ≤ 2³⁸ < 2⁵³, and the /2³⁰ and /256
+    divisions are by powers of two, so both engines hand the SAME
+    float64 to the correctly-rounded SQRT. n_bytes replays the header
+    rotation (44-byte classic vs 68-byte extensible fmt; 4- vs 8-byte
+    samples)."""
+    return f"""
+    WITH {_audio_sample_ctes(n_samples, mod=mod)},
+    lagged AS (
+      SELECT doc_id, si, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY si) AS prev
+      FROM samples
+    )
+    SELECT doc_id,
+           CAST((CASE WHEN doc_id % 30 = 20 THEN 68 ELSE 44 END)
+                + {n_samples} * (CASE WHEN doc_id % 20 = 10 THEN 8 ELSE 4 END)
+                AS BIGINT) AS n_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           MAX(ABS(s)) / 32768.0 AS peak,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND s * prev < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / 1073741824.0 / COUNT(*)), 6) AS rms
+    FROM lagged GROUP BY doc_id
+    """
+
+
+@register(
+    "mm20_float_wav_decode",
+    _mm20_float_wav_sql(),
+    survey_rows="ext:multimodal-audio — IEEE float-PCM WAV (format 3, "
+    "32/64-bit) + WAVE_FORMAT_EXTENSIBLE header unwrap, previously "
+    "codec-gated; exact-dyadic fixture keeps the oracle in integer "
+    "arithmetic",
+    description="REAL float-PCM WAV decode (round-7 verdict item 3): "
+    "the fixture writes the md5 int16 samples scaled by 1/32768 as "
+    "format-3 WAV — exact dyadic float32/float64 values, bit "
+    "reinterpretation with no entropy coding — rotating 32-/64-bit "
+    "width and classic vs WAVE_FORMAT_EXTENSIBLE fmt headers per doc "
+    "(multimodal.py::encode_wav_float / attach_float_wav_payloads); "
+    "decode_wav dispatches format 3 (and unwraps the 0xFFFE "
+    "KSDATAFORMAT GUID) and decode_audio_features(float_features=True) "
+    "reduces in float64 with a double peak. Completes the WAV family: "
+    "PCM16 + G.711 mu/A + IMA + MS-ADPCM + float32/64 + extensible "
+    "headers; non-KSDATAFORMAT GUIDs stay honestly gated.",
+)
+def mm20_float_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_float_wav_payloads,
+        decode_audio_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = decode_audio_features(
+        attach_float_wav_payloads(docs), float_features=True
+    )
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "n_samples",
+        "peak",
+        "zero_crossings",
+        F.round("rms", 6).alias("rms"),
+    )
