@@ -324,3 +324,71 @@ def test_float_wav_spark_dispatch_matches_local(spark):
     assert seen_formats == {"float32-wav", "float64-wav"}
     with pytest.raises(Exception, match="float_features=True"):
         decode_audio_features(attach_float_wav_payloads(df)).collect()
+
+
+# ------------------------------------------------------- property tests
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _flac_signals(draw):
+    n = draw(st.integers(16, 700))
+    kind = draw(st.sampled_from(["noise", "flat", "ramp", "saturated", "sine-ish"]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    if kind == "noise":
+        x = rng.integers(-32768, 32768, n)
+    elif kind == "flat":
+        x = np.full(n, int(rng.integers(-32768, 32768)))
+    elif kind == "ramp":
+        x = (np.arange(n) * int(rng.integers(-300, 300)) % 65536) - 32768
+    elif kind == "saturated":
+        x = np.where(np.arange(n) % 2 == 0, 32767, -32768)
+    else:  # low-order-predictable, the LPC sweet spot
+        x = (20000 * np.sin(np.arange(n) / draw(st.integers(2, 40)))).astype(int)
+    mono = x.astype(np.int16)
+    if draw(st.booleans()):
+        other = rng.integers(-32768, 32768, n).astype(np.int16)
+        return np.stack([mono, other], axis=1)
+    return mono
+
+
+@given(
+    x=_flac_signals(),
+    mode=st.sampled_from(
+        ["verbatim", "constant", "fixed0", "fixed1", "fixed2", "fixed3", "fixed4", "lpc"]
+    ),
+    stereo=st.sampled_from(["independent", "left_side", "right_side", "mid_side"]),
+    method=st.sampled_from([0, 1]),
+    partition_order=st.sampled_from([0, 1, 2]),
+    escape_first=st.booleans(),
+    blocksize=st.sampled_from([64, 192, 256]),
+)
+@settings(max_examples=40, deadline=None)
+def test_property_roundtrip_flac(
+    x, mode, stereo, method, partition_order, escape_first, blocksize
+):
+    """Hypothesis twin of the TIFF property matrix (round-7 verdict item
+    7): any signal shape x any encoder strategy must survive the full
+    CRC-8/CRC-16/MD5-checked round trip bit-exactly."""
+    if mode == "constant" and (x.ndim > 1 or len(np.unique(x)) > 1):
+        mode = "verbatim"  # constant subframes need a constant signal
+    if len(x) % blocksize:
+        blocksize = len(x)  # encoder contract: blocksize | n
+    while partition_order and (
+        blocksize % (1 << partition_order) or (blocksize >> partition_order) < 32
+    ):
+        partition_order -= 1  # partitions must divide bs and exceed the order
+    payload = encode_flac(
+        x,
+        mode=mode,
+        stereo=stereo,
+        method=method,
+        partition_order=partition_order,
+        escape_first=escape_first,
+        blocksize=blocksize,
+    )
+    _, out = decode_flac(payload)
+    assert np.array_equal(out, x.astype(np.int64))

@@ -197,3 +197,19 @@ def test_round7_review_png_zero_dim_bomb():
     )
     with pytest.raises(ValueError, match="zero dimension"):
         decode_png(bomb)
+
+
+def test_single_byte_corruption_fuzz():
+    """Round-8 hardening: any single-bit flip must either raise the
+    documented types (ValueError/NotImplementedError) or decode — GIF
+    has no CRC, so silent wrong pixels are acceptable, but structural
+    exceptions (IndexError/KeyError/struct.error) and hangs are not."""
+    payload = encode_gif(md5_pixels(22, 16, 12), interlace=True)
+    for i in range(len(payload)):
+        for bit in (0x01, 0x80):
+            corrupted = bytearray(payload)
+            corrupted[i] ^= bit
+            try:
+                decode_gif(bytes(corrupted))
+            except (ValueError, NotImplementedError):
+                pass

@@ -141,3 +141,25 @@ def test_property_roundtrip_tiff(img, compression, predictor, big_endian, rps):
         )
     )
     assert len(out) == 1 and np.array_equal(out[0], img)
+
+
+def test_single_byte_corruption_fuzz():
+    """Round-8 hardening (the JPEG family's corruption discipline applied
+    to TIFF): flipping any single bit must either raise the documented
+    types or decode to SOMETHING — TIFF has no CRC, so silent wrong
+    pixels are acceptable, but IndexError/struct.error/KeyError leaks and
+    hangs are not. Caught a real hole: a zero-count IFD entry stored an
+    empty tag list and IndexError'd the [0] lookups."""
+    img = md5_pixels(21, 16, 12)
+    for payload in (
+        encode_tiff(img, compression=5, predictor=2),
+        encode_tiff(img, compression=32773, big_endian=True),
+    ):
+        for i in range(len(payload)):
+            for bit in (0x01, 0x80):
+                corrupted = bytearray(payload)
+                corrupted[i] ^= bit
+                try:
+                    decode_tiff(bytes(corrupted))
+                except (ValueError, NotImplementedError):
+                    pass

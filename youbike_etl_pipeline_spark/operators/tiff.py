@@ -206,8 +206,11 @@ def decode_tiff(payload: bytes) -> "list[np.ndarray]":
             tag, ttype = u16(e), u16(e + 2)
             count = u32(e + 4)
             size = {1: 1, 3: 2, 4: 4}.get(ttype)
-            if size is None:
-                continue  # rationals etc. — not needed for the subset
+            if size is None or count == 0:
+                # rationals etc. aren't needed for the subset; a
+                # zero-count entry (seen in bit-flip fuzzing) would store
+                # an empty list and IndexError the [0] lookups below
+                continue
             total = size * count
             voff = e + 8 if total <= 4 else u32(e + 8)
             if voff + total > len(payload):
