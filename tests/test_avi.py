@@ -96,3 +96,27 @@ def test_spark_fanout_matches_local(spark):
             want = md5_pixels(did * 16 + f, 8, 6).astype(np.int64).sum(axis=(0, 1))
             r = by_key[(did, f)]
             assert (r["r_sum"], r["g_sum"], r["b_sum"]) == tuple(want), (did, f)
+
+
+def test_single_byte_corruption_fuzz():
+    """Round-8 hardening: bit flips anywhere in the container OR the
+    embedded JPEG frames must raise the documented types or decode."""
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        encode_jpeg_lossless,
+        md5_pixels,
+    )
+
+    frames = [
+        encode_jpeg_lossless(md5_pixels(24 + i, 16, 12), predictor=1)
+        for i in range(2)
+    ]
+    payload = encode_avi_mjpeg(frames, 16, 12)
+    for i in range(0, len(payload), 2):
+        corrupted = bytearray(payload)
+        corrupted[i] ^= 0x01 if i % 4 else 0x80
+        try:
+            decode_avi_mjpeg(bytes(corrupted))
+        except (ValueError, NotImplementedError):
+            pass

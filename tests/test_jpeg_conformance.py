@@ -286,3 +286,32 @@ def test_lossless_jvm_or_gate(spark, tmpdir):
         rows[0]["height"], rows[0]["width"], nc
     )[:, :, ::-1]
     assert np.array_equal(ref, img)
+
+
+def test_single_byte_corruption_fuzz_baseline_and_lossless():
+    """Round-8 hardening sweep (found real holes: undefined Huffman/quant
+    table references KeyError'd, zero sampling factors ZeroDivision'd,
+    corrupt DC categories OverflowError'd, AC runs past the block end
+    IndexError'd, truncated SOF/SOS/DRI segments IndexError'd): every
+    single-bit flip must raise the documented types or decode."""
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+        md5_pixels,
+    )
+
+    img = test_image(16, 12, seed=5)
+    payloads = [
+        encode_jpeg(img, "444"),
+        encode_jpeg(img, "420", restart_interval=2),
+        encode_jpeg_lossless(md5_pixels(23, 16, 12), predictor=4),
+    ]
+    for payload in payloads:
+        for i in range(len(payload)):
+            for bit in (0x01, 0x80):
+                corrupted = bytearray(payload)
+                corrupted[i] ^= bit
+                try:
+                    decode_jpeg(bytes(corrupted))
+                except (ValueError, NotImplementedError):
+                    pass

@@ -1591,7 +1591,9 @@ def test_corrupt_jpeg_degrades_not_crashes(spark):
     )
     with pytest.raises(ValueError, match="absent from SOF"):
         decode_jpeg(b"\xff\xd8" + sof + sos_bad_comp + b"\x00" * 8)
-    with pytest.raises(KeyError):
+    # round 8: undefined-table references raise the documented ValueError
+    # (previously a KeyError leak, found by the corruption-fuzz sweep)
+    with pytest.raises(ValueError, match="undefined Huffman table"):
         decode_jpeg(b"\xff\xd8" + sof + sos_no_dht + b"\x00" * 8)
     cmyk = (
         b"\xff\xd8" + b"\xff\xc0" + _s.pack(">H", 20) + b"\x08"

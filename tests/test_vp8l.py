@@ -221,3 +221,24 @@ def test_simple_code_cannot_carry_wide_symbols():
     first pixel this produced)."""
     img = np.full((9, 1, 3), 217, np.uint8)
     assert np.array_equal(decode_webp(encode_webp_lossless(img)), img)
+
+
+def test_single_byte_corruption_fuzz():
+    """Round-8 hardening: any single-bit flip must either raise the
+    documented types or decode — never structural exceptions or hangs
+    (VP8L's prefix-code reader is bounds-checked throughout)."""
+    from youbike_etl_pipeline_spark.operators.multimodal import md5_pixels
+
+    img = md5_pixels(23, 16, 12)
+    for payload in (
+        encode_webp_lossless(img, cache_bits=4),
+        encode_webp_lossless(img, use_palette=True),
+    ):
+        for i in range(len(payload)):
+            for bit in (0x01, 0x80):
+                corrupted = bytearray(payload)
+                corrupted[i] ^= bit
+                try:
+                    decode_webp(bytes(corrupted))
+                except (ValueError, NotImplementedError):
+                    pass

@@ -511,6 +511,9 @@ def _huff_decode(br: "_BitReader", table: dict) -> int:
 def _receive_extend(br: "_BitReader", s: int) -> int:
     if s == 0:
         return 0
+    if s > 16:  # T.81 F.1.2.1.1: categories are 0-16; corrupt DHT value
+        # bytes (bit-flip fuzzing) would otherwise read s up to 255 bits
+        raise ValueError(f"JPEG magnitude category {s} out of range")
     v = br.bits(s)
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
@@ -589,6 +592,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 i += 1 + n
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline-class, SOF2 progressive
             progressive = marker == 0xC2
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF segment")
             if body[0] != 8:  # SOF1/2 legally allow 12-bit — honest gate
                 raise NotImplementedError(
                     f"only 8-bit JPEG precision is supported (got {body[0]}-bit)"
@@ -604,6 +609,10 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             for c in range(ncomp):
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
+            if any(not (1 <= c["h"] <= 4 and 1 <= c["v"] <= 4) for c in comps):
+                # T.81 B.2.2: Hi/Vi are 1-4; 0 (seen in bit-flip fuzzing)
+                # would ZeroDivision the replication ratios below
+                raise ValueError("JPEG SOF sampling factors must be 1-4")
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
             mcux = (w + 8 * hmax - 1) // (8 * hmax)
@@ -622,6 +631,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             ]
         elif marker == 0xC3:  # SOF3 lossless (Huffman DPCM)
             lossless = True
+            if len(body) < 6:
+                raise ValueError("truncated JPEG SOF segment")
             precision = body[0]
             if precision != 8:
                 raise NotImplementedError(
@@ -671,11 +682,17 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
                 huff[(tc, th)] = table
                 i += 17 + sum(counts)
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             if not comps:
                 raise ValueError("JPEG SOS before SOF")
+            if not body:
+                raise ValueError("truncated JPEG SOS header")
             ns = body[0]
+            if len(body) < 4 + 2 * ns:
+                raise ValueError("truncated JPEG SOS header")
             scan_comps = []
             for c in range(ns):
                 cs, tables = body[1 + 2 * c], body[2 + 2 * c]
@@ -688,6 +705,23 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
             a = body[3 + 2 * ns]
             ah, al = a >> 4, a & 15
+            # corrupt streams can name Huffman tables no DHT defined —
+            # validate here so the per-block hot loop never KeyErrors
+            for sc in scan_comps:
+                need = []
+                if lossless:
+                    need = [(0, sc["dc"])]
+                elif not progressive:
+                    need = [(0, sc["dc"]), (1, sc["ac"])]
+                elif ss == 0 and ah == 0:
+                    need = [(0, sc["dc"])]
+                elif ss > 0:
+                    need = [(1, sc["ac"])]
+                for key in need:
+                    if key not in huff:
+                        raise ValueError(
+                            f"JPEG SOS references undefined Huffman table {key}"
+                        )
             if lossless:
                 # SOF3 reinterprets the scan header: Ss = predictor (1-7),
                 # Al = point transform, Se/Ah unused (shall be 0/0).
@@ -738,6 +772,8 @@ def decode_jpeg(payload: bytes) -> "np.ndarray":
     # reconstruction: dequant + dezigzag + IDCT per block, then upsample
     out_planes = []
     for ci, c in enumerate(comps):
+        if c["tq"] not in qt:
+            raise ValueError(f"JPEG SOF references undefined quant table {c['tq']}")
         q = qt[c["tq"]]
         plane = np.zeros((c["bh_pad"] * 8, c["bw_pad"] * 8), dtype=np.float64)
         # vectorized over all blocks of the component: (BV, BH, 64) zigzag
@@ -879,6 +915,8 @@ def _decode_block(
                         continue
                     break  # EOB
                 k += r
+                if k > 63:
+                    raise ValueError("JPEG AC run past block end")
                 blk[k] = _receive_extend(br, s)
                 k += 1
         return eobrun
@@ -900,6 +938,8 @@ def _decode_block(
                 k += 16
                 continue
             k += r
+            if k > se:
+                raise ValueError("JPEG AC run past spectral band end")
             blk[k] = _receive_extend(br, s) << al
             k += 1
         return eobrun
@@ -1009,7 +1049,10 @@ def _decode_lossless_scan(
         raise ValueError(f"lossless JPEG predictor must be 1-7 (got {predictor})")
     br = _BitReader(data, start)
     default_pred = 1 << (precision - 1 - pt)
-    tables = [huff[(0, c["dc"])] for c in scan_comps]
+    try:
+        tables = [huff[(0, c["dc"])] for c in scan_comps]
+    except KeyError as ex:  # corrupt streams can name an undefined table
+        raise ValueError(f"JPEG SOS references undefined Huffman table {ex}")
     idxs = [c["idx"] for c in scan_comps]
     rx = ry = 0
     done = 0
