@@ -1393,17 +1393,24 @@ def test_real_png_decode_roundtrip_all_filters():
         b"IDAT", zlib.compress(bytes([0, 1, 2, 3, 255, 4, 5, 6, 128]))
     ) + chunk(b"IEND", b"")
     assert tuple(decode_png(a)[0, 1]) == (4, 5, 6)
-    # 16-bit depth is honestly unsupported
+    # 16-bit depth decodes since round 8 (high-byte convention): one
+    # 0xABCD-valued pixel reads back as 0xAB per channel
     d16 = sig + chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)) + chunk(
-        b"IDAT", zlib.compress(bytes(7))
+        b"IDAT", zlib.compress(b"\x00" + b"\xab\xcd" * 3)
+    ) + chunk(b"IEND", b"")
+    assert tuple(decode_png(d16)[0, 0]) == (0xAB, 0xAB, 0xAB)
+    # a genuinely illegal combination still raises
+    d3_16 = sig + chunk(b"IHDR", _s.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0)) + chunk(
+        b"IDAT", zlib.compress(bytes(3))
     ) + chunk(b"IEND", b"")
     with pytest.raises(ValueError, match="unsupported PNG"):
-        decode_png(d16)
-    # corrupt DEFLATE raises zlib.error from decode_png ...
+        decode_png(d3_16)
+    # corrupt DEFLATE raises the documented ValueError (round 8: was a
+    # raw zlib.error leak)
     bad = sig + chunk(b"IHDR", _s.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)) + chunk(
         b"IDAT", b"\x00garbage"
     ) + chunk(b"IEND", b"")
-    with pytest.raises(zlib.error):
+    with pytest.raises(ValueError, match="DEFLATE"):
         decode_png(bad)
 
 

@@ -136,40 +136,143 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
     return rows[:, :, ::-1]  # BGR → RGB
 
 
-def encode_png(img: "np.ndarray") -> bytes:
-    """(H, W, 3) uint8 → PNG payload (8-bit truecolor, non-interlaced) —
-    pure stdlib ``zlib`` + ``struct``, no codec lib. Each scanline uses
-    filter type ``row % 5``, so a round-trip through :func:`decode_png`
-    exercises ALL five PNG filters (None/Sub/Up/Average/Paeth), not just
-    the trivial one."""
-    import zlib
+#: Adam7 interlace passes as (x0, y0, dx, dy) — PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    h, w, _ = img.shape
-    img = img.astype(np.uint8)
+#: Legal (color type → bit depths) combinations — PNG spec §11.2.2
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+
+#: Samples per pixel by color type
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_filter_rows(rows: "np.ndarray", bpp: int) -> bytes:
+    """Filter an (H, stride) byte matrix with type ``row % 5`` per
+    scanline (so every round trip exercises ALL five PNG filters);
+    ``bpp`` is the byte distance to the 'left' sample (1 for sub-byte
+    depths, per spec)."""
+    h, stride = rows.shape
     raw = bytearray()
-    prior = np.zeros(w * 3, dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    zeros = np.zeros(bpp, np.uint8)
     for r in range(h):
-        line = img[r].reshape(-1)
+        line = rows[r]
         ft = r % 5
         if ft == 0:
             filt = line
         elif ft == 1:  # Sub: x - left
-            left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
+            left = np.concatenate([zeros, line[:-bpp]]) if stride > bpp else np.zeros(stride, np.uint8)
             filt = line - left
         elif ft == 2:  # Up: x - prior
             filt = line - prior
         elif ft == 3:  # Average: x - (left + prior) // 2
-            left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
+            left = np.concatenate([zeros, line[:-bpp]]) if stride > bpp else np.zeros(stride, np.uint8)
             filt = line - (
                 (left.astype(np.uint16) + prior.astype(np.uint16)) // 2
             ).astype(np.uint8)
         else:  # Paeth
-            left = np.concatenate([np.zeros(3, np.uint8), line[:-3]])
-            ul = np.concatenate([np.zeros(3, np.uint8), prior[:-3]])
+            left = np.concatenate([zeros, line[:-bpp]]) if stride > bpp else np.zeros(stride, np.uint8)
+            ul = np.concatenate([zeros, prior[:-bpp]]) if stride > bpp else np.zeros(stride, np.uint8)
             filt = line - _paeth_predictor(left, prior, ul)
         raw.append(ft)
         raw.extend(filt.tobytes())
         prior = line
+    return bytes(raw)
+
+
+def _png_pack_rows(samples: "np.ndarray", depth: int) -> "np.ndarray":
+    """(H, W, C) integer samples → (H, stride) scanline bytes at
+    ``depth`` bits per sample (MSB-first bit packing below 8, big-endian
+    pairs at 16)."""
+    h, w, c = samples.shape
+    if depth == 8:
+        return samples.astype(np.uint8).reshape(h, w * c)
+    if depth == 16:
+        return (
+            samples.astype(">u2").view(np.uint8).reshape(h, w * c * 2)
+        )
+    bits = (
+        (samples.reshape(h, w * c)[:, :, None]
+         >> np.arange(depth - 1, -1, -1)[None, None, :]) & 1
+    ).astype(np.uint8)
+    return np.packbits(bits.reshape(h, -1), axis=1)
+
+
+def encode_png(
+    img: "np.ndarray",
+    depth: int = 8,
+    ctype: int = 2,
+    interlace: bool = False,
+) -> bytes:
+    """(H, W, 3) uint8 → PNG payload — pure stdlib ``zlib`` + ``struct``,
+    no codec lib. Defaults produce the 8-bit truecolor non-interlaced
+    stream this fixture family always wrote (byte-identical); ``ctype``
+    /``depth``/``interlace`` unlock the rest of the spec matrix the
+    round-8 decoder handles: palette (3, depths 1/2/4/8, PLTE built from
+    the distinct colors), grayscale (0) and gray+alpha (4 — requires
+    R==G==B; sub-byte gray requires exact (2^d-1)-level values so the
+    round trip is lossless), RGBA (6 — a deterministic alpha ramp
+    exercises the decoder's documented alpha drop), 16-bit (samples
+    scaled by 257, so the high-byte convention inverts exactly), and
+    Adam7 interlacing. Each scanline (per pass when interlaced) uses
+    filter type ``row % 5``, covering ALL five PNG filters."""
+    import zlib
+
+    h, w, _ = img.shape
+    if depth not in _PNG_DEPTHS[ctype]:
+        raise ValueError(f"PNG color type {ctype} does not allow depth {depth}")
+    img = img.astype(np.uint8)
+    plte = None
+    if ctype == 2:
+        samples = img.astype(np.uint16)
+    elif ctype == 6:
+        alpha = ((np.arange(h)[:, None] + np.arange(w)[None, :]) % 256).astype(np.uint16)
+        samples = np.concatenate([img.astype(np.uint16), alpha[:, :, None]], axis=2)
+    elif ctype == 3:
+        colors = np.unique(img.reshape(-1, 3), axis=0)
+        if len(colors) > (1 << depth):
+            raise ValueError(
+                f"palette PNG at depth {depth} allows {1 << depth} colors "
+                f"(image has {len(colors)})"
+            )
+        plte = colors
+        lut = {tuple(c): i for i, c in enumerate(colors)}
+        samples = np.array(
+            [lut[tuple(px)] for px in img.reshape(-1, 3)], dtype=np.uint16
+        ).reshape(h, w, 1)
+    else:  # 0 / 4: grayscale (+alpha)
+        if not (img[:, :, 0] == img[:, :, 1]).all() or not (
+            img[:, :, 1] == img[:, :, 2]
+        ).all():
+            raise ValueError("grayscale PNG needs R==G==B input")
+        g = img[:, :, 0].astype(np.uint16)
+        if depth < 8:
+            levels = (1 << depth) - 1
+            scaled = g * levels
+            if (scaled % 255).any():
+                raise ValueError(
+                    f"depth-{depth} grayscale needs exact {levels + 1}-level values"
+                )
+            g = scaled // 255
+        samples = g[:, :, None]
+        if ctype == 4:
+            alpha = ((np.arange(h)[:, None] + np.arange(w)[None, :]) % 256).astype(np.uint16)
+            samples = np.concatenate([samples, alpha[:, :, None]], axis=2)
+    if depth == 16:
+        samples = samples * 257
+    c = samples.shape[2]
+    bpp = max(1, c * depth // 8)
+    raw = bytearray()
+    if interlace:
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                raw.extend(_png_filter_rows(_png_pack_rows(sub, depth), bpp))
+    else:
+        raw.extend(_png_filter_rows(_png_pack_rows(samples, depth), bpp))
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (
@@ -179,13 +282,11 @@ def encode_png(img: "np.ndarray") -> bytes:
             + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
-    return (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
-        + chunk(b"IEND", b"")
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    return out + chunk(b"IDAT", zlib.compress(bytes(raw), 6)) + chunk(b"IEND", b"")
 
 
 class _BitWriter:
@@ -318,27 +419,102 @@ def _paeth_predictor(a: "np.ndarray", b: "np.ndarray", c: "np.ndarray") -> "np.n
     return out.astype(np.uint8)
 
 
+def _png_unfilter_rows(raw: "np.ndarray", bpp: int) -> "np.ndarray":
+    """Reverse the five PNG scanline filters over an (H, stride+1) byte
+    matrix (leading filter byte per row); ``bpp`` is the left-sample
+    byte distance. None/Up vectorize per row; Sub is a per-lane wrapping
+    prefix sum; Average/Paeth carry a true sequential dependence along x
+    and run per-pixel — fine for thumbnail-scale fixtures, and the
+    production contract (mapInPandas, one payload per row) is unchanged
+    either way."""
+    h, sp1 = raw.shape
+    stride = sp1 - 1
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for r in range(h):
+        ft, line = int(raw[r, 0]), raw[r, 1:].copy()
+        prior = out[r - 1] if r > 0 else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            out[r] = line
+        elif ft == 1:  # Sub: per-lane wrapping prefix sum
+            lanes = stride // bpp
+            head = line[: lanes * bpp]
+            out[r, : lanes * bpp] = np.add.accumulate(
+                head.reshape(-1, bpp), axis=0, dtype=np.uint8
+            ).reshape(-1)
+            for i in range(lanes * bpp, stride):  # ragged tail (never in-spec)
+                out[r, i] = (int(line[i]) + int(out[r, i - bpp])) & 0xFF
+        elif ft == 2:  # Up
+            out[r] = line + prior
+        elif ft == 3:  # Average — sequential along x
+            cur = out[r]
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(line[i]) + (left + int(prior[i])) // 2) & 0xFF
+        elif ft == 4:  # Paeth — sequential along x
+            cur = out[r]
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prior[i])
+                c = int(prior[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+    return out
+
+
+def _png_unpack_rows(
+    rows: "np.ndarray", w: int, c: int, depth: int
+) -> "np.ndarray":
+    """(H, stride) unfiltered scanline bytes → (H, W, C) integer samples
+    (uint16; 16-bit keeps full precision for the caller's high-byte
+    scaling)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows[:, : w * c].reshape(h, w, c).astype(np.uint16)
+    if depth == 16:
+        return (
+            rows[:, : w * c * 2]
+            .reshape(h, w * c, 2)
+            .astype(np.uint16)
+            .dot(np.array([256, 1], np.uint16))
+            .reshape(h, w, c)
+        )
+    bits = np.unpackbits(rows, axis=1)[:, : w * c * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    return bits.reshape(h, w * c, depth).astype(np.uint16).dot(weights).reshape(h, w, c)
+
+
 def decode_png(payload: bytes) -> "np.ndarray":
-    """Parse an 8-bit non-interlaced PNG (grayscale, RGB, or RGBA) with
-    stdlib ``zlib`` + numpy — chunk walk, DEFLATE inflate, and all five
-    scanline unfilters. Returns (H, W, 3) RGB: grayscale expands, RGBA
-    drops alpha (documented lossy-metadata step, pixel channels intact).
-    None/Up unfilter vectorize per row; Sub is a per-lane wrapping prefix
-    sum; Average/Paeth carry a true sequential dependence along x and run
-    per-pixel — fine for thumbnail-scale fixtures, and the production
-    contract (mapInPandas, one payload per row) is unchanged either way.
-    16-bit depth, palette, and interlaced PNGs raise ``ValueError``."""
+    """Parse a PNG with stdlib ``zlib`` + numpy — chunk walk, bounded
+    DEFLATE inflate, all five scanline unfilters, the full legal (color
+    type × bit depth) matrix of spec §11.2.2 (grayscale 1/2/4/8/16,
+    truecolor 8/16, palette 1/2/4/8 via PLTE, gray+alpha and RGBA
+    8/16), and Adam7 interlacing. Returns (H, W, 3) uint8 RGB:
+    grayscale expands (sub-byte depths scale by 255/(2^d−1)), 16-bit
+    takes the high byte (the standard 16→8 convention), palette indices
+    look up PLTE, and alpha channels drop (documented lossy-metadata
+    step; tRNS likewise ignored — pixel channels intact). Malformed
+    payloads raise ``ValueError``."""
     import zlib
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
-    pos, idat, meta = 8, bytearray(), None
+    pos, idat, meta, plte = 8, bytearray(), None, None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         tag = payload[pos + 4 : pos + 8]
         body = payload[pos + 8 : pos + 8 + length]
         if tag == b"IHDR":
+            if len(body) != 13:
+                raise ValueError("malformed PNG IHDR")
             meta = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            if len(body) % 3 or not body:
+                raise ValueError("malformed PNG PLTE")
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -347,66 +523,72 @@ def decode_png(payload: bytes) -> "np.ndarray":
     if meta is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, ctype, _comp, _filt, interlace = meta
-    if depth != 8 or interlace != 0 or ctype not in (0, 2, 6):
+    if ctype not in _PNG_DEPTHS or depth not in _PNG_DEPTHS[ctype] or interlace > 1:
         raise ValueError(
             f"unsupported PNG variant (depth={depth}, color={ctype}, "
             f"interlace={interlace})"
         )
-    ch = {0: 1, 2: 3, 6: 4}[ctype]
-    stride = w * ch
+    if ctype == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    c = _PNG_CHANNELS[ctype]
+    bpp = max(1, c * depth // 8)
+
+    def pass_stride(pw: int) -> int:
+        return (pw * c * depth + 7) // 8
+
+    passes = (
+        [
+            (x0, y0, dx, dy, (w - x0 + dx - 1) // dx, (h - y0 + dy - 1) // dy)
+            for x0, y0, dx, dy in _ADAM7
+        ]
+        if interlace
+        else [(0, 0, 1, 1, w, h)]
+    )
     # Bounded inflate (round-6 advice): IHDR is parsed first, so the exact
     # scanline byte count is known — cap the DEFLATE output there instead
     # of letting a bomb-ratio IDAT (tiny input, huge expansion) allocate
     # unbounded memory on an executor before the size check runs. Any
     # unconsumed output beyond the bound is the same mismatch error the
     # unbounded path raised, detected without materializing it.
-    expected = h * (stride + 1)
+    expected = sum(
+        ph * (1 + pass_stride(pw)) for *_xy, pw, ph in passes if pw and ph
+    )
     if expected <= 0:  # h or w == 0: max_length=0 would mean UNBOUNDED
         raise ValueError("PNG declares a zero dimension")
     dec = zlib.decompressobj()
-    raw_bytes = dec.decompress(bytes(idat), expected)
-    extra = (
-        dec.decompress(dec.unconsumed_tail, 1)
-        if dec.unconsumed_tail
-        else dec.decompress(b"", 1)
-    )
+    try:
+        raw_bytes = dec.decompress(bytes(idat), expected)
+        extra = (
+            dec.decompress(dec.unconsumed_tail, 1)
+            if dec.unconsumed_tail
+            else dec.decompress(b"", 1)
+        )
+    except zlib.error as ex:  # typed like every other malformed-input path
+        raise ValueError(f"PNG DEFLATE stream corrupt: {ex}")
     if len(raw_bytes) != expected or extra:
         raise ValueError("PNG scanline data size mismatch")
     raw = np.frombuffer(raw_bytes, dtype=np.uint8)
-    raw = raw.reshape(h, stride + 1)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    for r in range(h):
-        ft, line = int(raw[r, 0]), raw[r, 1:].copy()
-        prior = out[r - 1] if r > 0 else np.zeros(stride, dtype=np.uint8)
-        if ft == 0:
-            out[r] = line
-        elif ft == 1:  # Sub: per-lane wrapping prefix sum
-            out[r] = np.add.accumulate(
-                line.reshape(-1, ch), axis=0, dtype=np.uint8
-            ).reshape(-1)
-        elif ft == 2:  # Up
-            out[r] = line + prior
-        elif ft == 3:  # Average — sequential along x
-            cur = out[r]
-            for i in range(stride):
-                left = int(cur[i - ch]) if i >= ch else 0
-                cur[i] = (int(line[i]) + (left + int(prior[i])) // 2) & 0xFF
-        elif ft == 4:  # Paeth — sequential along x
-            cur = out[r]
-            for i in range(stride):
-                a = int(cur[i - ch]) if i >= ch else 0
-                b = int(prior[i])
-                c = int(prior[i - ch]) if i >= ch else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (int(line[i]) + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-    img = out.reshape(h, w, ch)
-    if ch == 1:
-        return np.repeat(img, 3, axis=2)
-    return img[:, :, :3]
+    samples = np.zeros((h, w, c), dtype=np.uint16)
+    off = 0
+    for x0, y0, dx, dy, pw, ph in passes:
+        if not pw or not ph:
+            continue
+        sp1 = 1 + pass_stride(pw)
+        block = raw[off : off + ph * sp1].reshape(ph, sp1)
+        off += ph * sp1
+        rows = _png_unfilter_rows(block, bpp)
+        samples[y0::dy, x0::dx] = _png_unpack_rows(rows, pw, c, depth)
+    if ctype == 3:
+        if int(samples.max(initial=0)) >= len(plte):
+            raise ValueError("PNG palette index outside PLTE")
+        return plte[samples[:, :, 0]]
+    if depth == 16:
+        samples >>= 8
+    elif depth < 8:  # sub-byte grayscale: scale to the 8-bit range
+        samples = samples * 255 // ((1 << depth) - 1)
+    if ctype in (0, 4):
+        return np.repeat(samples[:, :, :1].astype(np.uint8), 3, axis=2)
+    return samples[:, :, :3].astype(np.uint8)
 
 
 _ZIGZAG = np.array(
@@ -1245,9 +1427,26 @@ def attach_ppm_payloads(
         )
         return encode_tiff(img, **combos[(did // 10) % len(combos)])
 
+    def _pngv(img: "np.ndarray", did: int) -> bytes:
+        # rotate the round-8 PNG spec matrix (every variant preserves the
+        # RGB pixels, so the md5-pixel oracle applies unchanged); indexed
+        # by did // 25 because mm21 feeds multiples of 25 (gcd trap)
+        combos = (
+            dict(),
+            dict(depth=16),
+            dict(interlace=True),
+            dict(ctype=3),  # palette-8: 16x12 md5 noise has <=192 colors
+            dict(ctype=3, interlace=True),
+            dict(depth=16, interlace=True),
+            dict(ctype=6),  # RGBA: deterministic alpha ramp, dropped on decode
+            dict(ctype=6, depth=16, interlace=True),
+        )
+        return encode_png(img, **combos[(did // 25) % len(combos)])
+
     encoder = {
         "ppm": lambda img, did: encode_ppm(img),
         "png": lambda img, did: encode_png(img),
+        "pngv": _pngv,
         "jpegl": lambda img, did: encode_jpeg_lossless(img, predictor=1 + did % 7),
         "webpl": _webpl,
         "gif": _gif,

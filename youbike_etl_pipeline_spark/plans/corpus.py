@@ -2182,7 +2182,7 @@ def _mm2_decode_sql(
     n = width * height * 3
     blocks = (n + 15) // 16
     header_len = len(b"P6\n%d %d\n255\n" % (width, height))
-    if fmt in ("png", "jpegl", "webpl", "gif", "tiff"):
+    if fmt in ("png", "pngv", "jpegl", "webpl", "gif", "tiff"):
         # compressed payload length depends on the encoder (zlib build /
         # per-row Huffman predictor), so the graded output is
         # encoding-independent: dims + the feature block only.
@@ -17466,4 +17466,40 @@ def mm20_float_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         "zero_crossings",
         F.round("rms", 6).alias("rms"),
+    )
+
+
+@register(
+    "mm21_png_variants_decode",
+    _mm2_decode_sql(width=16, height=12, fmt="pngv", mod=25),
+    survey_rows="ext:multimodal-decode — full PNG spec matrix "
+    "(palette/16-bit/Adam7/RGBA), previously gated to 8-bit "
+    "non-interlaced; mm2's md5-pixel oracle verifies the pixels "
+    "bit-exactly",
+    description="REAL full-matrix PNG decode (round 8): the md5-pixel "
+    "fixture rotates the PNG spec grid per doc — 8/16-bit truecolor, "
+    "PLTE palette, RGBA with a deterministic alpha ramp (alpha dropped "
+    "on decode, pixels intact), each plain and Adam7-interlaced "
+    "(multimodal.py::encode_png combos, indexed by did//25 per the gcd "
+    "lesson) — and decode_png reverses it: bounded DEFLATE inflate, "
+    "all five unfilters at the variant's byte-per-pixel distance, "
+    "sub-byte/16-bit sample unpacking, PLTE lookup, 7-pass Adam7 "
+    "reassembly. Every variant is also bit-exact against Spark's JVM "
+    "ImageIO decode (tests/test_png_matrix.py), the same external "
+    "oracle as GIF/TIFF/JPEG. Pixels are identical across variants, so "
+    "the analytic md5 oracle grades the whole rotation.",
+)
+def mm21_png_variants_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_ppm_payloads, decode_image_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    media = attach_ppm_payloads(docs, width=16, height=12, fmt="pngv")
+    feats = decode_image_features(media)
+    return feats.select(
+        "doc_id",
+        F.lit(16).cast("int").alias("width"),
+        F.lit(12).cast("int").alias("height"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("feat_sum"),
     )
