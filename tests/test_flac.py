@@ -392,3 +392,79 @@ def test_property_roundtrip_flac(
     )
     _, out = decode_flac(payload)
     assert np.array_equal(out, x.astype(np.int64))
+
+
+# ------------------------------------------------- multichannel WAV (round 8)
+
+
+def test_stereo_wav_roundtrip_and_gates():
+    import struct
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        md5_samples,
+    )
+
+    frames = md5_samples(77, 256).reshape(128, 2)
+    rate, back = decode_wav(encode_wav(frames, rate=22050))
+    assert rate == 22050 and back.shape == (128, 2)
+    assert np.array_equal(back, frames)
+    # mono output of the extended encoder is byte-identical (fixture
+    # stability for attach_wav_payloads / mm3)
+    mono = md5_samples(78, 64)
+    payload = encode_wav(mono)
+    assert struct.unpack_from("<H", payload, 22)[0] == 1  # nChannels
+    _, back_m = decode_wav(payload)
+    assert back_m.ndim == 1 and np.array_equal(back_m, mono)
+    # 3-channel PCM and stereo G.711 also decode (interleaved formats)
+    tri = md5_samples(79, 99).reshape(33, 3)
+    _, back3 = decode_wav(encode_wav(tri))
+    assert back3.shape == (33, 3) and np.array_equal(back3, tri)
+    g711 = (
+        b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 7, 2, 8000, 16000, 2, 8)
+        + b"data" + struct.pack("<I", 8) + bytes(range(8))
+    )
+    _, g = decode_wav(g711)
+    assert g.shape == (4, 2)
+    # multichannel ADPCM stays honestly gated (per-channel block state)
+    adpcm2 = (
+        b"RIFF" + struct.pack("<I", 36 + 12) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 0x11, 2, 8000, 8000, 8, 4)
+        + b"data" + struct.pack("<I", 12) + bytes(12)
+    )
+    with pytest.raises(NotImplementedError, match="multi-channel ADPCM"):
+        decode_wav(adpcm2)
+    # zero channels is malformed, not a crash
+    zch = bytearray(encode_wav(mono))
+    zch[22:24] = b"\x00\x00"
+    with pytest.raises(ValueError, match="zero channels"):
+        decode_wav(bytes(zch))
+
+
+def test_stereo_channel_features_spark_matches_local(spark):
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_stereo_wav_payloads,
+        decode_audio_channel_features,
+        md5_samples,
+    )
+
+    df = spark.range(0, 50, 10).withColumnRenamed("id", "doc_id")
+    rows = decode_audio_channel_features(attach_stereo_wav_payloads(df)).collect()
+    assert len(rows) == 10  # 5 docs x 2 channels
+    for r in rows:
+        frames = md5_samples(r["doc_id"], 256).reshape(128, 2)
+        xc = frames[:, r["channel"]].astype(np.int64)
+        assert r["n_samples"] == 128
+        assert r["peak"] == int(np.abs(xc).max())
+        assert r["zero_crossings"] == int(((xc[:-1] * xc[1:]) < 0).sum())
+        assert abs(r["rms"] - float(np.sqrt((xc * xc).sum() / 128))) < 1e-9
+    # the mono feature path flattens multichannel payloads (FLAC
+    # convention), so n_samples doubles rather than erroring
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        decode_audio_features,
+    )
+
+    flat = decode_audio_features(attach_stereo_wav_payloads(df)).collect()
+    assert all(r["n_samples"] == 256 for r in flat)

@@ -1767,12 +1767,19 @@ def sample_frames(
 
 
 def encode_wav(samples: "np.ndarray", rate: int = 16000) -> bytes:
-    """Mono 16-bit PCM RIFF/WAVE encoder (int16 samples) — the audio twin
-    of :func:`encode_ppm`; pure struct/numpy, no codec lib."""
+    """16-bit PCM RIFF/WAVE encoder — (n,) mono or (n_frames, channels)
+    multichannel int16 samples (row-major == frame-interleaved, the WAV
+    layout) — the audio twin of :func:`encode_ppm`; pure struct/numpy,
+    no codec lib. Mono output is byte-identical to the historical
+    encoder (fixture stability)."""
+    samples = np.asarray(samples)
+    ch = 1 if samples.ndim == 1 else samples.shape[1]
     data = samples.astype("<i2").tobytes()
     n = len(data)
     hdr = b"RIFF" + struct.pack("<I", 36 + n) + b"WAVE"
-    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, ch, rate, rate * 2 * ch, 2 * ch, 16
+    )
     return hdr + fmt + b"data" + struct.pack("<I", n) + data
 
 
@@ -1937,16 +1944,19 @@ _WAVE_EXT_GUID_TAIL = b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
 
 
 def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
-    """Parse a mono RIFF/WAVE payload → (sample_rate, samples). Walks
+    """Parse a RIFF/WAVE payload → (sample_rate, samples) — shape (n,)
+    mono or (n_frames, channels) multichannel (FLAC's convention). Walks
     the chunk list (fmt/data may be preceded by LIST etc.). REAL decode
     for 16-bit PCM (format 1), IEEE float32/float64 PCM (format 3 —
     returned as the native float dtype, no scaling), 8-bit G.711 μ-law
     / A-law (formats 7 / 6 — closed-form expansion, :func:`_g711_luts`),
-    IMA ADPCM (format 0x11) and MS-ADPCM (format 0x02), each also
-    reachable through a WAVE_FORMAT_EXTENSIBLE (0xFFFE) fmt chunk whose
-    KSDATAFORMAT SubFormat GUID names it. Perceptual codecs (MP3 inside
-    WAV etc.) and non-KSDATAFORMAT GUIDs raise ``NotImplementedError``
-    (codec-gated, same contract as compressed images)."""
+    IMA ADPCM (format 0x11) and MS-ADPCM (format 0x02, both mono-only —
+    multichannel ADPCM interleaves per-channel state and stays gated),
+    each also reachable through a WAVE_FORMAT_EXTENSIBLE (0xFFFE) fmt
+    chunk whose KSDATAFORMAT SubFormat GUID names it. Perceptual codecs
+    (MP3 inside WAV etc.) and non-KSDATAFORMAT GUIDs raise
+    ``NotImplementedError`` (codec-gated, same contract as compressed
+    images)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos, rate, bits, channels, data, audio_fmt = 12, None, None, None, None, None
@@ -1976,21 +1986,36 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
         audio_fmt = struct.unpack_from("<H", guid, 0)[0]
     if rate is None or data is None:
         raise ValueError("missing fmt/data chunk")
-    if channels != 1:
-        raise NotImplementedError(f"only mono WAV supported (got {channels}ch)")
+    if not channels:
+        raise ValueError("WAV declares zero channels")
+    if channels != 1 and audio_fmt in (0x11, 0x02):
+        # ADPCM interleaves per-channel STATE inside each block (dual
+        # headers, nibble groups) — a different decode, honestly gated
+        raise NotImplementedError(
+            f"multi-channel ADPCM WAV is not supported (got {channels}ch)"
+        )
+
+    def frames(x: "np.ndarray") -> "np.ndarray":
+        # interleaved sample formats: mono stays 1-D; multichannel
+        # reshapes to (n_frames, channels), FLAC's convention
+        if channels == 1:
+            return x
+        n_fr = len(x) // channels
+        return x[: n_fr * channels].reshape(n_fr, channels)
+
     if audio_fmt == 1 and bits == 16:
-        return rate, np.frombuffer(data, dtype="<i2")
+        return rate, frames(np.frombuffer(data, dtype="<i2"))
     if audio_fmt == 3 and bits in (32, 64):  # IEEE float PCM
         # bit reinterpretation only — no scaling, no entropy coding; the
         # native float dtype is returned so nominal [-1, 1] semantics
         # (and any out-of-range or non-finite values) pass through
         dt = "<f4" if bits == 32 else "<f8"
         n_full = (len(data) // (bits // 8)) * (bits // 8)
-        return rate, np.frombuffer(data[:n_full], dtype=dt)
+        return rate, frames(np.frombuffer(data[:n_full], dtype=dt))
     if audio_fmt == 7 and bits == 8:  # G.711 μ-law
-        return rate, _ULAW_LUT[np.frombuffer(data, dtype=np.uint8)]
+        return rate, frames(_ULAW_LUT[np.frombuffer(data, dtype=np.uint8)])
     if audio_fmt == 6 and bits == 8:  # G.711 A-law
-        return rate, _ALAW_LUT[np.frombuffer(data, dtype=np.uint8)]
+        return rate, frames(_ALAW_LUT[np.frombuffer(data, dtype=np.uint8)])
     if audio_fmt == 0x11 and bits == 4:  # IMA ADPCM
         if not block_align or block_align < 5:
             raise ValueError("IMA ADPCM WAV missing a usable block_align")
@@ -2269,6 +2294,108 @@ def attach_float_wav_payloads(
     return df.select(id_col).mapInPandas(fn, schema=out_schema)
 
 
+def attach_stereo_wav_payloads(
+    df: DataFrame, id_col: str = "doc_id", n_frames: int = 128, rate: int = 16000
+) -> DataFrame:
+    """Give every row a REAL stereo PCM16 WAV payload: the md5 int16
+    stream as ``n_frames`` interleaved L/R frames (sample ``2k`` is
+    left, ``2k+1`` right — the WAV channel order), so the mm22 oracle
+    re-derives each channel with ``si % 2`` arithmetic."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                frames = md5_samples(int(did), 2 * n_frames).reshape(n_frames, 2)
+                payloads.append(bytearray(encode_wav(frames, rate)))
+                metas.append(
+                    {
+                        "media_type": "audio",
+                        "format": "wav-stereo",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": n_frames * 1000 // rate,
+                    }
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
+            )
+
+    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
+#: Per-channel feature schema for multichannel audio
+AUDIO_CHANNEL_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("channel", T.IntegerType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_audio_channel_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Multichannel audio decode + PER-CHANNEL features via
+    ``mapInPandas``: :func:`decode_wav` (or FLAC) yields (frames, ch)
+    arrays, and each channel reduces independently — one output row per
+    (doc, channel). Mono payloads produce a single channel-0 row.
+    Shuffle-free like every decode op; the channel fan-out happens
+    inside the Arrow batch."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, chans, n_samp, peak, zc, rms = [], [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                if bytes(payload[:4]) == b"fLaC":
+                    from .flac import decode_flac
+
+                    _, x = decode_flac(bytes(payload))
+                else:
+                    _, x = decode_wav(bytes(payload))
+                if x.ndim == 1:
+                    x = x[:, None]
+                for c in range(x.shape[1]):
+                    xc = x[:, c].astype(np.int64)
+                    ids.append(did)
+                    chans.append(c)
+                    n_samp.append(len(xc))
+                    peak.append(int(np.abs(xc).max()) if len(xc) else 0)
+                    zc.append(
+                        int(((xc[:-1] * xc[1:]) < 0).sum()) if len(xc) > 1 else 0
+                    )
+                    rms.append(
+                        float(np.sqrt((xc * xc).sum() / len(xc))) if len(xc) else 0.0
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "channel": pd.array(chans, dtype="int32"),
+                    "n_samples": pd.array(n_samp, dtype="Int64"),
+                    "peak": pd.array(peak, dtype="Int64"),
+                    "zero_crossings": pd.array(zc, dtype="Int64"),
+                    "rms": pd.array(rms, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fn, schema=AUDIO_CHANNEL_FEATURES
+    )
+
+
 def attach_flac_payloads(
     df: DataFrame, id_col: str = "doc_id", n_samples: int = 256, rate: int = 16000
 ) -> DataFrame:
@@ -2348,7 +2475,8 @@ def decode_audio(payload: bytes) -> tuple[int, "np.ndarray"]:
 
         rate, x = decode_flac(payload)
         return rate, x.reshape(-1).astype(np.int64)
-    return decode_wav(payload)
+    rate, x = decode_wav(payload)
+    return rate, (x.reshape(-1) if x.ndim > 1 else x)
 
 
 #: Feature schema for float-PCM audio: peak is a DOUBLE (nominal [-1, 1]

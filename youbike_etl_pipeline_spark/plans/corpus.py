@@ -17503,3 +17503,61 @@ def mm21_png_variants_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
         ).alias("feat_sum"),
     )
+
+
+def _mm22_stereo_wav_sql(n_frames: int = 128, mod: int = 10) -> str:
+    """DuckDB mirror of the stereo-WAV per-channel pipeline: the fixture
+    interleaves the md5 int16 stream as L/R frames (sample 2k left,
+    2k+1 right), so channel membership is si % 2 and the per-channel
+    features re-derive with the mm3 CTE chain grouped by (doc, channel);
+    zero crossings LAG within the channel's own frame order."""
+    return f"""
+    WITH {_audio_sample_ctes(n_frames * 2, mod=mod)},
+    lagged AS (
+      SELECT doc_id, si % 2 AS channel, si // 2 AS fi, s,
+             LAG(s) OVER (PARTITION BY doc_id, si % 2 ORDER BY si) AS prev
+      FROM samples
+    )
+    SELECT doc_id,
+           CAST(channel AS INT) AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND s * prev < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)), 6) AS rms
+    FROM lagged GROUP BY doc_id, channel
+    """
+
+
+@register(
+    "mm22_stereo_wav_channels",
+    _mm22_stereo_wav_sql(),
+    survey_rows="ext:multimodal-audio — multichannel WAV decode "
+    "(previously mono-gated) with per-channel feature reduction",
+    description="REAL stereo-WAV decode (round 8): decode_wav now "
+    "accepts any channel count for the interleaved sample formats "
+    "(PCM16 / float / G.711), returning (frames, channels) in FLAC's "
+    "convention — ADPCM stays honestly mono-gated because its blocks "
+    "interleave per-channel STATE, not samples. The fixture writes the "
+    "md5 int16 stream as L/R frames and multimodal.py::"
+    "decode_audio_channel_features reduces each channel independently "
+    "inside the Arrow batch (one row per doc x channel, zero shuffle); "
+    "the oracle re-derives channel membership as si % 2 over the mm3 "
+    "CTE chain with channel-partitioned LAG for the zero crossings.",
+)
+def mm22_stereo_wav_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_stereo_wav_payloads,
+        decode_audio_channel_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = decode_audio_channel_features(attach_stereo_wav_payloads(docs))
+    return feats.select(
+        "doc_id",
+        "channel",
+        "n_samples",
+        "peak",
+        "zero_crossings",
+        F.round("rms", 6).alias("rms"),
+    )
