@@ -163,3 +163,106 @@ def test_single_byte_corruption_fuzz():
                     decode_tiff(bytes(corrupted))
                 except (ValueError, NotImplementedError):
                     pass
+
+
+# ------------------------------------------------ round-8 extensions
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(bits=16),
+        dict(bits=16, predictor=2),
+        dict(bits=16, big_endian=True, predictor=2),
+        dict(planar=2),
+        dict(planar=2, compression=32773),
+        dict(planar=2, predictor=2, big_endian=True, rows_per_strip=5),
+        dict(tile=(8, 8)),
+        dict(tile=(5, 7), compression=32773),
+        dict(tile=(8, 8), predictor=2),
+        dict(tile=(32, 32)),
+        dict(tile=(8, 8), planar=2, compression=1),
+        dict(bits=16, tile=(8, 8)),
+        dict(bits=16, planar=2, tile=(5, 5)),
+    ],
+    ids=lambda kw: "+".join(f"{k}={v}" for k, v in kw.items()),
+)
+def test_roundtrip_extended_matrix(kw):
+    """Round-8 features: 16-bit samples (x257 scale -> high-byte
+    inverse), planar configuration 2, and tiled layouts, crossed with
+    compressions/predictor/endian."""
+    for img in (md5_pixels(81, 16, 12), md5_pixels(83, 19, 13)):
+        out = decode_tiff(encode_tiff(img, **kw))
+        assert len(out) == 1 and np.array_equal(out[0], img), kw
+
+
+def test_extended_default_bytes_identical():
+    """The baseline writer path must not drift: extended kwargs at their
+    defaults route through the ORIGINAL code, byte-for-byte (mm18's
+    fixture stability)."""
+    import hashlib
+
+    img = md5_pixels(81, 16, 12)
+    assert (
+        hashlib.md5(encode_tiff(img, compression=5, predictor=2)).hexdigest()
+        == hashlib.md5(
+            encode_tiff(img, compression=5, predictor=2, bits=8, planar=1, tile=None)
+        ).hexdigest()
+    )
+
+
+def test_jvm_imageio_conformance_extended(spark, tmpdir):
+    """Tiled / planar-2 / 16-bit streams must match the JVM ImageIO
+    decode bit-exactly. ImageIO REJECTS predictor 2 at 16 bits (spec-legal,
+    common reader gap) — the recorded rejection is the evidence that the
+    numpy decoder is the only in-env route for those streams."""
+    from youbike_etl_pipeline_spark.sources.readers import read_images
+
+    img = md5_pixels(81, 16, 12)
+    for tag, kw in {
+        "tiled": dict(tile=(8, 8)),
+        "tiled_odd": dict(tile=(5, 7), compression=32773),
+        "planar2": dict(planar=2),
+        "bits16": dict(bits=16),
+        "bits16_be": dict(bits=16, big_endian=True),
+        "tiled_planar": dict(tile=(8, 8), planar=2, compression=1),
+    }.items():
+        d = tmpdir.mkdir(f"jvmtiffx_{tag}")
+        payload = encode_tiff(img, **kw)
+        with open(os.path.join(str(d), "img.tiff"), "wb") as fh:
+            fh.write(payload)
+        rows = read_images(spark, str(d)).select("image.*").collect()
+        assert rows and rows[0]["mode"] != -1, f"ImageIO rejected {tag}"
+        nc = rows[0]["nChannels"]
+        ref = np.frombuffer(bytes(rows[0]["data"]), np.uint8).reshape(
+            rows[0]["height"], rows[0]["width"], nc
+        )
+        ref = ref[:, :, :3][:, :, ::-1] if nc >= 3 else np.repeat(ref, 3, axis=2)
+        mine = decode_tiff(payload)[0]
+        assert np.array_equal(mine, ref), tag
+        assert np.array_equal(mine, img), tag
+    # the documented ImageIO gap: predictor 2 at 16 bits
+    d = tmpdir.mkdir("jvmtiffx_pred16")
+    payload = encode_tiff(img, bits=16, predictor=2)
+    with open(os.path.join(str(d), "img.tiff"), "wb") as fh:
+        fh.write(payload)
+    rows = read_images(spark, str(d)).select("image.*").collect()
+    # rejection surfaces as either a dropped row or an invalid-mode row
+    assert not rows or rows[0]["mode"] == -1, "ImageIO unexpectedly accepts pred2@16"
+    assert np.array_equal(decode_tiff(payload)[0], img)
+
+
+def test_extended_corruption_fuzz():
+    """The tiled/16-bit/planar paths inherit the corruption contract."""
+    img = md5_pixels(84, 16, 12)
+    for payload in (
+        encode_tiff(img, tile=(8, 8), compression=5),
+        encode_tiff(img, bits=16, planar=2, compression=32773),
+    ):
+        for i in range(len(payload)):
+            corrupted = bytearray(payload)
+            corrupted[i] ^= 0x01
+            try:
+                decode_tiff(bytes(corrupted))
+            except (ValueError, NotImplementedError):
+                pass

@@ -1427,6 +1427,24 @@ def attach_ppm_payloads(
         )
         return encode_tiff(img, **combos[(did // 10) % len(combos)])
 
+    def _tiffx(img: "np.ndarray", did: int) -> bytes:
+        from .tiff import encode_tiff
+
+        # round-8 extended-TIFF matrix: tiles / 16-bit / planar-2 (incl.
+        # the predictor-2@16-bit stream ImageIO itself rejects), indexed
+        # by did // 25 because mm23 feeds multiples of 25 (gcd trap)
+        combos = (
+            dict(tile=(8, 8)),
+            dict(tile=(5, 7), compression=32773),
+            dict(bits=16),
+            dict(bits=16, predictor=2),
+            dict(planar=2),
+            dict(planar=2, predictor=2, big_endian=True, rows_per_strip=5),
+            dict(bits=16, tile=(8, 8), big_endian=True),
+            dict(tile=(8, 8), planar=2, compression=1),
+        )
+        return encode_tiff(img, **combos[(did // 25) % len(combos)])
+
     def _pngv(img: "np.ndarray", did: int) -> bytes:
         # rotate the round-8 PNG spec matrix (every variant preserves the
         # RGB pixels, so the md5-pixel oracle applies unchanged); indexed
@@ -1451,6 +1469,7 @@ def attach_ppm_payloads(
         "webpl": _webpl,
         "gif": _gif,
         "tiff": _tiff,
+        "tiffx": _tiffx,
     }[fmt]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

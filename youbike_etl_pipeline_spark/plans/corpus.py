@@ -2182,7 +2182,7 @@ def _mm2_decode_sql(
     n = width * height * 3
     blocks = (n + 15) // 16
     header_len = len(b"P6\n%d %d\n255\n" % (width, height))
-    if fmt in ("png", "pngv", "jpegl", "webpl", "gif", "tiff"):
+    if fmt in ("png", "pngv", "jpegl", "webpl", "gif", "tiff", "tiffx"):
         # compressed payload length depends on the encoder (zlib build /
         # per-row Huffman predictor), so the graded output is
         # encoding-independent: dims + the feature block only.
@@ -17560,4 +17560,40 @@ def mm22_stereo_wav_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         "zero_crossings",
         F.round("rms", 6).alias("rms"),
+    )
+
+
+@register(
+    "mm23_tiff_extended_decode",
+    _mm2_decode_sql(width=16, height=12, fmt="tiffx", mod=25),
+    survey_rows="ext:multimodal-decode — tiled / 16-bit / planar-2 TIFF "
+    "(previously gated); mm2's md5-pixel oracle verifies the pixels "
+    "bit-exactly",
+    description="REAL extended-TIFF decode (round 8): the md5-pixel "
+    "fixture rotates the TIFF 6.0 extension matrix per doc — tiled "
+    "layouts (square and odd edge-padded tiles), 16-bit samples in "
+    "either byte order (x257 scale, high-byte inverse), planar "
+    "configuration 2 (plane-major unit ordering), crossed with "
+    "LZW/PackBits/none and the predictor (operators/tiff.py::"
+    "encode_tiff combos indexed did//25) — and decode_tiff reverses "
+    "each: per-unit decompression, unit-local horizontal differencing "
+    "at both depths, edge-tile clipping, plane reassembly. Conformance: "
+    "tiled/planar/16-bit are bit-exact vs the JVM ImageIO decode; the "
+    "predictor-2@16-bit stream (combo 3) is one ImageIO itself REJECTS "
+    "(tests/test_tiff.py records the rejection), so the graded corpus "
+    "covers a stream whose only in-env decode is this one.",
+)
+def mm23_tiff_extended_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_ppm_payloads, decode_image_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    media = attach_ppm_payloads(docs, width=16, height=12, fmt="tiffx")
+    feats = decode_image_features(media)
+    return feats.select(
+        "doc_id",
+        F.lit(16).cast("int").alias("width"),
+        F.lit(12).cast("int").alias("height"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("feat_sum"),
     )
