@@ -468,3 +468,34 @@ def test_stereo_channel_features_spark_matches_local(spark):
 
     flat = decode_audio_features(attach_stereo_wav_payloads(df)).collect()
     assert all(r["n_samples"] == 256 for r in flat)
+
+
+def test_pcm8_and_pcm24_wav_decode():
+    """8-bit PCM is unsigned with a 128 bias; 24-bit is little-endian
+    signed kept at full int32 precision — both anchored by hand."""
+    import struct
+
+    from youbike_etl_pipeline_spark.operators.multimodal import decode_wav
+
+    def wav(fmt_code, ch, rate, block, bits, data):
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack(
+                "<IHHIIHH", 16, fmt_code, ch, rate, rate * block, block, bits
+            )
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    # u8: 0 -> -32768, 128 -> 0, 255 -> +32512
+    _, x = decode_wav(wav(1, 1, 8000, 1, 8, bytes([0, 128, 255])))
+    assert x.dtype == np.int16 and list(x) == [-32768, 0, 32512]
+    # s24: 0x000001=1, 0x7FFFFF=max, 0x800000=min, 0xFFFFFF=-1
+    data = (
+        b"\x01\x00\x00" + b"\xff\xff\x7f" + b"\x00\x00\x80" + b"\xff\xff\xff"
+    )
+    _, y = decode_wav(wav(1, 1, 48000, 3, 24, data))
+    assert y.dtype == np.int32
+    assert list(y) == [1, 8388607, -8388608, -1]
+    # stereo 24-bit frames
+    _, z = decode_wav(wav(1, 2, 48000, 6, 24, data))
+    assert z.shape == (2, 2) and z[0, 0] == 1 and z[1, 1] == -1

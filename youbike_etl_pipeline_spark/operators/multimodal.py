@@ -2024,6 +2024,23 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
 
     if audio_fmt == 1 and bits == 16:
         return rate, frames(np.frombuffer(data, dtype="<i2"))
+    if audio_fmt == 1 and bits == 8:
+        # 8-bit PCM is UNSIGNED with a 128 bias (the WAV convention);
+        # expand to int16 range so features are depth-comparable
+        u = np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+        return rate, frames(((u - 128) * 256).astype(np.int16))
+    if audio_fmt == 1 and bits == 24:
+        # 24-bit little-endian signed → int32 (full precision kept;
+        # callers scale if they need the int16 range)
+        n_full = (len(data) // 3) * 3
+        b = np.frombuffer(data[:n_full], dtype=np.uint8).reshape(-1, 3)
+        v = (
+            b[:, 0].astype(np.int32)
+            | (b[:, 1].astype(np.int32) << 8)
+            | (b[:, 2].astype(np.int32) << 16)
+        )
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)
+        return rate, frames(v.astype(np.int32))
     if audio_fmt == 3 and bits in (32, 64):  # IEEE float PCM
         # bit reinterpretation only — no scaling, no entropy coding; the
         # native float dtype is returned so nominal [-1, 1] semantics
