@@ -158,3 +158,47 @@ def test_jvm_imageio_conformance(spark, tmpdir):
         mine = decode_png(payload)
         assert np.array_equal(mine, ref), tag
         assert np.array_equal(mine, want), tag
+
+
+# ------------------------------------------------------- property tests
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _png_images(draw):
+    w = draw(st.integers(1, 21))
+    h = draw(st.integers(1, 17))
+    kind = draw(st.sampled_from(["noise", "flat", "stripes", "gray"]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    if kind == "noise":
+        return rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    if kind == "flat":
+        return np.full((h, w, 3), rng.integers(0, 256), np.uint8)
+    if kind == "gray":
+        g = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    return (
+        (np.arange(w)[None, :, None] % 2 * 255).astype(np.uint8).repeat(h, 0).repeat(3, 2)
+    )
+
+
+@given(
+    img=_png_images(),
+    depth=st.sampled_from([8, 16]),
+    ctype=st.sampled_from([2, 3, 6]),
+    interlace=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_property_roundtrip_png(img, depth, ctype, interlace):
+    """Hypothesis over adversarial shapes (flat / 1-wide / stripes /
+    gray) across the truecolor+palette grid — the lesson that found
+    VP8L's 2-symbol-prefix overflow applies to every codec."""
+    if ctype == 3:
+        depth = 8  # palette caps at 8; distinct colors bound by 21*17 < 256
+        if len(np.unique(img.reshape(-1, 3), axis=0)) > 256:
+            ctype = 2
+    out = decode_png(encode_png(img, depth=depth, ctype=ctype, interlace=interlace))
+    assert np.array_equal(out, img)

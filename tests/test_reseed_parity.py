@@ -541,6 +541,13 @@ DOC_EVENT_QUERIES = [
     # stream-static join: the fixture's new tiny customer dim keys into
     # the events user_id space (inner-join drops + NULL segment group)
     "st7_stream_static_join",
+    # round-8: the new codec queries (md5 fixtures derive from doc_id
+    # only, so parity must hold under any reseed) — float/extensible WAV,
+    # stereo per-channel features, the PNG spec matrix, extended TIFF
+    "mm20_float_wav_decode",
+    "mm21_png_variants_decode",
+    "mm22_stereo_wav_channels",
+    "mm23_tiff_extended_decode",
 ]
 
 
