@@ -266,3 +266,47 @@ def test_extended_corruption_fuzz():
                 decode_tiff(bytes(corrupted))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_palette_tiff_roundtrip_and_jvm(spark, tmpdir):
+    """Photometric-3 palette TIFF (8-bit indices, 16-bit ColorMap):
+    round trips across compressions/tiles/endian and agrees bit-exactly
+    with the JVM ImageIO decode."""
+    from youbike_etl_pipeline_spark.sources.readers import read_images
+
+    img = md5_pixels(85, 16, 12)
+    for kw in (
+        dict(palette=True),
+        dict(palette=True, compression=32773),
+        dict(palette=True, tile=(8, 8)),
+        dict(palette=True, big_endian=True, predictor=2),
+    ):
+        out = decode_tiff(encode_tiff(img, **kw))
+        assert np.array_equal(out[0], img), kw
+    payload = encode_tiff(img, palette=True)
+    d = tmpdir.mkdir("jvmtiff_pal")
+    with open(os.path.join(str(d), "img.tiff"), "wb") as fh:
+        fh.write(payload)
+    rows = read_images(spark, str(d)).select("image.*").collect()
+    assert rows and rows[0]["mode"] != -1
+    nc = rows[0]["nChannels"]
+    ref = np.frombuffer(bytes(rows[0]["data"]), np.uint8).reshape(
+        rows[0]["height"], rows[0]["width"], nc
+    )
+    ref = ref[:, :, :3][:, :, ::-1] if nc >= 3 else np.repeat(ref, 3, axis=2)
+    assert np.array_equal(decode_tiff(payload)[0], ref)
+    # validation: too many colors / wrong parameter combos
+    noisy = np.arange(18 * 16 * 3, dtype=np.int64) % 251
+    noisy = (noisy.reshape(18, 16, 3) + np.arange(3)).astype(np.uint8)
+    if len(np.unique(noisy.reshape(-1, 3), axis=0)) > 256:
+        with pytest.raises(ValueError, match="256 colors"):
+            encode_tiff(noisy, palette=True)
+    with pytest.raises(ValueError, match="palette TIFF needs"):
+        encode_tiff(img, palette=True, bits=16)
+    # decoder gate: missing ColorMap
+    bad = bytearray(encode_tiff(img, palette=True))
+    i = bad.find((320).to_bytes(2, "little"))
+    # flip the ColorMap tag id to an ignored value -> ValueError
+    bad[i : i + 2] = (32000).to_bytes(2, "little")
+    with pytest.raises(ValueError, match="ColorMap"):
+        decode_tiff(bytes(bad))

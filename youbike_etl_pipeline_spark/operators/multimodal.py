@@ -1442,6 +1442,8 @@ def attach_ppm_payloads(
             dict(planar=2, predictor=2, big_endian=True, rows_per_strip=5),
             dict(bits=16, tile=(8, 8), big_endian=True),
             dict(tile=(8, 8), planar=2, compression=1),
+            dict(palette=True),  # photometric 3 + 16-bit ColorMap
+            dict(palette=True, tile=(8, 8), big_endian=True),
         )
         return encode_tiff(img, **combos[(did // 25) % len(combos)])
 

@@ -248,10 +248,25 @@ def decode_tiff(payload: bytes) -> "list[np.ndarray]":
                 "only uniform 8-/16-bit grayscale/RGB TIFF is supported"
             )
         photometric = tags.get(262, [1])[0]
-        if photometric not in (0, 1, 2):
+        if photometric not in (0, 1, 2, 3):
             raise NotImplementedError(
                 f"TIFF photometric {photometric} needs a codec library"
             )
+        colormap = None
+        if photometric == 3:  # palette-color: indices into ColorMap (320)
+            cm = tags.get(320)
+            if spp != 1 or bps[0] != 8:
+                raise NotImplementedError(
+                    "palette TIFF is supported at 8-bit indices only"
+                )
+            if not cm or len(cm) != 3 * (1 << bps[0]):
+                raise ValueError("palette TIFF missing/short ColorMap")
+            # ColorMap stores 16-bit intensities, all reds then greens
+            # then blues; reduce by the high byte like every 16→8 path
+            n = 1 << bps[0]
+            colormap = (
+                np.array(cm, dtype=np.uint32).reshape(3, n).T >> 8
+            ).astype(np.uint8)
         compression = tags.get(259, [1])[0]
         planar = tags.get(284, [1])[0]
         if planar not in (1, 2):
@@ -352,7 +367,9 @@ def decode_tiff(payload: bytes) -> "list[np.ndarray]":
             img = (img >> 8).astype(np.uint8)
         else:
             img = img.astype(np.uint8)
-        if spp == 1:
+        if colormap is not None:
+            img = colormap[img[:, :, 0]]
+        elif spp == 1:
             img = np.repeat(img, 3, axis=2)
         pages.append(img.copy())
         ifd_off = u32(ifd_off + 2 + 12 * n_entries)
@@ -373,6 +390,7 @@ def encode_tiff(
     bits: int = 8,
     planar: int = 1,
     tile: "tuple[int, int] | None" = None,
+    palette: bool = False,
 ) -> bytes:
     """(H, W, 3) or (H, W) uint8 page(s) → TIFF. ``compression`` is 1
     (none), 5 (LZW) or 32773 (PackBits); ``predictor`` 2 applies
@@ -380,15 +398,19 @@ def encode_tiff(
     through next-IFD offsets. Round-8 extensions: ``bits=16`` writes
     16-bit samples (input bytes scaled by 257, so the decoder's
     high-byte convention inverts exactly), ``planar=2`` stores each
-    sample plane's units consecutively (plane-major, per spec), and
+    sample plane's units consecutively (plane-major, per spec),
     ``tile=(tw, tl)`` switches to the tiled layout (tags 322-325,
-    right/bottom edge tiles zero-padded to full size). The default
-    combination's output is byte-identical to the pre-r8 encoder
-    (fixture stability for mm18)."""
+    right/bottom edge tiles zero-padded to full size), and ``palette``
+    writes photometric-3 palette color (8-bit indices into a 16-bit
+    ColorMap built from the distinct colors, intensities scaled by
+    257). The default combination's output is byte-identical to the
+    pre-r8 encoder (fixture stability for mm18)."""
     if isinstance(pages, np.ndarray):
         pages = [pages]
     if bits not in (8, 16) or planar not in (1, 2):
         raise ValueError("encode_tiff supports bits 8/16, planar 1/2")
+    if palette and (bits != 8 or planar != 1):
+        raise ValueError("palette TIFF needs bits=8, planar=1")
     endian = ">" if big_endian else "<"
     out = bytearray(b"MM\x00*" if big_endian else b"II*\x00")
     out.extend(struct.pack(endian + "I", 0))  # first IFD offset, patched
@@ -396,10 +418,10 @@ def encode_tiff(
     def pack(fmt: str, *vals: int) -> bytes:
         return struct.pack(endian + fmt, *vals)
 
-    if bits == 16 or planar == 2 or tile is not None:
+    if bits == 16 or planar == 2 or tile is not None or palette:
         return _encode_tiff_extended(
             pages, compression, predictor, big_endian, rows_per_strip,
-            bits, planar, tile, out,
+            bits, planar, tile, palette, out,
         )
     prev_link = 4
     for page in pages:
@@ -491,12 +513,13 @@ def _encode_tiff_extended(
     bits: int,
     planar: int,
     tile: "tuple[int, int] | None",
+    palette: bool,
     out: bytearray,
 ) -> bytes:
     """Generalized TIFF writer for the round-8 features (16-bit samples,
-    planar configuration 2, tiled layout). Kept separate from the
-    baseline writer so the pre-r8 parameter combinations stay
-    byte-identical (mm18's graded fixture)."""
+    planar configuration 2, tiled layout, photometric-3 palette). Kept
+    separate from the baseline writer so the pre-r8 parameter
+    combinations stay byte-identical (mm18's graded fixture)."""
     endian = ">" if big_endian else "<"
     sdt = np.dtype(endian + "u2") if bits == 16 else np.dtype(np.uint8)
 
@@ -523,6 +546,20 @@ def _encode_tiff_extended(
     for page in pages:
         if page.ndim == 2:
             page = page[:, :, None]
+        colormap = None
+        if palette:
+            if page.shape[2] != 3:
+                raise ValueError("palette TIFF needs RGB input")
+            colors = np.unique(page.reshape(-1, 3), axis=0)
+            if len(colors) > 256:
+                raise ValueError(
+                    f"palette TIFF allows 256 colors (image has {len(colors)})"
+                )
+            colormap = colors
+            lut = {tuple(c): i for i, c in enumerate(colors)}
+            page = np.array(
+                [lut[tuple(px)] for px in page.reshape(-1, 3)], dtype=np.uint8
+            ).reshape(page.shape[0], page.shape[1], 1)
         h, w, spp = page.shape
         arr = page.astype(sdt) * (257 if bits == 16 else 1)
         planes = (
@@ -556,6 +593,16 @@ def _encode_tiff_extended(
         if spp == 3:
             bps_off = len(out)
             out.extend(pack("HHH", bits, bits, bits))
+        cm_off = None
+        if colormap is not None:
+            # ColorMap: 3*2^bits 16-bit intensities, all reds then all
+            # greens then all blues, ×257 so the high byte inverts it
+            cm_off = len(out)
+            full = np.zeros((256, 3), dtype=np.uint32)
+            full[: len(colormap)] = colormap.astype(np.uint32) * 257
+            for channel in range(3):
+                for v in full[:, channel]:
+                    out.extend(pack("H", int(v)))
         arr_off = {}
         for name, vals in (
             ("offsets", unit_offsets),
@@ -580,8 +627,10 @@ def _encode_tiff_extended(
         else:
             entry_short(258, bits)
         entry_short(259, compression)
-        entry_short(262, 2 if spp == 3 else 1)
+        entry_short(262, 3 if colormap is not None else (2 if spp == 3 else 1))
         entry_short(277, spp)
+        if colormap is not None:
+            entry(320, 3, 768, cm_off)  # type: ignore[arg-type]
         if planar == 2:
             entry_short(284, 2)
         if predictor == 2:
