@@ -120,3 +120,84 @@ def test_single_byte_corruption_fuzz():
             decode_avi_mjpeg(bytes(corrupted))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_audio_demux_roundtrip_and_gates():
+    """Round-8 A/V demux: the audio track survives muxing bit-exactly,
+    the strf->WAV shell inherits every WAV coding, and containers
+    without audio raise."""
+    import numpy as np
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        decode_avi_audio,
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        encode_jpeg_lossless,
+        md5_pixels,
+        md5_samples,
+    )
+
+    frames = [
+        encode_jpeg_lossless(md5_pixels(90 + i, 16, 12), predictor=1)
+        for i in range(3)
+    ]
+    x = md5_samples(91, 300)
+    payload = encode_avi_mjpeg(frames, 16, 12, audio=x, audio_rate=22050)
+    rate, back = decode_avi_audio(payload)
+    assert rate == 22050 and np.array_equal(back, x)
+    assert len(decode_avi_mjpeg(payload)) == 3  # video side unaffected
+    with pytest.raises(ValueError, match="no audio stream"):
+        decode_avi_audio(encode_avi_mjpeg(frames, 16, 12))
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_audio(b"RIFF\x04\x00\x00\x00WAVE")
+    # audio=None output is byte-identical to the pre-r8 encoder
+    import hashlib
+
+    assert (
+        hashlib.md5(encode_avi_mjpeg(frames, 16, 12)).hexdigest()
+        == "841adbe70d7cf7d18a4c4b96656624cb"
+    )
+
+
+def test_audio_demux_spark_matches_local(spark):
+    import numpy as np
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_avi_av_payloads,
+        decode_av_features,
+        md5_samples,
+    )
+
+    df = spark.range(0, 50, 10).withColumnRenamed("id", "doc_id")
+    rows = decode_av_features(attach_avi_av_payloads(df)).collect()
+    assert len(rows) == 5
+    for r in rows:
+        x = md5_samples(r["doc_id"], 256).astype(np.int64)
+        assert r["n_frames"] == 2
+        assert r["n_samples"] == 256
+        assert r["peak"] == int(np.abs(x).max())
+        assert r["zero_crossings"] == int(((x[:-1] * x[1:]) < 0).sum())
+
+
+def test_audio_demux_corruption_fuzz():
+    """Bit flips across the muxed container (headers, video chunks,
+    audio chunks) must raise typed errors or decode."""
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        decode_avi_audio,
+        encode_avi_mjpeg,
+        encode_jpeg_lossless,
+        md5_pixels,
+        md5_samples,
+    )
+
+    payload = encode_avi_mjpeg(
+        [encode_jpeg_lossless(md5_pixels(92, 8, 6), predictor=1)],
+        8, 6, audio=md5_samples(93, 64),
+    )
+    for i in range(len(payload)):
+        corrupted = bytearray(payload)
+        corrupted[i] ^= 0x01 if i % 2 else 0x80
+        try:
+            decode_avi_audio(bytes(corrupted))
+        except (ValueError, NotImplementedError):
+            pass

@@ -548,6 +548,7 @@ DOC_EVENT_QUERIES = [
     "mm21_png_variants_decode",
     "mm22_stereo_wav_channels",
     "mm23_tiff_extended_decode",
+    "mm24_avi_audio_demux",
 ]
 
 

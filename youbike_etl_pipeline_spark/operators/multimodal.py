@@ -2728,12 +2728,22 @@ def attach_video_frames(
 
 
 def encode_avi_mjpeg(
-    frames: list[bytes], width: int, height: int, fps: int = 10
+    frames: list[bytes],
+    width: int,
+    height: int,
+    fps: int = 10,
+    audio: "np.ndarray | None" = None,
+    audio_rate: int = 16000,
 ) -> bytes:
     """Encoded JPEG frames → minimal RIFF/AVI (MJPEG) container: 'hdrl'
     (avih + one 'vids'/'MJPG' stream with a BITMAPINFOHEADER) and a 'movi'
     list of '00dc' chunks, word-aligned per RIFF. Pure struct — the
-    conformance fixture for :func:`decode_avi_mjpeg`."""
+    conformance fixture for :func:`decode_avi_mjpeg`. ``audio`` (int16
+    samples) adds a second 'auds' stream — PCM16 WAVEFORMATEX strf,
+    samples split into per-frame '01wb' chunks interleaved after each
+    video chunk, the standard AVI muxing shape — for
+    :func:`decode_avi_audio`; audio=None output is byte-identical to the
+    pre-r8 encoder (mm15 fixture stability)."""
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
@@ -2741,8 +2751,9 @@ def encode_avi_mjpeg(
     def lst(tag: bytes, body: bytes) -> bytes:
         return chunk(b"LIST", tag + body)
 
+    n_streams = 2 if audio is not None else 1
     avih = struct.pack(
-        "<14I", 1_000_000 // fps, 0, 0, 0x10, len(frames), 0, 1, 0,
+        "<14I", 1_000_000 // fps, 0, 0, 0x10, len(frames), 0, n_streams, 0,
         width, height, 0, 0, 0, 0,
     )
     strh = (
@@ -2753,8 +2764,31 @@ def encode_avi_mjpeg(
         "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG",
         width * height * 3, 0, 0, 0, 0,
     )
-    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    strls = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    if audio is not None:
+        samples = np.asarray(audio).astype("<i2")
+        a_strh = (
+            b"auds" + b"\x00\x00\x00\x00"
+            + struct.pack("<10I", 0, 0, 0, 1, audio_rate, 0, len(samples), 0, 0, 0)
+            + struct.pack("<4H", 0, 0, 0, 0)
+        )
+        a_strf = struct.pack(
+            "<HHIIHH", 1, 1, audio_rate, audio_rate * 2, 2, 16
+        )
+        strls += lst(b"strl", chunk(b"strh", a_strh) + chunk(b"strf", a_strf))
+        # split samples into per-frame slices (remainder rides the last)
+        per = max(1, len(samples) // max(1, len(frames)))
+        movi_body = b""
+        for i, f in enumerate(frames):
+            movi_body += chunk(b"00dc", f)
+            lo = i * per
+            hi = len(samples) if i == len(frames) - 1 else (i + 1) * per
+            if lo < len(samples):
+                movi_body += chunk(b"01wb", samples[lo:hi].tobytes())
+        movi = lst(b"movi", movi_body)
+    else:
+        movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in frames))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strls)
     return chunk(b"RIFF", b"AVI " + hdrl + movi)
 
 
@@ -2798,6 +2832,183 @@ def decode_avi_mjpeg(payload: bytes) -> list["np.ndarray"]:
     if not frames:
         raise ValueError("AVI contains no decodable video chunks")
     return frames
+
+
+def decode_avi_audio(payload: bytes) -> tuple[int, "np.ndarray"]:
+    """RIFF/AVI → the audio track: finds the 'auds' stream in 'hdrl'
+    (its position among the 'strl' lists is the stream number NN),
+    concatenates that stream's 'NNwb' chunks from 'movi' in file order,
+    and wraps the stream-format block in a RIFF/WAVE shell — an AVI
+    audio ``strf`` IS a WAVEFORMATEX, byte-compatible with a WAV 'fmt '
+    body — so :func:`decode_wav` dispatches it and EVERY supported WAV
+    coding (PCM 8/16/24, float, G.711, mono ADPCM, extensible headers)
+    demuxes from AVI for free. Raises ``ValueError`` when the container
+    carries no audio stream."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    stream_idx = -1
+    audio_idx: int | None = None
+    strf: bytes | None = None
+    chunks: list[bytes] = []
+
+    def walk(data: bytes, pos: int, end: int) -> None:
+        nonlocal stream_idx, audio_idx, strf
+        in_audio_strl = False
+        while pos + 8 <= end:
+            tag = data[pos : pos + 4]
+            (size,) = struct.unpack_from("<I", data, pos + 4)
+            body_start = pos + 8
+            body_end = body_start + size
+            if body_end > end:
+                raise ValueError("truncated AVI chunk")
+            if tag == b"LIST":
+                ltype = data[body_start : body_start + 4]
+                if ltype in (b"movi", b"hdrl", b"strl", b"rec "):
+                    if ltype == b"strl":
+                        stream_idx += 1
+                    walk(data, body_start + 4, body_end)
+            elif tag == b"strh" and size >= 4:
+                if data[body_start : body_start + 4] == b"auds":
+                    in_audio_strl = True
+                    if audio_idx is None:
+                        audio_idx = stream_idx
+            elif tag == b"strf" and in_audio_strl and strf is None:
+                strf = data[body_start:body_end]
+                in_audio_strl = False
+            elif (
+                audio_idx is not None
+                and tag == b"%02dwb" % audio_idx
+                and size
+            ):
+                chunks.append(data[body_start:body_end])
+            pos = body_end + (size & 1)
+
+    (declared,) = struct.unpack_from("<I", payload, 4)
+    walk(payload, 12, min(8 + declared, len(payload)))
+    if audio_idx is None or strf is None:
+        raise ValueError("AVI contains no audio stream")
+    if not chunks:
+        raise ValueError("AVI audio stream has no data chunks")
+    data = b"".join(chunks)
+    wav = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(strf) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(strf))
+        + strf
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+    return decode_wav(wav)
+
+
+#: (doc_id, n_frames, audio features) — container-demux reduction
+AV_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def attach_avi_av_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_frames: int = 2,
+    n_samples: int = 256,
+    rate: int = 16000,
+) -> DataFrame:
+    """Give every row a REAL audio+video AVI: ``n_frames`` lossless-JPEG
+    md5-pixel frames muxed with the md5 int16 sample stream as an
+    interleaved PCM16 'auds' track — the mm24 fixture for the container
+    demux path."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                frames = [
+                    encode_jpeg_lossless(
+                        md5_pixels(did * 7 + i, 8, 6), predictor=1 + (did + i) % 7
+                    )
+                    for i in range(n_frames)
+                ]
+                payloads.append(
+                    bytearray(
+                        encode_avi_mjpeg(
+                            frames, 8, 6,
+                            audio=md5_samples(did, n_samples),
+                            audio_rate=rate,
+                        )
+                    )
+                )
+                metas.append(
+                    {
+                        "media_type": "video",
+                        "format": "avi-av",
+                        "width": 8,
+                        "height": 6,
+                        "duration_ms": n_samples * 1000 // rate,
+                    }
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
+            )
+
+    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
+def decode_av_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Container demux + joint features via ``mapInPandas``: counts the
+    decoded MJPEG video frames AND reduces the demuxed audio track
+    (:func:`decode_avi_audio` → the same peak/zero-crossing/RMS block as
+    the WAV family) in one pass over each payload — the shape a
+    multimodal training pipeline uses to align A/V streams. Shuffle-free
+    like every decode op."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nf, n_samp, peak, zc, rms = [], [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                ids.append(did)
+                nf.append(len(decode_avi_mjpeg(raw)))
+                _, x = decode_avi_audio(raw)
+                xl = x.reshape(-1).astype(np.int64)
+                n_samp.append(len(xl))
+                peak.append(int(np.abs(xl).max()) if len(xl) else 0)
+                zc.append(int(((xl[:-1] * xl[1:]) < 0).sum()) if len(xl) > 1 else 0)
+                rms.append(float(np.sqrt((xl * xl).sum() / len(xl))) if len(xl) else 0.0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_frames": pd.array(nf, dtype="Int64"),
+                    "n_samples": pd.array(n_samp, dtype="Int64"),
+                    "peak": pd.array(peak, dtype="Int64"),
+                    "zero_crossings": pd.array(zc, dtype="Int64"),
+                    "rms": pd.array(rms, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=AV_FEATURES)
 
 
 #: (doc_id, frame_idx, r_sum, g_sum, b_sum) — per decoded frame

@@ -17597,3 +17597,60 @@ def mm23_tiff_extended_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
         ).alias("feat_sum"),
     )
+
+
+def _mm24_avi_av_sql(n_frames: int = 2, n_samples: int = 256, mod: int = 10) -> str:
+    """DuckDB mirror of the A/V container demux: the audio track carries
+    the SAME md5 int16 samples as mm3 (PCM16 survives the AVI muxing
+    bit-exactly), so the oracle is the mm3 feature block plus the
+    constant frame count the fixture muxes."""
+    return f"""
+    WITH {_audio_sample_ctes(n_samples, mod=mod)},
+    lagged AS (
+      SELECT doc_id, si, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY si) AS prev
+      FROM samples
+    )
+    SELECT doc_id,
+           CAST({n_frames} AS BIGINT) AS n_frames,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND s * prev < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)), 6) AS rms
+    FROM lagged GROUP BY doc_id
+    """
+
+
+@register(
+    "mm24_avi_audio_demux",
+    _mm24_avi_av_sql(),
+    survey_rows="ext:multimodal-video — A/V container demux: the AVI "
+    "audio track ('auds' strl + interleaved '01wb' chunks) decodes "
+    "through the WAV dispatch",
+    description="REAL A/V container demux (round 8): the fixture muxes "
+    "lossless-JPEG video frames AND a PCM16 audio track into one AVI "
+    "(multimodal.py::encode_avi_mjpeg audio extension — per-frame "
+    "interleaved '01wb' chunks, the standard muxing shape); "
+    "decode_avi_audio walks hdrl to the 'auds' strl, maps its position "
+    "to the NNwb stream number, concatenates the stream's chunks, and "
+    "wraps the strf (a WAVEFORMATEX, byte-compatible with a WAV fmt "
+    "body) in a RIFF/WAVE shell so decode_wav dispatches it — every "
+    "supported WAV coding demuxes from AVI for free. "
+    "decode_av_features reduces frame count + audio features in one "
+    "Arrow pass; the oracle is mm3's sample re-derivation plus the "
+    "muxed frame count.",
+)
+def mm24_avi_audio_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_avi_av_payloads, decode_av_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = decode_av_features(attach_avi_av_payloads(docs))
+    return feats.select(
+        "doc_id",
+        "n_frames",
+        "n_samples",
+        "peak",
+        "zero_crossings",
+        F.round("rms", 6).alias("rms"),
+    )
