@@ -549,6 +549,7 @@ DOC_EVENT_QUERIES = [
     "mm22_stereo_wav_channels",
     "mm23_tiff_extended_decode",
     "mm24_avi_audio_demux",
+    "mm25_bmp_variants_decode",
 ]
 
 

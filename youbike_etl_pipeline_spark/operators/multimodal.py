@@ -113,27 +113,178 @@ def decode_ppm(payload: bytes) -> "np.ndarray":
     return data.reshape(h, w, 3)
 
 
+def _bmp_rle8_decode(data: bytes, w: int, h: int) -> "np.ndarray":
+    """Microsoft RLE8: (count, index) runs; count==0 escapes to
+    end-of-line (0), end-of-bitmap (1), delta (2, dx dy — skipped pixels
+    are index 0 per convention) or an absolute run padded to a word
+    boundary. Rows are bottom-up like every BMP."""
+    idx = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    while i + 1 < len(data) and y < h:
+        n, v = data[i], data[i + 1]
+        i += 2
+        if n > 0:  # encoded run
+            take = min(n, w - x)
+            idx[y, x : x + take] = v
+            x += take
+        elif v == 0:  # end of line
+            x, y = 0, y + 1
+        elif v == 1:  # end of bitmap
+            break
+        elif v == 2:  # delta
+            if i + 1 >= len(data):
+                raise ValueError("truncated BMP RLE8 delta")
+            x = min(w, x + data[i])
+            y += data[i + 1]
+            i += 2
+        else:  # absolute run of v literal indices, word-aligned
+            if i + v > len(data):
+                raise ValueError("truncated BMP RLE8 literal run")
+            take = min(v, w - x)
+            idx[y, x : x + take] = np.frombuffer(data[i : i + take], np.uint8)
+            x += take
+            i += v + (v & 1)
+    return idx[::-1]  # bottom-up
+
+
 def decode_bmp(payload: bytes) -> "np.ndarray":
-    """Parse an uncompressed 24-bit BMP (BITMAPINFOHEADER): bottom-up rows,
-    BGR triplets, rows padded to 4 bytes. Pure numpy, no codec lib."""
+    """Parse a BMP (BITMAPINFOHEADER family) → (H, W, 3) uint8 RGB.
+    Handles the common variants: uncompressed 24-bit BGR and 32-bit
+    BGRA (alpha dropped, same documented convention as PNG/GIF), 1-/4-/
+    8-bit palette with the BGRX color table, and RLE8 (compression 1).
+    Bottom-up and top-down row orders, rows padded to 4 bytes. Pure
+    numpy, no codec lib; BITFIELDS/RLE4/16-bit raise."""
     if payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
     data_offset = struct.unpack_from("<I", payload, 10)[0]
     header_size = struct.unpack_from("<I", payload, 14)[0]
     w, h = struct.unpack_from("<ii", payload, 18)
     bpp = struct.unpack_from("<H", payload, 28)[0]
     compression = struct.unpack_from("<I", payload, 30)[0]
-    if header_size < 40 or bpp != 24 or compression != 0:
-        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    clr_used = struct.unpack_from("<I", payload, 46)[0]
+    if header_size < 40 or w <= 0 or h == 0:
+        raise ValueError("unsupported BMP header")
     top_down = h < 0
     h = abs(h)
-    row_bytes = (w * 3 + 3) & ~3
+    palette = None
+    if bpp in (1, 4, 8):
+        n = clr_used or (1 << bpp)
+        tbl_off = 14 + header_size
+        tbl = payload[tbl_off : tbl_off + 4 * n]
+        if len(tbl) < 4 * n:
+            raise ValueError("truncated BMP color table")
+        palette = (
+            np.frombuffer(tbl, np.uint8).reshape(-1, 4)[:, :3][:, ::-1].copy()
+        )  # BGRX → RGB
+    if bpp == 8 and compression == 1:  # RLE8 (always bottom-up)
+        if top_down:
+            raise ValueError("top-down RLE8 BMP is not legal")
+        idx = _bmp_rle8_decode(payload[data_offset:], w, h)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("BMP palette index outside the color table")
+        return palette[idx]
+    if compression != 0 or bpp not in (1, 4, 8, 24, 32):
+        raise NotImplementedError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression})"
+        )
+    row_bytes = ((w * bpp + 7) // 8 + 3) & ~3
+    need = row_bytes * h
+    if data_offset + need > len(payload):
+        raise ValueError("truncated BMP pixel data")
     rows = np.frombuffer(
-        payload, dtype=np.uint8, count=row_bytes * h, offset=data_offset
-    ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        payload, dtype=np.uint8, count=need, offset=data_offset
+    ).reshape(h, row_bytes)
+    if bpp == 24:
+        img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    elif bpp == 32:
+        img = rows[:, : w * 4].reshape(h, w, 4)[:, :, :3][:, :, ::-1]
+    else:  # sub-byte / 8-bit palette indices, MSB-first within each byte
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:
+            bits = np.unpackbits(rows, axis=1)[:, : w * bpp]
+            weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+            idx = bits.reshape(h, w, bpp).dot(weights)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("BMP palette index outside the color table")
+        img = palette[idx]
     if not top_down:
-        rows = rows[::-1]
-    return rows[:, :, ::-1]  # BGR → RGB
+        img = img[::-1]
+    return np.ascontiguousarray(img)
+
+
+def encode_bmp(
+    img: "np.ndarray", bpp: int = 24, rle: bool = False, top_down: bool = False
+) -> bytes:
+    """(H, W, 3) uint8 → BMP. ``bpp`` 24/32 write raw BGR(A); 1/4/8
+    build a palette from the distinct colors (≤2^bpp required); ``rle``
+    (8-bit only) writes real RLE8 runs with end-of-line/bitmap escapes —
+    the conformance counterpart of :func:`decode_bmp`."""
+    h, w, _ = img.shape
+    img = img.astype(np.uint8)
+    palette = b""
+    if bpp in (1, 4, 8):
+        colors = np.unique(img.reshape(-1, 3), axis=0)
+        if len(colors) > (1 << bpp):
+            raise ValueError(f"{bpp}-bit BMP allows {1 << bpp} colors")
+        lut = {tuple(c): i for i, c in enumerate(colors)}
+        idx = np.array(
+            [lut[tuple(px)] for px in img.reshape(-1, 3)], dtype=np.uint8
+        ).reshape(h, w)
+        tbl = np.zeros((1 << bpp, 4), dtype=np.uint8)
+        tbl[: len(colors), :3] = colors[:, ::-1]  # RGB → BGRX
+        palette = tbl.tobytes()
+    if rle:
+        if bpp != 8:
+            raise ValueError("RLE BMP is 8-bit only")
+        body = bytearray()
+        for row in idx[::-1]:  # bottom-up
+            x = 0
+            while x < w:
+                run = 1
+                while x + run < w and row[x + run] == row[x] and run < 255:
+                    run += 1
+                body.extend((run, int(row[x])))
+                x += run
+            body.extend((0, 0))  # end of line
+        body.extend((0, 1))  # end of bitmap
+        data, compression = bytes(body), 1
+    elif bpp in (1, 4, 8):
+        row_bits = w * bpp
+        row_bytes = ((row_bits + 7) // 8 + 3) & ~3
+        rows = []
+        src = idx if top_down else idx[::-1]
+        for row in src:
+            bits = (
+                (row[:, None] >> np.arange(bpp - 1, -1, -1)[None, :]) & 1
+            ).astype(np.uint8)
+            packed = np.packbits(bits.reshape(-1))
+            rows.append(packed.tobytes().ljust(row_bytes, b"\x00"))
+        data, compression = b"".join(rows), 0
+    else:
+        ch = bpp // 8
+        row_bytes = (w * ch + 3) & ~3
+        src = img if top_down else img[::-1]
+        rows = []
+        for row in src:
+            bgr = row[:, ::-1]
+            if ch == 4:
+                bgr = np.concatenate(
+                    [bgr, np.full((w, 1), 255, np.uint8)], axis=1
+                )
+            rows.append(bgr.tobytes().ljust(row_bytes, b"\x00"))
+        data, compression = b"".join(rows), 0
+    data_offset = 14 + 40 + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, bpp, compression,
+        len(data), 2835, 2835, (len(palette) // 4) if palette else 0, 0,
+    )
+    hdr = b"BM" + struct.pack(
+        "<IHHI", data_offset + len(data), 0, 0, data_offset
+    )
+    return hdr + info + palette + data
 
 
 #: Adam7 interlace passes as (x0, y0, dx, dy) — PNG spec §8.2
@@ -1463,10 +1614,24 @@ def attach_ppm_payloads(
         )
         return encode_png(img, **combos[(did // 25) % len(combos)])
 
+    def _bmpv(img: "np.ndarray", did: int) -> bytes:
+        # rotate the BMP variant matrix (24/32-bit raw, 8-bit palette,
+        # RLE8, top-down rows); indexed by did // 25 (mm25's filter mod)
+        combos = (
+            dict(),
+            dict(bpp=32),
+            dict(bpp=8),
+            dict(bpp=8, rle=True),
+            dict(top_down=True),
+            dict(bpp=32, top_down=True),
+        )
+        return encode_bmp(img, **combos[(did // 25) % len(combos)])
+
     encoder = {
         "ppm": lambda img, did: encode_ppm(img),
         "png": lambda img, did: encode_png(img),
         "pngv": _pngv,
+        "bmpv": _bmpv,
         "jpegl": lambda img, did: encode_jpeg_lossless(img, predictor=1 + did % 7),
         "webpl": _webpl,
         "gif": _gif,

@@ -2182,7 +2182,7 @@ def _mm2_decode_sql(
     n = width * height * 3
     blocks = (n + 15) // 16
     header_len = len(b"P6\n%d %d\n255\n" % (width, height))
-    if fmt in ("png", "pngv", "jpegl", "webpl", "gif", "tiff", "tiffx"):
+    if fmt in ("png", "pngv", "bmpv", "jpegl", "webpl", "gif", "tiff", "tiffx"):
         # compressed payload length depends on the encoder (zlib build /
         # per-row Huffman predictor), so the graded output is
         # encoding-independent: dims + the feature block only.
@@ -17653,4 +17653,38 @@ def mm24_avi_audio_demux(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak",
         "zero_crossings",
         F.round("rms", 6).alias("rms"),
+    )
+
+
+@register(
+    "mm25_bmp_variants_decode",
+    _mm2_decode_sql(width=16, height=12, fmt="bmpv", mod=25),
+    survey_rows="ext:multimodal-decode — BMP variant matrix (32-bit, "
+    "palette, RLE8, top-down), previously 24-bit-only; mm2's md5-pixel "
+    "oracle verifies the pixels bit-exactly",
+    description="REAL BMP variant decode (round 8): decode_bmp grew "
+    "from uncompressed-24-bit-only to the common BITMAPINFOHEADER "
+    "matrix — 32-bit BGRA (alpha dropped), 1/4/8-bit palette with the "
+    "BGRX color table, Microsoft RLE8 (encoded/absolute runs, "
+    "end-of-line/bitmap and delta escapes), and both row orders. The "
+    "fixture rotates six RGB-preserving variants per doc "
+    "(multimodal.py::encode_bmp, a real RLE8-writing conformance "
+    "encoder; indexed did//25), every one bit-exact against the JVM "
+    "ImageIO decode (tests/test_bmp.py). Sub-byte palettes need few "
+    "colors, so they grade at unit level; RLE4/16-bit stay honestly "
+    "gated.",
+)
+def mm25_bmp_variants_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_ppm_payloads, decode_image_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 25 == 0)
+    media = attach_ppm_payloads(docs, width=16, height=12, fmt="bmpv")
+    feats = decode_image_features(media)
+    return feats.select(
+        "doc_id",
+        F.lit(16).cast("int").alias("width"),
+        F.lit(12).cast("int").alias("height"),
+        F.round(
+            F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("feat_sum"),
     )
