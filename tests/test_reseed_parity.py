@@ -550,6 +550,9 @@ DOC_EVENT_QUERIES = [
     "mm23_tiff_extended_decode",
     "mm24_avi_audio_demux",
     "mm25_bmp_variants_decode",
+    # round-8: WARC wraps each doc's own text (NULL/empty/CJK docs must
+    # survive the container byte-exactly under any seed)
+    "mm26_warc_ingest",
 ]
 
 

@@ -1,0 +1,133 @@
+"""WARC (ISO 28500) reader conformance: round trips through the
+Common Crawl per-record-gzip layout and plain concatenation, header
+parsing, HTTP payload extraction (multibyte UTF-8 intact), truncation
+and corruption behavior."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from youbike_etl_pipeline_spark.operators.warc import (
+    encode_warc,
+    http_response_body,
+    parse_warc,
+    warc_type,
+)
+
+
+DOCS = [
+    (0, "plain ascii body".encode()),
+    (7, "中文內容 mixed with ascii and café accents".encode()),
+    (13, b""),  # empty body
+    (20, ("x" * 5000).encode()),  # spans several TCP-ish chunks
+]
+
+
+@pytest.mark.parametrize("gz", [True, False], ids=["gzip-members", "plain"])
+def test_roundtrip_archive(gz):
+    payload = encode_warc(DOCS, per_record_gzip=gz)
+    records = parse_warc(payload)
+    assert len(records) == 1 + 2 * len(DOCS)
+    assert warc_type(records[0]) == "warcinfo"
+    responses = [r for r in records if warc_type(r) == "response"]
+    assert len(responses) == len(DOCS)
+    for (did, body), rec in zip(DOCS, responses):
+        status, got = http_response_body(rec)
+        assert status == 200 and got == body, did
+        assert rec["headers"]["WARC-Target-URI"].endswith(f"/doc/{did}")
+        assert rec["version"] == "WARC/1.0"
+
+
+def test_requests_parse_but_are_not_http_responses():
+    records = parse_warc(encode_warc(DOCS[:1]))
+    req = [r for r in records if warc_type(r) == "request"][0]
+    with pytest.raises(ValueError, match="not an HTTP message"):
+        http_response_body(req)
+
+
+def test_mixed_member_boundaries_preserved():
+    """Gzip members must split exactly at record boundaries — parsing a
+    PREFIX of members yields exactly those records (the property crawl
+    splitters rely on)."""
+    import zlib
+
+    payload = encode_warc(DOCS, per_record_gzip=True)
+    # walk member boundaries
+    ends, rest, off = [], payload, 0
+    while rest:
+        d = zlib.decompressobj(wbits=47)
+        d.decompress(rest)
+        d.flush()
+        consumed = len(rest) - len(d.unused_data)
+        off += consumed
+        ends.append(off)
+        rest = d.unused_data
+    assert len(ends) == 1 + 2 * len(DOCS)
+    assert len(parse_warc(payload[: ends[2]])) == 3  # warcinfo + first pair
+
+
+def test_error_paths_and_truncation():
+    with pytest.raises(ValueError, match="not a WARC"):
+        parse_warc(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="empty WARC"):
+        parse_warc(b"\r\n\r\n")
+    plain = encode_warc(DOCS[:2], per_record_gzip=False)
+    for cut in range(10, len(plain) - 1, 23):
+        try:
+            records = parse_warc(plain[:cut])
+            # a cut landing exactly on a record boundary legally yields
+            # the complete prefix records
+            assert all("block" in r for r in records)
+        except ValueError:
+            pass
+    gz = encode_warc(DOCS[:2], per_record_gzip=True)
+    for cut in range(10, len(gz) - 1, 17):
+        with pytest.raises(ValueError):
+            parse_warc(gz[:cut])
+
+
+def test_single_byte_corruption_fuzz():
+    for payload in (
+        encode_warc(DOCS[:2], per_record_gzip=True),
+        encode_warc(DOCS[:2], per_record_gzip=False),
+    ):
+        for i in range(len(payload)):
+            corrupted = bytearray(payload)
+            corrupted[i] ^= 0x01 if i % 2 else 0x80
+            try:
+                records = parse_warc(bytes(corrupted))
+                for r in records:
+                    if warc_type(r) == "response":
+                        try:
+                            http_response_body(r)
+                        except ValueError:
+                            pass
+            except (ValueError, NotImplementedError):
+                pass
+
+
+def test_spark_ingest_matches_local(spark):
+    import hashlib
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_warc_payloads,
+        parse_warc_features,
+    )
+
+    rows = [
+        (0, "hello warc"),
+        (10, "plain-layout doc"),  # id%20==10 -> plain archive
+        (20, "中文 content"),
+        (30, None),  # NULL text -> empty body
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in parse_warc_features(attach_warc_payloads(df)).collect()}
+    assert len(got) == 4
+    for did, text in rows:
+        body = ("" if text is None else text).encode()
+        r = got[did]
+        assert r["n_records"] == 3 and r["n_responses"] == 1
+        assert r["status"] == 200
+        assert r["body_bytes"] == len(body)
+        assert r["body_md5"] == hashlib.md5(body).hexdigest()

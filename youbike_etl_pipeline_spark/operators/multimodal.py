@@ -3176,6 +3176,112 @@ def decode_av_features(
     return df.select(id_col, payload_col).mapInPandas(fn, schema=AV_FEATURES)
 
 
+#: WARC-ingest reduction: record counts + response-payload identity
+WARC_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_records", T.LongType(), True),
+        T.StructField("n_responses", T.LongType(), True),
+        T.StructField("status", T.LongType(), True),
+        T.StructField("body_bytes", T.LongType(), True),
+        T.StructField("body_md5", T.StringType(), True),
+    ]
+)
+
+
+def attach_warc_payloads(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Give every row a REAL WARC archive wrapping ITS OWN text as the
+    crawl payload: warcinfo + request + response records in the Common
+    Crawl shape (:func:`..operators.warc.encode_warc`), per-record-gzip
+    members except every ``id % 20 == 10`` doc, which stays plain so
+    both archive layouts appear in the graded corpus. Production
+    replaces this with a ``binaryFile`` read of crawl segments."""
+    from .warc import encode_warc
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                body = ("" if text is None else str(text)).encode("utf-8")
+                payloads.append(
+                    bytearray(
+                        encode_warc(
+                            [(did, body)], per_record_gzip=(did % 20 != 10)
+                        )
+                    )
+                )
+                metas.append(
+                    {
+                        "media_type": "archive",
+                        "format": "warc" if did % 20 != 10 else "warc-plain",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema=out_schema)
+
+
+def parse_warc_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """WARC ingest via ``mapInPandas``: parse the archive
+    (:func:`..operators.warc.parse_warc` — gzip-member walk, header
+    parse, Content-Length blocks), pull each response record's HTTP
+    payload, and reduce to counts + byte-identity features (md5 of the
+    body octets, the cross-engine check). One pass, zero shuffle —
+    the Common Crawl ingestion shape."""
+    from .warc import http_response_body, parse_warc, warc_type
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, nr, nresp, status, blen, bmd5 = [], [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                records = parse_warc(bytes(payload))
+                responses = [r for r in records if warc_type(r) == "response"]
+                ids.append(did)
+                nr.append(len(records))
+                nresp.append(len(responses))
+                if responses:
+                    st, body = http_response_body(responses[0])
+                    status.append(st)
+                    blen.append(len(body))
+                    bmd5.append(hashlib.md5(body).hexdigest())
+                else:
+                    status.append(None); blen.append(None); bmd5.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_records": pd.array(nr, dtype="Int64"),
+                    "n_responses": pd.array(nresp, dtype="Int64"),
+                    "status": pd.array(status, dtype="Int64"),
+                    "body_bytes": pd.array(blen, dtype="Int64"),
+                    "body_md5": bmd5,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=WARC_FEATURES)
+
+
 #: (doc_id, frame_idx, r_sum, g_sum, b_sum) — per decoded frame
 FRAME_CHANNEL_SCHEMA = T.StructType(
     [

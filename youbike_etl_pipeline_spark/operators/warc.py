@@ -1,0 +1,198 @@
+"""WARC (Web ARChive, ISO 28500) reader — and a conformance writer — in
+pure stdlib, no warcio dependency.
+
+WARC is the Common Crawl container: a concatenation of records, each a
+``WARC/1.x`` version line, CRLF-terminated named headers, a CRLF CRLF
+separator, ``Content-Length`` octets of block, and a CRLF CRLF record
+separator. Crawl archives gzip each record as its OWN gzip member so
+readers can split archives without decompressing them end-to-end — this
+module handles both that per-record-member layout and plain concatenation,
+walking gzip members with stdlib zlib (wbits=47) via ``unused_data``.
+
+Response records carry an HTTP/1.1 message in the block;
+:func:`http_response_body` splits the status line / headers from the body
+so a text pipeline gets the payload octets. The writer
+(:func:`encode_warc`) emits warcinfo/request/response records with
+deterministic ids, so decode(encode(...)) is exact and oracle-checkable
+against the source text.
+
+Cost posture: header parsing is per-record Python over small records,
+linear in archive bytes, run inside the same shuffle-free Arrow-batched
+``mapInPandas`` as the codec family; at 100 TB each WARC file is one
+input split and records never cross files, so the parse parallelizes
+embarrassingly across executors.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+def _gunzip_members(payload: bytes) -> bytes:
+    """Decompress a concatenation of gzip members (the Common Crawl
+    per-record layout) into one plain buffer."""
+    out = bytearray()
+    rest = payload
+    while rest:
+        d = zlib.decompressobj(wbits=47)  # gzip or zlib header
+        try:
+            out.extend(d.decompress(rest))
+            out.extend(d.flush())
+        except zlib.error as ex:
+            raise ValueError(f"WARC gzip member corrupt: {ex}")
+        if not d.eof:
+            raise ValueError("truncated WARC gzip member")
+        if d.unused_data == rest:
+            raise ValueError("WARC gzip walk made no progress")
+        rest = d.unused_data
+    return bytes(out)
+
+
+def parse_warc(payload: bytes) -> list[dict]:
+    """WARC archive → list of records, each
+    ``{"version", "headers" (dict, original-case keys), "block" (bytes)}``.
+    Accepts plain or gzip (single- or per-record-member) archives.
+    Raises ``ValueError`` on malformed version lines, headers,
+    content lengths, or truncated blocks."""
+    if payload[:2] == b"\x1f\x8b":
+        payload = _gunzip_members(payload)
+    records: list[dict] = []
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        # tolerate the inter-record CRLFs
+        while pos < n and payload[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        eol = payload.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("truncated WARC version line")
+        version = payload[pos:eol].decode("ascii", "replace")
+        if not version.startswith("WARC/"):
+            raise ValueError(f"not a WARC record at offset {pos}: {version[:20]!r}")
+        pos = eol + 2
+        headers: dict[str, str] = {}
+        while True:
+            eol = payload.find(b"\r\n", pos)
+            if eol < 0:
+                raise ValueError("truncated WARC header block")
+            line = payload[pos:eol]
+            pos = eol + 2
+            if not line:
+                break
+            if b":" not in line:
+                raise ValueError(f"malformed WARC header line {line[:40]!r}")
+            k, v = line.split(b":", 1)
+            headers[k.decode("ascii", "replace").strip()] = v.decode(
+                "utf-8", "replace"
+            ).strip()
+        lengths = [v for k, v in headers.items() if k.lower() == "content-length"]
+        if not lengths or not lengths[0].isdigit():
+            raise ValueError("WARC record missing a numeric Content-Length")
+        length = int(lengths[0])
+        if pos + length > n:
+            raise ValueError("truncated WARC record block")
+        block = payload[pos : pos + length]
+        pos += length
+        if payload[pos : pos + 4] not in (b"\r\n\r\n", b""):
+            # spec: two CRLFs terminate the record; a missing separator at
+            # EOF is tolerated, anything else is structural corruption
+            if pos + 4 <= n:
+                raise ValueError("WARC record separator missing")
+        pos += 4
+        records.append({"version": version, "headers": headers, "block": block})
+    if not records:
+        raise ValueError("empty WARC archive")
+    return records
+
+
+def warc_type(record: dict) -> str:
+    for k, v in record["headers"].items():
+        if k.lower() == "warc-type":
+            return v
+    return ""
+
+
+def http_response_body(record: dict) -> tuple[int, bytes]:
+    """Split a response record's HTTP/1.1 message → (status, body bytes).
+    Raises ``ValueError`` when the block is not an HTTP response."""
+    block = record["block"]
+    sep = block.find(b"\r\n\r\n")
+    if sep < 0 or not block.startswith(b"HTTP/"):
+        raise ValueError("WARC response block is not an HTTP message")
+    status_line = block[: block.find(b"\r\n")].split(b" ")
+    if len(status_line) < 2 or not status_line[1].isdigit():
+        raise ValueError("malformed HTTP status line in WARC response")
+    return int(status_line[1]), block[sep + 4 :]
+
+
+def encode_warc(
+    docs: "list[tuple[int, bytes]]",
+    per_record_gzip: bool = True,
+    date: str = "2024-01-01T00:00:00Z",
+) -> bytes:
+    """(doc_id, body bytes) pairs → a WARC/1.0 archive in the Common
+    Crawl shape: one warcinfo record, then a request + response pair per
+    document (the response wraps the body in an HTTP/1.1 200 message).
+    ``per_record_gzip`` emits each record as its own gzip member, the
+    layout crawl tooling expects; record ids derive from the doc ids, so
+    the output is deterministic."""
+
+    def record(rtype: str, extra: dict, block: bytes, rid: str) -> bytes:
+        head = [
+            b"WARC/1.0",
+            b"WARC-Type: " + rtype.encode(),
+            b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">",
+            b"WARC-Date: " + date.encode(),
+        ]
+        for k, v in extra.items():
+            head.append(f"{k}: {v}".encode())
+        head.append(b"Content-Length: " + str(len(block)).encode())
+        return b"\r\n".join(head) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+    def gz(member: bytes) -> bytes:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(member) + co.flush()
+
+    out = bytearray()
+    info = record(
+        "warcinfo",
+        {"Content-Type": "application/warc-fields"},
+        b"software: youbike-etl-pipeline-spark\r\n",
+        "00000000-0000-0000-0000-000000000000",
+    )
+    out.extend(gz(info) if per_record_gzip else info)
+    for doc_id, body in docs:
+        uri = f"http://example.com/doc/{doc_id}"
+        req = record(
+            "request",
+            {
+                "WARC-Target-URI": uri,
+                "Content-Type": "application/http; msgtype=request",
+            },
+            f"GET /doc/{doc_id} HTTP/1.1\r\nHost: example.com\r\n\r\n".encode(),
+            f"{doc_id:08x}-0000-0000-0000-000000000001",
+        )
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/plain; charset=utf-8\r\n"
+            + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
+            + body
+        )
+        resp = record(
+            "response",
+            {
+                "WARC-Target-URI": uri,
+                "Content-Type": "application/http; msgtype=response",
+            },
+            http,
+            f"{doc_id:08x}-0000-0000-0000-000000000002",
+        )
+        if per_record_gzip:
+            out.extend(gz(req))
+            out.extend(gz(resp))
+        else:
+            out.extend(req)
+            out.extend(resp)
+    return bytes(out)

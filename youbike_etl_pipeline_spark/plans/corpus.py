@@ -17688,3 +17688,40 @@ def mm25_bmp_variants_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6
         ).alias("feat_sum"),
     )
+
+
+@register(
+    "mm26_warc_ingest",
+    """
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS n_records,
+           CAST(1 AS BIGINT) AS n_responses,
+           CAST(200 AS BIGINT) AS status,
+           CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS body_bytes,
+           md5(COALESCE(text, '')) AS body_md5
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    survey_rows="ext:training-data ingestion — WARC (ISO 28500 / Common "
+    "Crawl) archive parse: gzip-member walk, record headers, HTTP "
+    "response payload extraction",
+    description="REAL WARC ingestion (round 8): the fixture wraps each "
+    "document's own text as a Common Crawl-shaped archive (warcinfo + "
+    "request + response records, per-record gzip members — every "
+    "id%20==10 doc stays plain so both layouts grade; operators/"
+    "warc.py::encode_warc, deterministic ids); parse_warc walks the "
+    "gzip members with stdlib zlib via unused_data, parses version "
+    "lines / headers / Content-Length blocks, and http_response_body "
+    "splits the HTTP/1.1 message — the md5 of the recovered payload "
+    "octets must equal DuckDB's md5 of the source text, proving the "
+    "container round trip byte-exactly (including multibyte UTF-8). "
+    "At 100 TB each WARC file is one split and records never cross "
+    "files, so the parse is embarrassingly parallel with zero shuffle.",
+)
+def mm26_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_warc_payloads, parse_warc_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = parse_warc_features(attach_warc_payloads(docs))
+    return feats.select(
+        "doc_id", "n_records", "n_responses", "status", "body_bytes", "body_md5"
+    )
