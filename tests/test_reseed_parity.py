@@ -553,6 +553,7 @@ DOC_EVENT_QUERIES = [
     # round-8: WARC wraps each doc's own text (NULL/empty/CJK docs must
     # survive the container byte-exactly under any seed)
     "mm26_warc_ingest",
+    "mm27_webdataset_ingest",
 ]
 
 

@@ -131,3 +131,53 @@ def test_spark_ingest_matches_local(spark):
         assert r["status"] == 200
         assert r["body_bytes"] == len(body)
         assert r["body_md5"] == hashlib.md5(body).hexdigest()
+
+
+# --------------------------------------------- WebDataset tar shards
+
+
+def test_webdataset_spark_ingest_matches_local(spark):
+    import hashlib
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_webdataset_payloads,
+        md5_pixels,
+        parse_webdataset_features,
+    )
+
+    rows = [(0, "a caption"), (10, "中文 caption"), (20, None), (30, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in parse_webdataset_features(
+            attach_webdataset_payloads(df)
+        ).collect()
+    }
+    assert len(got) == 4
+    for did, text in rows:
+        cap = ("" if text is None else text).encode()
+        r = got[did]
+        assert r["n_members"] == 3
+        assert (r["width"], r["height"]) == (16, 12)
+        assert r["pixel_sum"] == int(
+            md5_pixels(did, 16, 12).astype("int64").sum()
+        )
+        assert r["caption_bytes"] == len(cap)
+        assert r["caption_md5"] == hashlib.md5(cap).hexdigest()
+        assert r["label"] == did % 10
+
+
+def test_webdataset_shard_bytes_deterministic_and_malformed_raises(spark):
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_webdataset_payloads,
+        parse_webdataset_features,
+    )
+
+    df = spark.createDataFrame([(5, "x")], "doc_id long, text string")
+    a = bytes(attach_webdataset_payloads(df).collect()[0]["payload"])
+    b = bytes(attach_webdataset_payloads(df).collect()[0]["payload"])
+    assert a == b  # mtime pinned -> reproducible shards
+    bad = spark.createDataFrame([(1, bytearray(b"not a tar at all" * 40))],
+                                "doc_id long, payload binary")
+    with pytest.raises(Exception, match="malformed WebDataset|TarError|truncated"):
+        parse_warc_features = parse_webdataset_features(bad).collect()

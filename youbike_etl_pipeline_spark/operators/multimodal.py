@@ -3282,6 +3282,140 @@ def parse_warc_features(
     return df.select(id_col, payload_col).mapInPandas(fn, schema=WARC_FEATURES)
 
 
+#: WebDataset-shard reduction: per-sample image + caption features
+WDS_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_members", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+        T.StructField("caption_bytes", T.LongType(), True),
+        T.StructField("caption_md5", T.StringType(), True),
+        T.StructField("label", T.LongType(), True),
+    ]
+)
+
+
+def attach_webdataset_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 16,
+    height: int = 12,
+) -> DataFrame:
+    """Give every row a REAL WebDataset tar shard: per sample the
+    convention is one basename (the sample key) with one member per
+    modality — ``<key>.png`` (the md5-pixel image), ``<key>.txt`` (the
+    document's own text as the caption) and ``<key>.cls`` (a class
+    label) — written with stdlib ``tarfile`` into an in-memory shard.
+    This is the LAION-style image/caption pairing shape; production
+    replaces it with a ``binaryFile`` read of .tar shards from object
+    storage."""
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import tarfile
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                buf = io.BytesIO()
+                with tarfile.open(fileobj=buf, mode="w") as tf:
+                    key = f"{did:09d}"
+                    members = {
+                        f"{key}.png": encode_png(md5_pixels(did, width, height)),
+                        f"{key}.txt": ("" if text is None else str(text)).encode(
+                            "utf-8"
+                        ),
+                        f"{key}.cls": str(did % 10).encode(),
+                    }
+                    for name, data in members.items():
+                        ti = tarfile.TarInfo(name)
+                        ti.size = len(data)
+                        ti.mtime = 0  # deterministic shard bytes
+                        tf.addfile(ti, io.BytesIO(data))
+                payloads.append(bytearray(buf.getvalue()))
+                metas.append(
+                    {
+                        "media_type": "archive",
+                        "format": "webdataset-tar",
+                        "width": width,
+                        "height": height,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema=out_schema)
+
+
+def parse_webdataset_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """WebDataset-shard ingest via ``mapInPandas``: read the tar members
+    (stdlib ``tarfile`` over the in-memory bytes), group by the sample
+    key (basename before the first dot), decode the image member through
+    the REAL PNG path, and reduce image + caption + label features in
+    one pass — the multimodal-pairing ingestion shape. Zero shuffle;
+    at 100 TB each shard is one input split."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import io
+        import tarfile
+
+        for pdf in batches:
+            ids, nm, ws, hs, ps, cb, cm, lb = [], [], [], [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                try:
+                    tf = tarfile.open(fileobj=io.BytesIO(bytes(payload)))
+                    members = {m.name: tf.extractfile(m).read() for m in tf}
+                except tarfile.TarError as ex:
+                    raise ValueError(f"malformed WebDataset shard: {ex}")
+                samples: dict[str, dict[str, bytes]] = {}
+                for name, data in members.items():
+                    key, _, ext = name.partition(".")
+                    samples.setdefault(key, {})[ext] = data
+                for key, mods in sorted(samples.items()):
+                    img = decode_png(mods["png"]) if "png" in mods else None
+                    cap = mods.get("txt", b"")
+                    ids.append(did)
+                    nm.append(len(members))
+                    ws.append(None if img is None else img.shape[1])
+                    hs.append(None if img is None else img.shape[0])
+                    ps.append(None if img is None else int(img.astype(np.int64).sum()))
+                    cb.append(len(cap))
+                    cm.append(hashlib.md5(cap).hexdigest())
+                    lb.append(int(mods["cls"]) if "cls" in mods else None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_members": pd.array(nm, dtype="Int64"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "pixel_sum": pd.array(ps, dtype="Int64"),
+                    "caption_bytes": pd.array(cb, dtype="Int64"),
+                    "caption_md5": cm,
+                    "label": pd.array(lb, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=WDS_FEATURES)
+
+
 #: (doc_id, frame_idx, r_sum, g_sum, b_sum) — per decoded frame
 FRAME_CHANNEL_SCHEMA = T.StructType(
     [

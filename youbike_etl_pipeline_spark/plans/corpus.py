@@ -17725,3 +17725,68 @@ def mm26_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "n_records", "n_responses", "status", "body_bytes", "body_md5"
     )
+
+
+def _mm27_webdataset_sql(width: int = 16, height: int = 12, mod: int = 10) -> str:
+    """DuckDB mirror of the WebDataset-shard ingest: the image member is
+    the md5-pixel PNG (pixel sum re-derived with md5 hex arithmetic, the
+    mm2 CTE chain), the caption is the document's own text (md5 of its
+    UTF-8 octets), and the label/member-count are fixture constants."""
+    n = width * height * 3
+    blocks = (n + 15) // 16
+    return f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % {mod} = 0),
+    hx AS (
+      SELECT d.doc_id, b.b, md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)) AS h
+      FROM d, (SELECT unnest(generate_series(0, {blocks - 1})) AS b) b
+    ),
+    bytes AS (
+      SELECT doc_id, (b * 16 + j.j) AS idx,
+             (strpos('0123456789abcdef', substr(h, 2 * j.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2 * j.j + 2, 1)) - 1) AS v
+      FROM hx, (SELECT unnest(generate_series(0, 15)) AS j) j
+      WHERE b * 16 + j.j < {n}
+    ),
+    px AS (SELECT doc_id, SUM(v) AS pixel_sum FROM bytes GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(3 AS BIGINT) AS n_members,
+           CAST({width} AS INT) AS width,
+           CAST({height} AS INT) AS height,
+           CAST(px.pixel_sum AS BIGINT) AS pixel_sum,
+           CAST(octet_length(encode(COALESCE(d.text, ''))) AS BIGINT) AS caption_bytes,
+           md5(COALESCE(d.text, '')) AS caption_md5,
+           CAST(d.doc_id % 10 AS BIGINT) AS label
+    FROM d JOIN px ON px.doc_id = d.doc_id
+    """
+
+
+@register(
+    "mm27_webdataset_ingest",
+    _mm27_webdataset_sql(),
+    survey_rows="ext:training-data ingestion — WebDataset tar shards "
+    "(the LAION image/caption pairing format): stdlib-tarfile member "
+    "walk, sample-key grouping, per-modality decode",
+    description="REAL WebDataset ingestion (round 8): the fixture "
+    "writes each doc as a tar shard in the WebDataset convention — one "
+    "sample key with .png (md5-pixel image through the REAL PNG "
+    "encoder), .txt (the document's own text as the caption) and .cls "
+    "(label) members, deterministic mtimes; parse_webdataset_features "
+    "reads the members with stdlib tarfile, groups by sample key, "
+    "decodes the image through decode_png, and reduces image + caption "
+    "+ label features in one shuffle-free Arrow pass. The caption md5 "
+    "must equal DuckDB's md5 of the source text and the pixel sum must "
+    "re-derive from md5 hex arithmetic — both sides of the multimodal "
+    "pairing proven byte-exact through the container.",
+)
+def mm27_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_webdataset_payloads,
+        parse_webdataset_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = parse_webdataset_features(attach_webdataset_payloads(docs))
+    return feats.select(
+        "doc_id", "n_members", "width", "height", "pixel_sum",
+        "caption_bytes", "caption_md5", "label",
+    )
