@@ -181,6 +181,16 @@ HEADLINE = [
     "mm17_flac_audio_decode",
     "mm18_tiff_decode",
     "mm19_msadpcm_audio_decode",
+    # round-8 additions: WAV family completion, PNG/TIFF/BMP spec
+    # matrices, A/V demux, and the training-data containers
+    "mm20_float_wav_decode",
+    "mm21_png_variants_decode",
+    "mm22_stereo_wav_channels",
+    "mm23_tiff_extended_decode",
+    "mm24_avi_audio_demux",
+    "mm25_bmp_variants_decode",
+    "mm26_warc_ingest",
+    "mm27_webdataset_ingest",
 ]
 
 
