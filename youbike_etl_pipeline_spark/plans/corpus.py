@@ -138,6 +138,18 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # grades of the corrected semantics rather than re-grades.
     "mm16_gif_decode",
     "mm19_msadpcm_audio_decode",
+    # Round 8 also REWROTE library internals under five graded-green
+    # queries — decode_png generalized to the full spec matrix (mm10),
+    # decode_tiff to tiles/16-bit/planar/palette (mm18), and decode_wav
+    # grew multichannel framing under the mm3/mm11/mm12 dispatch. Their
+    # corpus fn text is unchanged and the default encoder bytes are
+    # hash-pinned identical, but the honest posture is a same-round
+    # re-grade, not waiting for the staleness rotation to reach them.
+    "mm10_png_decode_features",
+    "mm18_tiff_decode",
+    "mm3_audio_features",
+    "mm11_g711_audio_decode",
+    "mm12_adpcm_audio_decode",
 )
 
 #: Graded-green queries whose last driver grade PREDATES the latest
