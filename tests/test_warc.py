@@ -181,3 +181,85 @@ def test_webdataset_shard_bytes_deterministic_and_malformed_raises(spark):
                                 "doc_id long, payload binary")
     with pytest.raises(Exception, match="malformed WebDataset|TarError|truncated"):
         parse_warc_features = parse_webdataset_features(bad).collect()
+
+
+def test_production_binaryfile_route(spark, tmpdir):
+    """The fixture attaches archives in-flight; production reads shards
+    from object storage via Spark's binaryFile source. Drive that exact
+    route: write .warc.gz / .tar shards to disk, read them back with
+    format('binaryFile'), and run the same parse operators on the
+    (path, content) rows."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        parse_warc_features,
+        parse_webdataset_features,
+    )
+    from youbike_etl_pipeline_spark.operators.warc import encode_warc
+
+    wdir = tmpdir.mkdir("warc_shards")
+    for did, body in DOCS[:3]:
+        with open(os.path.join(str(wdir), f"shard-{did:05d}.warc.gz"), "wb") as fh:
+            fh.write(encode_warc([(did, body)], per_record_gzip=True))
+    bindf = (
+        spark.read.format("binaryFile")
+        .load(str(wdir))
+        .select(
+            F.regexp_extract(F.col("path"), r"shard-(\d+)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    got = {r["doc_id"]: r for r in parse_warc_features(bindf).collect()}
+    assert len(got) == 3
+    for did, body in DOCS[:3]:
+        assert got[did]["body_md5"] == hashlib.md5(body).hexdigest()
+        assert got[did]["n_records"] == 3
+
+    # WebDataset: tar shards on disk through the same source
+    import io
+    import tarfile
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        encode_png,
+        md5_pixels,
+    )
+
+    tdir = tmpdir.mkdir("wds_shards")
+    for did in (3, 4):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, data in (
+                (f"{did:09d}.png", encode_png(md5_pixels(did, 16, 12))),
+                (f"{did:09d}.txt", f"caption {did}".encode()),
+                (f"{did:09d}.cls", str(did % 10).encode()),
+            ):
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                ti.mtime = 0
+                tf.addfile(ti, io.BytesIO(data))
+        with open(os.path.join(str(tdir), f"shard-{did:05d}.tar"), "wb") as fh:
+            fh.write(buf.getvalue())
+    bindf2 = (
+        spark.read.format("binaryFile")
+        .load(str(tdir))
+        .select(
+            F.regexp_extract(F.col("path"), r"shard-(\d+)", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("content").alias("payload"),
+        )
+    )
+    rows = {r["doc_id"]: r for r in parse_webdataset_features(bindf2).collect()}
+    assert len(rows) == 2
+    for did in (3, 4):
+        assert rows[did]["pixel_sum"] == int(
+            md5_pixels(did, 16, 12).astype("int64").sum()
+        )
+        assert rows[did]["caption_md5"] == hashlib.md5(
+            f"caption {did}".encode()
+        ).hexdigest()
