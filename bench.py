@@ -191,6 +191,7 @@ HEADLINE = [
     "mm25_bmp_variants_decode",
     "mm26_warc_ingest",
     "mm27_webdataset_ingest",
+    "mm28_vit_patchify",
 ]
 
 

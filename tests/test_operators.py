@@ -1796,3 +1796,35 @@ def test_round7_advice_regressions(spark):
     br = _BitReader(b"\xff\x00\x12\x34\x56", 0)
     with _pytest.raises(ValueError, match="truncated JPEG"):
         br.sync_restart()
+
+
+def test_vit_patchify_matches_numpy(spark):
+    """Patch tokenization: the distributed per-patch channel means must
+    equal local numpy exactly (exact-dyadic means), the fan-out is one
+    row per patch cell, and non-divisible dims raise."""
+    import numpy as np
+    import pytest as _pt
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_ppm_payloads,
+        md5_pixels,
+        patchify_features,
+    )
+
+    df = spark.range(0, 30, 10).withColumnRenamed("id", "doc_id")
+    media = attach_ppm_payloads(df, width=16, height=12)
+    rows = patchify_features(media, patch=4).collect()
+    assert len(rows) == 3 * (16 // 4) * (12 // 4)
+    for r in rows:
+        img = md5_pixels(r["doc_id"], 16, 12).astype(np.float64)
+        cell = img[
+            r["patch_y"] * 4 : r["patch_y"] * 4 + 4,
+            r["patch_x"] * 4 : r["patch_x"] * 4 + 4,
+        ]
+        assert r["r_mean"] == cell[:, :, 0].mean()  # exact dyadic — bitwise
+        assert r["g_mean"] == cell[:, :, 1].mean()
+        assert r["b_mean"] == cell[:, :, 2].mean()
+    with _pt.raises(Exception, match="divisible"):
+        patchify_features(
+            attach_ppm_payloads(df, width=15, height=12), patch=4
+        ).collect()

@@ -554,6 +554,7 @@ DOC_EVENT_QUERIES = [
     # survive the container byte-exactly under any seed)
     "mm26_warc_ingest",
     "mm27_webdataset_ingest",
+    "mm28_vit_patchify",
 ]
 
 

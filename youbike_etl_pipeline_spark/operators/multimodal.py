@@ -3416,6 +3416,72 @@ def parse_webdataset_features(
     return df.select(id_col, payload_col).mapInPandas(fn, schema=WDS_FEATURES)
 
 
+#: ViT-style patch grid: one row per (doc, patch) with per-channel means
+PATCH_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("patch_y", T.IntegerType(), False),
+        T.StructField("patch_x", T.IntegerType(), False),
+        T.StructField("r_mean", T.DoubleType(), True),
+        T.StructField("g_mean", T.DoubleType(), True),
+        T.StructField("b_mean", T.DoubleType(), True),
+    ]
+)
+
+
+def patchify_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    patch: int = 4,
+) -> DataFrame:
+    """ViT preprocessing shape: decode each image and split it into a
+    non-overlapping ``patch``×``patch`` grid (dimensions must divide —
+    the resize op upstream owns padding policy), emitting one row per
+    patch with per-channel means. Rows-out > rows-in through the Arrow
+    iterator, zero shuffle — patch tokenization parallelizes with the
+    images. Means divide by the exact patch pixel count, so the oracle
+    re-derives them from md5 byte arithmetic."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, pys, pxs, rm, gm, bm = [], [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                img = decode_image(bytes(payload))
+                h, w, _ = img.shape
+                if h % patch or w % patch:
+                    raise ValueError(
+                        f"patchify needs dims divisible by {patch} (got {w}x{h})"
+                    )
+                grid = (
+                    img.astype(np.float64)
+                    .reshape(h // patch, patch, w // patch, patch, 3)
+                    .mean(axis=(1, 3))
+                )
+                for py in range(h // patch):
+                    for px in range(w // patch):
+                        ids.append(did)
+                        pys.append(py)
+                        pxs.append(px)
+                        rm.append(float(grid[py, px, 0]))
+                        gm.append(float(grid[py, px, 1]))
+                        bm.append(float(grid[py, px, 2]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "patch_y": pd.array(pys, dtype="int32"),
+                    "patch_x": pd.array(pxs, dtype="int32"),
+                    "r_mean": pd.array(rm, dtype="float64"),
+                    "g_mean": pd.array(gm, dtype="float64"),
+                    "b_mean": pd.array(bm, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=PATCH_FEATURES)
+
+
 #: (doc_id, frame_idx, r_sum, g_sum, b_sum) — per decoded frame
 FRAME_CHANNEL_SCHEMA = T.StructType(
     [

@@ -17802,3 +17802,70 @@ def mm27_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_members", "width", "height", "pixel_sum",
         "caption_bytes", "caption_md5", "label",
     )
+
+
+def _mm28_patchify_sql(
+    width: int = 16, height: int = 12, patch: int = 4, mod: int = 10
+) -> str:
+    """DuckDB mirror of the patch tokenization: byte idx → channel
+    (idx%3), pixel (idx//3), pixel → (x, y) → patch cell (x//P, y//P);
+    per-cell channel means divide an exact small-int sum by the
+    power-of-two patch area, so both engines produce identical float64
+    without rounding."""
+    n = width * height * 3
+    blocks = (n + 15) // 16
+    area = float(patch * patch)
+    return f"""
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % {mod} = 0),
+    hx AS (
+      SELECT d.doc_id, b.b, md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(b.b AS VARCHAR)) AS h
+      FROM d, (SELECT unnest(generate_series(0, {blocks - 1})) AS b) b
+    ),
+    bytes AS (
+      SELECT doc_id, (b * 16 + j.j) AS idx,
+             (strpos('0123456789abcdef', substr(h, 2 * j.j + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(h, 2 * j.j + 2, 1)) - 1) AS v
+      FROM hx, (SELECT unnest(generate_series(0, 15)) AS j) j
+      WHERE b * 16 + j.j < {n}
+    ),
+    px AS (
+      SELECT doc_id, idx % 3 AS c,
+             ((idx // 3) // {width}) // {patch} AS py,
+             ((idx // 3) % {width}) // {patch} AS px_,
+             v
+      FROM bytes
+    )
+    SELECT doc_id,
+           CAST(py AS INT) AS patch_y,
+           CAST(px_ AS INT) AS patch_x,
+           SUM(CASE WHEN c = 0 THEN v ELSE 0 END) / {area} AS r_mean,
+           SUM(CASE WHEN c = 1 THEN v ELSE 0 END) / {area} AS g_mean,
+           SUM(CASE WHEN c = 2 THEN v ELSE 0 END) / {area} AS b_mean
+    FROM px GROUP BY doc_id, py, px_
+    """
+
+
+@register(
+    "mm28_vit_patchify",
+    _mm28_patchify_sql(),
+    survey_rows="ext:multimodal-preprocessing — ViT patch tokenization "
+    "(non-overlapping grid, per-patch channel means), the standard "
+    "vision-transformer input shape",
+    description="REAL patch tokenization (round 8): decode each image "
+    "and split it into the non-overlapping 4x4 ViT grid, one output row "
+    "per patch with per-channel means (multimodal.py::"
+    "patchify_features — rows-out > rows-in through the Arrow iterator, "
+    "zero shuffle, the same fan-out contract as frame sampling). Patch "
+    "means divide an exact small-int sum by the power-of-two patch "
+    "area, so Spark's numpy means and DuckDB's SUM/16.0 are bit-exact "
+    "float64 with no rounding step — the oracle re-derives every byte "
+    "with md5 hex arithmetic and regroups it by patch cell.",
+)
+def mm28_vit_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_ppm_payloads, patchify_features
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    media = attach_ppm_payloads(docs, width=16, height=12)
+    return patchify_features(media, patch=4).select(
+        "doc_id", "patch_y", "patch_x", "r_mean", "g_mean", "b_mean"
+    )
