@@ -3381,8 +3381,12 @@ def parse_webdataset_features(
                 if payload is None:
                     continue
                 try:
-                    tf = tarfile.open(fileobj=io.BytesIO(bytes(payload)))
-                    members = {m.name: tf.extractfile(m).read() for m in tf}
+                    # close the TarFile promptly: its cyclic refs otherwise
+                    # pile up in the long-lived python worker and GC time
+                    # grows with the live-object count (found by the 1000x
+                    # probe — 55x/decade before, linear after)
+                    with tarfile.open(fileobj=io.BytesIO(bytes(payload))) as tf:
+                        members = {m.name: tf.extractfile(m).read() for m in tf}
                 except tarfile.TarError as ex:
                     raise ValueError(f"malformed WebDataset shard: {ex}")
                 samples: dict[str, dict[str, bytes]] = {}
