@@ -192,6 +192,7 @@ HEADLINE = [
     "mm26_warc_ingest",
     "mm27_webdataset_ingest",
     "mm28_vit_patchify",
+    "st13_streaming_media_decode",
 ]
 
 

@@ -555,6 +555,7 @@ DOC_EVENT_QUERIES = [
     "mm26_warc_ingest",
     "mm27_webdataset_ingest",
     "mm28_vit_patchify",
+    "st13_streaming_media_decode",
 ]
 
 

@@ -228,3 +228,44 @@ def test_streaming_drift_partials_split_invariant(spark, sf_small, tmp_path):
     got = {r["d"]: (r["cnt"], r["sxi"]) for r in merged.collect()}
     want = {r["d"]: (r["cnt"], r["sxi"]) for r in one_shot.collect()}
     assert got == want
+
+
+def test_streaming_media_decode_matches_batch(spark, tmp_path):
+    """Round-8: the stateless decode pipeline inside micro-batches must
+    equal the batch path row-for-row even when the source arrives as
+    MULTIPLE files (several micro-batches), and survive a restart from
+    a checkpoint without duplicating rows (append mode, exactly-once
+    file source)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_wav_payloads,
+        decode_audio_features,
+    )
+    from youbike_etl_pipeline_spark.streaming.ingest import (
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    src = tmp_path / "documents.parquet"
+    os.makedirs(src, exist_ok=True)
+    rows = [(i, f"doc {i}", "en", "src0", 5) for i in range(0, 60, 10)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # three files -> three micro-batches through the file source
+    for k in range(3):
+        df.filter(F.col("doc_id") % 30 == k * 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+
+    stream = read_documents_stream(spark, str(tmp_path))
+    feats = decode_audio_features(attach_wav_payloads(stream))
+    got = run_stream_to_memory(feats, output_mode="append").collect()
+    batch = decode_audio_features(
+        attach_wav_payloads(spark.read.parquet(str(src)))
+    ).collect()
+    assert sorted(map(str, got)) == sorted(map(str, batch))
+    assert len(got) == 6

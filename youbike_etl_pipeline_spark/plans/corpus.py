@@ -17869,3 +17869,58 @@ def mm28_vit_patchify(spark: SparkSession, sf_dir: str) -> DataFrame:
     return patchify_features(media, patch=4).select(
         "doc_id", "patch_y", "patch_x", "r_mean", "g_mean", "b_mean"
     )
+
+
+def _st13_streaming_media_sql(n_samples: int = 256, mod: int = 10) -> str:
+    """Batch mirror of the streaming media decode: same md5 sample
+    re-derivation as mm3 (the decode is stateless, so streaming
+    micro-batching cannot change a single value), n_bytes = the 44-byte
+    WAV header + 2 bytes/sample."""
+    return f"""
+    WITH {_audio_sample_ctes(n_samples, mod=mod)},
+    lagged AS (
+      SELECT doc_id, si, s,
+             LAG(s) OVER (PARTITION BY doc_id ORDER BY si) AS prev
+      FROM samples
+    )
+    SELECT doc_id,
+           CAST({44 + 2 * n_samples} AS BIGINT) AS n_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(MAX(ABS(s)) AS BIGINT) AS peak,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND s * prev < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings,
+           ROUND(SQRT(CAST(SUM(s * s) AS DOUBLE) / COUNT(*)), 6) AS rms
+    FROM lagged GROUP BY doc_id
+    """
+
+
+@register(
+    "st13_streaming_media_decode",
+    _st13_streaming_media_sql(),
+    survey_rows="§2.8 streaming × ext:multimodal — stateless media "
+    "decode inside Structured Streaming micro-batches",
+    description="Streaming multimodal ingest (round 8): the documents "
+    "stream (parquet file source) flows through the SAME Arrow-batched "
+    "mapInPandas attach/decode operators the batch corpus grades "
+    "(attach_wav_payloads → decode_audio_features) — stateless "
+    "transforms are legal in streams, so the decode pipeline serves "
+    "micro-batch ingestion unchanged, append-mode with no watermark or "
+    "state. Run to completion over the finite source, the output must "
+    "equal the batch oracle row-for-row: micro-batch boundaries cannot "
+    "change a single decoded sample. This is the shape a production "
+    "crawl→decode pipeline takes when fed incrementally.",
+)
+def st13_streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_wav_payloads, decode_audio_features
+    from ..streaming.ingest import read_documents_stream, run_stream_to_memory
+
+    docs = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    feats = decode_audio_features(attach_wav_payloads(docs)).select(
+        "doc_id",
+        "n_bytes",
+        "n_samples",
+        "peak",
+        "zero_crossings",
+        F.round("rms", 6).alias("rms"),
+    )
+    return run_stream_to_memory(feats, output_mode="append")
