@@ -138,13 +138,14 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # grades of the corrected semantics rather than re-grades.
     "mm16_gif_decode",
     "mm19_msadpcm_audio_decode",
-    # Round 8 also REWROTE library internals under five graded-green
-    # queries — decode_png generalized to the full spec matrix (mm10),
-    # decode_tiff to tiles/16-bit/planar/palette (mm18), and decode_wav
-    # grew multichannel framing under the mm3/mm11/mm12 dispatch. Their
+    # Round 8 also REWROTE library internals under five more queries —
+    # decode_png generalized to the full spec matrix (mm10, graded r6),
+    # decode_tiff to tiles/16-bit/planar/palette (mm18, never yet
+    # graded — deferred from r7), and decode_wav grew multichannel
+    # framing under the mm3/mm11/mm12 dispatch (graded r4/r6). Their
     # corpus fn text is unchanged and the default encoder bytes are
     # hash-pinned identical, but the honest posture is a same-round
-    # re-grade, not waiting for the staleness rotation to reach them.
+    # (re-)grade, not waiting for the staleness rotation to reach them.
     "mm10_png_decode_features",
     "mm18_tiff_decode",
     "mm3_audio_features",
