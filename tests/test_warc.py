@@ -263,3 +263,41 @@ def test_production_binaryfile_route(spark, tmpdir):
         assert rows[did]["caption_md5"] == hashlib.md5(
             f"caption {did}".encode()
         ).hexdigest()
+
+
+def test_round8_review_gzip_bomb_and_folded_headers():
+    """Review findings: (1) a gzip bomb shard must be refused without
+    materializing the expansion (the PNG bounded-inflate posture); (2)
+    ISO 28500 header folding (leading-whitespace continuation lines)
+    must extend the previous field instead of raising."""
+    import zlib
+
+    from youbike_etl_pipeline_spark.operators.warc import _gunzip_members
+
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    bomb = co.compress(b"\x00" * 50_000_000) + co.flush()
+    assert len(bomb) < 100_000  # ~1000:1
+    with pytest.raises(ValueError, match="expands past"):
+        _gunzip_members(bomb, max_bytes=10_000_000)
+    # under the cap it still decompresses fully
+    assert len(_gunzip_members(bomb, max_bytes=60_000_000)) == 50_000_000
+
+    body = b"folded-target body"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: http://example.com/a\r\n"
+        b"\t/very/long/path?q=1\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+        b"\r\n" + body + b"\r\n\r\n"
+    )
+    records = parse_warc(rec)
+    assert len(records) == 1
+    assert (
+        records[0]["headers"]["WARC-Target-URI"]
+        == "http://example.com/a /very/long/path?q=1"
+    )
+    assert records[0]["block"] == body
+    # a folded line with no preceding header is still malformed
+    with pytest.raises(ValueError, match="malformed WARC header"):
+        parse_warc(b"WARC/1.0\r\n fold-first\r\nContent-Length: 0\r\n\r\n\r\n\r\n")

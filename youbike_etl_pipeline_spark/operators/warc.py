@@ -28,18 +28,39 @@ from __future__ import annotations
 import zlib
 
 
-def _gunzip_members(payload: bytes) -> bytes:
+#: Expansion ceiling for one archive's decompressed bytes. Same
+#: decompression-bomb posture as the PNG bounded inflate: a ~50 KB gzip
+#: member can legally expand ~1000:1, so a few-KB bomb shard could
+#: otherwise allocate executor memory without bound. Crawl WARC files
+#: are ~1 GiB decompressed; the cap is generous headroom, not a format
+#: limit.
+_MAX_ARCHIVE_BYTES = 4 << 30
+
+
+def _gunzip_members(payload: bytes, max_bytes: int = _MAX_ARCHIVE_BYTES) -> bytes:
     """Decompress a concatenation of gzip members (the Common Crawl
-    per-record layout) into one plain buffer."""
+    per-record layout) into one plain buffer, refusing archives that
+    expand past ``max_bytes`` (decompression-bomb guard — the overflow
+    is detected incrementally, never materialized)."""
     out = bytearray()
     rest = payload
     while rest:
         d = zlib.decompressobj(wbits=47)  # gzip or zlib header
         try:
-            out.extend(d.decompress(rest))
+            out.extend(d.decompress(rest, max(1, max_bytes - len(out))))
+            while d.unconsumed_tail:
+                if len(out) >= max_bytes:
+                    raise ValueError(
+                        f"WARC archive expands past {max_bytes} bytes"
+                    )
+                out.extend(
+                    d.decompress(d.unconsumed_tail, max(1, max_bytes - len(out)))
+                )
             out.extend(d.flush())
         except zlib.error as ex:
             raise ValueError(f"WARC gzip member corrupt: {ex}")
+        if len(out) > max_bytes:
+            raise ValueError(f"WARC archive expands past {max_bytes} bytes")
         if not d.eof:
             raise ValueError("truncated WARC gzip member")
         if d.unused_data == rest:
@@ -73,6 +94,7 @@ def parse_warc(payload: bytes) -> list[dict]:
             raise ValueError(f"not a WARC record at offset {pos}: {version[:20]!r}")
         pos = eol + 2
         headers: dict[str, str] = {}
+        last_key: str | None = None
         while True:
             eol = payload.find(b"\r\n", pos)
             if eol < 0:
@@ -81,12 +103,16 @@ def parse_warc(payload: bytes) -> list[dict]:
             pos = eol + 2
             if not line:
                 break
+            if line[:1] in (b" ", b"\t") and last_key is not None:
+                # ISO 28500 header folding: a leading-whitespace line
+                # continues the previous field's value
+                headers[last_key] += " " + line.decode("utf-8", "replace").strip()
+                continue
             if b":" not in line:
                 raise ValueError(f"malformed WARC header line {line[:40]!r}")
             k, v = line.split(b":", 1)
-            headers[k.decode("ascii", "replace").strip()] = v.decode(
-                "utf-8", "replace"
-            ).strip()
+            last_key = k.decode("ascii", "replace").strip()
+            headers[last_key] = v.decode("utf-8", "replace").strip()
         lengths = [v for k, v in headers.items() if k.lower() == "content-length"]
         if not lengths or not lengths[0].isdigit():
             raise ValueError("WARC record missing a numeric Content-Length")
