@@ -125,3 +125,14 @@ def test_jvm_imageio_conformance(spark, tmpdir):
         mine = decode_bmp(payload)
         assert np.array_equal(mine, ref), tag
         assert np.array_equal(mine, im), tag
+
+
+def test_round8_review_rle_allocation_bomb_guard():
+    """RLE8 output size comes from header fields alone — giant declared
+    dims in a tiny file must be refused before the index allocates."""
+    import struct
+
+    payload = bytearray(encode_bmp(md5_pixels(95, 8, 6), bpp=8, rle=True))
+    struct.pack_into("<ii", payload, 18, 60000, 60000)
+    with pytest.raises(ValueError, match="exceed the decoder bound"):
+        decode_bmp(bytes(payload))

@@ -213,3 +213,15 @@ def test_single_byte_corruption_fuzz():
                 decode_gif(bytes(corrupted))
             except (ValueError, NotImplementedError):
                 pass
+
+
+def test_round8_review_allocation_bomb_guard():
+    """A tiny payload claiming giant logical-screen dimensions must be
+    refused BEFORE the canvas allocates (the PNG bounded-inflate posture
+    applied to header-driven allocations)."""
+    import struct
+
+    payload = bytearray(encode_gif(md5_pixels(35, 8, 6)))
+    struct.pack_into("<HH", payload, 6, 65535, 65535)
+    with pytest.raises(ValueError, match="exceed the decoder bound"):
+        decode_gif(bytes(payload))

@@ -310,3 +310,19 @@ def test_palette_tiff_roundtrip_and_jvm(spark, tmpdir):
     bad[i : i + 2] = (32000).to_bytes(2, "little")
     with pytest.raises(ValueError, match="ColorMap"):
         decode_tiff(bytes(bad))
+
+
+def test_round8_review_allocation_bomb_guard():
+    """Giant u32 ImageWidth/Length in a tiny file must be refused before
+    the page array allocates."""
+    import struct
+
+    payload = bytearray(encode_tiff(md5_pixels(36, 8, 6)))
+    ifd = struct.unpack_from("<I", payload, 4)[0]
+    n = struct.unpack_from("<H", payload, ifd)[0]
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if struct.unpack_from("<H", payload, e)[0] in (256, 257):
+            struct.pack_into("<H", payload, e + 8, 65535)
+    with pytest.raises(ValueError, match="exceed the decoder bound"):
+        decode_tiff(bytes(payload))

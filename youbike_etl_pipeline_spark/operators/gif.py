@@ -122,6 +122,14 @@ def decode_gif(payload: bytes) -> list["np.ndarray"]:
         if len(gct) < n:
             raise ValueError("truncated GIF global color table")
         pos += 3 * n
+    if w * h > (1 << 26):
+        # allocation-bomb guard (round-8 review): the canvas allocates
+        # from HEADER fields before any pixel data is validated — a
+        # 30-byte file claiming 65535x65535 would otherwise grab ~13 GB
+        # on an executor. 64M pixels is far past the thumbnail-fixture
+        # posture; larger corpora route through the JVM read_images
+        # source.
+        raise ValueError(f"GIF dimensions {w}x{h} exceed the decoder bound")
     frames: list[np.ndarray] = []
     bg_rgb = (
         gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)

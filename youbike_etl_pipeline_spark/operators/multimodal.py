@@ -181,6 +181,11 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
     if bpp == 8 and compression == 1:  # RLE8 (always bottom-up)
         if top_down:
             raise ValueError("top-down RLE8 BMP is not legal")
+        if w * h > (1 << 26):
+            # allocation-bomb guard (round-8 review): unlike the raw
+            # paths, RLE's output size comes from header fields alone —
+            # a tiny file claiming huge dims would allocate unbounded
+            raise ValueError(f"RLE8 BMP dimensions {w}x{h} exceed the decoder bound")
         idx = _bmp_rle8_decode(payload[data_offset:], w, h)
         if int(idx.max(initial=0)) >= len(palette):
             raise ValueError("BMP palette index outside the color table")

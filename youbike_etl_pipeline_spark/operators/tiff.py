@@ -303,6 +303,12 @@ def decode_tiff(payload: bytes) -> "list[np.ndarray]":
             acc = np.cumsum(block.astype(np.uint32), axis=1)
             return (acc & ((1 << bits) - 1)).astype(sdt)
 
+        if w * h > (1 << 26):
+            # allocation-bomb guard (round-8 review): the page array
+            # allocates from u32 IFD fields before any strip/tile data
+            # is validated; 64M pixels is past the thumbnail-fixture
+            # posture (JVM read_images is the big-image route)
+            raise ValueError(f"TIFF dimensions {w}x{h} exceed the decoder bound")
         img = np.zeros((h, w, spp), dtype=sdt)
         if 322 in tags or 323 in tags:  # tiled layout
             tw = tags.get(322, [0])[0]
