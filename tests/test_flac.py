@@ -499,3 +499,22 @@ def test_pcm8_and_pcm24_wav_decode():
     # stereo 24-bit frames
     _, z = decode_wav(wav(1, 2, 48000, 6, 24, data))
     assert z.shape == (2, 2) and z[0, 0] == 1 and z[1, 1] == -1
+
+
+def test_round8_review_truncated_fmt_chunk():
+    """A fmt chunk shorter than the 16-byte WAVEFORMATEX core leaked
+    struct.error (found by crafted-truncation review probes); it must
+    raise the documented ValueError."""
+    import struct
+
+    from youbike_etl_pipeline_spark.operators.multimodal import decode_wav
+
+    for fmt_size, fmt_body in ((4, b"\x01\x00\x01\x00"),
+                               (12, struct.pack("<HHII", 1, 1, 8000, 16000))):
+        wav = (
+            b"RIFF" + struct.pack("<I", 16 + fmt_size) + b"WAVE"
+            + b"fmt " + struct.pack("<I", fmt_size) + fmt_body
+            + b"data" + struct.pack("<I", 2) + b"\x00\x00"
+        )
+        with pytest.raises(ValueError, match="truncated WAV fmt"):
+            decode_wav(wav)

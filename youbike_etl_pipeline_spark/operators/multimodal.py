@@ -2157,6 +2157,8 @@ def decode_wav(payload: bytes) -> tuple[int, "np.ndarray"]:
         size = struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:  # WAVEFORMATEX core; shorter is malformed
+                raise ValueError("truncated WAV fmt chunk")
             audio_fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
             block_align = struct.unpack_from("<H", body, 12)[0]
             bits = struct.unpack_from("<H", body, 14)[0]
