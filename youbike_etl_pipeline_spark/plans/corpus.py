@@ -125,32 +125,14 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 #: normalize_event_ts), so every events-backed query below is "fn changed"
 #: through its input contract.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # Round 8 (advisor conformance fixes, applied BEFORE these queries'
-    # first driver grade): mm19's MS-ADPCM predictor now truncates toward
-    # zero (C-style /256, the WAVE-spec / ffmpeg convention) instead of
-    # arithmetic-shift floor, and the delta upper clamp is dropped (spec
-    # clamps the LOWER bound only) — decoder and recursive-CTE oracle
-    # changed in lockstep. mm16's GIF compositor now honours the GCE
-    # disposal method (0-3 implemented, reserved 4-7 raise) and paints
-    # first-frame transparency over the logical-screen background colour
-    # (tests/test_gif.py pins both via canvas-simulated delta encoding).
-    # Neither query has ever been driver-graded, so these are first
-    # grades of the corrected semantics rather than re-grades.
-    "mm16_gif_decode",
-    "mm19_msadpcm_audio_decode",
-    # Round 8 also REWROTE library internals under five more queries —
-    # decode_png generalized to the full spec matrix (mm10, graded r6),
-    # decode_tiff to tiles/16-bit/planar/palette (mm18, never yet
-    # graded — deferred from r7), and decode_wav grew multichannel
-    # framing under the mm3/mm11/mm12 dispatch (graded r4/r6). Their
-    # corpus fn text is unchanged and the default encoder bytes are
-    # hash-pinned identical, but the honest posture is a same-round
-    # (re-)grade, not waiting for the staleness rotation to reach them.
-    "mm10_png_decode_features",
-    "mm18_tiff_decode",
-    "mm3_audio_features",
-    "mm11_g711_audio_decode",
-    "mm12_adpcm_audio_decode",
+    # Round 9: emptied at round start — all seven round-8 entries (mm16,
+    # mm19 conformance fixes; mm10/mm18/mm3/mm11/mm12 decoder rewrites)
+    # graded green in CORRECTNESS_r08.json and rotate normally now. The
+    # round-9 advisor items (TIFF tile-allocation bound, GIF total-frame
+    # cap, WARC EOF-remainder check, BMP RLE8 data-offset check) harden
+    # CORRUPT-input error paths only — well-formed fixture decodes are
+    # byte-identical (unit tests pin this), so the graded queries above
+    # them keep their grades and rotate by staleness.
 )
 
 #: Graded-green queries whose last driver grade PREDATES the latest
@@ -160,11 +142,10 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
 #: (round-6 verdict item 3). Drop entries once CORRECTNESS_r07 grades
 #: them on post-regen data.
 REGRADE_FIRST: tuple[str, ...] = (
-    # st1/st3/st5 re-graded green in r7 (post-regen) and dropped. w12 sat
-    # at window position 51 in r7 (just past the cut) and its last grade
-    # (r4) still predates the 2026-08-15 regeneration — it re-grades
-    # ahead of the ordinary staleness rotation.
-    "w12_time_range_frame",
+    # Round 9: emptied — w12 re-graded green in r8 on post-regen data;
+    # no remaining grade predates a testdata regeneration except through
+    # the ordinary staleness rotation (the r1/r2 tier tops that rotation
+    # and fits entirely inside the r9 window).
 )
 
 #: Queries ADDED mid-round-7, after the grading window was already full
