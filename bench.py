@@ -193,6 +193,10 @@ HEADLINE = [
     "mm27_webdataset_ingest",
     "mm28_vit_patchify",
     "st13_streaming_media_decode",
+    # round-9: crawl text extraction, BPE encoding, URL canonicalization
+    "mm29_html_text_extract",
+    "mm30_url_canonicalize",
+    "t50_bpe_encode",
 ]
 
 

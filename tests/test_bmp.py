@@ -136,3 +136,24 @@ def test_round8_review_rle_allocation_bomb_guard():
     struct.pack_into("<ii", payload, 18, 60000, 60000)
     with pytest.raises(ValueError, match="exceed the decoder bound"):
         decode_bmp(bytes(payload))
+
+
+def test_round9_advisor_rle_truncation_contract():
+    """RLE8 corruption must raise like the raw paths do: a data_offset
+    past EOF previously decoded silently as all-palette[0], and a stream
+    exhausted before the end-of-bitmap escape decoded whatever prefix it
+    had (round-9 advisor)."""
+    import struct
+
+    img = md5_pixels(96, 8, 6)
+    payload = bytearray(encode_bmp(img, bpp=8, rle=True))
+    bad = bytearray(payload)
+    struct.pack_into("<I", bad, 10, len(payload) + 16)
+    with pytest.raises(ValueError, match="truncated BMP pixel data"):
+        decode_bmp(bytes(bad))
+    # strip the trailing end-of-bitmap escape (0x00 0x01)
+    assert payload[-2:] == b"\x00\x01"
+    with pytest.raises(ValueError, match="end-of-bitmap"):
+        decode_bmp(bytes(payload[:-2]))
+    # the intact stream still round-trips
+    assert np.array_equal(decode_bmp(bytes(payload)), img)

@@ -225,3 +225,19 @@ def test_round8_review_allocation_bomb_guard():
     struct.pack_into("<HH", payload, 6, 65535, 65535)
     with pytest.raises(ValueError, match="exceed the decoder bound"):
         decode_gif(bytes(payload))
+
+
+def test_round9_advisor_total_frame_bytes_cap():
+    """decode_gif snapshots the FULL canvas per frame, so a canvas under
+    the w*h bound plus many tiny frame blocks amplifies a few-KB file
+    to frames*canvas bytes — total decoded pixels must be bounded, not
+    just the canvas (round-9 advisor)."""
+    import struct
+
+    one = np.zeros((1, 1, 3), dtype=np.uint8)
+    payload = bytearray(encode_gif([one] * 5))
+    # 4096*4096 = 2^24 px canvas passes the per-canvas guard; the 5th
+    # full-canvas snapshot crosses the 2^26 total-pixel posture
+    struct.pack_into("<HH", payload, 6, 4096, 4096)
+    with pytest.raises(ValueError, match="total decoded frame pixels"):
+        decode_gif(bytes(payload))

@@ -1,0 +1,177 @@
+"""Crawl HTML→text extraction (round 9): the from-scratch extractor
+(operators/html.py) against the four extraction-invariant fixture
+variants, adversarial markup shapes, entity round-trips (hypothesis),
+and the end-to-end WARC-wrapped Spark path mm29 grades."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from youbike_etl_pipeline_spark.operators.html import (
+    build_fixture_html,
+    decode_entities,
+    escape_html,
+    expected_extraction,
+    extract_html_text,
+    normalize_text_ws,
+)
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+TEXTS = [
+    "hello world",
+    "",
+    "multi\nline  text\twith <tags> & &amp; entities",
+    "  leading and trailing  ",
+    "&#x41; literal & <p>nested</p> &lt;escaped&gt;",
+    "unicode — 中文 café\n\n\nblank lines",
+    "a\rb\fc\vd horizontal controls",
+    "quotes \" and ' survive",
+]
+
+
+def test_variant_matrix_extraction_invariant():
+    """All four markup variants of the same document must extract to the
+    identical (title, text, links) — the mm25 variant-matrix discipline
+    applied to markup."""
+    for i, txt in enumerate(TEXTS):
+        for v in range(4):
+            did = v * 10 + i * 40
+            got = extract_html_text(build_fixture_html(did, txt))
+            assert got == expected_extraction(did, txt), (did, v, txt)
+
+
+def test_script_style_comment_head_never_leak():
+    html = (
+        "<html><head><title>T</title>"
+        "<style>p { content: 'styleword'; }</style>"
+        "<script>var x = 'scriptword <p>fake</p>';</script></head>"
+        "<body><!-- commentword --><p>real</p>"
+        "<SCRIPT>inline 'bodyscriptword'</SCRIPT>"
+        "<p>tail</p></body></html>"
+    )
+    ex = extract_html_text(html)
+    assert ex["title"] == "T"
+    assert ex["text"] == "real\ntail"
+    for leak in ("styleword", "scriptword", "commentword", "bodyscriptword", "T"):
+        assert leak not in ex["text"]
+
+
+def test_block_vs_inline_tag_semantics():
+    ex = extract_html_text(
+        "<body><p>one<b>two</b>three</p><div>four</div>five<br>six</body>"
+    )
+    # inline <b> glues, block tags separate
+    assert ex["text"] == "onetwothree\nfour\nfive\nsix"
+
+
+def test_entity_decoding_order_and_numerics():
+    assert decode_entities("&amp;lt;") == "&lt;"
+    assert decode_entities("&#65;&#x42;&#x63;") == "ABc"
+    assert decode_entities("&lt;p&gt; &quot;q&quot; &apos;a&apos; &nbsp;") == (
+        "<p> \"q\" 'a'  "
+    )
+    # escape/decode are inverses on arbitrary text
+    for t in TEXTS:
+        assert decode_entities(escape_html(t)) == t
+
+
+def test_headless_and_unclosed_documents():
+    # no <body>: content still extracted, title text never leaks
+    ex = extract_html_text("<html><head><title>T</title></head><p>x</p></html>")
+    assert ex == {"title": "T", "text": "x", "links": []}
+    # no html/head/body at all
+    ex = extract_html_text("<p>just a fragment</p>")
+    assert ex == {"title": "", "text": "just a fragment", "links": []}
+    # unterminated body (truncated crawl payload): regex falls back to EOF
+    ex = extract_html_text("<body><p>cut off mid-docu")
+    assert ex["text"] == "cut off mid-docu"
+
+
+def test_href_extraction_quoting_and_scope():
+    ex = extract_html_text(
+        "<body><a href=\"http://a/1\">x</a>"
+        "<a class='k' href='http://a/2'>y</a>"
+        "<a name=anchor>no href</a></body>"
+    )
+    assert ex["links"] == ["http://a/1", "http://a/2"]
+    # links inside removed regions don't count
+    ex = extract_html_text(
+        "<head><script>s='<a href=\"http://fake/\">';</script></head>"
+        "<body><!-- <a href=\"http://fake2/\">c</a> -->"
+        "<a href=\"http://real/\">r</a></body>"
+    )
+    assert ex["links"] == ["http://real/"]
+
+
+def test_normalize_text_ws_chain():
+    assert normalize_text_ws("  a \t b \r\n\n  c  \n\n") == "a b\nc"
+    assert normalize_text_ws("\n\n\n") == ""
+    assert normalize_text_ws("x") == "x"
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=10_000).map(lambda i: i * 10),
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_characters="\x00"
+        ),
+        max_size=400,
+    ),
+)
+def test_fixture_roundtrip_property(did, txt):
+    """Any text (markup-looking, entity-looking, control chars, unicode)
+    must survive escape → template → extract identically to the oracle's
+    raw-text assembly, for every variant."""
+    want = expected_extraction(did, txt)
+    for v in range(4):
+        got = extract_html_text(build_fixture_html(did + v * 10, txt))
+        want_v = expected_extraction(did + v * 10, txt)
+        assert got["text"] == want_v["text"]
+        assert got["title"] == want_v["title"]
+        assert got["links"] == want_v["links"]
+    assert want["links"][0].endswith(str(did - 10))
+
+
+@pytest.mark.usefixtures("spark")
+def test_mm29_end_to_end_spark(spark):
+    """The full mm29 path: documents → HTML fixture → WARC archive →
+    parse → HTTP split → extract — hash parity is graded by the driver;
+    here pin the per-row contract on sf0.001."""
+    from youbike_etl_pipeline_spark.plans.corpus import CORPUS
+
+    df = CORPUS["mm29_html_text_extract"].fn(spark, "/root/testdata/sf0.001")
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert len(rows) >= 5
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    docs = dict(
+        con.execute(
+            "SELECT doc_id, COALESCE(text,'') FROM documents WHERE doc_id%10=0"
+        ).fetchall()
+    )
+    assert set(rows) == set(docs)
+    for did, text in docs.items():
+        want = expected_extraction(int(did), text)
+        r = rows[did]
+        assert r["title"] == want["title"]
+        assert r["n_links"] == 2
+        assert r["first_link"] == want["links"][0]
+        assert r["text_chars"] == len(want["text"])
+        assert r["text_md5"] == hashlib.md5(want["text"].encode()).hexdigest()

@@ -556,6 +556,12 @@ DOC_EVENT_QUERIES = [
     "mm27_webdataset_ingest",
     "mm28_vit_patchify",
     "st13_streaming_media_decode",
+    # round-9: HTML extraction re-assembles expected text from the raw
+    # column, BPE re-derives from the text's [a-z]+ projection, URL
+    # canonicalization from doc_id alone — all reseed-independent
+    "mm29_html_text_extract",
+    "mm30_url_canonicalize",
+    "t50_bpe_encode",
 ]
 
 

@@ -326,3 +326,25 @@ def test_round8_review_allocation_bomb_guard():
             struct.pack_into("<H", payload, e + 8, 65535)
     with pytest.raises(ValueError, match="exceed the decoder bound"):
         decode_tiff(bytes(payload))
+
+
+def test_round9_advisor_tile_allocation_bomb_guard():
+    """The inflate target is sized from TILE dims (tags 322/323), which
+    the image-dim guard never sees — a tiny file claiming an image far
+    smaller than its tiles must be refused before the LZW output buffer
+    sizes from the tile area (round-9 advisor)."""
+    import struct
+
+    payload = bytearray(encode_tiff(md5_pixels(91, 16, 16), tile=(16, 16)))
+    ifd = struct.unpack_from("<I", payload, 4)[0]
+    n = struct.unpack_from("<H", payload, ifd)[0]
+    for i in range(n):
+        e = ifd + 2 + 12 * i
+        if struct.unpack_from("<H", payload, e)[0] in (322, 323):
+            struct.pack_into("<H", payload, e + 8, 1024)
+    with pytest.raises(ValueError, match="exceed the padded image"):
+        decode_tiff(bytes(payload))
+    # the floor: fixed 256x256 tiles on a small image are a real-writer
+    # convention, not corruption — still decodable end-to-end
+    rt = decode_tiff(encode_tiff(md5_pixels(92, 16, 16), tile=(16, 16)))
+    assert np.array_equal(rt[0], md5_pixels(92, 16, 16))

@@ -301,3 +301,86 @@ def test_round8_review_gzip_bomb_and_folded_headers():
     # a folded line with no preceding header is still malformed
     with pytest.raises(ValueError, match="malformed WARC header"):
         parse_warc(b"WARC/1.0\r\n fold-first\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+
+
+def test_round9_advisor_eof_separator_prefix_only():
+    """A record separator truncated at EOF is tolerated only when the
+    remainder is a PREFIX of the CRLF pair — arbitrary 1-3 trailing
+    bytes previously parsed silently (round-9 advisor)."""
+    body = b"tail-check body"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: resource\r\n"
+        b"Content-Length: " + str(len(body)).encode() + b"\r\n"
+        b"\r\n" + body
+    )
+    # truncated separator prefixes are tolerated (including none at all)
+    for tail in (b"", b"\r", b"\r\n", b"\r\n\r", b"\r\n\r\n"):
+        records = parse_warc(rec + tail)
+        assert len(records) == 1 and records[0]["block"] == body
+    # anything else in the final 1-3 bytes is structural corruption
+    for tail in (b"XX", b"\r\nX", b"\n", b"\r\r", b"\r\n\rX"):
+        with pytest.raises(ValueError, match="separator missing"):
+            parse_warc(rec + tail)
+
+
+def test_round9_url_canonicalization():
+    """RFC 3986 §6 normalization: case, default ports, fragments, dot
+    segments, stable query sort — plus idempotence and the fixture's
+    expected canonical forms (the mm30 oracle constants)."""
+    from youbike_etl_pipeline_spark.operators.warc import (
+        _remove_dot_segments,
+        canonicalize_url,
+        messy_fixture_url,
+        url_host,
+    )
+
+    expected = {
+        0: ("http://example.com/doc/{d}?a=1&b=2", "example.com", True),
+        1: ("https://www.example.org/doc/{d}/", "www.example.org", True),
+        2: ("http://cdn.example.net/doc/{d}?y=8&z=9&z=1", "cdn.example.net", False),
+        3: ("http://example.com:8080/doc/{d}", "example.com", True),
+        4: ("https://example.com/doc/{d}", "example.com", True),
+    }
+    for r, (tmpl, host, changed) in expected.items():
+        for d in (r * 10, r * 10 + 50, r * 10 + 1000):
+            raw = messy_fixture_url(d)
+            canon = canonicalize_url(raw)
+            assert canon == tmpl.format(d=d), (d, raw, canon)
+            assert url_host(canon) == host
+            assert (canon != raw) == changed
+            assert canonicalize_url(canon) == canon  # idempotent
+    # dot-segment table (RFC 3986 §5.2.4)
+    for p, want in [
+        ("/a/../b/./c", "/b/c"),
+        ("/a/..", "/"),
+        ("/../a", "/a"),
+        ("/a/b/../../c", "/c"),
+        ("/a/.", "/a/"),
+        ("a/./b", "a/b"),
+        ("..", ""),
+        ("../a", "a"),
+        ("/a//b", "/a//b"),
+    ]:
+        assert _remove_dot_segments(p) == want, p
+    # query sort is by key only and STABLE across duplicate keys
+    assert canonicalize_url("http://h/p?b=2&a=1&b=1") == "http://h/p?a=1&b=2&b=1"
+    # empty path normalizes to '/'
+    assert canonicalize_url("HTTP://H?x=1") == "http://h/?x=1"
+
+
+def test_round9_encode_warc_uris_default_bytes_pinned():
+    """Adding the ``uris`` override must leave the default path's bytes
+    identical (the hash-pin discipline for every fixture encoder)."""
+    docs = [(10, b"alpha"), (20, b"beta")]
+    assert encode_warc(docs) == encode_warc(docs, uris=None)
+    custom = encode_warc(docs, uris=["http://a/1", "http://b/2"])
+    assert custom != encode_warc(docs)
+    recs = parse_warc(custom)
+    uris = [
+        v
+        for r in recs
+        for k, v in r["headers"].items()
+        if k.lower() == "warc-target-uri"
+    ]
+    assert uris == ["http://a/1", "http://a/1", "http://b/2", "http://b/2"]

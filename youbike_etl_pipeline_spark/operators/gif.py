@@ -213,6 +213,15 @@ def decode_gif(payload: bytes) -> list["np.ndarray"]:
             mask = (idx2d == transparent)[:, :, None]
             rgb = np.where(mask, region, rgb)
         canvas[top : top + fh, left : left + fw] = rgb
+        # amplification guard (round-9 advisor): each frame snapshots the
+        # FULL canvas, so a canvas near the w*h bound plus many ~20-byte
+        # 1x1 frame blocks would allocate ~canvas-size per frame from a
+        # few KB of input; bound total decoded pixels, not just the canvas
+        if (len(frames) + 1) * w * h > (1 << 26):
+            raise ValueError(
+                f"GIF total decoded frame pixels exceed the bound "
+                f"({len(frames) + 1} frames of {w}x{h})"
+            )
         frames.append(canvas.copy())
         # disposal applies AFTER its frame is displayed, preparing the
         # canvas the NEXT frame composites over

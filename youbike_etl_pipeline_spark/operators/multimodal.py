@@ -120,16 +120,20 @@ def _bmp_rle8_decode(data: bytes, w: int, h: int) -> "np.ndarray":
     boundary. Rows are bottom-up like every BMP."""
     idx = np.zeros((h, w), dtype=np.uint8)
     x = y = i = 0
-    while i + 1 < len(data) and y < h:
+    eob = False
+    while i + 1 < len(data):
         n, v = data[i], data[i + 1]
         i += 2
         if n > 0:  # encoded run
+            if y >= h:
+                raise ValueError("BMP RLE8 run outside the bitmap")
             take = min(n, w - x)
             idx[y, x : x + take] = v
             x += take
         elif v == 0:  # end of line
             x, y = 0, y + 1
         elif v == 1:  # end of bitmap
+            eob = True
             break
         elif v == 2:  # delta
             if i + 1 >= len(data):
@@ -140,10 +144,18 @@ def _bmp_rle8_decode(data: bytes, w: int, h: int) -> "np.ndarray":
         else:  # absolute run of v literal indices, word-aligned
             if i + v > len(data):
                 raise ValueError("truncated BMP RLE8 literal run")
+            if y >= h:
+                raise ValueError("BMP RLE8 run outside the bitmap")
             take = min(v, w - x)
             idx[y, x : x + take] = np.frombuffer(data[i : i + take], np.uint8)
             x += take
             i += v + (v & 1)
+    if not eob:
+        # round-9 advisor: a stream exhausted before the end-of-bitmap
+        # escape previously decoded silently (all-palette[0] under a
+        # past-EOF data_offset) while the raw paths raise for the same
+        # corruption — match their truncation contract
+        raise ValueError("truncated BMP RLE8 stream (no end-of-bitmap escape)")
     return idx[::-1]  # bottom-up
 
 
@@ -186,6 +198,8 @@ def decode_bmp(payload: bytes) -> "np.ndarray":
             # paths, RLE's output size comes from header fields alone —
             # a tiny file claiming huge dims would allocate unbounded
             raise ValueError(f"RLE8 BMP dimensions {w}x{h} exceed the decoder bound")
+        if data_offset >= len(payload):
+            raise ValueError("truncated BMP pixel data")
         idx = _bmp_rle8_decode(payload[data_offset:], w, h)
         if int(idx.max(initial=0)) >= len(palette):
             raise ValueError("BMP palette index outside the color table")
@@ -3287,6 +3301,238 @@ def parse_warc_features(
             )
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=WARC_FEATURES)
+
+
+#: HTML-over-WARC extraction: title / text identity / link features
+HTML_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("title", T.StringType(), True),
+        T.StructField("n_links", T.LongType(), True),
+        T.StructField("first_link", T.StringType(), True),
+        T.StructField("text_chars", T.LongType(), True),
+        T.StructField("text_md5", T.StringType(), True),
+    ]
+)
+
+
+def attach_html_warc_payloads(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Like :func:`attach_warc_payloads`, but the crawl payload is the
+    document's text rendered as REAL HTML
+    (:func:`..operators.html.build_fixture_html` — four
+    extraction-invariant markup variants rotated by id), so the archive
+    carries what Common Crawl actually carries: markup, not plain text.
+    Production replaces this with a ``binaryFile`` read of crawl
+    segments."""
+    from .html import build_fixture_html
+    from .warc import encode_warc
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                html = build_fixture_html(
+                    did, "" if text is None else str(text)
+                )
+                payloads.append(
+                    bytearray(
+                        encode_warc(
+                            [(did, html.encode("utf-8"))],
+                            per_record_gzip=(did % 20 != 10),
+                        )
+                    )
+                )
+                metas.append(
+                    {
+                        "media_type": "archive",
+                        "format": "warc-html",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema=out_schema)
+
+
+def extract_html_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Crawl text extraction via ``mapInPandas``: walk the WARC archive
+    (:func:`..operators.warc.parse_warc`), take each response record's
+    HTTP payload, and run the HTML→text extractor
+    (:func:`..operators.html.extract_html_text`) — title, link list,
+    and the md5 identity of the extracted text (the cross-engine
+    check). One Arrow pass, zero shuffle: at 100 TB each WARC file is
+    one split, so extraction scales embarrassingly parallel exactly
+    like the mm26 payload recovery it follows."""
+    from .html import extract_html_text
+    from .warc import http_response_body, parse_warc, warc_type
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, titles, nlink, first, tchars, tmd5 = [], [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                records = parse_warc(bytes(payload))
+                responses = [r for r in records if warc_type(r) == "response"]
+                ids.append(did)
+                if not responses:
+                    titles.append(None); nlink.append(None); first.append(None)
+                    tchars.append(None); tmd5.append(None)
+                    continue
+                _, body = http_response_body(responses[0])
+                ex = extract_html_text(body.decode("utf-8"))
+                titles.append(ex["title"])
+                nlink.append(len(ex["links"]))
+                first.append(ex["links"][0] if ex["links"] else None)
+                tchars.append(len(ex["text"]))
+                tmd5.append(hashlib.md5(ex["text"].encode("utf-8")).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "title": titles,
+                    "n_links": pd.array(nlink, dtype="Int64"),
+                    "first_link": first,
+                    "text_chars": pd.array(tchars, dtype="Int64"),
+                    "text_md5": tmd5,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=HTML_FEATURES)
+
+
+#: crawl-URL canonicalization over WARC-Target-URI headers
+URL_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("n_params", T.LongType(), True),
+        T.StructField("changed", T.BooleanType(), True),
+    ]
+)
+
+
+def attach_crawl_url_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """WARC archives whose ``WARC-Target-URI`` headers carry REAL crawl
+    mess (:func:`..operators.warc.messy_fixture_url` — uppercase
+    scheme/host, default ports, unsorted/duplicate query keys,
+    fragments, dot segments, rotated by id). The body is a small
+    deterministic placeholder; this fixture exercises the header path,
+    not the payload path mm26/mm29 already grade."""
+    from .warc import encode_warc, messy_fixture_url
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                payloads.append(
+                    bytearray(
+                        encode_warc(
+                            [(did, f"crawl body {did}".encode())],
+                            per_record_gzip=(did % 20 != 10),
+                            uris=[messy_fixture_url(did)],
+                        )
+                    )
+                )
+                metas.append(
+                    {
+                        "media_type": "archive",
+                        "format": "warc",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
+            )
+
+    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
+def canonicalize_url_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL canonicalization over the archive's response headers: walk
+    the WARC records, take each response's ``WARC-Target-URI``, and
+    normalize it per RFC 3986 §6 (:func:`..operators.warc.
+    canonicalize_url`) — the CCNet-style crawl dedup key — plus the
+    host-level grouping key and query-param count. One Arrow pass,
+    zero shuffle; downstream host-level dedup groups on ``host`` with
+    the ordinary exact-dedup machinery (t1)."""
+    from .warc import canonicalize_url, parse_warc, url_host, warc_type
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, urls, hosts, nparams, changed = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                records = parse_warc(bytes(payload))
+                responses = [r for r in records if warc_type(r) == "response"]
+                ids.append(did)
+                raw = next(
+                    (
+                        v
+                        for r in responses
+                        for k, v in r["headers"].items()
+                        if k.lower() == "warc-target-uri"
+                    ),
+                    None,
+                )
+                if raw is None:
+                    urls.append(None); hosts.append(None)
+                    nparams.append(None); changed.append(None)
+                    continue
+                canon = canonicalize_url(raw)
+                from urllib.parse import urlsplit
+
+                q = urlsplit(canon).query
+                urls.append(canon)
+                hosts.append(url_host(canon))
+                nparams.append(len(q.split("&")) if q else 0)
+                changed.append(canon != raw)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "url": urls,
+                    "host": hosts,
+                    "n_params": pd.array(nparams, dtype="Int64"),
+                    "changed": pd.array(changed, dtype="boolean"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=URL_FEATURES)
 
 
 #: WebDataset-shard reduction: per-sample image + caption features

@@ -415,3 +415,133 @@ def mixture_resample(
         .filter(bucket < F.col("__thresh"))
         .drop("__n_grp", "__num", "__den")
     )
+
+
+# ----------------------------------------------------------------- BPE
+
+#: Static BPE merge table (rank order = priority). INVARIANT the oracle
+#: depends on: every merge's operands are base characters or outputs of
+#: EARLIER merges — true of any table learned by real BPE training
+#: (symbols exist only after their creating merge), and what makes
+#: sequential full application equivalent to lowest-rank-first (see
+#: bpe_apply / tests/test_bpe.py::test_fixpoint_equivalence).
+BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"),
+    ("th", "e"),
+    ("i", "n"),
+    ("a", "n"),
+    ("e", "r"),
+    ("o", "n"),
+    ("r", "e"),
+    ("in", "g"),
+    ("an", "d"),
+    ("o", "r"),
+    ("e", "n"),
+    ("a", "t"),
+)
+
+
+def bpe_apply(
+    word: str, merges: "tuple[tuple[str, str], ...]" = BPE_MERGES
+) -> list[str]:
+    """Standard BPE application (the GPT-2 encoder loop): repeatedly
+    find the LOWEST-rank merge whose pair is adjacent in the symbol
+    sequence and merge all its left-to-right non-overlapping
+    occurrences, until no merge applies. Completes the tokenizer story
+    t33's merge statistics start: this is the operator every training
+    pipeline actually runs per word."""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+        if best_rank is None:
+            break
+        a, b = merges[best_rank]
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_apply_fixpoint(
+    word: str, merges: "tuple[tuple[str, str], ...]" = BPE_MERGES
+) -> list[str]:
+    """The DuckDB oracle's algorithm, in Python, for the equivalence
+    property test: symbols joined by ``|`` separators; each merge in
+    rank order is REPLACE-d to fixpoint (replace-all consumes the
+    trailing separator of a match, so overlapping runs like ``aaa``
+    need a second pass — exactly what the recursive CTE iterates).
+    Under the operands-exist-before-use invariant this equals
+    :func:`bpe_apply` for every input."""
+    s = "|" + "|".join(word) + "|"
+    for a, b in merges:
+        find, repl = f"|{a}|{b}|", f"|{a}{b}|"
+        while find in s:
+            s = s.replace(find, repl)
+    return [t for t in s.split("|") if t]
+
+
+def bpe_token_stats(
+    df: DataFrame,
+    merges: "tuple[tuple[str, str], ...]" = BPE_MERGES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document BPE token statistics via the distinct-word route:
+    words are the ``[a-z]+`` runs of the lowercased text (JVM-side
+    regexp, codegen); each DISTINCT word is tokenized ONCE in an
+    Arrow-batched pass, then token counts rejoin the occurrences and
+    aggregate per document. At 100 TB the vocabulary is orders of
+    magnitude smaller than the corpus (Heaps' law), so the Python step
+    runs |vocab| times, not |corpus| — the same collapse-first routing
+    the dedup family uses. Two shuffles total (distinct + the word
+    join's exchange feeds the final doc aggregation)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+        ).alias("w"),
+    )
+
+    def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_tok": pd.array(
+                        [len(bpe_apply(w, merges)) for w in pdf["w"]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    vocab = (
+        words.select("w").distinct().mapInPandas(fn, "w string, n_tok bigint")
+    )
+    return (
+        words.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .withColumn(
+            "tokens_per_word",
+            F.round(F.col("n_tokens") / F.col("n_words"), 6),
+        )
+    )

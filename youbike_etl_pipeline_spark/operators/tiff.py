@@ -323,6 +323,19 @@ def decode_tiff(payload: bytes) -> "list[np.ndarray]":
             td = (h + tl - 1) // tl
             if len(offsets) != ta * td * n_planes:
                 raise ValueError("TIFF tile count mismatch")
+            # allocation-bomb guard (round-9 advisor): the inflate target
+            # is sized from the TILE dims, which the image-dim guard above
+            # never sees — a tiny file claiming an 8x8 image with u32-max
+            # tiles would otherwise size a multi-GB LZW output buffer.
+            # Tiles pad the image to the next multiple of 16 (TIFF 6.0
+            # §15); real writers do use fixed 256x256/512x512 tiles on
+            # smaller images, so allow a 512x512 floor — beyond both, the
+            # tile grid is structural corruption, not a layout choice.
+            pad16_area = (-(-h // 16) * 16) * (-(-w // 16) * 16)
+            if tl * tw > max(pad16_area, 512 * 512):
+                raise ValueError(
+                    f"TIFF tile dims {tl}x{tw} exceed the padded image {h}x{w}"
+                )
             want = tl * tw * lane * bysamp
             for u_i, (off, cnt) in enumerate(zip(offsets, counts)):
                 p_i, rem = divmod(u_i, ta * td)

@@ -121,10 +121,13 @@ def parse_warc(payload: bytes) -> list[dict]:
             raise ValueError("truncated WARC record block")
         block = payload[pos : pos + length]
         pos += length
-        if payload[pos : pos + 4] not in (b"\r\n\r\n", b""):
-            # spec: two CRLFs terminate the record; a missing separator at
-            # EOF is tolerated, anything else is structural corruption
-            if pos + 4 <= n:
+        tail = payload[pos : pos + 4]
+        if tail != b"\r\n\r\n":
+            # spec: two CRLFs terminate the record; a separator TRUNCATED
+            # at EOF is tolerated (the remainder must be a prefix of the
+            # CRLF pair — round-9 advisor: arbitrary 1-3 trailing bytes
+            # previously parsed silently), anything else is corruption
+            if pos + 4 <= n or not b"\r\n\r\n".startswith(tail):
                 raise ValueError("WARC record separator missing")
         pos += 4
         records.append({"version": version, "headers": headers, "block": block})
@@ -153,17 +156,97 @@ def http_response_body(record: dict) -> tuple[int, bytes]:
     return int(status_line[1]), block[sep + 4 :]
 
 
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4 dot-segment removal (``/a/../b/./c`` → ``/b/c``),
+    the path half of URL canonicalization."""
+    if not path:
+        return path
+    absolute = path.startswith("/")
+    segs = path.split("/")
+    out: list[str] = []
+    for seg in segs:
+        if seg == ".":
+            continue
+        if seg == "..":
+            # un-resolvable leading ".." segments are removed (RFC 3986
+            # §5.2.4 rules A/D), same as the absolute-root case
+            if out and out[-1] != "":
+                out.pop()
+            continue
+        out.append(seg)
+    if segs[-1] in (".", "..") and (not out or out[-1] != ""):
+        out.append("")  # trailing dot segments denote a directory
+    res = "/".join(out)
+    if absolute and not res.startswith("/"):
+        res = "/" + res
+    return res
+
+
+def canonicalize_url(url: str) -> str:
+    """RFC 3986 §6 URL normalization, the CCNet-style crawl dedup key:
+    lowercase scheme + host, drop the scheme's default port (80/443),
+    drop the fragment, resolve dot segments, empty path → ``/``, and
+    STABLE-sort query parameters by key (duplicate keys keep their
+    relative order, so ``?z=9&y=8&z=1`` → ``?y=8&z=9&z=1``)."""
+    from urllib.parse import urlsplit, urlunsplit
+
+    p = urlsplit(url.strip())
+    scheme = p.scheme.lower()
+    host = (p.hostname or "").lower()
+    default = {"http": 80, "https": 443}.get(scheme)
+    netloc = host
+    if p.port is not None and p.port != default:
+        netloc = f"{host}:{p.port}"
+    path = _remove_dot_segments(p.path) or "/"
+    query = (
+        "&".join(sorted(p.query.split("&"), key=lambda kv: kv.split("=", 1)[0]))
+        if p.query
+        else ""
+    )
+    return urlunsplit((scheme, netloc, path, query, ""))
+
+
+def url_host(url: str) -> str:
+    """Lowercased hostname without port — the host-level grouping key."""
+    from urllib.parse import urlsplit
+
+    return (urlsplit(url.strip()).hostname or "").lower()
+
+
+def messy_fixture_url(doc_id: int) -> str:
+    """Deterministic non-canonical URL per document (rotated
+    ``(doc_id // 10) % 5``): uppercase scheme/host + default port +
+    unsorted query + fragment; default https port + trailing slash;
+    an ALREADY-canonical URL with duplicate query keys (sort stability
+    must leave it unchanged); a non-default port + fragment; and dot
+    segments. The mm30 oracle re-derives each expected canonical form
+    as a constant of the doc id."""
+    r = (doc_id // 10) % 5
+    if r == 0:
+        return f"HTTP://Example.COM:80/doc/{doc_id}?b=2&a=1#frag"
+    if r == 1:
+        return f"https://WWW.Example.Org:443/doc/{doc_id}/"
+    if r == 2:
+        return f"http://cdn.example.net/doc/{doc_id}?y=8&z=9&z=1"
+    if r == 3:
+        return f"http://example.com:8080/doc/{doc_id}#sec-2"
+    return f"HTTPS://example.com/a/../doc/./{doc_id}"
+
+
 def encode_warc(
     docs: "list[tuple[int, bytes]]",
     per_record_gzip: bool = True,
     date: str = "2024-01-01T00:00:00Z",
+    uris: "list[str] | None" = None,
 ) -> bytes:
     """(doc_id, body bytes) pairs → a WARC/1.0 archive in the Common
     Crawl shape: one warcinfo record, then a request + response pair per
     document (the response wraps the body in an HTTP/1.1 200 message).
     ``per_record_gzip`` emits each record as its own gzip member, the
     layout crawl tooling expects; record ids derive from the doc ids, so
-    the output is deterministic."""
+    the output is deterministic. ``uris`` overrides the default
+    ``WARC-Target-URI`` per document (aligned with ``docs``); the
+    default path's bytes are pinned unchanged (tests/test_warc.py)."""
 
     def record(rtype: str, extra: dict, block: bytes, rid: str) -> bytes:
         head = [
@@ -189,8 +272,8 @@ def encode_warc(
         "00000000-0000-0000-0000-000000000000",
     )
     out.extend(gz(info) if per_record_gzip else info)
-    for doc_id, body in docs:
-        uri = f"http://example.com/doc/{doc_id}"
+    for i, (doc_id, body) in enumerate(docs):
+        uri = uris[i] if uris is not None else f"http://example.com/doc/{doc_id}"
         req = record(
             "request",
             {

@@ -17906,3 +17906,206 @@ def st13_streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
     )
     return run_stream_to_memory(feats, output_mode="append")
+
+
+def _mm29_html_extract_sql(mod: int = 10) -> str:
+    """DuckDB mirror of the HTML→text extraction: the fixture's four
+    markup variants are EXTRACTION-INVARIANT (tests/test_html.py pins
+    all four against expected_extraction), so the oracle assembles the
+    expected text from the RAW document text — title line, text, link
+    line, footer line — and applies the SAME whitespace-normalization
+    regex chain the extractor ends with. Engines agree on md5 of the
+    UTF-8 octets and on character length."""
+    assembled = (
+        "'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends' || chr(10) || "
+        "COALESCE(text, '') || chr(10) || 'prev next' || chr(10) || "
+        "'footer <tag> zone A'"
+    )
+    return f"""
+    WITH x AS (
+      SELECT doc_id,
+             trim(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace({assembled}, '[ \t\r\f\v]+', ' ', 'g'),
+                   ' *\n *', chr(10), 'g'),
+                 '\n+', chr(10), 'g'),
+               ' ' || chr(10)) AS xt
+      FROM documents WHERE doc_id % {mod} = 0
+    )
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends' AS title,
+           CAST(2 AS BIGINT) AS n_links,
+           'http://example.com/doc/' || CAST(doc_id - 10 AS VARCHAR) AS first_link,
+           CAST(length(xt) AS BIGINT) AS text_chars,
+           md5(xt) AS text_md5
+    FROM x
+    """
+
+
+@register(
+    "mm29_html_text_extract",
+    _mm29_html_extract_sql(),
+    survey_rows="ext:training-data ingestion — crawl HTML→text "
+    "extraction (tag stripping, script/style/comment removal, "
+    "block-level text assembly, title + link extraction), the step "
+    "every Common Crawl pipeline runs after mm26's payload recovery",
+    description="REAL crawl text extraction (round 9): the fixture "
+    "renders each document's own text as HTML in four "
+    "extraction-invariant markup variants (lowercase, "
+    "uppercase+attributes+self-closing-BR, headless with fake close "
+    "tags inside script strings, entity/comment noise with a numeric "
+    "character reference — operators/html.py::build_fixture_html) and "
+    "serves it through the Common Crawl WARC shape (encode_warc, "
+    "per-record gzip except id%20==10); extract_html_features walks "
+    "the archive, splits the HTTP response, and runs the from-scratch "
+    "extractor (comment/script/style/head removal, block-tags→line-"
+    "breaks, inline-tag strip, named+numeric entity decode, "
+    "deterministic whitespace normalization). The oracle re-assembles "
+    "the expected text from the raw column with the IDENTICAL "
+    "normalization chain — md5 + char-length must match byte-exactly. "
+    "One Arrow pass, zero shuffle: the extraction is as parallel as "
+    "the scan itself at 100 TB.",
+)
+def mm29_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_html_warc_payloads,
+        extract_html_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = extract_html_features(attach_html_warc_payloads(docs))
+    return feats.select(
+        "doc_id", "title", "n_links", "first_link", "text_chars", "text_md5"
+    )
+
+
+def _t50_bpe_sql(mod: int = 1) -> str:
+    """Recursive-CTE BPE oracle sharing operators/text.py::BPE_MERGES:
+    each distinct word becomes a ``|``-separated symbol string; the
+    recursion REPLACEs the current merge's ``|a|b|`` pattern until
+    fixpoint (replace-all consumes a match's trailing separator, so
+    overlapping runs need another pass), then advances to the next
+    merge — provably equal to the engine's lowest-rank-first BPE under
+    the operands-exist-before-use invariant (hypothesis-pinned in
+    tests/test_bpe.py). Token count per word = separators - 1."""
+    from ..operators.text import BPE_MERGES
+
+    vals = ", ".join(
+        f"({i}, '|{a}|{b}|', '|{a}{b}|')" for i, (a, b) in enumerate(BPE_MERGES)
+    )
+    n = len(BPE_MERGES)
+    return f"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id, lower(COALESCE(text, '')) AS t
+      FROM documents WHERE doc_id % {mod} = 0
+    ),
+    occ AS (
+      SELECT doc_id, unnest(regexp_extract_all(t, '[a-z]+')) AS w FROM d
+    ),
+    vocab AS (SELECT DISTINCT w FROM occ),
+    merges (mi, f, r) AS (VALUES {vals}),
+    bpe AS (
+      SELECT w, '|' || regexp_replace(w, '(.)', '\\1|', 'g') AS s, 0 AS mi
+      FROM vocab
+      UNION ALL
+      SELECT b.w,
+             CASE WHEN replace(b.s, m.f, m.r) <> b.s
+                  THEN replace(b.s, m.f, m.r) ELSE b.s END,
+             CASE WHEN replace(b.s, m.f, m.r) <> b.s
+                  THEN b.mi ELSE b.mi + 1 END
+      FROM bpe b JOIN merges m ON m.mi = b.mi
+    ),
+    counts AS (
+      SELECT w,
+             CAST(length(s) - length(replace(s, '|', '')) - 1 AS BIGINT)
+               AS n_tok
+      FROM bpe WHERE mi = {n}
+    )
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(c.n_tok) AS BIGINT) AS n_tokens,
+           ROUND(SUM(c.n_tok) * 1.0 / COUNT(*), 6) AS tokens_per_word
+    FROM occ o JOIN counts c USING (w)
+    GROUP BY o.doc_id
+    """
+
+
+@register(
+    "t50_bpe_encode",
+    _t50_bpe_sql(),
+    survey_rows="ext:text-analysis — BPE merge application (tokenize "
+    "with a learned merge table), completing the tokenizer story t33's "
+    "merge statistics start",
+    description="REAL BPE encoding (round 9): apply the static "
+    "rank-ordered merge table (operators/text.py::BPE_MERGES — each "
+    "merge's operands exist before use, the invariant real BPE "
+    "training guarantees) to every [a-z]+ word with the standard "
+    "lowest-rank-first GPT-2 encoder loop, via the distinct-word "
+    "route: the vocabulary is orders smaller than the corpus (Heaps' "
+    "law), so the Arrow-batched Python tokenizer runs |vocab| times "
+    "and token counts rejoin word occurrences JVM-side — the dedup "
+    "family's collapse-first routing applied to tokenization. The "
+    "oracle replays the merges as a recursive-CTE fixpoint REPLACE "
+    "over |-separated symbols, an independent derivation proven "
+    "equivalent by hypothesis (tests/test_bpe.py).",
+)
+def t50_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bpe_token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_token_stats(docs).select(
+        "doc_id", "n_words", "n_tokens", "tokens_per_word"
+    )
+
+
+@register(
+    "mm30_url_canonicalize",
+    """
+    WITH d AS (
+      SELECT doc_id, (doc_id // 10) % 5 AS r
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           CASE r
+             WHEN 0 THEN 'http://example.com/doc/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+             WHEN 1 THEN 'https://www.example.org/doc/' || CAST(doc_id AS VARCHAR) || '/'
+             WHEN 2 THEN 'http://cdn.example.net/doc/' || CAST(doc_id AS VARCHAR) || '?y=8&z=9&z=1'
+             WHEN 3 THEN 'http://example.com:8080/doc/' || CAST(doc_id AS VARCHAR)
+             ELSE 'https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+           END AS url,
+           CASE r
+             WHEN 1 THEN 'www.example.org'
+             WHEN 2 THEN 'cdn.example.net'
+             ELSE 'example.com'
+           END AS host,
+           CAST(CASE r WHEN 0 THEN 2 WHEN 2 THEN 3 ELSE 0 END AS BIGINT) AS n_params,
+           (r <> 2) AS changed
+    FROM d
+    """,
+    survey_rows="ext:training-data ingestion — URL canonicalization "
+    "(RFC 3986 §6) + host-level grouping key over WARC-Target-URI "
+    "headers, the CCNet-style crawl dedup key",
+    description="REAL crawl-URL canonicalization (round 9): the "
+    "fixture's WARC response headers carry messy URIs (uppercase "
+    "scheme/host, default ports, unsorted and duplicate query keys, "
+    "fragments, dot segments — warc.py::messy_fixture_url, five "
+    "variants rotated by id, one already-canonical so sort stability "
+    "is graded too); canonicalize_url_features walks the records and "
+    "normalizes each WARC-Target-URI (lowercase scheme/host, drop "
+    "default port + fragment, RFC 3986 §5.2.4 dot-segment removal, "
+    "stable query-key sort) and derives the host grouping key. The "
+    "oracle re-derives every canonical form as a constant of the doc "
+    "id. One Arrow pass, zero shuffle — at 100 TB this runs inside "
+    "the same scan as the WARC parse it follows.",
+)
+def mm30_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_crawl_url_payloads,
+        canonicalize_url_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = canonicalize_url_features(attach_crawl_url_payloads(docs))
+    return feats.select("doc_id", "url", "host", "n_params", "changed")
