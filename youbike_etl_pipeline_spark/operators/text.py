@@ -479,16 +479,19 @@ def bpe_apply_fixpoint(
 ) -> list[str]:
     """The DuckDB oracle's algorithm, in Python, for the equivalence
     property test: symbols joined by ``|`` separators; each merge in
-    rank order is REPLACE-d to fixpoint (replace-all consumes the
-    trailing separator of a match, so overlapping runs like ``aaa``
-    need a second pass — exactly what the recursive CTE iterates).
-    Under the operands-exist-before-use invariant this equals
+    rank order replaces its LEFTMOST occurrence repeatedly until none
+    remain (DuckDB ``regexp_replace`` without the 'g' flag), which IS
+    left-to-right greedy merging. Replace-ALL would be wrong for
+    self-pair merges: a match consumes its trailing separator, so
+    ``(a,a)`` over ``aaaaa`` would pair symbols 4+5 instead of the
+    L2R 3+4 (caught by tests/test_bpe.py). Under the
+    operands-exist-before-use invariant this equals
     :func:`bpe_apply` for every input."""
     s = "|" + "|".join(word) + "|"
     for a, b in merges:
         find, repl = f"|{a}|{b}|", f"|{a}{b}|"
         while find in s:
-            s = s.replace(find, repl)
+            s = s.replace(find, repl, 1)
     return [t for t in s.split("|") if t]
 
 

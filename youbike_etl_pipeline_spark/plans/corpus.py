@@ -17983,16 +17983,19 @@ def mm29_html_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _t50_bpe_sql(mod: int = 1) -> str:
     """Recursive-CTE BPE oracle sharing operators/text.py::BPE_MERGES:
     each distinct word becomes a ``|``-separated symbol string; the
-    recursion REPLACEs the current merge's ``|a|b|`` pattern until
-    fixpoint (replace-all consumes a match's trailing separator, so
-    overlapping runs need another pass), then advances to the next
-    merge — provably equal to the engine's lowest-rank-first BPE under
-    the operands-exist-before-use invariant (hypothesis-pinned in
+    recursion replaces the current merge's ``|a|b|`` pattern one
+    LEFTMOST occurrence per step (``regexp_replace`` without 'g' —
+    replace-ALL would mis-pair self-merges like ``(a,a)`` over
+    ``aaaaa`` because a match consumes its trailing separator), then
+    advances to the next merge once none remain — provably equal to
+    the engine's lowest-rank-first BPE under the
+    operands-exist-before-use invariant (hypothesis-pinned in
     tests/test_bpe.py). Token count per word = separators - 1."""
     from ..operators.text import BPE_MERGES
 
     vals = ", ".join(
-        f"({i}, '|{a}|{b}|', '|{a}{b}|')" for i, (a, b) in enumerate(BPE_MERGES)
+        f"({i}, '\\|{a}\\|{b}\\|', '|{a}{b}|')"
+        for i, (a, b) in enumerate(BPE_MERGES)
     )
     n = len(BPE_MERGES)
     return f"""
@@ -18011,9 +18014,9 @@ def _t50_bpe_sql(mod: int = 1) -> str:
       FROM vocab
       UNION ALL
       SELECT b.w,
-             CASE WHEN replace(b.s, m.f, m.r) <> b.s
-                  THEN replace(b.s, m.f, m.r) ELSE b.s END,
-             CASE WHEN replace(b.s, m.f, m.r) <> b.s
+             CASE WHEN regexp_replace(b.s, m.f, m.r) <> b.s
+                  THEN regexp_replace(b.s, m.f, m.r) ELSE b.s END,
+             CASE WHEN regexp_replace(b.s, m.f, m.r) <> b.s
                   THEN b.mi ELSE b.mi + 1 END
       FROM bpe b JOIN merges m ON m.mi = b.mi
     ),
