@@ -197,6 +197,7 @@ HEADLINE = [
     "mm29_html_text_extract",
     "mm30_url_canonicalize",
     "t50_bpe_encode",
+    "mm31_crawl_quality_pipeline",
 ]
 
 

@@ -123,6 +123,14 @@ ADV_QUERIES = [
     # the fixture's precomposed-vs-combining 'café déjà vu' pair is exactly
     # the case where raw-text Levenshtein units diverge between engines
     "t9_levenshtein_pairs",
+    # round-9 crawl-text family: empty/whitespace-only/CJK/emoji/control
+    # docs flow through the HTML fixture → WARC → extraction → quality /
+    # BPE — entity escaping, whitespace normalization and [a-z]+ word
+    # projection must agree on every shape the generator could emit
+    "mm29_html_text_extract",
+    "mm31_crawl_quality_pipeline",
+    "t50_bpe_encode",
+    "mm30_url_canonicalize",
 ]
 
 

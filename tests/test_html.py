@@ -175,3 +175,45 @@ def test_mm29_end_to_end_spark(spark):
         assert r["first_link"] == want["links"][0]
         assert r["text_chars"] == len(want["text"])
         assert r["text_md5"] == hashlib.md5(want["text"].encode()).hexdigest()
+
+
+def test_mm31_quality_chain_duckdb_vs_python():
+    """The chained CCNet oracle (expected-extraction CTE → t6 quality
+    mirrors) must equal a direct Python computation of the same quality
+    formula over the extractor's own output — pure DuckDB + Python, no
+    Spark, so the chain identity is pinned independently of the driver."""
+    import re
+
+    import duckdb
+
+    from youbike_etl_pipeline_spark.plans.corpus import _mm31_crawl_quality_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    oracle = {r[0]: r[1:] for r in con.execute(_mm31_crawl_quality_sql()).fetchall()}
+    docs = con.execute(
+        "SELECT doc_id, COALESCE(text,'') FROM documents WHERE doc_id % 10 = 0"
+    ).fetchall()
+    assert set(oracle) == {d for d, _ in docs}
+    stops = ["the", "and", "of", "to", "a"]
+    for did, text in docs:
+        xt = extract_html_text(build_fixture_html(int(did), text))["text"]
+        toks = [t for t in re.split(r"\s+", xt.strip()) if t]
+        n_tokens, n_chars = len(toks), len(xt)
+        n_punct = len(re.findall(r"[^\w\s]", xt))
+        low = re.split(r"[^a-z]+", xt.lower())
+        n_stop = sum(low.count(w) for w in stops)
+        lt = min(n_tokens / 100.0, 1.0)
+        pt = 1.0 - min((n_punct / n_chars if n_chars else 0.0) * 5.0, 1.0)
+        st = min((n_stop / n_tokens if n_tokens else 0.0) * 4.0, 1.0)
+        q = (lt + pt + st) / 3.0
+        got = oracle[did]
+        assert got[:2] == (n_tokens, n_chars), did
+        # oracle emits ROUND(quality, 6); compare within half an ulp of
+        # that precision (the DRIVER compares Spark vs DuckDB, both
+        # rounding the same IEEE double — this test only pins the chain)
+        assert abs(got[2] - q) <= 5e-7, did
+        assert got[3] == (q >= 0.5), did

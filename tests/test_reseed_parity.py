@@ -562,6 +562,7 @@ DOC_EVENT_QUERIES = [
     "mm29_html_text_extract",
     "mm30_url_canonicalize",
     "t50_bpe_encode",
+    "mm31_crawl_quality_pipeline",
 ]
 
 

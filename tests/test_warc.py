@@ -384,3 +384,143 @@ def test_round9_encode_warc_uris_default_bytes_pinned():
         if k.lower() == "warc-target-uri"
     ]
     assert uris == ["http://a/1", "http://a/1", "http://b/2", "http://b/2"]
+
+
+def test_round9_webdataset_tar_corruption_contract(spark):
+    """The tar walk's corruption contract (round-9 hardening, the WARC
+    bomb-cap discipline applied to the other container): non-file
+    members are skipped (a dir entry previously crashed AttributeError),
+    a header size field pointing past EOF raises a typed error instead
+    of reading short silently, and a single-byte header corruption sweep
+    raises only ValueError or parses clean."""
+    import io
+    import tarfile
+
+    import numpy as np
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        encode_png,
+        md5_pixels,
+        parse_webdataset_features,
+        read_webdataset_members,
+    )
+
+    def shard(entries, dir_first=False):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            if dir_first:
+                d = tarfile.TarInfo("samples/")
+                d.type = tarfile.DIRTYPE
+                d.mtime = 0
+                tf.addfile(d)
+            for name, data in entries:
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                ti.mtime = 0
+                tf.addfile(ti, io.BytesIO(data))
+        return buf.getvalue()
+
+    entries = (
+        ("000000007.png", encode_png(md5_pixels(7, 16, 12))),
+        ("000000007.txt", b"caption 7"),
+        ("000000007.cls", b"7"),
+    )
+
+    # dir member: skipped by the walk AND by the full Spark path
+    withdir = shard(entries, dir_first=True)
+    assert set(read_webdataset_members(withdir)) == {n for n, _ in entries}
+    df = spark.createDataFrame(
+        [(7, bytearray(withdir))], "doc_id long, payload binary"
+    )
+    rows = parse_webdataset_features(df).collect()
+    assert len(rows) == 1 and rows[0]["n_members"] == 3
+    assert rows[0]["pixel_sum"] == int(
+        md5_pixels(7, 16, 12).astype(np.int64).sum()
+    )
+
+    # size field past EOF -> typed error, not silent short read
+    good = bytearray(shard(entries))
+    hdr = good.find(b"000000007.txt")
+    bad = bytearray(good)
+    # size field lives at offset 124 of the member header, 12 octal bytes
+    bad[hdr + 124 : hdr + 124 + 12] = b"77777777777\x00"
+    # tarfile re-validates the header checksum; recompute it (offset 148)
+    blk = bad[hdr : hdr + 512]
+    blk[148:156] = b" " * 8
+    bad[hdr + 148 : hdr + 156] = (f"{sum(blk):06o}\0 ").encode()
+    with pytest.raises(ValueError, match="WebDataset"):
+        read_webdataset_members(bytes(bad))
+
+    # archive truncated inside a member's data blocks -> the length
+    # guard raises (stdlib tarfile returns the short read silently);
+    # truncation inside a HEADER is treated as end-of-archive by
+    # tarfile semantics — the members before it still parse
+    png_data_start = good.find(b"000000007.png") + 512
+    with pytest.raises(ValueError, match="WebDataset"):
+        read_webdataset_members(bytes(good[: png_data_start + 50]))
+    assert set(read_webdataset_members(bytes(good[: hdr + 100]))) == {
+        "000000007.png"
+    }
+
+    # single-byte corruption sweep over the whole shard: typed errors or
+    # clean parse only (tar data blocks have no CRC, so silent member
+    # changes are acceptable; structural exceptions are not)
+    for i in range(0, len(good), 13):
+        c = bytearray(good)
+        c[i] ^= 0x80
+        try:
+            read_webdataset_members(bytes(c))
+        except ValueError:
+            pass
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+    st.text(alphabet="aB.c-9", min_size=1, max_size=12),
+    st.sampled_from(["", ":80", ":443", ":8080"]),
+    st.lists(
+        st.sampled_from(["doc", ".", "..", "a", "b9", ""]), max_size=5
+    ),
+    st.lists(
+        st.tuples(st.sampled_from("abz"), st.sampled_from("019")),
+        max_size=4,
+    ),
+    st.sampled_from(["", "#frag", "#a/b?c"]),
+)
+def test_canonicalize_url_properties(scheme, host, port, segs, params, frag):
+    """Idempotence + invariants over random URL shapes: canonical output
+    is fixed-point, fragment-free, lowercase-host, default-port-free,
+    dot-segment-free, with query keys in stable sorted order."""
+    from youbike_etl_pipeline_spark.operators.warc import canonicalize_url
+
+    url = (
+        scheme + "://" + host + port + "/" + "/".join(segs)
+        + ("?" + "&".join(f"{k}={v}" for k, v in params) if params else "")
+        + frag
+    )
+    c = canonicalize_url(url)
+    assert canonicalize_url(c) == c
+    assert "#" not in c
+    assert "/./" not in c and not c.endswith("/.")
+    scheme_c, rest = c.split("://", 1)
+    assert scheme_c == scheme.lower()
+    netloc = rest.split("/", 1)[0]
+    assert netloc == netloc.lower()
+    if scheme.lower() == "http":
+        assert not netloc.endswith(":80")
+    if scheme.lower() == "https":
+        assert not netloc.endswith(":443")
+    if "?" in c:
+        keys = [kv.split("=", 1)[0] for kv in c.split("?", 1)[1].split("&")]
+        assert keys == sorted(keys)

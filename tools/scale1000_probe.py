@@ -85,6 +85,15 @@ def main() -> None:
     dir1000 = "/tmp/spark_graft_sf100x10_synth"
     from scaling_report import blow_up_sf01
 
+    # PROBE1000_TABLES=documents,events limits the blow-up to the tables
+    # the probed queries actually read (the codec family needs only
+    # documents — building 600M lineitem rows for a WAV probe is waste)
+    tables_env = os.environ.get("PROBE1000_TABLES")
+    if tables_env:
+        global TABLES
+        TABLES = [t for t in TABLES if t in tables_env.split(",")]
+    # the 100x dir is usually already built by the sweep; blow_up_sf01
+    # skips per-table on existence, so this is a no-op when warm
     blow_up_sf01(spark, dir100, copies=100)
     blow_up_1000(spark, dir1000, copies=1000)
 
@@ -106,10 +115,25 @@ def main() -> None:
     print()
     print("| query | 100x | 1000x | ratio |")
     print("|---|---|---|---|")
+    # min-of-N (the mm27 lesson: a single 1000x shot can be 4x off its
+    # steady state from shuffle-file warmup and JIT — PROBE1000_REPEATS
+    # controls it, default 3)
+    repeats = max(1, int(os.environ.get("PROBE1000_REPEATS", "3")))
+
+    def min_run(name: str, d: str) -> dict:
+        best: dict = {}
+        for _ in range(repeats):
+            r = timed_run(spark, name, d, budget)
+            if "sec" in r and ("sec" not in best or r["sec"] < best["sec"]):
+                best = r
+            elif not best:
+                best = r
+        return best
+
     for name in names:
         timed_run(spark, name, dir100, budget)  # warm
-        r100 = timed_run(spark, name, dir100, budget)
-        r1000 = timed_run(spark, name, dir1000, budget)
+        r100 = min_run(name, dir100)
+        r1000 = min_run(name, dir1000)
         ratio = (
             f"{r1000['sec'] / r100['sec']:.1f}x"
             if "sec" in r100 and "sec" in r1000

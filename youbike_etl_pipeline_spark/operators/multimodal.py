@@ -3419,6 +3419,48 @@ def extract_html_features(
     return df.select(id_col, payload_col).mapInPandas(fn, schema=HTML_FEATURES)
 
 
+def extract_html_text_column(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Like :func:`extract_html_features` but materializes the EXTRACTED
+    TEXT itself as a column (plus the title), so downstream JVM-side
+    operators — quality scoring, language ID, token counting, dedup
+    fingerprints — run on what a crawl pipeline actually filters:
+    extracted text, not raw markup. Python touches each payload once;
+    everything after this is column expressions."""
+    from .html import extract_html_text
+    from .warc import http_response_body, parse_warc, warc_type
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("title", T.StringType(), True),
+            T.StructField("xtext", T.StringType(), True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, titles, texts = [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                records = parse_warc(bytes(payload))
+                responses = [r for r in records if warc_type(r) == "response"]
+                ids.append(did)
+                if not responses:
+                    titles.append(None)
+                    texts.append(None)
+                    continue
+                _, body = http_response_body(responses[0])
+                ex = extract_html_text(body.decode("utf-8"))
+                titles.append(ex["title"])
+                texts.append(ex["text"])
+            yield pd.DataFrame({"doc_id": ids, "title": titles, "xtext": texts})
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=out_schema)
+
+
 #: crawl-URL canonicalization over WARC-Target-URI headers
 URL_FEATURES = T.StructType(
     [
@@ -3613,6 +3655,37 @@ def attach_webdataset_payloads(
     return df.select(id_col, text_col).mapInPandas(fn, schema=out_schema)
 
 
+def read_webdataset_members(payload: bytes) -> "dict[str, bytes]":
+    """Walk one WebDataset tar shard → {member name: bytes}. Non-file
+    members (directories, links) carry no sample data and are skipped;
+    malformed archives and size fields pointing past EOF raise
+    ``ValueError`` (round-9 hardening — a dir entry previously crashed
+    AttributeError and an oversized size field read short silently)."""
+    import io
+    import tarfile
+
+    try:
+        # close the TarFile promptly: its cyclic refs otherwise pile up
+        # in the long-lived python worker and GC time grows with the
+        # live-object count (found by the 1000x probe — 55x/decade
+        # before, linear after)
+        with tarfile.open(fileobj=io.BytesIO(payload)) as tf:
+            members: dict[str, bytes] = {}
+            for m in tf:
+                if not m.isfile():
+                    continue
+                fo = tf.extractfile(m)
+                data = b"" if fo is None else fo.read()
+                if len(data) != m.size:
+                    raise ValueError(
+                        f"truncated WebDataset member {m.name!r}"
+                    )
+                members[m.name] = data
+            return members
+    except tarfile.TarError as ex:
+        raise ValueError(f"malformed WebDataset shard: {ex}")
+
+
 def parse_webdataset_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -3625,23 +3698,13 @@ def parse_webdataset_features(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
-        import io
-        import tarfile
 
         for pdf in batches:
             ids, nm, ws, hs, ps, cb, cm, lb = [], [], [], [], [], [], [], []
             for did, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
                     continue
-                try:
-                    # close the TarFile promptly: its cyclic refs otherwise
-                    # pile up in the long-lived python worker and GC time
-                    # grows with the live-object count (found by the 1000x
-                    # probe — 55x/decade before, linear after)
-                    with tarfile.open(fileobj=io.BytesIO(bytes(payload))) as tf:
-                        members = {m.name: tf.extractfile(m).read() for m in tf}
-                except tarfile.TarError as ex:
-                    raise ValueError(f"malformed WebDataset shard: {ex}")
+                members = read_webdataset_members(bytes(payload))
                 samples: dict[str, dict[str, bytes]] = {}
                 for name, data in members.items():
                     key, _, ext = name.partition(".")

@@ -500,6 +500,7 @@ def bpe_token_stats(
     merges: "tuple[tuple[str, str], ...]" = BPE_MERGES,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Per-document BPE token statistics via the distinct-word route:
     words are the ``[a-z]+`` runs of the lowercased text (JVM-side
@@ -508,8 +509,18 @@ def bpe_token_stats(
     aggregate per document. At 100 TB the vocabulary is orders of
     magnitude smaller than the corpus (Heaps' law), so the Python step
     runs |vocab| times, not |corpus| — the same collapse-first routing
-    the dedup family uses. Two shuffles total (distinct + the word
-    join's exchange feeds the final doc aggregation)."""
+    the dedup family uses.
+
+    Scale routing (the round-9 sweep caught 28.5×/decade on the naive
+    shape): raw word OCCURRENCES must never shuffle on the word — the
+    key is Zipf-skewed ('the' alone is ~5% of every partition), so a
+    shuffle join stalls on the hot keys. Instead (1) occurrences
+    collapse to ``(doc, word) → cnt`` first, whose map-side combine
+    absorbs the skew before the exchange, and (2) the tokenized vocab
+    joins BROADCAST by default (|vocab| ≪ |corpus|); pass
+    ``broadcast_vocab=False`` for a corpus whose vocabulary outgrows
+    executor memory — the join then shuffles the already-collapsed
+    near-unique ``(doc, word)`` keys, not the skewed raw stream."""
     from typing import Iterator
 
     import pandas as pd
@@ -520,6 +531,7 @@ def bpe_token_stats(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
         ).alias("w"),
     )
+    wcounts = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt"))
 
     def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -534,14 +546,16 @@ def bpe_token_stats(
             )
 
     vocab = (
-        words.select("w").distinct().mapInPandas(fn, "w string, n_tok bigint")
+        wcounts.select("w").distinct().mapInPandas(fn, "w string, n_tok bigint")
     )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
     return (
-        words.join(vocab, "w")
+        wcounts.join(vocab, "w")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.sum("n_tok").alias("n_tokens"),
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_tok")).alias("n_tokens"),
         )
         .withColumn(
             "tokens_per_word",

@@ -17908,21 +17908,18 @@ def st13_streaming_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(feats, output_mode="append")
 
 
-def _mm29_html_extract_sql(mod: int = 10) -> str:
-    """DuckDB mirror of the HTML→text extraction: the fixture's four
-    markup variants are EXTRACTION-INVARIANT (tests/test_html.py pins
-    all four against expected_extraction), so the oracle assembles the
-    expected text from the RAW document text — title line, text, link
-    line, footer line — and applies the SAME whitespace-normalization
-    regex chain the extractor ends with. Engines agree on md5 of the
-    UTF-8 octets and on character length."""
+def _html_xt_cte(mod: int = 10) -> str:
+    """The expected-extraction CTE shared by the crawl-text family
+    (mm29 extraction identity, mm31 quality-over-extraction): assemble
+    the expected text from the RAW document text — title line, text,
+    link line, footer line — and apply the SAME whitespace-normalization
+    regex chain operators/html.py::normalize_text_ws ends with."""
     assembled = (
         "'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends' || chr(10) || "
         "COALESCE(text, '') || chr(10) || 'prev next' || chr(10) || "
         "'footer <tag> zone A'"
     )
-    return f"""
-    WITH x AS (
+    return f"""    WITH x AS (
       SELECT doc_id,
              trim(
                regexp_replace(
@@ -17932,7 +17929,19 @@ def _mm29_html_extract_sql(mod: int = 10) -> str:
                  '\n+', chr(10), 'g'),
                ' ' || chr(10)) AS xt
       FROM documents WHERE doc_id % {mod} = 0
-    )
+    )"""
+
+
+def _mm29_html_extract_sql(mod: int = 10) -> str:
+    """DuckDB mirror of the HTML→text extraction: the fixture's four
+    markup variants are EXTRACTION-INVARIANT (tests/test_html.py pins
+    all four against expected_extraction), so the oracle assembles the
+    expected text from the RAW document text — title line, text, link
+    line, footer line — and applies the SAME whitespace-normalization
+    regex chain the extractor ends with. Engines agree on md5 of the
+    UTF-8 octets and on character length."""
+    return f"""
+{_html_xt_cte(mod)}
     SELECT doc_id,
            'Doc ' || CAST(doc_id AS VARCHAR) || ' & friends' AS title,
            CAST(2 AS BIGINT) AS n_links,
@@ -18047,12 +18056,17 @@ def _t50_bpe_sql(mod: int = 1) -> str:
     "training guarantees) to every [a-z]+ word with the standard "
     "lowest-rank-first GPT-2 encoder loop, via the distinct-word "
     "route: the vocabulary is orders smaller than the corpus (Heaps' "
-    "law), so the Arrow-batched Python tokenizer runs |vocab| times "
-    "and token counts rejoin word occurrences JVM-side — the dedup "
-    "family's collapse-first routing applied to tokenization. The "
-    "oracle replays the merges as a recursive-CTE fixpoint REPLACE "
-    "over |-separated symbols, an independent derivation proven "
-    "equivalent by hypothesis (tests/test_bpe.py).",
+    "law), so the Arrow-batched Python tokenizer runs |vocab| times — "
+    "the dedup family's collapse-first routing applied to "
+    "tokenization. Scale shape (round-9 sweep catch, 28.5×/decade on "
+    "the naive plan): word occurrences NEVER shuffle on the "
+    "Zipf-skewed word key — they collapse to (doc, word)→cnt behind a "
+    "map-side combine, then join the tokenized vocab BROADCAST "
+    "(shuffle route documented for vocabularies past executor "
+    "memory); 3.2×/decade after the fix. The oracle replays the "
+    "merges as a recursive-CTE leftmost-REPLACE over |-separated "
+    "symbols, an independent derivation proven equivalent by "
+    "hypothesis (tests/test_bpe.py).",
 )
 def t50_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import bpe_token_stats
@@ -18112,3 +18126,84 @@ def mm30_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     feats = canonicalize_url_features(attach_crawl_url_payloads(docs))
     return feats.select("doc_id", "url", "host", "n_params", "changed")
+
+
+def _mm31_crawl_quality_sql(mod: int = 10) -> str:
+    """Quality scoring over the EXTRACTED text: the xt CTE is the shared
+    crawl-text expected-extraction chain (byte-identical to mm29's), and
+    the quality expressions are t6's SQL mirrors applied to xt instead
+    of the raw column — the chained oracle for the full CCNet shape.
+    keep compares the UNROUNDED double (both engines evaluate the same
+    IEEE expression tree), so the boolean can't disagree with itself."""
+
+    def mark(word: str) -> str:
+        return (
+            "len(list_filter(regexp_split_to_array(lower(xt), '[^a-z]+'), "
+            f"x -> x = '{word}'))"
+        )
+
+    stops = " + ".join(mark(w) for w in ["the", "and", "of", "to", "a"])
+    return f"""
+{_html_xt_cte(mod)},
+    f AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(xt), '\\s+'), x -> x <> '')) AS n_tokens,
+             length(xt) AS n_chars,
+             len(regexp_extract_all(xt, '[^\\w\\s]')) AS n_punct,
+             {stops} AS n_stop
+      FROM x
+    ),
+    q AS (
+      SELECT doc_id, n_tokens, n_chars,
+             (LEAST(n_tokens / 100.0, 1.0)
+              + (1.0 - LEAST(COALESCE(CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars END, 0.0) * 5.0, 1.0))
+              + LEAST(COALESCE(CASE WHEN n_tokens > 0 THEN n_stop * 1.0 / n_tokens END, 0.0) * 4.0, 1.0)
+             ) / 3.0 AS quality
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(quality, 6) AS quality,
+           (quality >= 0.5) AS keep
+    FROM q
+    """
+
+
+@register(
+    "mm31_crawl_quality_pipeline",
+    _mm31_crawl_quality_sql(),
+    survey_rows="ext:training-data ingestion — the chained CCNet shape: "
+    "WARC parse → HTML→text extraction → quality scoring/filter "
+    "decision on the EXTRACTED text",
+    description="The full crawl-filtering chain (round 9): documents "
+    "render through the HTML fixture into WARC archives (mm29's "
+    "container), extract_html_text_column materializes the extracted "
+    "text as a COLUMN in one Arrow pass, and t6's quality machinery "
+    "(length/punct/stopword terms, operators/text.py::quality_score) "
+    "runs JVM-side on it, emitting per-doc features plus the keep/drop "
+    "decision a production pipeline filters on. The oracle chains "
+    "mm29's expected-extraction CTE (shared generator, byte-identical) "
+    "into t6's SQL quality mirrors — extraction identity AND scoring "
+    "identity graded together. keep compares the unrounded double on "
+    "both engines, so the filter decision is deterministic. Zero "
+    "shuffle: extraction + scoring ride the scan.",
+)
+def mm31_crawl_quality_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_html_warc_payloads,
+        extract_html_text_column,
+    )
+    from ..operators.text import quality_features, quality_score
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    xt = extract_html_text_column(attach_html_warc_payloads(docs))
+    f = quality_features(F.col("xtext"))
+    q = quality_score(F.col("xtext"))
+    return xt.select(
+        "doc_id",
+        f["n_tokens"].cast("long").alias("n_tokens"),
+        f["n_chars"].cast("long").alias("n_chars"),
+        F.round(q, 6).alias("quality"),
+        (q >= 0.5).alias("keep"),
+    )
