@@ -675,3 +675,34 @@ def test_f20_pooled_grid_lookup_is_not_unbounded_bnl(spark, sf_small):
     pr = _plan_tools()
     df = CORPUS["f20_quantile_normalization"].fn(spark, sf_small)
     assert pr.unbounded_bnl_joins(df) == []
+
+
+def test_crawl_extraction_family_zero_shuffle(spark, sf_small):
+    """mm29/mm30/mm31: attach → parse → extract ride the scan in one
+    Arrow pass — any Exchange is a scale regression (at 100 TB each
+    archive is one split; extraction must be as parallel as the scan)."""
+    for name in (
+        "mm29_html_text_extract",
+        "mm30_url_canonicalize",
+        "mm31_crawl_quality_pipeline",
+    ):
+        txt = plan_text(CORPUS[name].fn(spark, sf_small))
+        assert "Exchange" not in txt, name
+        assert "ArrowEvalPython" in txt or "MapInPandas" in txt, name
+
+
+def test_bpe_vocab_broadcast_no_skewed_word_shuffle(spark, sf_small):
+    """t50's scale posture (the round-9 sweep catch): word occurrences
+    collapse behind a map-side combine and the tokenized vocab joins
+    BROADCAST — the raw occurrence stream must never hash-exchange on
+    the Zipf-skewed word key."""
+    txt = plan_text(CORPUS["t50_bpe_encode"].fn(spark, sf_small))
+    assert "BroadcastExchange" in txt
+    assert "BroadcastHashJoin" in txt
+    # the only hash exchanges are the (doc,word) combine and the final
+    # per-doc aggregation — never a plain exchange on [w] alone
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", txt):
+        keys = m.group(1)
+        assert "doc_id" in keys, f"shuffle on word key alone: {keys}"
