@@ -198,6 +198,7 @@ HEADLINE = [
     "mm30_url_canonicalize",
     "t50_bpe_encode",
     "mm31_crawl_quality_pipeline",
+    "t51_bpe_mixture_budget",
 ]
 
 

@@ -131,6 +131,7 @@ ADV_QUERIES = [
     "mm31_crawl_quality_pipeline",
     "t50_bpe_encode",
     "mm30_url_canonicalize",
+    "t51_bpe_mixture_budget",
 ]
 
 

@@ -501,6 +501,7 @@ def bpe_token_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_vocab: bool = True,
+    carry_cols: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Per-document BPE token statistics via the distinct-word route:
     words are the ``[a-z]+`` runs of the lowercased text (JVM-side
@@ -527,11 +528,16 @@ def bpe_token_stats(
 
     words = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
         ).alias("w"),
     )
-    wcounts = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt"))
+    # carry_cols are functionally dependent on the doc id (e.g. source),
+    # so adding them to the grouping keys changes nothing but the schema
+    wcounts = words.groupBy(id_col, *carry_cols, "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
 
     def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -552,7 +558,7 @@ def bpe_token_stats(
         vocab = F.broadcast(vocab)
     return (
         wcounts.join(vocab, "w")
-        .groupBy(id_col)
+        .groupBy(id_col, *carry_cols)
         .agg(
             F.sum("cnt").alias("n_words"),
             F.sum(F.col("cnt") * F.col("n_tok")).alias("n_tokens"),
