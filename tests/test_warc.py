@@ -512,10 +512,14 @@ def test_canonicalize_url_properties(scheme, host, port, segs, params, frag):
     c = canonicalize_url(url)
     assert canonicalize_url(c) == c
     assert "#" not in c
-    assert "/./" not in c and not c.endswith("/.")
     scheme_c, rest = c.split("://", 1)
     assert scheme_c == scheme.lower()
-    netloc = rest.split("/", 1)[0]
+    netloc, _, path_q = rest.partition("/")
+    # dot segments are resolved in the PATH (the netloc may legally be a
+    # degenerate '.' host — hypothesis found the string-level check wrong)
+    path = "/" + path_q.split("?", 1)[0]
+    assert "/./" not in path and not path.endswith("/.")
+    assert "/../" not in path and not path.endswith("/..")
     assert netloc == netloc.lower()
     if scheme.lower() == "http":
         assert not netloc.endswith(":80")
