@@ -132,6 +132,7 @@ ADV_QUERIES = [
     "t50_bpe_encode",
     "mm30_url_canonicalize",
     "t51_bpe_mixture_budget",
+    "mm32_charset_transfer_decode",
 ]
 
 

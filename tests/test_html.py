@@ -217,3 +217,63 @@ def test_mm31_quality_chain_duckdb_vs_python():
         # rounding the same IEEE double — this test only pins the chain)
         assert abs(got[2] - q) <= 5e-7, did
         assert got[3] == (q >= 0.5), did
+
+
+def test_charset_transfer_decoding(spark):
+    """mm32's path: pages served as UTF-8 / UTF-16(LE+BOM) / ISO-8859-1
+    with the charset declared in the HTTP header must extract to the
+    SAME text (transfer-encoding invariance), and the charset resolver
+    must honor header > BOM > default."""
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_html_warc_payloads,
+        extract_html_features,
+    )
+    from youbike_etl_pipeline_spark.operators.warc import (
+        http_charset,
+        http_response_message,
+        parse_warc,
+        warc_type,
+    )
+
+    rows = [
+        (0, "utf-8 page with unicode — 中文"),   # r0: utf-8
+        (10, "utf-16 page with café accents"),    # r1: utf-16 LE + BOM
+        (20, "latin-1 encodable café page"), # r2: iso-8859-1
+        (50, "r2 but NOT latin-1 encodable 中文"),# r2 fallback: utf-8
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    feats = {
+        r["doc_id"]: r
+        for r in extract_html_features(
+            attach_html_warc_payloads(df, charset_rotation=True),
+            honor_charset=True,
+        ).collect()
+    }
+    for did, text in rows:
+        want = expected_extraction(did, text)
+        assert feats[did]["title"] == want["title"]
+        assert feats[did]["text_chars"] == len(want["text"])
+        assert feats[did]["text_md5"] == hashlib.md5(
+            want["text"].encode()
+        ).hexdigest()
+    # header charsets actually differ per rotation slot
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in attach_html_warc_payloads(df, charset_rotation=True).collect()
+    }
+    seen = {}
+    for did, _ in rows:
+        recs = parse_warc(payloads[did])
+        resp = [r for r in recs if warc_type(r) == "response"][0]
+        _, headers, body = http_response_message(resp)
+        seen[did] = http_charset(headers, body)
+    assert seen == {0: "utf-8", 10: "utf-16", 20: "iso-8859-1", 50: "utf-8"}
+    # BOM fallback when the header has no charset parameter
+    assert http_charset({"content-type": "text/html"}, b"\xff\xfethe") == "utf-16"
+    assert http_charset({}, b"\xef\xbb\xbfrest") == "utf-8-sig"
+    assert http_charset({}, b"plain") == "utf-8"
+    # header wins over BOM
+    assert (
+        http_charset({"content-type": 'text/html; charset="ISO-8859-1"'}, b"\xff\xfe")
+        == "iso-8859-1"
+    )

@@ -564,6 +564,8 @@ DOC_EVENT_QUERIES = [
     "t50_bpe_encode",
     "mm31_crawl_quality_pipeline",
     "t51_bpe_mixture_budget",
+    "mm32_charset_transfer_decode",
+    "st14_streaming_crawl_extract",
 ]
 
 

@@ -3317,17 +3317,40 @@ HTML_FEATURES = T.StructType(
 
 
 def attach_html_warc_payloads(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    charset_rotation: bool = False,
 ) -> DataFrame:
     """Like :func:`attach_warc_payloads`, but the crawl payload is the
     document's text rendered as REAL HTML
     (:func:`..operators.html.build_fixture_html` — four
     extraction-invariant markup variants rotated by id), so the archive
     carries what Common Crawl actually carries: markup, not plain text.
-    Production replaces this with a ``binaryFile`` read of crawl
-    segments."""
+    ``charset_rotation`` additionally serves each page in one of three
+    transfer encodings — UTF-8, UTF-16 (LE + BOM), ISO-8859-1 when the
+    page is Latin-1-encodable — with the charset DECLARED in the HTTP
+    Content-Type header, the way real crawl payloads arrive (a large
+    fraction of the web is not UTF-8). Production replaces this with a
+    ``binaryFile`` read of crawl segments."""
+    import codecs
+
     from .html import build_fixture_html
     from .warc import encode_warc
+
+    def encode_page(did: int, html: str) -> "tuple[bytes, str]":
+        r = (did // 10) % 3 if charset_rotation else 0
+        if r == 1:
+            return (
+                codecs.BOM_UTF16_LE + html.encode("utf-16-le"),
+                "text/html; charset=utf-16",
+            )
+        if r == 2:
+            try:
+                return html.encode("latin-1"), "text/html; charset=iso-8859-1"
+            except UnicodeEncodeError:
+                pass  # CJK/emoji pages can't be Latin-1; fall through
+        return html.encode("utf-8"), "text/html; charset=utf-8"
 
     out_schema = T.StructType(
         [
@@ -3345,11 +3368,15 @@ def attach_html_warc_payloads(
                 html = build_fixture_html(
                     did, "" if text is None else str(text)
                 )
+                body, ctype = encode_page(did, html)
                 payloads.append(
                     bytearray(
                         encode_warc(
-                            [(did, html.encode("utf-8"))],
+                            [(did, body)],
                             per_record_gzip=(did % 20 != 10),
+                            content_types=(
+                                [ctype] if charset_rotation else None
+                            ),
                         )
                     )
                 )
@@ -3370,18 +3397,30 @@ def attach_html_warc_payloads(
 
 
 def extract_html_features(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    honor_charset: bool = False,
 ) -> DataFrame:
     """Crawl text extraction via ``mapInPandas``: walk the WARC archive
     (:func:`..operators.warc.parse_warc`), take each response record's
     HTTP payload, and run the HTML→text extractor
     (:func:`..operators.html.extract_html_text`) — title, link list,
     and the md5 identity of the extracted text (the cross-engine
-    check). One Arrow pass, zero shuffle: at 100 TB each WARC file is
+    check). ``honor_charset`` decodes each payload per its HTTP
+    Content-Type charset parameter (BOM fallback, UTF-8 default —
+    :func:`..operators.warc.http_charset`) instead of assuming UTF-8.
+    One Arrow pass, zero shuffle: at 100 TB each WARC file is
     one split, so extraction scales embarrassingly parallel exactly
     like the mm26 payload recovery it follows."""
     from .html import extract_html_text
-    from .warc import http_response_body, parse_warc, warc_type
+    from .warc import (
+        http_charset,
+        http_response_body,
+        http_response_message,
+        parse_warc,
+        warc_type,
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -3398,8 +3437,13 @@ def extract_html_features(
                     titles.append(None); nlink.append(None); first.append(None)
                     tchars.append(None); tmd5.append(None)
                     continue
-                _, body = http_response_body(responses[0])
-                ex = extract_html_text(body.decode("utf-8"))
+                if honor_charset:
+                    _, headers, body = http_response_message(responses[0])
+                    html = body.decode(http_charset(headers, body))
+                else:
+                    _, body = http_response_body(responses[0])
+                    html = body.decode("utf-8")
+                ex = extract_html_text(html)
                 titles.append(ex["title"])
                 nlink.append(len(ex["links"]))
                 first.append(ex["links"][0] if ex["links"] else None)

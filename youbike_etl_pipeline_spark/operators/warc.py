@@ -156,6 +156,43 @@ def http_response_body(record: dict) -> tuple[int, bytes]:
     return int(status_line[1]), block[sep + 4 :]
 
 
+def http_response_message(record: dict) -> tuple[int, dict, bytes]:
+    """Split a response record's HTTP/1.1 message → (status, header dict,
+    body bytes). Header names are lowercased; folded continuation lines
+    extend the previous field (RFC 7230 obs-fold)."""
+    status, body = http_response_body(record)
+    block = record["block"]
+    head = block[: block.find(b"\r\n\r\n")].split(b"\r\n")[1:]
+    headers: dict[str, str] = {}
+    last: str | None = None
+    for line in head:
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += " " + line.decode("latin-1").strip()
+            continue
+        if b":" not in line:
+            raise ValueError(f"malformed HTTP header line {line[:40]!r}")
+        k, v = line.split(b":", 1)
+        last = k.decode("latin-1").strip().lower()
+        headers[last] = v.decode("latin-1").strip()
+    return status, headers, body
+
+
+def http_charset(headers: dict, body: bytes, default: str = "utf-8") -> str:
+    """Charset resolution the way crawl pipelines actually do it:
+    the Content-Type ``charset=`` parameter wins, then a Unicode BOM,
+    then the default. Returns a Python codec name."""
+    ct = headers.get("content-type", "")
+    for part in ct.split(";")[1:]:
+        k, _, v = part.strip().partition("=")
+        if k.strip().lower() == "charset" and v:
+            return v.strip().strip('"').lower()
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16"
+    return default
+
+
 def _remove_dot_segments(path: str) -> str:
     """RFC 3986 §5.2.4 dot-segment removal (``/a/../b/./c`` → ``/b/c``),
     the path half of URL canonicalization."""
@@ -238,6 +275,7 @@ def encode_warc(
     per_record_gzip: bool = True,
     date: str = "2024-01-01T00:00:00Z",
     uris: "list[str] | None" = None,
+    content_types: "list[str] | None" = None,
 ) -> bytes:
     """(doc_id, body bytes) pairs → a WARC/1.0 archive in the Common
     Crawl shape: one warcinfo record, then a request + response pair per
@@ -283,9 +321,14 @@ def encode_warc(
             f"GET /doc/{doc_id} HTTP/1.1\r\nHost: example.com\r\n\r\n".encode(),
             f"{doc_id:08x}-0000-0000-0000-000000000001",
         )
+        ct = (
+            content_types[i]
+            if content_types is not None
+            else "text/plain; charset=utf-8"
+        )
         http = (
             b"HTTP/1.1 200 OK\r\n"
-            b"Content-Type: text/plain; charset=utf-8\r\n"
+            b"Content-Type: " + ct.encode("latin-1") + b"\r\n"
             + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
             + body
         )

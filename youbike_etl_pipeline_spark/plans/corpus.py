@@ -158,7 +158,12 @@ REGRADE_FIRST: tuple[str, ...] = (
 #: the ordinary tiers (mm16/mm19 via CHANGED_THIS_ROUND after the advisor
 #: conformance fixes; mm13/mm14/mm15/mm17/mm18 via the never-graded tier,
 #: which they top as the only never-graded queries left in the corpus).
-NEW_PAST_WINDOW: tuple[str, ...] = ()
+NEW_PAST_WINDOW: tuple[str, ...] = (
+    # Round 9: empty. The seven round-9 additions grade through the
+    # ordinary never-graded tier (positions 1-7); the judge-mandated
+    # staleness rotation still fits behind them — all 27 r1/r2 grades
+    # plus the 16 stalest r3 rows fill the ~50-query window.
+)
 
 
 def _last_graded_round() -> dict[str, int]:
@@ -18299,3 +18304,66 @@ def t51_bpe_mixture_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "mm32_charset_transfer_decode",
+    _mm29_html_extract_sql(),
+    survey_rows="ext:training-data ingestion — header-driven charset "
+    "decode of crawl payloads (Content-Type charset parameter, BOM "
+    "fallback): a large fraction of the real web is not UTF-8",
+    description="Charset-honoring crawl extraction (round 9): the same "
+    "pages as mm29, but SERVED in rotating transfer encodings — UTF-8, "
+    "UTF-16 (LE + BOM), ISO-8859-1 where the page is Latin-1-encodable "
+    "— with the charset declared in the HTTP Content-Type header "
+    "exactly as crawl servers declare it; extraction first resolves "
+    "the codec (header parameter → BOM sniff → UTF-8 default, "
+    "warc.py::http_charset/http_response_message) and decodes before "
+    "parsing. The EXTRACTED TEXT is transfer-encoding-invariant, so "
+    "mm29's oracle grades this path unchanged — the routed-twin "
+    "discipline (j14/t38b) applied to transfer encodings: same "
+    "expected answer, different physical decode path. Zero shuffle.",
+)
+def mm32_charset_transfer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_html_warc_payloads,
+        extract_html_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = extract_html_features(
+        attach_html_warc_payloads(docs, charset_rotation=True),
+        honor_charset=True,
+    )
+    return feats.select(
+        "doc_id", "title", "n_links", "first_link", "text_chars", "text_md5"
+    )
+
+
+@register(
+    "st14_streaming_crawl_extract",
+    _mm29_html_extract_sql(),
+    survey_rows="§2.8 streaming × ext:training-data ingestion — crawl "
+    "HTML→text extraction inside Structured Streaming micro-batches "
+    "(the incremental-crawl production shape)",
+    description="Streaming crawl extraction (round 9, the st13 pattern "
+    "applied to the text pipeline): the documents stream flows through "
+    "the SAME attach→parse→extract operators mm29 grades — stateless "
+    "transforms are legal in streams, so the extraction pipeline "
+    "serves incremental crawl ingestion unchanged, append-mode, no "
+    "watermark or state. Run to completion over the finite source, "
+    "the output must equal mm29's batch oracle row-for-row: "
+    "micro-batch boundaries cannot change a single extracted byte.",
+)
+def st14_streaming_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_html_warc_payloads,
+        extract_html_features,
+    )
+    from ..streaming.ingest import read_documents_stream, run_stream_to_memory
+
+    docs = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    feats = extract_html_features(attach_html_warc_payloads(docs)).select(
+        "doc_id", "title", "n_links", "first_link", "text_chars", "text_md5"
+    )
+    return run_stream_to_memory(feats, output_mode="append")
