@@ -201,6 +201,7 @@ HEADLINE = [
     "t51_bpe_mixture_budget",
     "mm32_charset_transfer_decode",
     "st14_streaming_crawl_extract",
+    "mm33_robots_policy",
 ]
 
 

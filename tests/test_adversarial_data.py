@@ -133,6 +133,7 @@ ADV_QUERIES = [
     "mm30_url_canonicalize",
     "t51_bpe_mixture_budget",
     "mm32_charset_transfer_decode",
+    "mm33_robots_policy",
 ]
 
 

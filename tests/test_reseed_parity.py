@@ -566,6 +566,7 @@ DOC_EVENT_QUERIES = [
     "t51_bpe_mixture_budget",
     "mm32_charset_transfer_decode",
     "st14_streaming_crawl_extract",
+    "mm33_robots_policy",
 ]
 
 

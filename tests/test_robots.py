@@ -1,0 +1,137 @@
+"""robots.txt policy evaluation (RFC 9309, round 9): group selection,
+longest-match precedence, wildcard/anchor patterns, and the fixture
+variants mm33 grades."""
+
+from __future__ import annotations
+
+import pytest
+
+from youbike_etl_pipeline_spark.operators.robots import (
+    build_fixture_robots,
+    parse_robots,
+    robots_decision,
+)
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+def test_group_parsing():
+    txt = (
+        "# comment\n"
+        "User-agent: A\n"
+        "User-agent: B\n"
+        "Disallow: /x\n"
+        "Allow: /x/y\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "Sitemap: http://h/s.xml\n"
+    )
+    groups = parse_robots(txt)
+    assert groups == [
+        (["a", "b"], [("disallow", "/x"), ("allow", "/x/y")]),
+        (["*"], [("disallow", "/")]),
+    ]
+
+
+def test_group_selection_longest_agent_prefix():
+    txt = "User-agent: TrainBot\nDisallow: /a\nUser-agent: *\nDisallow: /"
+    assert robots_decision(txt, "trainbot", "/b") == (True, "", 2)
+    assert robots_decision(txt, "trainbot", "/a/x") == (False, "/a", 2)
+    assert robots_decision(txt, "otherbot", "/a") == (False, "/", 2)
+    # no matching group at all -> allow
+    assert robots_decision("User-agent: z\nDisallow: /", "q", "/p")[0] is True
+    assert robots_decision("", "q", "/p") == (True, "", 0)
+
+
+def test_rule_precedence_and_patterns():
+    # longest pattern wins; tie -> Allow wins
+    t = "User-agent: *\nDisallow: /dir\nAllow: /dir/pub"
+    assert robots_decision(t, "x", "/dir/pub/f") == (True, "/dir/pub", 1)
+    assert robots_decision(t, "x", "/dir/f")[0] is False
+    t2 = "User-agent: *\nDisallow: /dir\nAllow: /dir"
+    assert robots_decision(t2, "x", "/dir/f") == (True, "/dir", 1)
+    # wildcard + anchor
+    t3 = "User-agent: *\nDisallow: /*.pdf$"
+    assert robots_decision(t3, "x", "/a/b.pdf")[0] is False
+    assert robots_decision(t3, "x", "/a/b.pdfx")[0] is True
+    # empty Disallow matches nothing (allow all)
+    t4 = "User-agent: *\nDisallow:\n"
+    assert robots_decision(t4, "x", "/anything") == (True, "", 1)
+    # regex metacharacters in paths are literals, not syntax
+    t5 = "User-agent: *\nDisallow: /a.b\n"
+    assert robots_decision(t5, "x", "/a.b/c")[0] is False
+    assert robots_decision(t5, "x", "/aXb/c")[0] is True
+
+
+def test_fixture_variants_match_oracle_constants():
+    for did in range(0, 2000, 10):
+        allowed, rule, ng = robots_decision(
+            build_fixture_robots(did), "trainbot", f"/doc/{did}"
+        )
+        v = (did // 10) % 4
+        if v == 0:
+            want = (True, "", 1)
+        elif v == 1:
+            hit = str(did).startswith("1")
+            want = (hit, "/doc/1*" if hit else "/doc/", 1)
+        elif v == 2:
+            want = (False, "/doc/*0$", 1)
+        else:
+            want = (True, "", 2)
+        assert (allowed, rule, ng) == want, did
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["allow", "disallow"]),
+            st.text(alphabet="/ab*$", max_size=8),
+        ),
+        max_size=6,
+    ),
+    st.text(alphabet="/ab0", min_size=1, max_size=10),
+)
+def test_decision_total_and_consistent(rules, path):
+    """Any rule soup must produce a decision without raising, the
+    winning rule must actually be in the group, and adding a foreign
+    group must not change the outcome."""
+    txt = "User-agent: *\n" + "\n".join(f"{k.title()}: {v}" for k, v in rules)
+    allowed, rule, ng = robots_decision(txt, "anybot", path)
+    assert isinstance(allowed, bool) and ng == 1
+    if rule:
+        assert rule in [v for _, v in rules]
+    txt2 = "User-agent: somebody-else\nDisallow: /\n\n" + txt
+    assert robots_decision(txt2, "anybot", path)[:2] == (allowed, rule)
+
+
+def test_mm33_spark_path(spark):
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_robots_warc_payloads,
+        robots_policy_features,
+    )
+
+    df = spark.createDataFrame(
+        [(0,), (10,), (50,), (20,), (30,)], "doc_id long"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in robots_policy_features(
+            attach_robots_warc_payloads(df)
+        ).collect()
+    }
+    assert rows[0]["allowed"] is True and rows[0]["n_groups"] == 1
+    # variant 1 (ids 10, 50): Allow /doc/1* vs Disallow /doc/ split on
+    # the leading digit
+    assert rows[10]["allowed"] is True and rows[10]["rule"] == "/doc/1*"
+    assert rows[50]["allowed"] is False and rows[50]["rule"] == "/doc/"
+    assert rows[20]["allowed"] is False and rows[20]["rule"] == "/doc/*0$"
+    assert rows[30]["allowed"] is True and rows[30]["n_groups"] == 2

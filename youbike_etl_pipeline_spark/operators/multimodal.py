@@ -3621,6 +3621,114 @@ def canonicalize_url_features(
     return df.select(id_col, payload_col).mapInPandas(fn, schema=URL_FEATURES)
 
 
+#: robots.txt policy evaluation over WARC-served policy files
+ROBOTS_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("allowed", T.BooleanType(), True),
+        T.StructField("rule", T.StringType(), True),
+        T.StructField("n_groups", T.LongType(), True),
+    ]
+)
+
+
+def attach_robots_warc_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """WARC archives whose response record is the host's robots.txt
+    (fetched from ``/robots.txt``, as crawlers record it) — four policy
+    variants rotated by id (:func:`..operators.robots.
+    build_fixture_robots`): wildcard groups, longest-match Allow vs
+    Disallow, ``*``/``$`` patterns, and foreign-group selection."""
+    from .robots import build_fixture_robots
+    from .warc import encode_warc
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                payloads.append(
+                    bytearray(
+                        encode_warc(
+                            [(did, build_fixture_robots(did).encode())],
+                            per_record_gzip=(did % 20 != 10),
+                            uris=["http://example.com/robots.txt"],
+                            content_types=["text/plain"],
+                        )
+                    )
+                )
+                metas.append(
+                    {
+                        "media_type": "archive",
+                        "format": "warc",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
+            )
+
+    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
+def robots_policy_features(
+    df: DataFrame,
+    agent: str = "trainbot",
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl-politeness evaluation: recover each archive's robots.txt
+    response and decide whether ``agent`` may fetch the document's URL
+    path (:func:`..operators.robots.robots_decision` — RFC 9309 group
+    selection, longest-pattern precedence, Allow-wins ties). One Arrow
+    pass, zero shuffle: at 100 TB the policy check rides the same scan
+    as the WARC parse, and the ``allowed`` flag is the filter the
+    ingest pipeline applies before a URL enters the corpus."""
+    from .robots import robots_decision
+    from .warc import http_response_body, parse_warc, warc_type
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, allowed, rules, ngroups = [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                records = parse_warc(bytes(payload))
+                responses = [r for r in records if warc_type(r) == "response"]
+                ids.append(did)
+                if not responses:
+                    allowed.append(None); rules.append(None); ngroups.append(None)
+                    continue
+                _, body = http_response_body(responses[0])
+                ok, rule, ng = robots_decision(
+                    body.decode("utf-8"), agent, f"/doc/{int(did)}"
+                )
+                allowed.append(ok)
+                rules.append(rule)
+                ngroups.append(ng)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "allowed": pd.array(allowed, dtype="boolean"),
+                    "rule": rules,
+                    "n_groups": pd.array(ngroups, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(fn, schema=ROBOTS_FEATURES)
+
+
 #: WebDataset-shard reduction: per-sample image + caption features
 WDS_FEATURES = T.StructType(
     [

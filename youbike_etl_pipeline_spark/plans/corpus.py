@@ -18367,3 +18367,55 @@ def st14_streaming_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "title", "n_links", "first_link", "text_chars", "text_md5"
     )
     return run_stream_to_memory(feats, output_mode="append")
+
+
+@register(
+    "mm33_robots_policy",
+    """
+    WITH d AS (
+      SELECT doc_id, (doc_id // 10) % 4 AS v
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           CASE v
+             WHEN 0 THEN TRUE
+             WHEN 1 THEN (CAST(doc_id AS VARCHAR) LIKE '1%')
+             WHEN 2 THEN FALSE
+             ELSE TRUE
+           END AS allowed,
+           CASE v
+             WHEN 1 THEN (CASE WHEN CAST(doc_id AS VARCHAR) LIKE '1%'
+                               THEN '/doc/1*' ELSE '/doc/' END)
+             WHEN 2 THEN '/doc/*0$'
+             ELSE ''
+           END AS rule,
+           CAST(CASE v WHEN 3 THEN 2 ELSE 1 END AS BIGINT) AS n_groups
+    FROM d
+    """,
+    survey_rows="ext:training-data ingestion — robots.txt policy "
+    "evaluation (RFC 9309), the crawl-politeness gate applied before a "
+    "URL enters the corpus",
+    description="REAL robots.txt evaluation (round 9): each archive "
+    "carries the host's robots.txt as its response record (fetched "
+    "from /robots.txt, as crawlers record it); operators/robots.py "
+    "parses groups (consecutive User-agent lines, comments, unknown "
+    "directives ignored), selects the group by longest agent-token "
+    "prefix ('*' = specificity 0), and decides the document's URL "
+    "path by longest-matching pattern with Allow winning ties and "
+    "'*'/'$' wildcard semantics — all per RFC 9309 §2.2. The four "
+    "fixture variants each pin one spec feature (non-matching "
+    "wildcard group; Allow-vs-Disallow longest match split on the id's "
+    "leading digit; an anchored '*0$' pattern; foreign-group "
+    "selection with an empty Disallow), so the oracle re-derives every "
+    "decision as a constant of the doc id. Zero shuffle — the "
+    "politeness gate rides the WARC scan.",
+)
+def mm33_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_robots_warc_payloads,
+        robots_policy_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = robots_policy_features(attach_robots_warc_payloads(docs))
+    return feats.select("doc_id", "allowed", "rule", "n_groups")
