@@ -202,6 +202,7 @@ HEADLINE = [
     "mm32_charset_transfer_decode",
     "st14_streaming_crawl_extract",
     "mm33_robots_policy",
+    "t52_extracted_lang_id",
 ]
 
 

@@ -134,6 +134,7 @@ ADV_QUERIES = [
     "t51_bpe_mixture_budget",
     "mm32_charset_transfer_decode",
     "mm33_robots_policy",
+    "t52_extracted_lang_id",
 ]
 
 

@@ -18419,3 +18419,76 @@ def mm33_robots_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     feats = robots_policy_features(attach_robots_warc_payloads(docs))
     return feats.select("doc_id", "allowed", "rule", "n_groups")
+
+
+def _t52_extracted_lang_sql(mod: int = 10) -> str:
+    """t4's marker-word language-ID mirrors applied to the EXTRACTED
+    text (the shared xt CTE, byte-identical to mm29's): every page's
+    scaffold contributes the same deterministic tokens on both engines
+    (the footer's lone 'A' counts one English 'a' marker per doc), so
+    the confusion counts grade the chained extract→classify path."""
+
+    def mark(word: str) -> str:
+        return (
+            "len(list_filter(regexp_split_to_array(lower(x.xt), '[^a-z]+'), "
+            f"t -> t = '{word}'))"
+        )
+
+    def marks(words: "list[str]") -> str:
+        return " + ".join(mark(w) for w in words)
+
+    return f"""
+{_html_xt_cte(mod)},
+    scores AS (
+      SELECT d.lang,
+             regexp_matches(x.xt, '[一-鿿]') AS has_cjk,
+             {marks(["der", "die", "und", "das", "ist"])} AS s_de,
+             {marks(["the", "and", "of", "to", "a"])} AS s_en,
+             {marks(["el", "la", "de", "que", "y"])} AS s_es,
+             {marks(["le", "la", "et", "les", "des"])} AS s_fr
+      FROM x JOIN documents d USING (doc_id)
+    )
+    SELECT CASE WHEN has_cjk THEN 'zh'
+                WHEN GREATEST(s_de, s_en, s_es, s_fr) <= 0 THEN 'und'
+                WHEN s_de = GREATEST(s_de, s_en, s_es, s_fr) THEN 'de'
+                WHEN s_en = GREATEST(s_de, s_en, s_es, s_fr) THEN 'en'
+                WHEN s_es = GREATEST(s_de, s_en, s_es, s_fr) THEN 'es'
+                ELSE 'fr' END AS lang_guess,
+           lang AS lang_actual,
+           COUNT(*) AS n
+    FROM scores GROUP BY 1, 2
+    """
+
+
+@register(
+    "t52_extracted_lang_id",
+    _t52_extracted_lang_sql(),
+    survey_rows="ext:lang-id × ext:training-data ingestion — language "
+    "identification over EXTRACTED crawl text (the CCNet routing step "
+    "that decides which language pipeline a page enters)",
+    description="Chained extract→classify (round 9): the WARC→HTML→"
+    "text pipeline's output column feeds t4's marker-word language ID "
+    "(text.py::lang_id, JVM column expressions — CJK short-circuit, "
+    "marker-count arg-max with ascending-code tie-break), producing "
+    "the confusion table against the labeled language. The oracle "
+    "chains mm29's expected-extraction CTE (shared generator, "
+    "byte-identical) into t4's scoring mirrors; the fixture scaffold "
+    "adds the same deterministic tokens on both engines. One Arrow "
+    "extraction pass + one confusion aggregation; the doc-keyed label "
+    "join is the only other exchange.",
+)
+def t52_extracted_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_html_warc_payloads,
+        extract_html_text_column,
+    )
+    from ..operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    xt = extract_html_text_column(attach_html_warc_payloads(docs))
+    labeled = xt.join(docs.select("doc_id", "lang"), "doc_id")
+    return (
+        labeled.withColumn("lang_guess", lang_id(F.col("xtext")))
+        .groupBy(F.col("lang_guess"), F.col("lang").alias("lang_actual"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
