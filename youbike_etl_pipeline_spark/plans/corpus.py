@@ -18492,3 +18492,43 @@ def t52_extracted_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("lang_guess"), F.col("lang").alias("lang_actual"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "mm34_transfer_decoding",
+    _mm29_html_extract_sql(),
+    survey_rows="ext:training-data ingestion — HTTP transfer decoding "
+    "of crawl payloads (Transfer-Encoding: chunked dechunking, "
+    "Content-Encoding: gzip/deflate inflation): Common Crawl stores "
+    "responses as-served, where both are everyday",
+    description="Full as-served crawl decode chain (round 10): the "
+    "same pages as mm29, but the HTTP body is SERVED through five "
+    "rotating wire shapes — identity, chunked (uneven chunk sizes, a "
+    "chunk extension, a trailer field), gzip, zlib-wrapped deflate, "
+    "and gzip-then-chunked — ON TOP of mm32's three charset encodings "
+    "and mm29's four markup variants (all 60 combinations appear; "
+    "rotations indexed did//10, coprime mods). Extraction removes "
+    "transfer codings first (warc.py::http_decode_body — RFC 7230 "
+    "§3.3.1 removal order, bomb-capped inflation, typed truncation "
+    "errors), then resolves the charset, then parses. The EXTRACTED "
+    "TEXT is wire-shape-invariant, so mm29's oracle grades the whole "
+    "matrix unchanged — the routed-twin discipline (mm32/j14/t38b) a "
+    "third time. Zero shuffle; the decode rides the WARC scan.",
+)
+def mm34_transfer_decoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_html_warc_payloads,
+        extract_html_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = extract_html_features(
+        attach_html_warc_payloads(
+            docs, charset_rotation=True, transfer_rotation=True
+        ),
+        honor_charset=True,
+        decode_transfer=True,
+    )
+    return feats.select(
+        "doc_id", "title", "n_links", "first_link", "text_chars", "text_md5"
+    )
