@@ -450,8 +450,17 @@ def bpe_apply(
     occurrences, until no merge applies. Completes the tokenizer story
     t33's merge statistics start: this is the operator every training
     pipeline actually runs per word."""
+    return bpe_apply_symbols(list(word), merges)
+
+
+def bpe_apply_symbols(
+    syms: "list[str]", merges: "tuple[tuple[str, str], ...]"
+) -> list[str]:
+    """The merge loop of :func:`bpe_apply` over an arbitrary initial
+    symbol sequence — shared by the character-level path (symbols =
+    characters) and the byte-level path (symbols = hex octet pairs,
+    :func:`byte_bpe_apply`)."""
     ranks = {pair: i for i, pair in enumerate(merges)}
-    syms = list(word)
     while len(syms) > 1:
         best_rank = None
         for pair in zip(syms, syms[1:]):
@@ -487,12 +496,144 @@ def bpe_apply_fixpoint(
     L2R 3+4 (caught by tests/test_bpe.py). Under the
     operands-exist-before-use invariant this equals
     :func:`bpe_apply` for every input."""
-    s = "|" + "|".join(word) + "|"
+    return bpe_fixpoint_symbols(list(word), merges)
+
+
+def bpe_fixpoint_symbols(
+    syms: "list[str]", merges: "tuple[tuple[str, str], ...]"
+) -> list[str]:
+    """Separator-string fixpoint over an arbitrary symbol sequence (the
+    generalization :func:`byte_bpe_apply`'s oracle uses — symbols are
+    hex octet pairs there, characters in :func:`bpe_apply_fixpoint`)."""
+    s = "|" + "|".join(syms) + "|"
     for a, b in merges:
         find, repl = f"|{a}|{b}|", f"|{a}{b}|"
         while find in s:
             s = s.replace(find, repl, 1)
     return [t for t in s.split("|") if t]
+
+
+# ------------------------------------------------------ byte-level BPE
+
+#: Byte-level merge table: symbols are UTF-8 OCTETS rendered as two
+#: uppercase hex digits (matching DuckDB ``hex(encode(w))``, so the
+#: recursive-CTE oracle and the Python encoder speak the same symbol
+#: alphabet). Same operands-exist-before-use invariant as
+#: :data:`BPE_MERGES`. The table deliberately spans the three UTF-8
+#: widths the fixture corpus exercises: ASCII English digraphs, Latin-1
+#: supplement letters (``C3``-lead two-byte sequences — ü é ö), CJK
+#: three-byte sequences (的 是), plus one merge that CROSSES a
+#: character boundary (ü+b, the 'über' stem) — the byte-level property
+#: character BPE cannot express.
+BYTE_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("74", "68"),  # t h        -> 'th'
+    ("7468", "65"),  # th e     -> 'the'
+    ("69", "6E"),  # i n        -> 'in'
+    ("61", "6E"),  # a n        -> 'an'
+    ("65", "72"),  # e r        -> 'er'
+    ("6F", "6E"),  # o n        -> 'on'
+    ("72", "65"),  # r e        -> 're'
+    ("616E", "64"),  # an d     -> 'and'
+    ("C3", "BC"),  # 0xC3 0xBC  -> ü
+    ("C3", "A9"),  # 0xC3 0xA9  -> é
+    ("C3", "B6"),  # 0xC3 0xB6  -> ö
+    ("C3BC", "62"),  # ü b      -> 'üb' (crosses a char boundary)
+    ("E7", "9A"),  # 的 bytes 1+2
+    ("E79A", "84"),  # +byte 3  -> 的
+    ("E6", "98"),  # 是 bytes 1+2
+    ("E698", "AF"),  # +byte 3  -> 是
+)
+
+#: Pretokenization for the byte-level path, expressible identically in
+#: Spark (Java regex) and DuckDB (RE2): CJK ideographs tokenize
+#: per-codepoint (unsegmented scripts have no spaces — per-character
+#: pretokens keep the distinct-pretoken vocabulary BOUNDED, preserving
+#: the collapse-first route Heaps' law gives segmented scripts), and
+#: everything else splits on whitespace. Case is preserved — byte-level
+#: BPE does not fold case (GPT-2 posture).
+BYTE_PRETOKEN_RE = "[一-鿿]|[^\\s一-鿿]+"
+
+
+def byte_bpe_apply(
+    word: str, merges: "tuple[tuple[str, str], ...]" = BYTE_BPE_MERGES
+) -> list[str]:
+    """GPT-2-style byte-level BPE over one pretoken: the word's UTF-8
+    octets (as two-hex-digit symbols) run the same lowest-rank-first
+    merge loop as :func:`bpe_apply`. Every Unicode string tokenizes —
+    nothing falls outside the base alphabet of 256 octets, the property
+    that made byte-level the production default."""
+    return bpe_apply_symbols(
+        ["%02X" % b for b in word.encode("utf-8")], merges
+    )
+
+
+def byte_bpe_token_stats(
+    df: DataFrame,
+    merges: "tuple[tuple[str, str], ...]" = BYTE_BPE_MERGES,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document byte-level BPE statistics — the t50 distinct-word
+    collapse-first route generalized past ``[a-z]+``: pretokens are
+    :data:`BYTE_PRETOKEN_RE` matches (CJK per-codepoint, otherwise
+    whitespace-split, case preserved), each DISTINCT pretoken is
+    byte-tokenized ONCE in an Arrow pass, token/byte counts rejoin the
+    collapsed ``(doc, pretoken) → cnt`` occurrences and aggregate.
+
+    Scale routing is inherited verbatim from :func:`bpe_token_stats`
+    (the round-9 sweep lesson): occurrences collapse behind map-side
+    combine BEFORE any exchange — pretoken frequency is Zipf-skewed in
+    every language — and the tokenized vocabulary joins broadcast
+    (|vocab| ≪ |corpus| by Heaps' law for segmented scripts and by the
+    bounded ideograph inventory for CJK); ``broadcast_vocab=False``
+    falls back to shuffling the collapsed near-unique keys."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    pretoks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.col(text_col), F.lit(BYTE_PRETOKEN_RE), 0)
+        ).alias("w"),
+    )
+    wcounts = pretoks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            toks = [byte_bpe_apply(w, merges) for w in pdf["w"]]
+            yield pd.DataFrame(
+                {
+                    "w": pdf["w"],
+                    "n_tok": pd.array([len(t) for t in toks], dtype="Int64"),
+                    "n_byt": pd.array(
+                        [len(w.encode("utf-8")) for w in pdf["w"]],
+                        dtype="Int64",
+                    ),
+                }
+            )
+
+    vocab = (
+        wcounts.select("w")
+        .distinct()
+        .mapInPandas(fn, "w string, n_tok bigint, n_byt bigint")
+    )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    return (
+        wcounts.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_pretok"),
+            F.sum(F.col("cnt") * F.col("n_tok")).alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("n_byt")).alias("n_bytes"),
+        )
+        .withColumn(
+            "bytes_per_token",
+            F.round(F.col("n_bytes") / F.col("n_tokens"), 6),
+        )
+    )
 
 
 def bpe_token_stats(

@@ -18532,3 +18532,123 @@ def mm34_transfer_decoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "title", "n_links", "first_link", "text_chars", "text_md5"
     )
+
+
+#: Deterministic multilingual augmentation for the byte-level BPE
+#: fixture: the synthetic documents are pure ASCII, so each document
+#: gains a constant language-tagged suffix whose UTF-8 bytes exercise
+#: the 2-byte (Latin-1 supplement) and 3-byte (CJK) sequences the
+#: byte-level merge table targets. A CONSTANT per language keeps the
+#: augmentation expressible identically in both engines.
+_T53_AUG = (
+    ("de", " über schön für"),
+    ("fr", " été déjà"),
+    ("es", " señor año"),
+    ("zh", " 的是的 是的"),
+)
+
+
+def _t53_byte_bpe_sql(mod: int = 1) -> str:
+    """Recursive-CTE byte-level BPE oracle: each distinct pretoken's
+    UTF-8 octets (``hex(encode(w))`` — uppercase two-hex-digit symbols,
+    the exact alphabet operators/text.py::byte_bpe_apply emits) become
+    a ``|``-separated symbol string; the recursion is t50's
+    leftmost-single-replace loop verbatim over the byte merge table
+    (operators/text.py::BYTE_BPE_MERGES), proven equivalent to the
+    lowest-rank-first encoder by the hypothesis matrix over byte
+    alphabets (tests/test_bpe.py). Pretokens mirror
+    BYTE_PRETOKEN_RE (CJK per-codepoint, else whitespace-split, case
+    preserved); token count = separators - 1; byte count =
+    ``octet_length(encode(w))``."""
+    from ..operators.text import BYTE_BPE_MERGES
+
+    aug = " ".join(
+        f"WHEN '{lang}' THEN '{suffix}'" for lang, suffix in _T53_AUG
+    )
+    vals = ", ".join(
+        f"({i}, '\\|{a}\\|{b}\\|', '|{a}{b}|')"
+        for i, (a, b) in enumerate(BYTE_BPE_MERGES)
+    )
+    n = len(BYTE_BPE_MERGES)
+    return f"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id,
+             COALESCE(text, '') || CASE lang {aug} ELSE '' END AS t
+      FROM documents WHERE doc_id % {mod} = 0
+    ),
+    occ AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(t, '[一-鿿]|[^\\s一-鿿]+')) AS w
+      FROM d
+    ),
+    vocab AS (SELECT DISTINCT w FROM occ),
+    merges (mi, f, r) AS (VALUES {vals}),
+    bpe AS (
+      SELECT w,
+             '|' || regexp_replace(hex(encode(w)), '(..)', '\\1|', 'g') AS s,
+             0 AS mi
+      FROM vocab
+      UNION ALL
+      SELECT b.w,
+             CASE WHEN regexp_replace(b.s, m.f, m.r) <> b.s
+                  THEN regexp_replace(b.s, m.f, m.r) ELSE b.s END,
+             CASE WHEN regexp_replace(b.s, m.f, m.r) <> b.s
+                  THEN b.mi ELSE b.mi + 1 END
+      FROM bpe b JOIN merges m ON m.mi = b.mi
+    ),
+    counts AS (
+      SELECT w,
+             CAST(length(s) - length(replace(s, '|', '')) - 1 AS BIGINT)
+               AS n_tok,
+             CAST(octet_length(encode(w)) AS BIGINT) AS n_byt
+      FROM bpe WHERE mi = {n}
+    )
+    SELECT o.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pretok,
+           CAST(SUM(c.n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(c.n_byt) AS BIGINT) AS n_bytes,
+           ROUND(SUM(c.n_byt) * 1.0 / SUM(c.n_tok), 6) AS bytes_per_token
+    FROM occ o JOIN counts c USING (w)
+    GROUP BY o.doc_id
+    """
+
+
+@register(
+    "t53_byte_bpe_encode",
+    _t53_byte_bpe_sql(),
+    survey_rows="ext:text-analysis — byte-level BPE encoding (GPT-2 "
+    "posture: the 256-octet base alphabet tokenizes EVERY Unicode "
+    "string), generalizing t50 past [a-z]+ so non-Latin text actually "
+    "tokenizes",
+    description="Byte-level BPE (round 10): pretokens are CJK "
+    "codepoints or whitespace-delimited runs (case preserved — "
+    "BYTE_PRETOKEN_RE, identical Java/RE2 regex), their UTF-8 octets "
+    "run the lowest-rank-first merge loop over a byte merge table "
+    "spanning ASCII digraphs, 2-byte Latin-1-supplement letters, "
+    "3-byte CJK sequences, and one merge that CROSSES a character "
+    "boundary ('ü'+'b') — the byte-level property character BPE "
+    "cannot express. The fixture augments each document with a "
+    "constant language-tagged multilingual suffix (the synthetic "
+    "corpus is pure ASCII) expressed identically in both engines. "
+    "Routing is t50's skew-safe shape verbatim: occurrences collapse "
+    "to (doc, pretoken)→cnt behind map-side combine, the distinct "
+    "vocabulary byte-tokenizes ONCE in an Arrow pass and joins back "
+    "BROADCAST. The oracle replays the merges as a recursive-CTE "
+    "leftmost-replace over hex-pair symbols (hypothesis-proven "
+    "equivalent over byte alphabets, tests/test_bpe.py).",
+)
+def t53_byte_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import byte_bpe_token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.coalesce(F.col("text"), F.lit(""))
+    case = F.lit("")
+    for lang, suffix in reversed(_T53_AUG):
+        case = F.when(F.col("lang") == lang, F.lit(suffix)).otherwise(case)
+    docs = docs.select(
+        "doc_id", F.concat(aug, case).alias("aug_text")
+    )
+    return byte_bpe_token_stats(docs, text_col="aug_text").select(
+        "doc_id", "n_pretok", "n_tokens", "n_bytes", "bytes_per_token"
+    )
