@@ -277,3 +277,118 @@ def test_charset_transfer_decoding(spark):
         http_charset({"content-type": 'text/html; charset="ISO-8859-1"'}, b"\xff\xfe")
         == "iso-8859-1"
     )
+
+
+# ----------------------------------------------- round 10: boilerplate
+
+
+def test_main_text_noise_variant_invariant():
+    """All four noise shapes keep exactly the three content blocks and
+    drop the variant's boilerplate count — the extraction-invariant
+    discipline applied to main-content detection."""
+    from youbike_etl_pipeline_spark.operators.html import (
+        BOILERPLATE_DROPPED,
+        build_boilerplate_html,
+        expected_main_text,
+        extract_main_text,
+    )
+
+    text = "stream batch join customer order " * 4
+    for did in (0, 10, 20, 30):
+        v = (did // 10) % 4
+        r = extract_main_text(build_boilerplate_html(did, text.strip()))
+        assert r["text"] == expected_main_text(did, text.strip()), did
+        assert r["n_dropped"] == BOILERPLATE_DROPPED[v], did
+        assert r["n_blocks"] == 3 + BOILERPLATE_DROPPED[v], did
+
+
+def test_main_text_density_not_presence():
+    """A short link inside long text survives (density <= 1/3); a
+    link-dominated block does not; exactly-threshold blocks survive
+    (strict inequality)."""
+    from youbike_etl_pipeline_spark.operators.html import extract_main_text
+
+    keep = "<html><body><p>aaaa <a href='/x'>b</a> cccc dddd</p></body></html>"
+    r = extract_main_text(keep)
+    assert r == {"text": "aaaa b cccc dddd", "n_blocks": 1, "n_dropped": 0}
+    drop = "<html><body><p><a href='/x'>only a link</a></p></body></html>"
+    r = extract_main_text(drop)
+    assert r == {"text": "", "n_blocks": 1, "n_dropped": 1}
+    # exactly 1/3: len(text)=9, link=3 -> 3*3 > 9 is False -> kept
+    edge = "<html><body><p>ab <a href='/x'>cde</a> fgh</p></body></html>"
+    r = extract_main_text(edge)
+    assert r["n_dropped"] == 0 and r["text"] == "ab cde fgh"
+
+
+def test_main_text_empty_article_and_noise_only():
+    from youbike_etl_pipeline_spark.operators.html import (
+        BOILERPLATE_DROPPED,
+        build_boilerplate_html,
+        expected_main_text,
+        extract_main_text,
+    )
+
+    r = extract_main_text(build_boilerplate_html(0, ""))
+    assert r["text"] == expected_main_text(0, "")
+    assert r["n_blocks"] == 2 + BOILERPLATE_DROPPED[0]
+    # a page of pure navigation keeps nothing
+    nav = (
+        "<html><body><nav><a href='/'>Home</a> <a href='/a'>A</a></nav>"
+        "</body></html>"
+    )
+    assert extract_main_text(nav) == {
+        "text": "",
+        "n_blocks": 1,
+        "n_dropped": 1,
+    }
+
+
+def test_main_text_script_comments_and_entities():
+    """The preprocessing contract is extract_html_text's: script/style/
+    comment/head content never leaks into block text or link chars, and
+    entities decode before densities are measured."""
+    from youbike_etl_pipeline_spark.operators.html import extract_main_text
+
+    html = (
+        "<html><head><title>T</title>"
+        "<script>var a = '<a href=x>fake</a>';</script></head><body>"
+        "<!-- <a href='/y'>ghost link</a> -->"
+        "<p>caf&eacute;? &#65;lpha &amp; beta gamma delta "
+        "<a href='/z'>go</a></p>"
+        "</body></html>"
+    )
+    r = extract_main_text(html)
+    assert r["n_blocks"] == 1 and r["n_dropped"] == 0
+    assert "fake" not in r["text"] and "ghost" not in r["text"]
+    assert "Alpha & beta" in r["text"]
+
+
+def test_mm35_end_to_end_spark(spark):
+    from youbike_etl_pipeline_spark.operators.html import (
+        BOILERPLATE_DROPPED,
+        expected_main_text,
+    )
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_boilerplate_warc_payloads,
+        extract_main_text_features,
+    )
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (10, "delta words"), (20, ""), (30, "x y")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in extract_main_text_features(
+            attach_boilerplate_warc_payloads(df)
+        ).collect()
+    }
+    for did, text in ((0, "alpha beta gamma"), (10, "delta words"), (30, "x y")):
+        exp = expected_main_text(did, text)
+        assert rows[did]["kept_md5"] == hashlib.md5(exp.encode()).hexdigest()
+        assert rows[did]["kept_chars"] == len(exp)
+        v = (did // 10) % 4
+        assert rows[did]["n_dropped"] == BOILERPLATE_DROPPED[v]
+        assert rows[did]["n_blocks"] == 3 + BOILERPLATE_DROPPED[v]
+    assert rows[20]["n_blocks"] == 2 + BOILERPLATE_DROPPED[2]

@@ -30,10 +30,13 @@ from __future__ import annotations
 import re
 
 __all__ = [
+    "build_boilerplate_html",
     "build_fixture_html",
     "decode_entities",
     "escape_html",
+    "expected_main_text",
     "extract_html_text",
+    "extract_main_text",
     "normalize_text_ws",
 ]
 
@@ -125,6 +128,141 @@ def extract_html_text(html: str) -> dict:
     region = _ANY_TAG_RE.sub("", region)
     text = normalize_text_ws(decode_entities(region))
     return {"title": title, "text": text, "links": links}
+
+
+# ------------------------------------------- boilerplate removal (r10)
+
+_A_FULL_RE = re.compile(r"<a\b[^>]*>(.*?)</a\s*>", re.S | re.I)
+
+
+def extract_main_text(html: str) -> dict:
+    """Main-content detection by block-level LINK DENSITY — the
+    trafilatura/jusText family's core signal, built from scratch on the
+    published idea: navigation, footers, sidebars, cookie banners and
+    pagination are link-dominated, article text is not.
+
+    The document preprocesses exactly like :func:`extract_html_text`
+    (comments/script/style/head removal), then the body region splits
+    into BLOCKS at block-tag boundaries. Per block, ``text`` is the
+    normalized extracted text and ``link_chars`` the extracted length
+    inside ``<a>`` elements; a block is BOILERPLATE when
+    ``3 * link_chars > len(text)`` (density > 1/3 — integer arithmetic,
+    no float threshold to drift cross-engine). Returns ``{"text": kept
+    blocks joined by newlines, "n_blocks": non-empty blocks,
+    "n_dropped": boilerplate blocks}``."""
+    s = _COMMENT_RE.sub(" ", html)
+    s = _DOCTYPE_RE.sub(" ", s)
+    s = _SCRIPT_STYLE_RE.sub(" ", s)
+    s = _HEAD_RE.sub(" ", s)
+    s = _TITLE_RE.sub(" ", s)
+    mb = _BODY_RE.search(s)
+    region = mb.group(1) if mb else s
+    kept: list[str] = []
+    n_blocks = 0
+    n_dropped = 0
+    for piece in _BLOCK_TAG_RE.split(region):
+        btext = normalize_text_ws(decode_entities(_ANY_TAG_RE.sub("", piece)))
+        if not btext:
+            continue
+        n_blocks += 1
+        link_chars = 0
+        for inner in _A_FULL_RE.findall(piece):
+            link_chars += len(
+                normalize_text_ws(decode_entities(_ANY_TAG_RE.sub("", inner)))
+            )
+        if 3 * link_chars > len(btext):
+            n_dropped += 1
+            continue
+        kept.append(btext)
+    return {
+        "text": "\n".join(kept),
+        "n_blocks": n_blocks,
+        "n_dropped": n_dropped,
+    }
+
+
+def expected_main_text(doc_id: int, text: str) -> str:
+    """What :func:`extract_main_text` must keep for
+    :func:`build_boilerplate_html` — the three content blocks assembled
+    from the RAW text exactly the way the DuckDB oracle assembles them
+    (heading line, text, archive-sentence line, then the shared
+    normalization chain). Noise never appears here: the expected kept
+    text is NOISE-VARIANT-INVARIANT, so one oracle grades every
+    rotation."""
+    return normalize_text_ws(
+        f"Doc {doc_id} article\n{text}\n"
+        "See the archive for earlier reporting and context."
+    )
+
+
+#: dropped-block count per noise variant ``(doc_id // 10) % 4`` —
+#: mirrored as CASE constants in the mm35 oracle
+BOILERPLATE_DROPPED = (2, 4, 2, 3)
+
+
+def build_boilerplate_html(doc_id: int, text: str) -> str:
+    """Render a document's text wrapped in one of four rotating
+    LINK-DENSE noise shapes (``(doc_id // 10) % 4``) around the SAME
+    three content blocks — the extraction-invariant discipline applied
+    to boilerplate: the kept text never varies, only the noise does.
+
+    Content (always): an ``<h1>`` heading, the article ``<p>``, and a
+    mixed paragraph containing ONE short link inside long text (its
+    density is below the threshold — pinning that the rule measures
+    density, not link presence). Noise: v0 nav bar + footer; v1 a
+    four-item link sidebar (each ``<li>`` is its own block); v2 a
+    cookie banner + breadcrumb trail; v3 nav + footer + pagination."""
+    esc = escape_html(text)
+    head = (
+        "<!DOCTYPE html>\n<html>\n<head>\n"
+        f"<title>Doc {doc_id} article</title>\n"
+        "<style>nav { display: flex; }</style>\n"
+        "</head>\n<body>\n"
+    )
+    content = (
+        f"<h1>Doc {doc_id} article</h1>\n"
+        f"<p>{esc}</p>\n"
+        '<p>See the <a href="/archive">archive</a> for earlier reporting'
+        " and context.</p>\n"
+    )
+    nav = (
+        '<nav><a href="/">Home</a> <a href="/about">About</a> '
+        '<a href="/contact">Contact</a></nav>\n'
+    )
+    footer = (
+        '<footer><a href="/privacy">Privacy</a> | '
+        '<a href="/terms">Terms</a></footer>\n'
+    )
+    v = (doc_id // 10) % 4
+    if v == 0:
+        body = nav + content + footer
+    elif v == 1:
+        sidebar = (
+            "<ul>\n"
+            '<li><a href="/news">Latest news</a></li>\n'
+            '<li><a href="/2024">Archive 2024</a></li>\n'
+            '<li><a href="/about">About the site</a></li>\n'
+            '<li><a href="/contact">Contact the editors</a></li>\n'
+            "</ul>\n"
+        )
+        body = sidebar + content
+    elif v == 2:
+        cookie = (
+            '<div>We use cookies. <a href="#accept">Accept all cookies'
+            "</a></div>\n"
+        )
+        crumbs = (
+            '<div><a href="/">Home</a> / <a href="/news">News</a> '
+            "/ article</div>\n"
+        )
+        body = cookie + crumbs + content
+    else:
+        pages = (
+            '<div><a href="?p=1">1</a> <a href="?p=2">2</a> '
+            '<a href="?p=3">3</a></div>\n'
+        )
+        body = nav + content + pages + footer
+    return head + body + "</body>\n</html>\n"
 
 
 # ------------------------------------------------------------- fixture

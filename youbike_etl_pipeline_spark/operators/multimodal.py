@@ -3542,6 +3542,121 @@ def extract_html_text_column(
     return df.select(id_col, payload_col).mapInPandas(fn, schema=out_schema)
 
 
+def attach_boilerplate_warc_payloads(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """WARC archives whose pages wrap the document's text in one of four
+    rotating LINK-DENSE boilerplate shapes (nav/footer, link sidebar,
+    cookie banner + breadcrumbs, pagination —
+    :func:`..operators.html.build_boilerplate_html`) around constant
+    content blocks — the fixture for main-content detection (mm35).
+    Same Common Crawl shape as :func:`attach_html_warc_payloads`."""
+    from .html import build_boilerplate_html
+    from .warc import encode_warc
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                html = build_boilerplate_html(
+                    did, "" if text is None else str(text)
+                )
+                payloads.append(
+                    bytearray(
+                        encode_warc(
+                            [(did, html.encode("utf-8"))],
+                            per_record_gzip=(did % 20 != 10),
+                        )
+                    )
+                )
+                metas.append(
+                    {
+                        "media_type": "archive",
+                        "format": "warc-html",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema=out_schema)
+
+
+#: main-content detection output (mm35)
+MAIN_TEXT_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("kept_chars", T.LongType(), True),
+        T.StructField("kept_md5", T.StringType(), True),
+        T.StructField("n_blocks", T.LongType(), True),
+        T.StructField("n_dropped", T.LongType(), True),
+    ]
+)
+
+
+def extract_main_text_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Boilerplate removal over crawl payloads: walk the WARC archive,
+    run block-level link-density main-content detection
+    (:func:`..operators.html.extract_main_text` — the trafilatura/
+    jusText family's core signal) and emit the kept text's md5 + char
+    length and the block keep/drop counts. One Arrow pass, zero
+    shuffle — the step a CCNet-style pipeline runs between extraction
+    (mm29) and quality scoring (mm31), riding the same scan."""
+    from .html import extract_main_text
+    from .warc import http_response_body, parse_warc, warc_type
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, chars, md5s, nblk, ndrp = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                records = parse_warc(bytes(payload))
+                responses = [r for r in records if warc_type(r) == "response"]
+                ids.append(did)
+                if not responses:
+                    chars.append(None); md5s.append(None)
+                    nblk.append(None); ndrp.append(None)
+                    continue
+                _, body = http_response_body(responses[0])
+                r = extract_main_text(body.decode("utf-8"))
+                chars.append(len(r["text"]))
+                md5s.append(
+                    hashlib.md5(r["text"].encode("utf-8")).hexdigest()
+                )
+                nblk.append(r["n_blocks"])
+                ndrp.append(r["n_dropped"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "kept_chars": pd.array(chars, dtype="Int64"),
+                    "kept_md5": md5s,
+                    "n_blocks": pd.array(nblk, dtype="Int64"),
+                    "n_dropped": pd.array(ndrp, dtype="Int64"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fn, schema=MAIN_TEXT_FEATURES
+    )
+
+
 #: crawl-URL canonicalization over WARC-Target-URI headers
 URL_FEATURES = T.StructType(
     [

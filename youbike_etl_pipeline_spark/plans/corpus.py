@@ -18534,6 +18534,83 @@ def mm34_transfer_decoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm35_main_text_sql(mod: int = 10) -> str:
+    """DuckDB mirror of link-density boilerplate removal: the four
+    noise variants are KEPT-TEXT-INVARIANT (tests/test_html.py pins all
+    four against expected_main_text), so the oracle assembles the
+    expected kept text from the RAW document text — heading line, text,
+    archive-sentence line — applies the IDENTICAL whitespace chain
+    (the _html_xt_cte discipline), and re-derives the block counts as
+    constants of the noise variant (content contributes 3 blocks, or 2
+    when the text normalizes to empty)."""
+    assembled = (
+        "'Doc ' || CAST(doc_id AS VARCHAR) || ' article' || chr(10) || "
+        "COALESCE(text, '') || chr(10) || "
+        "'See the archive for earlier reporting and context.'"
+    )
+    return f"""
+    WITH x AS (
+      SELECT doc_id,
+             (doc_id // 10) % 4 AS v,
+             trim(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace({assembled}, '[ \t\r\f\v]+', ' ', 'g'),
+                   ' *\n *', chr(10), 'g'),
+                 '\n+', chr(10), 'g'),
+               ' ' || chr(10)) AS kt,
+             CASE WHEN length(trim(
+               regexp_replace(COALESCE(text, ''), '[ \t\r\n\f\v]+', ' ', 'g'),
+               ' ')) > 0 THEN 3 ELSE 2 END AS nk,
+             CASE (doc_id // 10) % 4
+               WHEN 0 THEN 2 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 3
+             END AS nd
+      FROM documents WHERE doc_id % {mod} = 0
+    )
+    SELECT doc_id,
+           CAST(length(kt) AS BIGINT) AS kept_chars,
+           md5(kt) AS kept_md5,
+           CAST(nk + nd AS BIGINT) AS n_blocks,
+           CAST(nd AS BIGINT) AS n_dropped
+    FROM x
+    """
+
+
+@register(
+    "mm35_boilerplate_removal",
+    _mm35_main_text_sql(),
+    survey_rows="ext:training-data ingestion — boilerplate / "
+    "main-content detection (block-level link-density scoring, the "
+    "trafilatura/jusText family), the step a CCNet pipeline runs "
+    "between extraction and quality scoring",
+    description="Main-content detection (round 10): each page wraps "
+    "the document's text in one of four rotating LINK-DENSE noise "
+    "shapes — nav+footer, a four-item link sidebar (every <li> its own "
+    "block), cookie banner + breadcrumbs, nav+pagination+footer — "
+    "around three CONSTANT content blocks, one of which carries a "
+    "short link inside long text (density below threshold: the rule "
+    "measures density, not link presence). extract_main_text splits "
+    "the body at block-tag boundaries and drops blocks where "
+    "3*link_chars > text_chars (integer arithmetic, no float "
+    "threshold). The kept text is NOISE-VARIANT-INVARIANT, so the "
+    "oracle assembles it from the raw column with the shared "
+    "normalization chain and re-derives the keep/drop counts as "
+    "variant constants. Zero shuffle — the scoring rides the WARC "
+    "scan like mm29/mm31.",
+)
+def mm35_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_boilerplate_warc_payloads,
+        extract_main_text_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = extract_main_text_features(attach_boilerplate_warc_payloads(docs))
+    return feats.select(
+        "doc_id", "kept_chars", "kept_md5", "n_blocks", "n_dropped"
+    )
+
+
 #: Deterministic multilingual augmentation for the byte-level BPE
 #: fixture: the synthetic documents are pure ASCII, so each document
 #: gains a constant language-tagged suffix whose UTF-8 bytes exercise
