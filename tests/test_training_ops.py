@@ -231,3 +231,61 @@ def test_round6_dedup_review_regressions(spark):
     # (3) ragged/empty bands fail loud
     with _pt.raises(ValueError, match="evenly divide"):
         portable_lsh_index(docs, num_hashes=32, bands=64)
+
+
+# ------------------------------------------------ round 10: paragraph dedup
+
+
+def test_paragraph_dedup_stats_semantics(spark):
+    """First-owner survivorship at paragraph grain: an instance is a
+    duplicate iff a LOWER-id document carries the same line; empty
+    lines and NULL texts contribute nothing."""
+    from youbike_etl_pipeline_spark.operators.dedup import (
+        paragraph_dedup_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nshared footer\n\nunique one"),
+            (2, "beta\nshared footer"),
+            (3, "shared footer\nbeta"),
+            (4, None),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in paragraph_dedup_stats(df).collect()}
+    assert set(rows) == {1, 2, 3}  # NULL/empty docs have no paragraphs
+    assert (rows[1]["n_paras"], rows[1]["n_dup"]) == (3, 0)
+    assert (rows[2]["n_paras"], rows[2]["n_dup"]) == (2, 1)
+    # doc 3 duplicates BOTH lines (footer owned by 1, 'beta' by 2)
+    assert (rows[3]["n_paras"], rows[3]["n_dup"]) == (2, 2)
+    assert rows[3]["dup_ratio"] == 1.0
+    # the shuffle fallback route is result-identical to broadcast
+    alt = {
+        r["doc_id"]: r
+        for r in paragraph_dedup_stats(df, broadcast_owners=False).collect()
+    }
+    assert {k: (v["n_paras"], v["n_dup"], v["dup_ratio"]) for k, v in rows.items()} == {
+        k: (v["n_paras"], v["n_dup"], v["dup_ratio"]) for k, v in alt.items()
+    }
+
+
+def test_paragraph_dedup_broadcast_in_plan(spark):
+    """The owner join must be BROADCAST by default — paragraph keys are
+    Zipf-hot, a shuffle join on them is the t50 pathology."""
+    from youbike_etl_pipeline_spark.operators.dedup import (
+        paragraph_dedup_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a\nb"), (2, "b\nc")], "doc_id long, text string"
+    )
+    plan = paragraph_dedup_stats(df)._sc is not None and (
+        paragraph_dedup_stats(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

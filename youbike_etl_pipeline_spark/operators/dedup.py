@@ -41,6 +41,52 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def paragraph_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_owners: bool = True,
+) -> DataFrame:
+    """Paragraph-granularity dedup statistics — the CCNet unit: crawl
+    pipelines dedup at PARAGRAPH level before document level, because
+    boilerplate lines (navigation, footers) repeat across a whole host
+    while the article text does not. Paragraphs are the newline-split
+    non-empty lines of ``text_col``; a paragraph instance is a
+    DUPLICATE when a lower-id document owns the same content hash.
+    Returns per-document ``(n_paras, n_dup, dup_ratio)``.
+
+    Scale shape: paragraph keys are md5 hashes, and shared boilerplate
+    lines are Zipf-hot (a footer appears once per document on the whole
+    host) — so instances NEVER shuffle on the paragraph key. The
+    owner table aggregates ``min(id)`` behind a map-side combine (the
+    partial min absorbs the hot keys exactly like t50's collapse), and
+    instances join it BROADCAST by default (|distinct paragraphs| ≪
+    |instances| precisely because boilerplate repeats);
+    ``broadcast_owners=False`` shuffles the join for corpora whose
+    distinct-paragraph set outgrows executor memory."""
+    paras = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "\n")).alias("para"),
+    ).filter(F.col("para") != "")
+    keyed = paras.select(id_col, F.md5(F.col("para")).alias("h"))
+    owners = keyed.groupBy("h").agg(F.min(id_col).alias("owner"))
+    if broadcast_owners:
+        owners = F.broadcast(owners)
+    return (
+        keyed.join(owners, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(
+                F.when(F.col("owner") < F.col(id_col), 1).otherwise(0)
+            ).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_ratio", F.round(F.col("n_dup") / F.col("n_paras"), 6)
+        )
+    )
+
+
 def _exact_collapse(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> tuple[DataFrame, DataFrame]:

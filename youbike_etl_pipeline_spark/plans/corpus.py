@@ -18534,6 +18534,71 @@ def mm34_transfer_decoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _t54_paragraph_dedup_sql(mod: int = 10) -> str:
+    """Paragraph-granularity dedup over the EXTRACTED crawl text: the
+    shared xt CTE (byte-identical to mm29's) splits on newlines into
+    paragraphs; ownership = min doc id per md5(paragraph); an instance
+    is a duplicate when a lower-id document owns its hash. The fixture
+    scaffold makes the expectation sharp: 'prev next' and the footer
+    line repeat across EVERY page (owned by the lowest fixture id),
+    the title line is unique per page, and the article line duplicates
+    exactly when the raw text does."""
+    return f"""
+{_html_xt_cte(mod)},
+    p AS (
+      SELECT doc_id, md5(para) AS h
+      FROM (
+        SELECT doc_id, unnest(string_split(xt, chr(10))) AS para FROM x
+      ) WHERE para <> ''
+    ),
+    own AS (SELECT h, MIN(doc_id) AS owner FROM p GROUP BY h)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN own.owner < p.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup,
+           ROUND(SUM(CASE WHEN own.owner < p.doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS dup_ratio
+    FROM p JOIN own USING (h)
+    GROUP BY p.doc_id
+    """
+
+
+@register(
+    "t54_paragraph_dedup",
+    _t54_paragraph_dedup_sql(),
+    survey_rows="ext:dedup × ext:training-data ingestion — "
+    "paragraph-granularity dedup over extracted crawl text (the CCNet "
+    "unit: boilerplate lines repeat host-wide, article text does not), "
+    "closing the extract→dedup loop",
+    description="Chained extract→paragraph-dedup (round 10): the "
+    "WARC→HTML→text pipeline's output column splits into newline "
+    "paragraphs; each instance is a duplicate when a lower-id document "
+    "owns the same md5 (deterministic first-owner survivorship, the t1 "
+    "discipline at paragraph grain). The fixture scaffold pins the "
+    "semantics — 'prev next' and the footer line repeat across every "
+    "page (n_dup=2 everywhere but the lowest id), titles never "
+    "duplicate, article lines duplicate exactly when the raw text "
+    "does. Scale shape: paragraph keys are Zipf-hot (a host's footer "
+    "is once-per-page), so instances never shuffle on the key — "
+    "owners aggregate min(id) behind map-side combine and join back "
+    "BROADCAST (shuffle fallback documented). The oracle chains "
+    "mm29's expected-extraction CTE into the same split/own/join "
+    "shape.",
+)
+def t54_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import paragraph_dedup_stats
+    from ..operators.multimodal import (
+        attach_html_warc_payloads,
+        extract_html_text_column,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    xt = extract_html_text_column(attach_html_warc_payloads(docs))
+    return paragraph_dedup_stats(xt, text_col="xtext").select(
+        "doc_id", "n_paras", "n_dup", "dup_ratio"
+    )
+
+
 def _mm35_main_text_sql(mod: int = 10) -> str:
     """DuckDB mirror of link-density boilerplate removal: the four
     noise variants are KEPT-TEXT-INVARIANT (tests/test_html.py pins all
