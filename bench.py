@@ -203,6 +203,12 @@ HEADLINE = [
     "st14_streaming_crawl_extract",
     "mm33_robots_policy",
     "t52_extracted_lang_id",
+    # round-10: HTTP transfer decoding, byte-level BPE, boilerplate
+    # removal, paragraph dedup
+    "mm34_transfer_decoding",
+    "t53_byte_bpe_encode",
+    "mm35_boilerplate_removal",
+    "t54_paragraph_dedup",
 ]
 
 

@@ -135,6 +135,14 @@ ADV_QUERIES = [
     "mm32_charset_transfer_decode",
     "mm33_robots_policy",
     "t52_extracted_lang_id",
+    # round-10: transfer decoding must survive chunk/gzip round-trips of
+    # every text shape; byte-BPE must byte-tokenize CJK/emoji/combining
+    # accents identically to the hex-symbol CTE; boilerplate and
+    # paragraph dedup re-assemble from the same raw shapes
+    "mm34_transfer_decoding",
+    "t53_byte_bpe_encode",
+    "mm35_boilerplate_removal",
+    "t54_paragraph_dedup",
 ]
 
 

@@ -568,6 +568,14 @@ DOC_EVENT_QUERIES = [
     "st14_streaming_crawl_extract",
     "mm33_robots_policy",
     "t52_extracted_lang_id",
+    # round-10: transfer decoding + boilerplate re-assemble expected text
+    # from the raw column; byte-BPE re-derives from the augmented text's
+    # pretoken projection; paragraph dedup from the extraction scaffold —
+    # all reseed-independent
+    "mm34_transfer_decoding",
+    "t53_byte_bpe_encode",
+    "mm35_boilerplate_removal",
+    "t54_paragraph_dedup",
 ]
 
 

@@ -125,14 +125,18 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 #: normalize_event_ts), so every events-backed query below is "fn changed"
 #: through its input contract.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # Round 9: emptied at round start — all seven round-8 entries (mm16,
-    # mm19 conformance fixes; mm10/mm18/mm3/mm11/mm12 decoder rewrites)
-    # graded green in CORRECTNESS_r08.json and rotate normally now. The
-    # round-9 advisor items (TIFF tile-allocation bound, GIF total-frame
-    # cap, WARC EOF-remainder check, BMP RLE8 data-offset check) harden
-    # CORRUPT-input error paths only — well-formed fixture decodes are
-    # byte-identical (unit tests pin this), so the graded queries above
-    # them keep their grades and rotate by staleness.
+    # Round 10: still empty — every round-9 entry graded green in
+    # CORRECTNESS_r09.json and rotates normally. The round-10 advisor
+    # items (robots orphan-rule drop + same-specificity group combine +
+    # ignored-directive run reset; canonicalize_url percent-encoding
+    # normalization + port ValueError; the charset-decode ValueError
+    # contract; the TIFF tile-allocation rescope) change only
+    # latent/corrupt-input shapes: every graded fixture's decision is
+    # pinned byte-identical by tests/test_robots.py::
+    # test_round10_fixture_decisions_unchanged and the canonical-form /
+    # decode pins in tests/test_warc.py + tests/test_tiff.py, so the
+    # graded queries above them keep their grades and rotate by
+    # staleness.
 )
 
 #: Graded-green queries whose last driver grade PREDATES the latest
@@ -159,10 +163,11 @@ REGRADE_FIRST: tuple[str, ...] = (
 #: conformance fixes; mm13/mm14/mm15/mm17/mm18 via the never-graded tier,
 #: which they top as the only never-graded queries left in the corpus).
 NEW_PAST_WINDOW: tuple[str, ...] = (
-    # Round 9: empty. The seven round-9 additions grade through the
-    # ordinary never-graded tier (positions 1-7); the judge-mandated
-    # staleness rotation still fits behind them — all 27 r1/r2 grades
-    # plus the 16 stalest r3 rows fill the ~50-query window.
+    # Round 10: empty. The four round-10 additions (mm34, t53, mm35,
+    # t54) grade through the ordinary never-graded tier (positions
+    # 1-4); the verdict's staleness rotation fills the rest — the
+    # entire 28-query r3 tier plus the stalest r4 rows through
+    # position ~50, after which the oldest grade in the ledger is r4.
 )
 
 
