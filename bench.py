@@ -209,6 +209,7 @@ HEADLINE = [
     "t53_byte_bpe_encode",
     "mm35_boilerplate_removal",
     "t54_paragraph_dedup",
+    "mm36_http_status_frontier",
 ]
 
 

@@ -576,6 +576,7 @@ DOC_EVENT_QUERIES = [
     "t53_byte_bpe_encode",
     "mm35_boilerplate_removal",
     "t54_paragraph_dedup",
+    "mm36_http_status_frontier",
 ]
 
 

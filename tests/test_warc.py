@@ -733,3 +733,56 @@ def test_round10_advisor_charset_fallback_valueerror(spark):
     df = spark.createDataFrame([(6, bytearray(bad_utf8))], "doc_id long, payload binary")
     with pytest.raises(Exception, match="undecodable crawl payload"):
         extract_html_features(df, honor_charset=True).collect()
+
+
+def test_round10_http_status_frontier_features(spark):
+    """Redirect resolution + canonicalization + Retry-After + keep
+    across the five status shapes; relative Locations resolve against
+    the WARC-Target-URI."""
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_status_warc_payloads,
+        http_status_features,
+    )
+
+    df = spark.createDataFrame(
+        [(0,), (10,), (20,), (30,), (40,)], "doc_id long"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in http_status_features(
+            attach_status_warc_payloads(df)
+        ).collect()
+    }
+    assert rows[0]["status"] == 200 and rows[0]["keep"] is True
+    assert rows[0]["location"] is None and rows[0]["retry_after"] is None
+    # messy absolute Location canonicalizes like mm30's dedup keys
+    assert rows[10]["status"] == 301 and rows[10]["keep"] is False
+    assert rows[10]["location"] == "http://example.com/doc/10?a=1&b=2"
+    # root-relative Location resolves against the target URI
+    assert rows[20]["status"] == 302
+    assert rows[20]["location"] == "http://example.com/doc/20/new"
+    assert rows[30]["status"] == 404 and rows[30]["location"] is None
+    assert rows[40]["status"] == 503 and rows[40]["retry_after"] == 120
+
+
+def test_round10_encode_http_response_and_override_pin():
+    """encode_http_response builds parseable non-200 messages, and
+    http_messages=None keeps encode_warc's default bytes pinned."""
+    from youbike_etl_pipeline_spark.operators.warc import (
+        encode_http_response,
+        encode_warc,
+        http_response_message,
+        parse_warc,
+        warc_type,
+    )
+
+    msg = encode_http_response(
+        301, "Moved Permanently", [("Location", "/x")], b"gone"
+    )
+    archive = encode_warc([(9, b"ignored")], http_messages=[msg])
+    resp = [r for r in parse_warc(archive) if warc_type(r) == "response"][0]
+    status, headers, body = http_response_message(resp)
+    assert (status, headers["location"], body) == (301, "/x", b"gone")
+    a = encode_warc([(3, b"hello")], per_record_gzip=False)
+    b = encode_warc([(3, b"hello")], per_record_gzip=False, http_messages=[None])
+    assert a == b

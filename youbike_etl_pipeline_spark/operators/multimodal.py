@@ -3657,6 +3657,174 @@ def extract_main_text_features(
     )
 
 
+def attach_status_warc_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """WARC archives whose responses rotate the HTTP status shapes a
+    real crawl records (``(doc_id // 10) % 5``): 200 with content; 301
+    with a MESSY absolute Location (uppercase scheme/host, default
+    port, unsorted query, fragment — canonicalization must run on
+    redirect targets too); 302 with a root-RELATIVE Location (everyday
+    server behavior, resolved against the request URI); 404 with an
+    error page body; 503 with Retry-After. The mm36 fixture for the
+    crawl-frontier step (redirect resolution + politeness backoff)."""
+    from .warc import encode_http_response, encode_warc
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+
+    def message(did: int) -> "bytes | None":
+        v = (did // 10) % 5
+        if v == 0:
+            return None  # encode_warc's default 200 path
+        if v == 1:
+            return encode_http_response(
+                301,
+                "Moved Permanently",
+                [
+                    (
+                        "Location",
+                        f"HTTP://Example.COM:80/doc/{did}?b=2&a=1#frag",
+                    ),
+                    ("Content-Type", "text/html"),
+                ],
+                b"<html><body>Moved</body></html>",
+            )
+        if v == 2:
+            return encode_http_response(
+                302,
+                "Found",
+                [("Location", f"/doc/{did}/new"), ("Content-Type", "text/html")],
+                b"<html><body>Found elsewhere</body></html>",
+            )
+        if v == 3:
+            return encode_http_response(
+                404,
+                "Not Found",
+                [("Content-Type", "text/html")],
+                b"<html><body>No such page</body></html>",
+            )
+        return encode_http_response(
+            503,
+            "Service Unavailable",
+            [("Retry-After", "120"), ("Content-Type", "text/html")],
+            b"<html><body>Try later</body></html>",
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                payloads.append(
+                    bytearray(
+                        encode_warc(
+                            [(did, f"page {did}".encode())],
+                            per_record_gzip=(did % 20 != 10),
+                            http_messages=[message(did)],
+                        )
+                    )
+                )
+                metas.append(
+                    {
+                        "media_type": "archive",
+                        "format": "warc",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
+            )
+
+    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
+#: HTTP status / redirect-frontier features (mm36)
+HTTP_STATUS_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("status", T.LongType(), True),
+        T.StructField("location", T.StringType(), True),
+        T.StructField("retry_after", T.LongType(), True),
+        T.StructField("keep", T.BooleanType(), True),
+    ]
+)
+
+
+def http_status_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """The crawl-frontier status step: per response, the HTTP status,
+    the CANONICALIZED redirect target for 3xx (relative Locations
+    resolve against the WARC-Target-URI per RFC 3986 §5 — everyday
+    server behavior — then :func:`..operators.warc.canonicalize_url`
+    normalizes exactly like mm30's dedup keys, so a redirect target
+    and a crawled URL compare equal in the frontier), the Retry-After
+    backoff when advertised, and the ``keep`` decision (only 200
+    bodies enter the corpus). One Arrow pass, zero shuffle."""
+    from urllib.parse import urljoin
+
+    from .warc import (
+        canonicalize_url,
+        http_response_message,
+        parse_warc,
+        warc_type,
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, stats, locs, retries, keeps = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                records = parse_warc(bytes(payload))
+                responses = [r for r in records if warc_type(r) == "response"]
+                ids.append(did)
+                if not responses:
+                    stats.append(None); locs.append(None)
+                    retries.append(None); keeps.append(None)
+                    continue
+                resp = responses[0]
+                status, headers, _ = http_response_message(resp)
+                target = next(
+                    (
+                        v
+                        for k, v in resp["headers"].items()
+                        if k.lower() == "warc-target-uri"
+                    ),
+                    "",
+                )
+                loc = headers.get("location")
+                canon = None
+                if loc and 300 <= status < 400:
+                    canon = canonicalize_url(urljoin(target, loc))
+                ra = headers.get("retry-after")
+                stats.append(status)
+                locs.append(canon)
+                retries.append(int(ra) if ra and ra.isdigit() else None)
+                keeps.append(status == 200)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "status": pd.array(stats, dtype="Int64"),
+                    "location": locs,
+                    "retry_after": pd.array(retries, dtype="Int64"),
+                    "keep": pd.array(keeps, dtype="boolean"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fn, schema=HTTP_STATUS_FEATURES
+    )
+
+
 #: crawl-URL canonicalization over WARC-Target-URI headers
 URL_FEATURES = T.StructType(
     [

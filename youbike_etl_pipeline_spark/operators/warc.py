@@ -507,6 +507,23 @@ def messy_fixture_url(doc_id: int) -> str:
     return f"HTTPS://example.com/a/../doc/./{doc_id}"
 
 
+def encode_http_response(
+    status: int,
+    reason: str,
+    headers: "list[tuple[str, str]]",
+    body: bytes,
+) -> bytes:
+    """Assemble a complete HTTP/1.1 response message (status line,
+    header fields, Content-Length, CRLF CRLF, body) — the WARC response
+    block for non-200 fixture shapes (redirects, errors) that
+    :func:`encode_warc`'s default 200 path doesn't cover."""
+    lines = [f"HTTP/1.1 {status} {reason}".encode("latin-1")]
+    for k, v in headers:
+        lines.append(f"{k}: {v}".encode("latin-1"))
+    lines.append(b"Content-Length: " + str(len(body)).encode())
+    return b"\r\n".join(lines) + b"\r\n\r\n" + body
+
+
 def encode_warc(
     docs: "list[tuple[int, bytes]]",
     per_record_gzip: bool = True,
@@ -514,6 +531,7 @@ def encode_warc(
     uris: "list[str] | None" = None,
     content_types: "list[str] | None" = None,
     transfer_modes: "list[str] | None" = None,
+    http_messages: "list[bytes] | None" = None,
 ) -> bytes:
     """(doc_id, body bytes) pairs → a WARC/1.0 archive in the Common
     Crawl shape: one warcinfo record, then a request + response pair per
@@ -524,8 +542,11 @@ def encode_warc(
     ``WARC-Target-URI`` per document (aligned with ``docs``);
     ``transfer_modes`` serves each document's HTTP body in a transfer
     shape (:func:`encode_http_payload` — chunked / gzip / deflate /
-    gzip+chunked — Common Crawl stores responses AS SERVED); the
-    default path's bytes are pinned unchanged (tests/test_warc.py)."""
+    gzip+chunked — Common Crawl stores responses AS SERVED);
+    ``http_messages`` overrides the response's HTTP block entirely
+    (aligned with ``docs``; entries may be None for the default 200
+    path — :func:`encode_http_response` builds redirect/error shapes);
+    the default path's bytes are pinned unchanged (tests/test_warc.py)."""
 
     def record(rtype: str, extra: dict, block: bytes, rid: str) -> bytes:
         head = [
@@ -567,16 +588,28 @@ def encode_warc(
             if content_types is not None
             else "text/plain; charset=utf-8"
         )
-        mode = transfer_modes[i] if transfer_modes is not None else "identity"
-        wire, extra = encode_http_payload(body, mode)
-        head_lines = [b"HTTP/1.1 200 OK", b"Content-Type: " + ct.encode("latin-1")]
-        for hk, hv in extra:
-            head_lines.append(f"{hk}: {hv}".encode("latin-1"))
-        if not any(hk.lower() == "transfer-encoding" for hk, _ in extra):
-            # RFC 7230 §3.3.2: a message with Transfer-Encoding carries
-            # no Content-Length; everything else states the WIRE length
-            head_lines.append(b"Content-Length: " + str(len(wire)).encode())
-        http = b"\r\n".join(head_lines) + b"\r\n\r\n" + wire
+        override = http_messages[i] if http_messages is not None else None
+        if override is not None:
+            http = override
+        else:
+            mode = (
+                transfer_modes[i] if transfer_modes is not None else "identity"
+            )
+            wire, extra = encode_http_payload(body, mode)
+            head_lines = [
+                b"HTTP/1.1 200 OK",
+                b"Content-Type: " + ct.encode("latin-1"),
+            ]
+            for hk, hv in extra:
+                head_lines.append(f"{hk}: {hv}".encode("latin-1"))
+            if not any(hk.lower() == "transfer-encoding" for hk, _ in extra):
+                # RFC 7230 §3.3.2: a message with Transfer-Encoding
+                # carries no Content-Length; everything else states the
+                # WIRE length
+                head_lines.append(
+                    b"Content-Length: " + str(len(wire)).encode()
+                )
+            http = b"\r\n".join(head_lines) + b"\r\n\r\n" + wire
         resp = record(
             "response",
             {

@@ -163,9 +163,10 @@ REGRADE_FIRST: tuple[str, ...] = (
 #: conformance fixes; mm13/mm14/mm15/mm17/mm18 via the never-graded tier,
 #: which they top as the only never-graded queries left in the corpus).
 NEW_PAST_WINDOW: tuple[str, ...] = (
-    # Round 10: empty. The four round-10 additions (mm34, t53, mm35,
-    # t54) grade through the ordinary never-graded tier (positions
-    # 1-4); the verdict's staleness rotation fills the rest — the
+    # Round 10: empty. The five round-10 additions (mm34, t53, mm35,
+    # t54, mm36) grade through the ordinary never-graded tier
+    # (positions 1-5); the verdict's staleness rotation fills the rest
+    # — the
     # entire 28-query r3 tier plus the stalest r4 rows through
     # position ~50, after which the oldest grade in the ledger is r4.
 )
@@ -18537,6 +18538,55 @@ def mm34_transfer_decoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "title", "n_links", "first_link", "text_chars", "text_md5"
     )
+
+
+@register(
+    "mm36_http_status_frontier",
+    """
+    WITH d AS (
+      SELECT doc_id, (doc_id // 10) % 5 AS v
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           CAST(CASE v WHEN 0 THEN 200 WHEN 1 THEN 301 WHEN 2 THEN 302
+                       WHEN 3 THEN 404 ELSE 503 END AS BIGINT) AS status,
+           CASE v
+             WHEN 1 THEN 'http://example.com/doc/'
+                         || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+             WHEN 2 THEN 'http://example.com/doc/'
+                         || CAST(doc_id AS VARCHAR) || '/new'
+             ELSE NULL
+           END AS location,
+           CAST(CASE v WHEN 4 THEN 120 ELSE NULL END AS BIGINT)
+             AS retry_after,
+           (v = 0) AS keep
+    FROM d
+    """,
+    survey_rows="ext:training-data ingestion — HTTP status handling + "
+    "redirect-frontier resolution (3xx Location canonicalization, "
+    "Retry-After backoff, 200-only corpus admission), the step between "
+    "fetch and extraction in every crawler",
+    description="Crawl-frontier status step (round 10): responses "
+    "rotate five real status shapes — 200 content; 301 with a MESSY "
+    "absolute Location (uppercase scheme/host, default port, unsorted "
+    "query, fragment); 302 with a root-RELATIVE Location resolved "
+    "against the WARC-Target-URI (RFC 3986 §5, everyday server "
+    "behavior); 404 error page; 503 with Retry-After. Redirect "
+    "targets canonicalize through the SAME RFC 3986 §6 normalizer as "
+    "mm30's dedup keys, so frontier URLs and crawled URLs compare "
+    "equal; only 200 bodies keep. The oracle re-derives every status, "
+    "canonical target and backoff as constants of the doc id. Zero "
+    "shuffle — the gate rides the WARC scan.",
+)
+def mm36_http_status_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_status_warc_payloads,
+        http_status_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = http_status_features(attach_status_warc_payloads(docs))
+    return feats.select("doc_id", "status", "location", "retry_after", "keep")
 
 
 def _t54_paragraph_dedup_sql(mod: int = 10) -> str:
