@@ -691,18 +691,31 @@ def test_crawl_extraction_family_zero_shuffle(spark, sf_small):
         assert "ArrowEvalPython" in txt or "MapInPandas" in txt, name
 
 
-def test_bpe_vocab_broadcast_no_skewed_word_shuffle(spark, sf_small):
-    """t50's scale posture (the round-9 sweep catch): word occurrences
-    collapse behind a map-side combine and the tokenized vocab joins
-    BROADCAST — the raw occurrence stream must never hash-exchange on
-    the Zipf-skewed word key."""
-    txt = plan_text(CORPUS["t50_bpe_encode"].fn(spark, sf_small))
-    assert "BroadcastExchange" in txt
-    assert "BroadcastHashJoin" in txt
-    # the only hash exchanges are the (doc,word) combine and the final
-    # per-doc aggregation — never a plain exchange on [w] alone
+@pytest.mark.parametrize("name", ["t50_bpe_encode", "t53_byte_bpe_encode"])
+def test_bpe_vocab_broadcast_no_skewed_word_shuffle(spark, sf_small, name):
+    """The BPE scale posture (round-9 sweep catch, round-10 refinement):
+    the tokenized vocab joins BROADCAST, and the raw occurrence stream
+    never hash-exchanges on the Zipf-skewed word key. The round-10
+    shape has EXACTLY two exchanges: the final per-doc aggregate
+    (doc-keyed, map-combined) and the vocab DISTINCT (word-keyed but
+    map-combined to one row per distinct word per map task — the hot
+    key carries at most #tasks rows). The round-9 version of this test
+    regexed `explain("formatted")` for inline `Exchange
+    hashpartitioning(` lines, which that mode never prints (keys live
+    on `Arguments:` lines) — the loop was vacuous; the simple-mode
+    parse below actually sees every exchange."""
     import re as _re
 
-    for m in _re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", txt):
-        keys = m.group(1)
-        assert "doc_id" in keys, f"shuffle on word key alone: {keys}"
+    txt = plan_text(CORPUS[name].fn(spark, sf_small), mode="simple")
+    assert "BroadcastHashJoin" in txt, name
+    assert "SortMergeJoin" not in txt, name
+    exchanges = _re.findall(r"Exchange hashpartitioning\(([^)]*)\)", txt)
+    assert len(exchanges) == 2, (name, exchanges)
+    doc_keyed = [k for k in exchanges if "doc_id" in k]
+    word_keyed = [k for k in exchanges if "doc_id" not in k]
+    assert len(doc_keyed) == 1 and len(word_keyed) == 1, (name, exchanges)
+    # the word-keyed exchange is the distinct: its input is the partial
+    # distinct aggregate (no functions), never raw occurrence rows
+    assert _re.search(
+        r"HashAggregate\(keys=\[w#\d+\], functions=\[\]\)", txt
+    ), name

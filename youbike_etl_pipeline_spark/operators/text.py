@@ -581,13 +581,18 @@ def byte_bpe_token_stats(
     byte-tokenized ONCE in an Arrow pass, token/byte counts rejoin the
     collapsed ``(doc, pretoken) → cnt`` occurrences and aggregate.
 
-    Scale routing is inherited verbatim from :func:`bpe_token_stats`
-    (the round-9 sweep lesson): occurrences collapse behind map-side
-    combine BEFORE any exchange — pretoken frequency is Zipf-skewed in
-    every language — and the tokenized vocabulary joins broadcast
-    (|vocab| ≪ |corpus| by Heaps' law for segmented scripts and by the
-    bounded ideograph inventory for CJK); ``broadcast_vocab=False``
-    falls back to shuffling the collapsed near-unique keys."""
+    Scale routing is inherited from :func:`bpe_token_stats` (round-9
+    sweep lesson, refined round 10 after this query's own third-decade
+    probe): pretoken frequency is Zipf-skewed in every language, so
+    occurrences never shuffle on the pretoken key. On the default
+    BROADCAST route (|vocab| ≪ |corpus| by Heaps' law for segmented
+    scripts and by the bounded ideograph inventory for CJK) occurrences
+    never shuffle AT ALL — the join is map-side and the only exchanges
+    are the map-combined vocab distinct and the map-combined per-doc
+    aggregate (the probe measured the previous ``(doc, pretoken)``
+    pre-collapse exchange at 14.4×/decade from its near-input-size row
+    stream; this shape removes it). ``broadcast_vocab=False`` keeps
+    collapse-first so the shuffle join sees near-unique keys."""
     from typing import Iterator
 
     import pandas as pd
@@ -598,7 +603,6 @@ def byte_bpe_token_stats(
             F.regexp_extract_all(F.col(text_col), F.lit(BYTE_PRETOKEN_RE), 0)
         ).alias("w"),
     )
-    wcounts = pretoks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt"))
 
     def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         for pdf in batches:
@@ -615,24 +619,33 @@ def byte_bpe_token_stats(
             )
 
     vocab = (
-        wcounts.select("w")
+        pretoks.select("w")
         .distinct()
         .mapInPandas(fn, "w string, n_tok bigint, n_byt bigint")
     )
     if broadcast_vocab:
-        vocab = F.broadcast(vocab)
-    return (
-        wcounts.join(vocab, "w")
-        .groupBy(id_col)
-        .agg(
-            F.sum("cnt").alias("n_pretok"),
-            F.sum(F.col("cnt") * F.col("n_tok")).alias("n_tokens"),
-            F.sum(F.col("cnt") * F.col("n_byt")).alias("n_bytes"),
+        joined = pretoks.join(F.broadcast(vocab), "w")
+        out = joined.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("n_pretok"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_byt").alias("n_bytes"),
         )
-        .withColumn(
-            "bytes_per_token",
-            F.round(F.col("n_bytes") / F.col("n_tokens"), 6),
+    else:
+        wcounts = pretoks.groupBy(id_col, "w").agg(
+            F.count(F.lit(1)).alias("cnt")
         )
+        out = (
+            wcounts.join(vocab, "w")
+            .groupBy(id_col)
+            .agg(
+                F.sum("cnt").alias("n_pretok"),
+                F.sum(F.col("cnt") * F.col("n_tok")).alias("n_tokens"),
+                F.sum(F.col("cnt") * F.col("n_byt")).alias("n_bytes"),
+            )
+        )
+    return out.withColumn(
+        "bytes_per_token",
+        F.round(F.col("n_bytes") / F.col("n_tokens"), 6),
     )
 
 
@@ -654,15 +667,21 @@ def bpe_token_stats(
     the dedup family uses.
 
     Scale routing (the round-9 sweep caught 28.5×/decade on the naive
-    shape): raw word OCCURRENCES must never shuffle on the word — the
-    key is Zipf-skewed ('the' alone is ~5% of every partition), so a
-    shuffle join stalls on the hot keys. Instead (1) occurrences
-    collapse to ``(doc, word) → cnt`` first, whose map-side combine
-    absorbs the skew before the exchange, and (2) the tokenized vocab
-    joins BROADCAST by default (|vocab| ≪ |corpus|); pass
-    ``broadcast_vocab=False`` for a corpus whose vocabulary outgrows
-    executor memory — the join then shuffles the already-collapsed
-    near-unique ``(doc, word)`` keys, not the skewed raw stream."""
+    shape; refined round 10 after t53's third-decade probe): raw word
+    OCCURRENCES must never shuffle on the word — the key is Zipf-skewed
+    ('the' alone is ~5% of every partition), so a shuffle join stalls
+    on the hot keys. With the default BROADCAST vocab (|vocab| ≪
+    |corpus|, Heaps' law) occurrences never shuffle AT ALL: the join is
+    map-side against the broadcast table and the only exchanges are the
+    vocab distinct (map-combined to one row per distinct word per
+    partition) and the final per-doc aggregate (map-combined to one row
+    per doc per partition) — the round-10 probe measured the previous
+    ``(doc, word)`` pre-collapse exchange carrying a near-input-size row
+    stream for no benefit on this route. ``broadcast_vocab=False`` (a
+    corpus whose vocabulary outgrows executor memory) keeps the
+    collapse-first shape: occurrences reduce to ``(doc, word) → cnt``
+    behind the map-side combine that absorbs the skew, and the shuffle
+    join then sees near-unique keys, never the raw hot stream."""
     from typing import Iterator
 
     import pandas as pd
@@ -673,11 +692,6 @@ def bpe_token_stats(
         F.explode(
             F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
         ).alias("w"),
-    )
-    # carry_cols are functionally dependent on the doc id (e.g. source),
-    # so adding them to the grouping keys changes nothing but the schema
-    wcounts = words.groupBy(id_col, *carry_cols, "w").agg(
-        F.count(F.lit(1)).alias("cnt")
     )
 
     def fn(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
@@ -693,19 +707,29 @@ def bpe_token_stats(
             )
 
     vocab = (
-        wcounts.select("w").distinct().mapInPandas(fn, "w string, n_tok bigint")
+        words.select("w").distinct().mapInPandas(fn, "w string, n_tok bigint")
     )
+    # carry_cols are functionally dependent on the doc id (e.g. source),
+    # so adding them to the grouping keys changes nothing but the schema
     if broadcast_vocab:
-        vocab = F.broadcast(vocab)
-    return (
-        wcounts.join(vocab, "w")
-        .groupBy(id_col, *carry_cols)
-        .agg(
-            F.sum("cnt").alias("n_words"),
-            F.sum(F.col("cnt") * F.col("n_tok")).alias("n_tokens"),
+        joined = words.join(F.broadcast(vocab), "w")
+        out = joined.groupBy(id_col, *carry_cols).agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_tokens"),
         )
-        .withColumn(
-            "tokens_per_word",
-            F.round(F.col("n_tokens") / F.col("n_words"), 6),
+    else:
+        wcounts = words.groupBy(id_col, *carry_cols, "w").agg(
+            F.count(F.lit(1)).alias("cnt")
         )
+        out = (
+            wcounts.join(vocab, "w")
+            .groupBy(id_col, *carry_cols)
+            .agg(
+                F.sum("cnt").alias("n_words"),
+                F.sum(F.col("cnt") * F.col("n_tok")).alias("n_tokens"),
+            )
+        )
+    return out.withColumn(
+        "tokens_per_word",
+        F.round(F.col("n_tokens") / F.col("n_words"), 6),
     )

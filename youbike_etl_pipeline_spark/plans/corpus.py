@@ -137,6 +137,17 @@ CHANGED_THIS_ROUND: tuple[str, ...] = (
     # decode pins in tests/test_warc.py + tests/test_tiff.py, so the
     # graded queries above them keep their grades and rotate by
     # staleness.
+    #
+    # Round 10 plan change (MUST re-grade): bpe_token_stats' broadcast
+    # route no longer pre-collapses occurrences to (doc, word) — t53's
+    # third-decade probe measured that exchange carrying a
+    # near-input-size row stream (14.4×/decade) for no benefit when the
+    # vocab joins map-side; occurrences now flow scan→broadcast-join→
+    # map-combined doc agg with zero word-keyed exchange. Results are
+    # identical (sum of per-occurrence n_tok), but the fn changed, so
+    # the r9-graded t50/t51 re-grade ahead of rotation.
+    "t50_bpe_encode",
+    "t51_bpe_mixture_budget",
 )
 
 #: Graded-green queries whose last driver grade PREDATES the latest
