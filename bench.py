@@ -210,6 +210,8 @@ HEADLINE = [
     "mm35_boilerplate_removal",
     "t54_paragraph_dedup",
     "mm36_http_status_frontier",
+    "mm37_wet_conversion_sink",
+    "st15_streaming_transfer_decode",
 ]
 
 

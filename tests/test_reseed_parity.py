@@ -577,6 +577,8 @@ DOC_EVENT_QUERIES = [
     "mm35_boilerplate_removal",
     "t54_paragraph_dedup",
     "mm36_http_status_frontier",
+    "mm37_wet_conversion_sink",
+    "st15_streaming_transfer_decode",
 ]
 
 

@@ -786,3 +786,43 @@ def test_round10_encode_http_response_and_override_pin():
     a = encode_warc([(3, b"hello")], per_record_gzip=False)
     b = encode_warc([(3, b"hello")], per_record_gzip=False, http_messages=[None])
     assert a == b
+
+
+def test_round10_encode_wet_roundtrip():
+    """WET conversion records round-trip byte-exactly in both archive
+    layouts, carry WARC-Refers-To linkage to the source response id,
+    and tolerate empty/None text."""
+    from youbike_etl_pipeline_spark.operators.warc import (
+        encode_wet,
+        parse_warc,
+        warc_type,
+    )
+
+    docs = [(7, "extracted text\nsecond line"), (17, ""), (27, None)]
+    for gzipped in (True, False):
+        recs = [
+            r
+            for r in parse_warc(encode_wet(docs, per_record_gzip=gzipped))
+            if warc_type(r) == "conversion"
+        ]
+        assert [r["block"].decode() for r in recs] == [
+            "extracted text\nsecond line", "", "",
+        ]
+        refers = [
+            v
+            for r in recs
+            for k, v in r["headers"].items()
+            if k.lower() == "warc-refers-to"
+        ]
+        assert refers[0] == "<urn:uuid:00000007-0000-0000-0000-000000000002>"
+        cts = [
+            v
+            for r in recs
+            for k, v in r["headers"].items()
+            if k.lower() == "content-type"
+        ]
+        assert cts == ["text/plain; charset=utf-8"] * 3
+    # multibyte text survives the container byte-exactly
+    recs = parse_warc(encode_wet([(1, "中文 café \U0001F600")]))
+    conv = [r for r in recs if warc_type(r) == "conversion"][0]
+    assert conv["block"].decode("utf-8") == "中文 café \U0001F600"

@@ -3657,6 +3657,62 @@ def extract_main_text_features(
     )
 
 
+def wet_conversion_features(
+    df: DataFrame, text_col: str = "xtext", id_col: str = "doc_id"
+) -> DataFrame:
+    """The WET SINK round-trip: write each document's extracted text as
+    a Common Crawl WET ``conversion`` record
+    (:func:`..operators.warc.encode_wet`) and read it back through the
+    standard WARC walker — the write→read identity a production
+    extraction pipeline's output format must satisfy, graded against
+    the same expected-extraction oracle as the text that went in
+    (doc_id, char length, md5). Per-record gzip rotates like every
+    archive fixture. One Arrow pass, zero shuffle."""
+    from .warc import encode_wet, parse_warc, warc_type
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("text_chars", T.LongType(), True),
+            T.StructField("text_md5", T.StringType(), True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, chars, md5s = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                wet = encode_wet(
+                    [(did, None if text is None else str(text))],
+                    per_record_gzip=(did % 20 != 10),
+                )
+                recs = [
+                    r for r in parse_warc(wet) if warc_type(r) == "conversion"
+                ]
+                ids.append(did)
+                if not recs:
+                    chars.append(None)
+                    md5s.append(None)
+                    continue
+                recovered = recs[0]["block"].decode("utf-8")
+                chars.append(len(recovered))
+                md5s.append(
+                    hashlib.md5(recovered.encode("utf-8")).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "text_chars": pd.array(chars, dtype="Int64"),
+                    "text_md5": md5s,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema=out_schema)
+
+
 def attach_status_warc_payloads(
     df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -507,6 +507,63 @@ def messy_fixture_url(doc_id: int) -> str:
     return f"HTTPS://example.com/a/../doc/./{doc_id}"
 
 
+def encode_wet(
+    docs: "list[tuple[int, str]]",
+    per_record_gzip: bool = True,
+    date: str = "2024-01-01T00:00:00Z",
+    uris: "list[str] | None" = None,
+) -> bytes:
+    """(doc_id, extracted text) pairs → a WET file: the Common Crawl
+    EXTRACTED-TEXT companion format — a WARC/1.0 archive of
+    ``conversion`` records (ISO 28500 §6.8) whose blocks are the plain
+    UTF-8 text, each carrying ``WARC-Refers-To`` naming the response
+    record it was converted from (the id :func:`encode_warc` assigns)
+    and the source ``WARC-Target-URI``. This is the SINK a crawl
+    extraction pipeline writes; :func:`parse_warc` reads it back, so
+    write→read is oracle-checkable byte-exactly."""
+
+    def record(extra: dict, block: bytes, rid: str) -> bytes:
+        head = [
+            b"WARC/1.0",
+            b"WARC-Type: conversion",
+            b"WARC-Record-ID: <urn:uuid:" + rid.encode() + b">",
+            b"WARC-Date: " + date.encode(),
+        ]
+        for k, v in extra.items():
+            head.append(f"{k}: {v}".encode())
+        head.append(b"Content-Length: " + str(len(block)).encode())
+        return b"\r\n".join(head) + b"\r\n\r\n" + block + b"\r\n\r\n"
+
+    def gz(member: bytes) -> bytes:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(member) + co.flush()
+
+    info = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\n"
+        b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-00000000000e>\r\n"
+        b"WARC-Date: " + date.encode() + b"\r\n"
+        b"Content-Type: application/warc-fields\r\n"
+        b"Content-Length: 44\r\n\r\n"
+        b"software: youbike-etl-pipeline-spark (wet)\r\n\r\n\r\n"
+    )
+    out = bytearray(gz(info) if per_record_gzip else info)
+    for i, (doc_id, text) in enumerate(docs):
+        uri = uris[i] if uris is not None else f"http://example.com/doc/{doc_id}"
+        rec = record(
+            {
+                "WARC-Target-URI": uri,
+                "WARC-Refers-To": (
+                    f"<urn:uuid:{doc_id:08x}-0000-0000-0000-000000000002>"
+                ),
+                "Content-Type": "text/plain; charset=utf-8",
+            },
+            ("" if text is None else text).encode("utf-8"),
+            f"{doc_id:08x}-0000-0000-0000-00000000000c",
+        )
+        out.extend(gz(rec) if per_record_gzip else rec)
+    return bytes(out)
+
+
 def encode_http_response(
     status: int,
     reason: str,

@@ -174,10 +174,10 @@ REGRADE_FIRST: tuple[str, ...] = (
 #: conformance fixes; mm13/mm14/mm15/mm17/mm18 via the never-graded tier,
 #: which they top as the only never-graded queries left in the corpus).
 NEW_PAST_WINDOW: tuple[str, ...] = (
-    # Round 10: empty. The five round-10 additions (mm34, t53, mm35,
-    # t54, mm36) grade through the ordinary never-graded tier
-    # (positions 1-5); the verdict's staleness rotation fills the rest
-    # — the
+    # Round 10: empty. The seven round-10 additions (mm34, t53, mm35,
+    # t54, mm36, mm37, st15) grade through the ordinary never-graded
+    # tier behind the two CHANGED re-grades (t50/t51); the verdict's
+    # staleness rotation fills the rest — the
     # entire 28-query r3 tier plus the stalest r4 rows through
     # position ~50, after which the oldest grade in the ledger is r4.
 )
@@ -18549,6 +18549,88 @@ def mm34_transfer_decoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "title", "n_links", "first_link", "text_chars", "text_md5"
     )
+
+
+def _mm37_wet_sql(mod: int = 10) -> str:
+    """The expected-extraction CTE reduced to the WET sink's identity
+    columns: the text that went INTO the conversion record must come
+    back byte-exactly (char length + md5)."""
+    return f"""
+{_html_xt_cte(mod)}
+    SELECT doc_id,
+           CAST(length(xt) AS BIGINT) AS text_chars,
+           md5(xt) AS text_md5
+    FROM x
+    """
+
+
+@register(
+    "mm37_wet_conversion_sink",
+    _mm37_wet_sql(),
+    survey_rows="ext:training-data ingestion — WET conversion-record "
+    "sink (the Common Crawl extracted-text companion format, ISO 28500 "
+    "conversion records): the output format a production extraction "
+    "pipeline writes",
+    description="WET sink round-trip (round 10): the WARC→HTML→text "
+    "chain's extracted column is WRITTEN as Common Crawl WET "
+    "conversion records (warc.py::encode_wet — WARC-Refers-To naming "
+    "the source response id, text/plain UTF-8 blocks, per-record gzip "
+    "rotating) and read back through the standard WARC walker; the "
+    "recovered text must equal the expected extraction byte-exactly "
+    "(the mm29 oracle's identity columns). This grades the SINK "
+    "direction the crawl family's other queries don't: "
+    "decode(encode(extracted)) == extracted, container overhead "
+    "included. Zero shuffle.",
+)
+def mm37_wet_conversion_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_html_warc_payloads,
+        extract_html_text_column,
+        wet_conversion_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    xt = extract_html_text_column(attach_html_warc_payloads(docs))
+    return wet_conversion_features(xt).select(
+        "doc_id", "text_chars", "text_md5"
+    )
+
+
+@register(
+    "st15_streaming_transfer_decode",
+    _mm29_html_extract_sql(),
+    survey_rows="§2.8 streaming × ext:training-data ingestion — the "
+    "FULL as-served decode chain (chunked/gzip/deflate transfer "
+    "decoding + charset resolution + extraction) inside Structured "
+    "Streaming micro-batches",
+    description="Streaming twin of mm34 (round 10, the st14 pattern): "
+    "the documents stream flows through attach(charset+transfer "
+    "rotation) → extract(decode_transfer, honor_charset) — stateless "
+    "transforms, append-mode, no watermark. Run to completion, the "
+    "output must equal mm29's batch oracle row-for-row: micro-batch "
+    "boundaries cannot change a single dechunked, inflated, decoded, "
+    "extracted byte.",
+)
+def st15_streaming_transfer_decode(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_html_warc_payloads,
+        extract_html_features,
+    )
+    from ..streaming.ingest import read_documents_stream, run_stream_to_memory
+
+    docs = read_documents_stream(spark, sf_dir).filter(F.col("doc_id") % 10 == 0)
+    feats = extract_html_features(
+        attach_html_warc_payloads(
+            docs, charset_rotation=True, transfer_rotation=True
+        ),
+        honor_charset=True,
+        decode_transfer=True,
+    ).select(
+        "doc_id", "title", "n_links", "first_link", "text_chars", "text_md5"
+    )
+    return run_stream_to_memory(feats, output_mode="append")
 
 
 @register(
