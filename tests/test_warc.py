@@ -826,3 +826,105 @@ def test_round10_encode_wet_roundtrip():
     recs = parse_warc(encode_wet([(1, "中文 café \U0001F600")]))
     conv = [r for r in recs if warc_type(r) == "conversion"][0]
     assert conv["block"].decode("utf-8") == "中文 café \U0001F600"
+
+
+def test_round10_transfer_corruption_fuzz():
+    """The r8 codec discipline applied to the HTTP transfer decoders:
+    every single-bit corruption of a chunked / gzipped / deflated /
+    gzip+chunked wire body either still decodes (bit landed in a
+    chunk-extension/trailer byte the parser ignores, or zlib absorbed
+    it) or raises a typed ValueError — never an untyped exception."""
+    from youbike_etl_pipeline_spark.operators.warc import (
+        encode_http_payload,
+        http_decode_body,
+    )
+
+    body = (b"crawl payload body " * 7)[:128]
+    for mode in ("chunked", "gzip", "deflate", "gzip+chunked"):
+        wire, extra = encode_http_payload(body, mode)
+        headers = {k.lower(): v for k, v in extra}
+        decoded_ok = 0
+        for pos in range(len(wire)):
+            for bit in (0x01, 0x80):
+                bad = bytearray(wire)
+                bad[pos] ^= bit
+                try:
+                    out = http_decode_body(headers, bytes(bad))
+                    decoded_ok += 1
+                    assert isinstance(out, bytes)
+                except ValueError:
+                    pass  # the contract: typed, never Unicode/zlib/etc
+        # sanity: the fuzz actually exercised both outcomes
+        assert decoded_ok < 2 * len(wire), mode
+    # truncation at every length is also typed
+    wire, extra = encode_http_payload(body, "gzip+chunked")
+    headers = {k.lower(): v for k, v in extra}
+    for cut in range(len(wire)):
+        try:
+            http_decode_body(headers, wire[:cut])
+        except ValueError:
+            pass
+
+
+def test_round10_wet_corruption_fuzz():
+    """Single-bit corruption and truncation of a WET archive raise only
+    typed ValueError (the parse_warc contract) or parse to records."""
+    from youbike_etl_pipeline_spark.operators.warc import (
+        encode_wet,
+        parse_warc,
+    )
+
+    wet = encode_wet([(5, "text body for fuzzing")], per_record_gzip=True)
+    for pos in range(len(wet)):
+        bad = bytearray(wet)
+        bad[pos] ^= 0x40
+        try:
+            parse_warc(bytes(bad))
+        except ValueError:
+            pass
+    for cut in range(len(wet)):
+        try:
+            parse_warc(wet[:cut])
+        except ValueError:
+            pass
+
+
+if HAVE_HYPOTHESIS:
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=600))
+    def test_round10_transfer_roundtrip_property(body):
+        """decode(encode(body)) == body for every mode over arbitrary
+        octet bodies (no text assumption — crawl payloads are bytes)."""
+        from youbike_etl_pipeline_spark.operators.warc import (
+            encode_http_payload,
+            http_decode_body,
+        )
+
+        for mode in ("identity", "chunked", "gzip", "deflate", "gzip+chunked"):
+            wire, extra = encode_http_payload(body, mode)
+            headers = {k.lower(): v for k, v in extra}
+            assert http_decode_body(headers, wire) == body, mode
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.binary(min_size=0, max_size=300),
+        st.lists(st.integers(min_value=1, max_value=64), min_size=1, max_size=8),
+    )
+    def test_round10_dechunk_arbitrary_chunking_property(body, sizes):
+        """ANY chunking of a body dechunks to the body — chunk boundary
+        placement is a server choice the decoder must be blind to."""
+        from youbike_etl_pipeline_spark.operators.warc import (
+            dechunk_http_body,
+        )
+
+        out = bytearray()
+        pos = 0
+        i = 0
+        while pos < len(body):
+            n = min(sizes[i % len(sizes)], len(body) - pos)
+            out += b"%x\r\n" % n + body[pos : pos + n] + b"\r\n"
+            pos += n
+            i += 1
+        out += b"0\r\n\r\n"
+        assert dechunk_http_body(bytes(out)) == body
