@@ -212,6 +212,7 @@ HEADLINE = [
     "mm36_http_status_frontier",
     "mm37_wet_conversion_sink",
     "st15_streaming_transfer_decode",
+    "mm38_crawl_admission",
 ]
 
 

@@ -146,6 +146,7 @@ ADV_QUERIES = [
     "mm36_http_status_frontier",
     "mm37_wet_conversion_sink",
     "st15_streaming_transfer_decode",
+    "mm38_crawl_admission",
 ]
 
 

@@ -579,6 +579,7 @@ DOC_EVENT_QUERIES = [
     "mm36_http_status_frontier",
     "mm37_wet_conversion_sink",
     "st15_streaming_transfer_decode",
+    "mm38_crawl_admission",
 ]
 
 

@@ -928,3 +928,48 @@ if HAVE_HYPOTHESIS:
             i += 1
         out += b"0\r\n\r\n"
         assert dechunk_http_body(bytes(out)) == body
+
+
+def test_round10_crawl_admission_chain(spark):
+    """The joint robots x status x extraction decision from one segment
+    archive: v_r=2 (anchored Disallow) refuses regardless of status;
+    v_s!=0 refuses regardless of robots; only allowed 200 pages carry
+    an extraction md5."""
+    import hashlib
+
+    from youbike_etl_pipeline_spark.operators.html import (
+        expected_extraction,
+    )
+    from youbike_etl_pipeline_spark.operators.multimodal import (
+        attach_crawl_segment_payloads,
+        crawl_admission_features,
+    )
+
+    # did 0: vr0 allow + vs0 200 -> admitted; did 10: vr1 allow('1%')
+    # + vs1 301 -> refused by status; did 20: vr2 disallow + vs2 302;
+    # did 50: vr1 disallow('5..') + vs0 200 -> refused by robots;
+    # did 100: vr2 disallow + vs0 200 -> robots refusal with a 200 page
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (10, "x"), (20, "y"), (50, "z"), (100, "w")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in crawl_admission_features(
+            attach_crawl_segment_payloads(df)
+        ).collect()
+    }
+    r0 = rows[0]
+    assert (r0["allowed"], r0["status"], r0["admitted"]) == (True, 200, True)
+    exp = expected_extraction(0, "alpha beta")["text"]
+    assert r0["text_md5"] == hashlib.md5(exp.encode()).hexdigest()
+    assert (rows[10]["allowed"], rows[10]["status"], rows[10]["admitted"]) == (
+        True, 301, False,
+    )
+    assert rows[10]["text_md5"] is None
+    assert rows[20]["allowed"] is False and rows[20]["admitted"] is False
+    assert (rows[50]["allowed"], rows[50]["status"], rows[50]["admitted"]) == (
+        False, 200, False,
+    )
+    assert (rows[100]["allowed"], rows[100]["status"]) == (False, 200)
+    assert rows[100]["text_md5"] is None

@@ -3657,6 +3657,204 @@ def extract_main_text_features(
     )
 
 
+def attach_crawl_segment_payloads(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """A realistic crawl SEGMENT per document: one WARC archive holding
+    BOTH the host's ``/robots.txt`` response (the mm33 policy variants,
+    rotated ``(doc_id // 10) % 4``) and the page response (the mm29
+    markup variants; SERVED with the mm36 status rotation
+    ``(doc_id // 10) % 5`` — 200 / 301 / 302 / 404 / 503) — the shape
+    a crawler actually records, so the admission decision (robots ×
+    status → extract) is evaluable from a single archive."""
+    from .html import build_fixture_html
+    from .robots import build_fixture_robots
+    from .warc import encode_http_response, encode_warc
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+
+    def page_message(did: int) -> "bytes | None":
+        v = (did // 10) % 5
+        if v == 0:
+            return None  # 200 + HTML body via the default path
+        if v == 1:
+            return encode_http_response(
+                301, "Moved Permanently",
+                [("Location", f"http://example.com/doc/{did + 10}"),
+                 ("Content-Type", "text/html")],
+                b"<html><body>Moved</body></html>",
+            )
+        if v == 2:
+            return encode_http_response(
+                302, "Found",
+                [("Location", f"/doc/{did}/new"), ("Content-Type", "text/html")],
+                b"<html><body>Found elsewhere</body></html>",
+            )
+        if v == 3:
+            return encode_http_response(
+                404, "Not Found", [("Content-Type", "text/html")],
+                b"<html><body>No such page</body></html>",
+            )
+        return encode_http_response(
+            503, "Service Unavailable",
+            [("Retry-After", "120"), ("Content-Type", "text/html")],
+            b"<html><body>Try later</body></html>",
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
+                robots = build_fixture_robots(did).encode("utf-8")
+                html = build_fixture_html(
+                    did, "" if text is None else str(text)
+                ).encode("utf-8")
+                payloads.append(
+                    bytearray(
+                        encode_warc(
+                            [(2 * did, robots), (2 * did + 1, html)],
+                            per_record_gzip=(did % 20 != 10),
+                            uris=[
+                                "http://example.com/robots.txt",
+                                f"http://example.com/doc/{did}",
+                            ],
+                            content_types=[
+                                "text/plain; charset=utf-8",
+                                "text/html; charset=utf-8",
+                            ],
+                            http_messages=[None, page_message(did)],
+                        )
+                    )
+                )
+                metas.append(
+                    {
+                        "media_type": "archive",
+                        "format": "warc-segment",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fn, schema=out_schema)
+
+
+#: crawl admission decision (mm38)
+CRAWL_ADMISSION = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("allowed", T.BooleanType(), True),
+        T.StructField("status", T.LongType(), True),
+        T.StructField("admitted", T.BooleanType(), True),
+        T.StructField("text_md5", T.StringType(), True),
+    ]
+)
+
+
+def crawl_admission_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    agent: str = "trainbot",
+) -> DataFrame:
+    """The END-TO-END admission decision a crawl pipeline makes per
+    page, from one segment archive: evaluate the host's robots.txt
+    against the page's URL path (RFC 9309,
+    :func:`..operators.robots.robots_decision`), gate on the HTTP
+    status (only 200 bodies are content), and for ADMITTED pages run
+    the full extraction — the md5 identity proves the chain touched
+    the right bytes. Pages refused by robots or status emit NULL text.
+    One Arrow pass, zero shuffle: robots + status + extraction all
+    ride the same scan, which is exactly how a production segment
+    processor amortizes its I/O at 100 TB."""
+    from urllib.parse import urlsplit
+
+    from .html import extract_html_text
+    from .robots import robots_decision
+    from .warc import (
+        http_charset,
+        http_response_message,
+        parse_warc,
+        warc_type,
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            ids, alloweds, stats, admits, md5s = [], [], [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                records = parse_warc(bytes(payload))
+                robots_txt = None
+                page = None
+                page_uri = ""
+                for r in records:
+                    if warc_type(r) != "response":
+                        continue
+                    uri = next(
+                        (
+                            v
+                            for k, v in r["headers"].items()
+                            if k.lower() == "warc-target-uri"
+                        ),
+                        "",
+                    )
+                    if urlsplit(uri).path == "/robots.txt":
+                        _, hdrs, body = http_response_message(r)
+                        robots_txt = body.decode(http_charset(hdrs, body))
+                    else:
+                        page, page_uri = r, uri
+                ids.append(did)
+                if page is None:
+                    alloweds.append(None); stats.append(None)
+                    admits.append(None); md5s.append(None)
+                    continue
+                path = urlsplit(page_uri).path
+                allowed = (
+                    robots_decision(robots_txt, agent, path)[0]
+                    if robots_txt is not None
+                    else True  # no robots.txt recorded → allow (RFC 9309 §2.3.1)
+                )
+                status, hdrs, body = http_response_message(page)
+                admitted = allowed and status == 200
+                if admitted:
+                    html = body.decode(http_charset(hdrs, body))
+                    text = extract_html_text(html)["text"]
+                    md5s.append(
+                        hashlib.md5(text.encode("utf-8")).hexdigest()
+                    )
+                else:
+                    md5s.append(None)
+                alloweds.append(allowed)
+                stats.append(status)
+                admits.append(admitted)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "allowed": pd.array(alloweds, dtype="boolean"),
+                    "status": pd.array(stats, dtype="Int64"),
+                    "admitted": pd.array(admits, dtype="boolean"),
+                    "text_md5": md5s,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fn, schema=CRAWL_ADMISSION
+    )
+
+
 def wet_conversion_features(
     df: DataFrame, text_col: str = "xtext", id_col: str = "doc_id"
 ) -> DataFrame:

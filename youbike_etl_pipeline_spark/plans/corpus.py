@@ -174,8 +174,8 @@ REGRADE_FIRST: tuple[str, ...] = (
 #: conformance fixes; mm13/mm14/mm15/mm17/mm18 via the never-graded tier,
 #: which they top as the only never-graded queries left in the corpus).
 NEW_PAST_WINDOW: tuple[str, ...] = (
-    # Round 10: empty. The seven round-10 additions (mm34, t53, mm35,
-    # t54, mm36, mm37, st15) grade through the ordinary never-graded
+    # Round 10: empty. The eight round-10 additions (mm34, t53, mm35,
+    # t54, mm36, mm37, st15, mm38) grade through the ordinary never-graded
     # tier behind the two CHANGED re-grades (t50/t51); the verdict's
     # staleness rotation fills the rest — the
     # entire 28-query r3 tier plus the stalest r4 rows through
@@ -18549,6 +18549,64 @@ def mm34_transfer_decoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "title", "n_links", "first_link", "text_chars", "text_md5"
     )
+
+
+def _mm38_admission_sql(mod: int = 10) -> str:
+    """Joint oracle for the admission chain: mm33's robots decision
+    constants (variant ``(doc_id//10)%4``) × mm36's status constants
+    (variant ``%5``) gate mm29's expected-extraction md5 — all three
+    re-derived from doc_id and the raw text, no HTML/robots parser on
+    the SQL side."""
+    allowed = (
+        "CASE (doc_id // 10) % 4 WHEN 0 THEN TRUE "
+        "WHEN 1 THEN (CAST(doc_id AS VARCHAR) LIKE '1%') "
+        "WHEN 2 THEN FALSE ELSE TRUE END"
+    )
+    status = (
+        "CASE (doc_id // 10) % 5 WHEN 0 THEN 200 WHEN 1 THEN 301 "
+        "WHEN 2 THEN 302 WHEN 3 THEN 404 ELSE 503 END"
+    )
+    return f"""
+{_html_xt_cte(mod)}
+    SELECT doc_id,
+           {allowed} AS allowed,
+           CAST({status} AS BIGINT) AS status,
+           ({allowed} AND (doc_id // 10) % 5 = 0) AS admitted,
+           CASE WHEN {allowed} AND (doc_id // 10) % 5 = 0
+                THEN md5(xt) END AS text_md5
+    FROM x
+    """
+
+
+@register(
+    "mm38_crawl_admission",
+    _mm38_admission_sql(),
+    survey_rows="ext:training-data ingestion — the END-TO-END per-page "
+    "admission decision (robots.txt policy × HTTP status → extraction) "
+    "from a single crawl segment archive, the composition every "
+    "segment processor runs",
+    description="Chained crawl admission (round 10): each archive is a "
+    "realistic SEGMENT carrying both the host's /robots.txt response "
+    "(mm33's four policy variants) and the page response (mm29's four "
+    "markup variants, SERVED through mm36's five status shapes). The "
+    "operator evaluates RFC 9309 against the page's URL path, gates on "
+    "status (only 200 is content), and runs the full extraction for "
+    "ADMITTED pages — refused pages emit NULL text. The oracle derives "
+    "robots and status decisions as doc-id constants and gates the "
+    "shared expected-extraction md5 with them; the joint rotation "
+    "covers all 20 policy×status combinations. Zero shuffle — robots, "
+    "status and extraction amortize one scan, the production segment-"
+    "processor shape at 100 TB.",
+)
+def mm38_crawl_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_crawl_segment_payloads,
+        crawl_admission_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = crawl_admission_features(attach_crawl_segment_payloads(docs))
+    return feats.select("doc_id", "allowed", "status", "admitted", "text_md5")
 
 
 def _mm37_wet_sql(mod: int = 10) -> str:
