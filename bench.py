@@ -213,6 +213,7 @@ HEADLINE = [
     "mm37_wet_conversion_sink",
     "st15_streaming_transfer_decode",
     "mm38_crawl_admission",
+    "mm39_cdx_index",
 ]
 
 

@@ -147,6 +147,7 @@ ADV_QUERIES = [
     "mm37_wet_conversion_sink",
     "st15_streaming_transfer_decode",
     "mm38_crawl_admission",
+    "mm39_cdx_index",
 ]
 
 

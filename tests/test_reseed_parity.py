@@ -580,6 +580,7 @@ DOC_EVENT_QUERIES = [
     "mm37_wet_conversion_sink",
     "st15_streaming_transfer_decode",
     "mm38_crawl_admission",
+    "mm39_cdx_index",
 ]
 
 

@@ -973,3 +973,66 @@ def test_round10_crawl_admission_chain(spark):
     )
     assert (rows[100]["allowed"], rows[100]["status"]) == (False, 200)
     assert rows[100]["text_md5"] is None
+
+
+def test_round10_surt_key_table():
+    from youbike_etl_pipeline_spark.operators.warc import surt_key
+
+    assert (
+        surt_key("HTTP://Example.COM:80/doc/1?b=2&a=1#f")
+        == "com,example)/doc/1?a=1&b=2"
+    )
+    assert surt_key("https://WWW.Example.Org:443/doc/2/") == (
+        "org,example,www)/doc/2/"
+    )
+    assert surt_key("http://example.com:8080/x") == "com,example:8080)/x"
+    assert surt_key("HTTPS://example.com/a/../doc/./3") == "com,example)/doc/3"
+    # scheme-insensitive: http and https of one page share a key
+    assert surt_key("http://h.co/p") == surt_key("https://h.co/p")
+
+
+def test_round10_warc_record_spans_both_layouts():
+    """Spans align 1:1 with parse_warc records and every sliced span
+    re-parses standalone to EXACTLY that record — the range-fetch
+    property CDX indexes exist for."""
+    from youbike_etl_pipeline_spark.operators.warc import (
+        encode_warc,
+        parse_warc,
+        warc_record_spans,
+    )
+
+    docs = [(1, b"alpha body"), (2, b"beta body two")]
+    for gzipped in (True, False):
+        raw = encode_warc(docs, per_record_gzip=gzipped)
+        records = parse_warc(raw)
+        spans = warc_record_spans(raw)
+        assert len(spans) == len(records) == 5  # warcinfo + 2x(req+resp)
+        assert spans[0][0] == 0
+        for (off, ln), rec in zip(spans, records):
+            sliced = parse_warc(raw[off : off + ln])
+            assert len(sliced) == 1
+            assert sliced[0] == rec
+        # spans tile the archive with no gaps or overlaps
+        pos = 0
+        for off, ln in spans:
+            assert off == pos
+            pos += ln
+        assert pos == len(raw)
+
+
+def test_round10_warc_record_spans_corruption_typed():
+    import pytest
+
+    from youbike_etl_pipeline_spark.operators.warc import (
+        encode_warc,
+        warc_record_spans,
+    )
+
+    raw = encode_warc([(1, b"x")], per_record_gzip=False)
+    with pytest.raises(ValueError, match="truncated"):
+        warc_record_spans(raw[: len(raw) // 2])
+    gz = encode_warc([(1, b"x")], per_record_gzip=True)
+    with pytest.raises(ValueError, match="corrupt|truncated"):
+        warc_record_spans(gz[: len(gz) // 2])
+    with pytest.raises(ValueError, match="empty WARC archive"):
+        warc_record_spans(b"")

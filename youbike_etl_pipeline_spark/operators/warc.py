@@ -487,6 +487,86 @@ def url_host(url: str) -> str:
     return (urlsplit(url.strip()).hostname or "").lower()
 
 
+def surt_key(url: str) -> str:
+    """SURT (Sort-friendly URI Reordering Transform) of a URL — the
+    public key format crawl indexes (CDX) sort by (pywb/OpenWayback
+    convention): canonicalize (:func:`canonicalize_url`), then reverse
+    the host labels comma-joined so one host's URLs sort contiguously,
+    append a non-default port as ``:port``, then ``)`` and the
+    canonical path + ``?`` + sorted query. The scheme is dropped —
+    http/https variants of one page share a key.
+
+    ``HTTP://Example.COM:80/doc/1?b=2&a=1#f`` →
+    ``com,example)/doc/1?a=1&b=2``."""
+    from urllib.parse import urlsplit
+
+    p = urlsplit(canonicalize_url(url))
+    host = ",".join(reversed((p.hostname or "").split(".")))
+    if p.port is not None:
+        host += f":{p.port}"
+    return host + ")" + p.path + (("?" + p.query) if p.query else "")
+
+
+def warc_record_spans(payload: bytes) -> "list[tuple[int, int]]":
+    """Per-record ``(offset, length)`` spans INTO the original archive
+    bytes — the CDX index payload that makes a 100 TB archive store
+    range-addressable (fetch one record with a ranged read, no full
+    scan). For per-record-gzip archives (the Common Crawl layout) the
+    spans are gzip-member boundaries; for plain archives they are
+    record boundaries. Aligned 1:1 with :func:`parse_warc`'s record
+    list; each sliced span re-parses standalone to exactly that record
+    (pinned by tests). Raises ``ValueError`` on corruption, same
+    contract as the parser."""
+    spans: list[tuple[int, int]] = []
+    if payload[:2] == b"\x1f\x8b":
+        rest = payload
+        pos = 0
+        while rest:
+            d = zlib.decompressobj(wbits=47)
+            try:
+                d.decompress(rest, 1)
+                while not d.eof:
+                    if not d.unconsumed_tail:
+                        raise ValueError("truncated WARC gzip member")
+                    d.decompress(d.unconsumed_tail, 1 << 20)
+            except zlib.error as ex:
+                raise ValueError(f"WARC gzip member corrupt: {ex}")
+            consumed = len(rest) - len(d.unused_data)
+            if consumed == 0:
+                raise ValueError("WARC gzip walk made no progress")
+            spans.append((pos, consumed))
+            pos += consumed
+            rest = d.unused_data
+        return spans
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        while pos < n and payload[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        start = pos
+        # version line + headers: find the blank line, read Content-Length
+        head_end = payload.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            raise ValueError("truncated WARC header block")
+        length = None
+        for line in payload[pos:head_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            if k.strip().lower() == b"content-length" and v.strip().isdigit():
+                length = int(v.strip())
+                break
+        if length is None:
+            raise ValueError("WARC record missing a numeric Content-Length")
+        if head_end + 4 + length > n:
+            raise ValueError("truncated WARC record block")
+        pos = head_end + 4 + length + 4  # headers + CRLFCRLF + block + sep
+        spans.append((start, min(pos, n) - start))
+    if not spans:
+        raise ValueError("empty WARC archive")
+    return spans
+
+
 def messy_fixture_url(doc_id: int) -> str:
     """Deterministic non-canonical URL per document (rotated
     ``(doc_id // 10) % 5``): uppercase scheme/host + default port +

@@ -174,8 +174,8 @@ REGRADE_FIRST: tuple[str, ...] = (
 #: conformance fixes; mm13/mm14/mm15/mm17/mm18 via the never-graded tier,
 #: which they top as the only never-graded queries left in the corpus).
 NEW_PAST_WINDOW: tuple[str, ...] = (
-    # Round 10: empty. The eight round-10 additions (mm34, t53, mm35,
-    # t54, mm36, mm37, st15, mm38) grade through the ordinary never-graded
+    # Round 10: empty. The nine round-10 additions (mm34, t53, mm35,
+    # t54, mm36, mm37, st15, mm38, mm39) grade through the ordinary never-graded
     # tier behind the two CHANGED re-grades (t50/t51); the verdict's
     # staleness rotation fills the rest — the
     # entire 28-query r3 tier plus the stalest r4 rows through
@@ -18549,6 +18549,59 @@ def mm34_transfer_decoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "title", "n_links", "first_link", "text_chars", "text_md5"
     )
+
+
+@register(
+    "mm39_cdx_index",
+    """
+    WITH d AS (
+      SELECT doc_id, (doc_id // 10) % 5 AS r
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           CASE r
+             WHEN 0 THEN 'com,example)/doc/' || CAST(doc_id AS VARCHAR)
+                         || '?a=1&b=2'
+             WHEN 1 THEN 'org,example,www)/doc/' || CAST(doc_id AS VARCHAR)
+                         || '/'
+             WHEN 2 THEN 'net,example,cdn)/doc/' || CAST(doc_id AS VARCHAR)
+                         || '?y=8&z=9&z=1'
+             WHEN 3 THEN 'com,example:8080)/doc/' || CAST(doc_id AS VARCHAR)
+             ELSE 'com,example)/doc/' || CAST(doc_id AS VARCHAR)
+           END AS surt,
+           md5('crawl body ' || CAST(doc_id AS VARCHAR)) AS digest,
+           'text/plain' AS mime,
+           TRUE AS range_fetch_ok
+    FROM d
+    """,
+    survey_rows="ext:training-data ingestion — CDX archive indexing "
+    "(SURT keys + range-addressable record offsets), the Common Crawl "
+    "artifact that makes a 100 TB archive store fetchable per-record "
+    "without scanning",
+    description="CDX index emission (round 10, completing the Common "
+    "Crawl artifact triple: WARC read+write, WET write, CDX index): "
+    "per response record, the SURT key (host labels reversed "
+    "comma-joined over the CANONICALIZED URL — one host's pages sort "
+    "contiguously; the five messy mm30 URI variants exercise the "
+    "canonicalization inside the key), the payload md5 digest, the "
+    "HTTP media type, and the record's (offset, length) span into the "
+    "archive bytes (gzip-member boundaries in the Common Crawl "
+    "layout). Offsets depend on gzip framing and are not "
+    "SQL-derivable, so the span is AUDITED inside the graded row: the "
+    "operator re-fetches exactly payload[offset:offset+length], "
+    "re-parses the slice standalone, and range_fetch_ok carries the "
+    "digest comparison — the oracle expects TRUE, so any offset bug "
+    "hash-fails the gate. Zero shuffle.",
+)
+def mm39_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_crawl_url_payloads,
+        cdx_index_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = cdx_index_features(attach_crawl_url_payloads(docs))
+    return feats.select("doc_id", "surt", "digest", "mime", "range_fetch_ok")
 
 
 def _mm38_admission_sql(mod: int = 10) -> str:
