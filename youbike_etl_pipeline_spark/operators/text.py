@@ -573,6 +573,7 @@ def byte_bpe_token_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_vocab: bool = True,
+    pretoken_re: str = BYTE_PRETOKEN_RE,
 ) -> DataFrame:
     """Per-document byte-level BPE statistics — the t50 distinct-word
     collapse-first route generalized past ``[a-z]+``: pretokens are
@@ -592,7 +593,15 @@ def byte_bpe_token_stats(
     aggregate (the probe measured the previous ``(doc, pretoken)``
     pre-collapse exchange at 14.4×/decade from its near-input-size row
     stream; this shape removes it). ``broadcast_vocab=False`` keeps
-    collapse-first so the shuffle join sees near-unique keys."""
+    collapse-first so the shuffle join sees near-unique keys.
+
+    ``pretoken_re`` swaps the pretokenization grammar: the default is
+    the whitespace+CJK approximation above; pass
+    :data:`..operators.gpt2.GPT2_PRETOKEN_RE` for the GPT-2-exact
+    pattern (contractions, leading-space attachment, the trailing-
+    whitespace lookahead — round 11, t55). GPT-2 pretokens still obey
+    Heaps' law (space-led word forms roughly double the vocabulary,
+    they do not unbound it), so the broadcast-vocab routing holds."""
     from typing import Iterator
 
     import pandas as pd
@@ -600,7 +609,7 @@ def byte_bpe_token_stats(
     pretoks = df.select(
         F.col(id_col),
         F.explode(
-            F.regexp_extract_all(F.col(text_col), F.lit(BYTE_PRETOKEN_RE), 0)
+            F.regexp_extract_all(F.col(text_col), F.lit(pretoken_re), 0)
         ).alias("w"),
     )
 

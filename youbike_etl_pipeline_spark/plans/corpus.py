@@ -125,29 +125,26 @@ DRIVER_GREEN: frozenset[str] = frozenset(
 #: normalize_event_ts), so every events-backed query below is "fn changed"
 #: through its input contract.
 CHANGED_THIS_ROUND: tuple[str, ...] = (
-    # Round 10: still empty — every round-9 entry graded green in
-    # CORRECTNESS_r09.json and rotates normally. The round-10 advisor
-    # items (robots orphan-rule drop + same-specificity group combine +
-    # ignored-directive run reset; canonicalize_url percent-encoding
-    # normalization + port ValueError; the charset-decode ValueError
-    # contract; the TIFF tile-allocation rescope) change only
-    # latent/corrupt-input shapes: every graded fixture's decision is
-    # pinned byte-identical by tests/test_robots.py::
-    # test_round10_fixture_decisions_unchanged and the canonical-form /
-    # decode pins in tests/test_warc.py + tests/test_tiff.py, so the
-    # graded queries above them keep their grades and rotate by
-    # staleness.
+    # Round 11: EMPTY — t50/t51 (the round-10 broadcast-route
+    # refinement) graded green in CORRECTNESS_r10.json and rotate
+    # normally. The round-11 code changes to existing operators are
+    # all grade-preserving on graded fixtures: byte_bpe_token_stats
+    # gained a pretoken_re parameter whose DEFAULT path is
+    # byte-identical (t53 unchanged — same regex literal, same plan);
+    # the round-11 advisor items (t53 description text; the
+    # decode_transfer/honor_charset coupling documented+fixed for the
+    # honor_charset=False corner no graded query uses; the
+    # paragraph_dedup_stats broadcast-default docstring; the CDX
+    # header-window guard for blocks WITHOUT a CRLFCRLF separator —
+    # every graded fixture has one) change no graded row, pinned by
+    # the existing fixture tests plus the full driver sim at close.
     #
-    # Round 10 plan change (MUST re-grade): bpe_token_stats' broadcast
-    # route no longer pre-collapses occurrences to (doc, word) — t53's
-    # third-decade probe measured that exchange carrying a
-    # near-input-size row stream (14.4×/decade) for no benefit when the
-    # vocab joins map-side; occurrences now flow scan→broadcast-join→
-    # map-combined doc agg with zero word-keyed exchange. Results are
-    # identical (sum of per-occurrence n_tok), but the fn changed, so
-    # the r9-graded t50/t51 re-grade ahead of rotation.
-    "t50_bpe_encode",
-    "t51_bpe_mixture_budget",
+    # The four round-11 additions (t55 GPT-2 pretokenization, t56 BPE
+    # merge training, mm41 sitemap discovery, mm42 WARC revisit) are
+    # never-graded and enter through tier 1; the remaining ~46 slots
+    # execute the verdict's staleness rotation — the entire 28-query
+    # r4 tier, then the stalest r5 rows — after which the oldest
+    # grade in the ledger is r5.
 )
 
 #: Graded-green queries whose last driver grade PREDATES the latest
@@ -18840,7 +18837,11 @@ def _t54_paragraph_dedup_sql(mod: int = 10) -> str:
     "does. Scale shape: paragraph keys are Zipf-hot (a host's footer "
     "is once-per-page), so instances never shuffle on the key — "
     "owners aggregate min(id) behind map-side combine and join back "
-    "BROADCAST (shuffle fallback documented). The oracle chains "
+    "via the EXPLICIT broadcast_owners=True routing (this fixture is "
+    "the boilerplate-dominated shape where the owner table is "
+    "vocabulary-like; the module DEFAULT is the scale-safe shuffle "
+    "join, because article-heavy corpora have near-unique paragraphs "
+    "— round-11 advisor). The oracle chains "
     "mm29's expected-extraction CTE into the same split/own/join "
     "shape.",
 )
@@ -18853,9 +18854,14 @@ def t54_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     xt = extract_html_text_column(attach_html_warc_payloads(docs))
-    return paragraph_dedup_stats(xt, text_col="xtext").select(
-        "doc_id", "n_paras", "n_dup", "dup_ratio"
-    )
+    # broadcast_owners=True is the explicit boilerplate-dominated
+    # routing (this fixture's paragraphs are host-repeated lines, the
+    # vocabulary-like shape); the MODULE default is the scale-safe
+    # shuffle join because article-heavy corpora have near-unique
+    # paragraphs (round-11 advisor). The graded plan is unchanged.
+    return paragraph_dedup_stats(
+        xt, text_col="xtext", broadcast_owners=True
+    ).select("doc_id", "n_paras", "n_dup", "dup_ratio")
 
 
 def _mm35_main_text_sql(mod: int = 10) -> str:
@@ -19032,10 +19038,14 @@ def _t53_byte_bpe_sql(mod: int = 1) -> str:
     "cannot express. The fixture augments each document with a "
     "constant language-tagged multilingual suffix (the synthetic "
     "corpus is pure ASCII) expressed identically in both engines. "
-    "Routing is t50's skew-safe shape verbatim: occurrences collapse "
-    "to (doc, pretoken)→cnt behind map-side combine, the distinct "
-    "vocabulary byte-tokenizes ONCE in an Arrow pass and joins back "
-    "BROADCAST. The oracle replays the merges as a recursive-CTE "
+    "Routing is t50's skew-safe shape verbatim (round-10 refinement): "
+    "on the default broadcast route occurrences NEVER shuffle — the "
+    "distinct vocabulary byte-tokenizes ONCE in an Arrow pass and "
+    "joins back map-side against the broadcast table, the only "
+    "exchanges being the map-combined vocab distinct and per-doc "
+    "aggregate; the (doc, pretoken)→cnt collapse-first shape survives "
+    "only on the broadcast_vocab=False shuffle-join fallback. The "
+    "oracle replays the merges as a recursive-CTE "
     "leftmost-replace over hex-pair symbols (hypothesis-proven "
     "equivalent over byte alphabets, tests/test_bpe.py).",
 )
@@ -19052,4 +19062,409 @@ def t53_byte_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return byte_bpe_token_stats(docs, text_col="aug_text").select(
         "doc_id", "n_pretok", "n_tokens", "n_bytes", "bytes_per_token"
+    )
+
+
+# --------------------------------------------------------------- round 11
+
+#: t55 fixture augmentation (same discipline as _T53_AUG: one CONSTANT
+#: suffix per language, expressible identically in both engines) —
+#: content chosen to exercise every GPT-2 pattern alternative:
+#: lowercase contractions, an UPPERCASE non-contraction ('S), a
+#: punctuation run swallowing an apostrophe (!!'t), digit/letter/digit
+#: splits (42km2), double spaces (the \s+(?!\S) lookahead), trailing
+#: spaces (the EOS whitespace branch), 2-byte letters (ü é ñ ß), the
+#: So/Po symbol classes (° ¿), and CJK runs (LETTERS under \p{L} — one
+#: pretoken, unlike t53's per-codepoint approximation).
+_T55_AUG = (
+    ("en", " it's we'll they're  can't 42km2 !!'t 'S  "),
+    ("de", " übers Straße 3.14 N°5"),
+    ("fr", " l'été déjà-vu  100% "),
+    ("es", " señor año's ¿qué?"),
+    ("zh", " 的是的 是的"),
+)
+
+#: The oracle's per-position token step — the GPT-2 grammar as ordered
+#: CASE branches (RE2 has no lookahead, so the oracle cannot run the
+#: regex; this recursive scanner IS the pattern, proven equivalent to
+#: the Python reference scanner and the JVM regex by
+#: tests/test_gpt2_pretoken.py): 3-char then 2-char contraction
+#: literals (disjoint second chars, so order within the two groups is
+#: immaterial), the three ' ?CLASS+' runs, the run-minus-last-char
+#: whitespace rule before a non-space, and the whole-run EOS branch.
+#: The terminal ELSE can only fire on a char outside every class
+#: (impossible — the classes partition the alphabet) and guarantees
+#: the recursion advances.
+_T55_TOK_CASE = """
+      CASE
+        WHEN substr(t, pos, 3) IN ('''re', '''ve', '''ll') THEN substr(t, pos, 3)
+        WHEN substr(t, pos, 2) IN ('''s', '''t', '''m', '''d') THEN substr(t, pos, 2)
+        WHEN regexp_extract(substr(t, pos), '^ ?\\p{L}+') <> ''
+          THEN regexp_extract(substr(t, pos), '^ ?\\p{L}+')
+        WHEN regexp_extract(substr(t, pos), '^ ?\\p{N}+') <> ''
+          THEN regexp_extract(substr(t, pos), '^ ?\\p{N}+')
+        WHEN regexp_extract(substr(t, pos), '^ ?[^\\s\\p{L}\\p{N}]+') <> ''
+          THEN regexp_extract(substr(t, pos), '^ ?[^\\s\\p{L}\\p{N}]+')
+        WHEN length(regexp_extract(substr(t, pos), '^\\s+')) >= 2
+             AND pos + length(regexp_extract(substr(t, pos), '^\\s+')) <= length(t)
+          THEN substr(t, pos, length(regexp_extract(substr(t, pos), '^\\s+')) - 1)
+        WHEN regexp_extract(substr(t, pos), '^\\s+') <> ''
+          THEN regexp_extract(substr(t, pos), '^\\s+')
+        ELSE substr(t, pos, 1)
+      END
+"""
+
+
+def _t55_gpt2_sql(mod: int = 1) -> str:
+    """GPT-2-exact pretokenize + byte-BPE oracle: a recursive-CTE
+    position scanner (:data:`_T55_TOK_CASE`) emits each document's
+    pretokens IN ORDER; the signature block pins the full token
+    sequence (md5 over unit-separator-joined tokens, space-led and
+    char-sum counts), and the byte-BPE block replays t53's
+    hex-pair leftmost-replace recursion over the DISTINCT pretokens
+    (fixture whitespace is ASCII-only, where RE2's ASCII ``\\s`` and
+    the JVM's (?U) class agree — the full-Unicode equivalence is
+    pinned by the BMP probe + hypothesis suite in
+    tests/test_gpt2_pretoken.py)."""
+    from ..operators.text import BYTE_BPE_MERGES
+
+    aug = " ".join(
+        "WHEN '{}' THEN '{}'".format(lang, suffix.replace("'", "''"))
+        for lang, suffix in _T55_AUG
+    )
+    vals = ", ".join(
+        f"({i}, '\\|{a}\\|{b}\\|', '|{a}{b}|')"
+        for i, (a, b) in enumerate(BYTE_BPE_MERGES)
+    )
+    n = len(BYTE_BPE_MERGES)
+    return f"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id,
+             COALESCE(text, '') || CASE lang {aug} ELSE '' END AS t
+      FROM documents WHERE doc_id % {mod} = 0
+    ),
+    scan AS (
+      SELECT doc_id, t, 1 AS pos, 0 AS idx, CAST('' AS VARCHAR) AS tok
+      FROM d
+      UNION ALL
+      SELECT doc_id, t, pos + length(tok2) AS pos, idx + 1 AS idx, tok2 AS tok
+      FROM (
+        SELECT doc_id, t, pos, idx, {_T55_TOK_CASE} AS tok2
+        FROM scan WHERE pos <= length(t)
+      ) stepped
+    ),
+    toks AS (SELECT doc_id, idx, tok FROM scan WHERE idx >= 1),
+    vocab AS (SELECT DISTINCT tok AS w FROM toks),
+    merges (mi, f, r) AS (VALUES {vals}),
+    bpe AS (
+      SELECT w,
+             '|' || regexp_replace(hex(encode(w)), '(..)', '\\1|', 'g') AS s,
+             0 AS mi
+      FROM vocab
+      UNION ALL
+      SELECT b.w,
+             CASE WHEN regexp_replace(b.s, m.f, m.r) <> b.s
+                  THEN regexp_replace(b.s, m.f, m.r) ELSE b.s END,
+             CASE WHEN regexp_replace(b.s, m.f, m.r) <> b.s
+                  THEN b.mi ELSE b.mi + 1 END
+      FROM bpe b JOIN merges m ON m.mi = b.mi
+    ),
+    counts AS (
+      SELECT w,
+             CAST(length(s) - length(replace(s, '|', '')) - 1 AS BIGINT)
+               AS n_tok,
+             CAST(octet_length(encode(w)) AS BIGINT) AS n_byt
+      FROM bpe WHERE mi = {n}
+    ),
+    sig AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_pretok,
+             CAST(COUNT(*) FILTER (WHERE tok LIKE ' %') AS BIGINT)
+               AS n_space_led,
+             CAST(SUM(length(tok)) AS BIGINT) AS sum_chars,
+             md5(string_agg(tok, chr(31) ORDER BY idx)) AS toks_md5
+      FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT o.doc_id,
+             CAST(SUM(c.n_tok) AS BIGINT) AS n_tokens,
+             CAST(SUM(c.n_byt) AS BIGINT) AS n_bytes,
+             ROUND(SUM(c.n_byt) * 1.0 / SUM(c.n_tok), 6) AS bytes_per_token
+      FROM toks o JOIN counts c ON c.w = o.tok
+      GROUP BY o.doc_id
+    )
+    SELECT s.doc_id, s.n_pretok, s.n_space_led, s.sum_chars, s.toks_md5,
+           st.n_tokens, st.n_bytes, st.bytes_per_token
+    FROM sig s JOIN stats st USING (doc_id)
+    """
+
+
+@register(
+    "t55_gpt2_pretokenize",
+    _t55_gpt2_sql(),
+    survey_rows="ext:text-analysis — GPT-2-EXACT byte-BPE "
+    "pretokenization (contraction suffixes, leading-space attachment, "
+    "the \\s+(?!\\S) trailing-whitespace lookahead, full-Unicode "
+    "letter/number classes), closing the round-10 verdict's tokenizer "
+    "north-star gap past t53's whitespace+CJK approximation",
+    description="GPT-2-exact pretokenization (round 11): the engine "
+    "runs the famous pattern verbatim as a JVM regexp under (?U) "
+    "(java.util.regex has the lookahead RE2 lacks); pretokens feed "
+    "byte_bpe_token_stats(pretoken_re=GPT2_PRETOKEN_RE) on the t53 "
+    "broadcast-vocab route (GPT-2 pretokens stay Heaps-bounded — "
+    "space-led forms roughly double the vocabulary). The oracle "
+    "cannot run a lookahead regex, so it IS the grammar: a "
+    "recursive-CTE position scanner with ordered CASE alternatives "
+    "(contractions before class runs, run-minus-last-char whitespace "
+    "before non-space, whole-run at EOS), proven equivalent to the "
+    "Python reference scanner and the JVM pattern by the full-BMP "
+    "whitespace probe + hypothesis matrix (tests/test_gpt2_pretoken."
+    "py). Output pins the ORDERED token sequence per document (md5 "
+    "over unit-separator-joined pretokens) plus space-led/char-sum "
+    "counts and the byte-BPE token/byte totals. The signature rides "
+    "the scan (zero shuffle); the BPE side keeps t53's zero-exchange "
+    "broadcast join; the doc-keyed sig⋈stats join is AQE-sized.",
+)
+def t55_gpt2_pretokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.gpt2 import GPT2_PRETOKEN_RE
+    from ..operators.text import byte_bpe_token_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.coalesce(F.col("text"), F.lit(""))
+    case = F.lit("")
+    for lang, suffix in reversed(_T55_AUG):
+        case = F.when(F.col("lang") == lang, F.lit(suffix)).otherwise(case)
+    docs = docs.select("doc_id", F.concat(aug, case).alias("aug_text"))
+    stats = byte_bpe_token_stats(
+        docs, text_col="aug_text", pretoken_re=GPT2_PRETOKEN_RE
+    )
+    sig = docs.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.col("aug_text"), F.lit(GPT2_PRETOKEN_RE), 0
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        F.expr("cast(size(filter(p, x -> startswith(x, ' '))) as long)").alias(
+            "n_space_led"
+        ),
+        F.expr("cast(aggregate(p, 0L, (a, x) -> a + length(x)) as long)").alias(
+            "sum_chars"
+        ),
+        F.md5(F.concat_ws("\x1f", F.col("p")).cast("binary")).alias(
+            "toks_md5"
+        ),
+    )
+    return stats.join(sig, "doc_id").select(
+        "doc_id", "n_pretok", "n_space_led", "sum_chars", "toks_md5",
+        "n_tokens", "n_bytes", "bytes_per_token",
+    )
+
+
+def _t56_bpe_train_sql(k: int = 5) -> str:
+    """Unrolled BPE merge-training oracle (the g1 unrolled-iteration
+    discipline): k chained CTE blocks, each = weighted OVERLAPPING
+    adjacent-pair counts over the doubled-separator segmentation,
+    argmax with the (count DESC, pa, pb) tie-break, then ONE plain
+    ``replace`` applying the merge left-to-right-greedily (the
+    doubled-separator encoding makes resume-after-replacement exactly
+    L2R greedy, self-pairs included — operators/bpe_train.py module
+    docstring; the same property tests/test_bpe_train.py pins in
+    Python). Recursion-free by construction."""
+    parts = [
+        """
+    d AS (SELECT lower(COALESCE(text, '')) AS t FROM documents),
+    occ AS (SELECT unnest(regexp_extract_all(t, '[a-z]+')) AS w FROM d),
+    v0 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM occ GROUP BY w),
+    s0 AS (SELECT cnt, regexp_replace(w, '(.)', '|\\1|', 'g') AS s FROM v0)"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(f"""
+    p{i} AS (
+      SELECT split_part(pr, chr(9), 1) AS pa,
+             split_part(pr, chr(9), 2) AS pb,
+             SUM(cnt) AS pc
+      FROM (
+        SELECT cnt,
+               unnest(list_transform(range(1, len(l)),
+                                     x -> l[x] || chr(9) || l[x + 1])) AS pr
+        FROM (SELECT cnt, str_split(trim(s, '|'), '||') AS l FROM s{i - 1})
+      )
+      GROUP BY pa, pb
+    ),
+    m{i} AS (SELECT pa, pb, pc FROM p{i}
+             ORDER BY pc DESC, pa ASC, pb ASC LIMIT 1),
+    s{i} AS (
+      SELECT v.cnt,
+             replace(v.s, '|' || m.pa || '||' || m.pb || '|',
+                     '|' || m.pa || m.pb || '|') AS s
+      FROM s{i - 1} v, m{i} m
+    ),
+    t{i} AS (
+      SELECT CAST(SUM(cnt * ((length(s) - length(replace(s, '|', ''))) // 2))
+                  AS BIGINT) AS tok
+      FROM s{i}
+    )""")
+    unions = "\n    UNION ALL\n".join(
+        f"""    SELECT {i} AS it, m.pa AS sym_a, m.pb AS sym_b,
+           CAST(m.pc AS BIGINT) AS pair_cnt, t.tok AS vocab_tokens
+    FROM m{i} m, t{i} t"""
+        for i in range(1, k + 1)
+    )
+    return "    WITH" + ",".join(parts) + "\n" + unions
+
+
+@register(
+    "t56_bpe_train_merges",
+    _t56_bpe_train_sql(),
+    survey_rows="ext:text-analysis — BPE merge-table TRAINING (the "
+    "full Sennrich learn loop t33's single iteration starts: count "
+    "pairs -> take best -> re-segment -> repeat), closing the "
+    "round-10 verdict's apply-side-only gap",
+    description="BPE merge training (round 11): k=5 learn iterations "
+    "over the distinct-word vocabulary with occurrence weights "
+    "(collapse-first — the Python-free loop runs on vocab-sized data, "
+    "Heaps-bounded at 100 TB). Each iteration is one map-combined "
+    "pair-count shuffle + a ONE-ROW argmax collect (inherent to BPE "
+    "training: each round's counts depend on the previous merge), "
+    "then a JVM literal replace re-segments via the doubled-separator "
+    "encoding ('|c||a||t|'), whose resume-after-replacement semantics "
+    "IS left-to-right greedy merging, self-pairs included. Pair "
+    "counts are OVERLAPPING (Sennrich posture: 'aaa' contributes "
+    "(a,a) twice); ties break (count DESC, pair ASC) identically in "
+    "both engines. Output per iteration: the learned pair, its count, "
+    "and the occurrence-weighted corpus token total AFTER the merge — "
+    "pinning the apply side of every round, not just the argmax. The "
+    "oracle unrolls the k iterations as plain chained CTEs with the "
+    "identical replace (recursion-free); the learned table fed back "
+    "through bpe_apply_symbols reproduces the segmentation "
+    "(tests/test_bpe_train.py).",
+)
+def t56_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe_train import bpe_train_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_train_merges(docs, k=5)
+
+
+@register(
+    "mm41_sitemap_discovery",
+    """
+    WITH d AS (
+      SELECT doc_id, (doc_id // 10) % 4 AS v
+      FROM documents WHERE doc_id % 10 = 0
+    ),
+    locs AS (
+      SELECT doc_id, v,
+        CASE v
+          WHEN 0 THEN [
+            'http://example.com/doc/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2',
+            'http://example.com/doc/' || CAST(doc_id AS VARCHAR) || '/x',
+            'http://example.com/doc/~user/' || CAST(doc_id AS VARCHAR)]
+          WHEN 1 THEN [
+            'http://example.com/sm/' || CAST(doc_id AS VARCHAR) || '-1.xml',
+            'http://example.com/sm/' || CAST(doc_id AS VARCHAR) || '-2.xml']
+          WHEN 2 THEN [
+            'http://example.com/doc/' || CAST(doc_id AS VARCHAR) || '/a',
+            'http://example.com/doc/' || CAST(doc_id AS VARCHAR) || '/b']
+          ELSE [
+            'http://example.com/doc/' || CAST(doc_id AS VARCHAR) || '?x=~&y=2']
+        END AS l
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_directives,
+           'http://example.com/sm/' || CAST(doc_id AS VARCHAR) || '.xml'
+             AS first_sitemap,
+           CASE v WHEN 1 THEN 'sitemapindex' ELSE 'urlset' END AS kind,
+           CAST(len(l) AS BIGINT) AS n_locs,
+           l[1] AS first_loc,
+           md5(array_to_string(l, chr(31))) AS locs_md5
+    FROM locs
+    """,
+    survey_rows="ext:training-data ingestion — sitemap discovery "
+    "(robots.txt Sitemap directives + urlset/sitemapindex XML "
+    "parsing + canonicalized frontier URLs), completing the "
+    "fetch-side frontier beside mm36's redirects (round-10 verdict "
+    "item 5)",
+    description="Sitemap discovery (round 11): archives carry a "
+    "robots.txt advertising two Sitemap directives (the first messy — "
+    "uppercase scheme/host, default port) plus the sitemap document "
+    "itself, rotating the protocol's real shapes: entity-escaped / "
+    "whitespace+dot-segment / percent-encoded locs; a sitemapindex of "
+    "child sitemaps; lastmod/changefreq/priority noise elements; a "
+    "GZIP-SERVED urlset (Content-Encoding: gzip — .xml.gz) decoded "
+    "through the same HTTP chain as mm34 bodies. Every discovered URL "
+    "canonicalizes through the RFC 3986 normalizer mm30/mm36 use, so "
+    "sitemap URLs, redirect targets and crawled URLs compare equal in "
+    "the frontier; the md5 over unit-separator-joined canonical locs "
+    "pins the FULL list. The oracle re-derives every canonical URL as "
+    "constants of the doc id. One Arrow pass, zero shuffle.",
+)
+def mm41_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_sitemap_warc_payloads,
+        sitemap_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = sitemap_features(attach_sitemap_warc_payloads(docs))
+    return feats.select(
+        "doc_id", "n_directives", "first_sitemap", "kind", "n_locs",
+        "first_loc", "locs_md5",
+    )
+
+
+@register(
+    "mm42_warc_revisit_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             doc_id % 30 <> 0 AS dup,
+             (doc_id // 30) * 30 AS leader,
+             doc_id // 30 AS g
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT doc_id,
+           CAST(CASE WHEN dup THEN 2 ELSE 1 END AS BIGINT) AS n_records,
+           dup AS is_revisit,
+           CAST(CASE WHEN dup THEN leader END AS BIGINT) AS refers_to_doc,
+           CASE WHEN dup THEN TRUE END AS digest_ok,
+           md5('shared corpus text for group ' || CAST(g AS VARCHAR))
+             AS resolved_md5
+    FROM d
+    """,
+    survey_rows="ext:training-data ingestion — WARC revisit records "
+    "(ISO 28500 §6.7.2 identical-payload-digest profile): write-side "
+    "dedup-by-reference and read-side payload reconstruction, the "
+    "Common Crawl archive dedup mechanism (round-10 verdict item 6)",
+    description="WARC revisit round trip (round 11): docs form "
+    "3-member duplicate groups sharing one payload; each archive "
+    "stores the group leader's FULL response (with its sha1-base32 "
+    "payload digest) and — for non-leaders — a revisit record "
+    "referencing the leader (WARC-Profile identical-payload-digest, "
+    "WARC-Refers-To + Refers-To-Target-URI/Date, block = HTTP headers "
+    "only, payload elided) — t54's first-capture-owns dedup decision "
+    "in the archive format. The reader re-links each revisit to the "
+    "referenced response, verifies the declared digest against the "
+    "recomputed payload digest, and reconstructs the usable payload "
+    "(md5-pinned against the group constant). Both archive layouts "
+    "rotate (per-record gzip members / plain concatenation). The "
+    "oracle re-derives membership, reference, digest verdict and "
+    "resolved-payload md5 as constants of the doc id. One Arrow "
+    "pass, zero shuffle; cross-file resolution at scale is a join on "
+    "the emitted refers_to id.",
+)
+def mm42_warc_revisit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import (
+        attach_revisit_warc_payloads,
+        revisit_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    feats = revisit_features(attach_revisit_warc_payloads(docs))
+    return feats.select(
+        "doc_id", "n_records", "is_revisit", "refers_to_doc", "digest_ok",
+        "resolved_md5",
     )
