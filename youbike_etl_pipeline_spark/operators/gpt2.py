@@ -70,18 +70,16 @@ GPT2_PRETOKEN_RE = (
 #: What java.util.regex ``\s`` matches under (?U) — the engine's
 #: operative whitespace class, pinned EMPIRICALLY against the JVM over
 #: the whole BMP (tests/test_gpt2_pretoken.py probes every codepoint:
-#: the scanner must match the ENGINE, not a spec paraphrase): the
-#: Unicode White_Space property plus U+001C–001F, which the JDK adds
-#: (Pattern docs: \s under UNICODE_CHARACTER_CLASS is
-#: ``[\t\n\x0B\f\r\x1C-\x1F\x85\p{Z}]`` — note \p{Z} excludes none of
-#: the property set because U+0085 is listed explicitly). The GPT-2
-#: `regex` module's \s differs on exactly U+001C–001F vs this set; the
-#: fixture and hypothesis alphabets avoid those four controls, so both
-#: definitions agree everywhere exercised.
+#: the scanner must match the ENGINE, not a spec paraphrase): exactly
+#: the 25-codepoint Unicode White_Space property (\p{IsWhite_Space}).
+#: Notably this EXCLUDES U+001C-001F (file/group/record/unit
+#: separators), which Python's `re` \s DOES match — the fixture and
+#: hypothesis alphabets avoid those four controls, and the JVM class
+#: is the one the engine runs.
 WHITESPACE = frozenset(
-    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0 "
-    "           "
-    "    　"
+    "\t\n\x0b\x0c\r \x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000"
 )
 
 _CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")

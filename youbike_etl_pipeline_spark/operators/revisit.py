@@ -161,9 +161,11 @@ def resolve_revisits(payload: bytes) -> "list[dict]":
 
     - ``uri``, ``is_revisit``,
     - ``refers_to`` (referenced record id, revisits only),
-    - ``digest_ok`` — the revisit's declared payload digest equals the
-      recomputed digest of the referenced response's payload (None when
-      the reference is not in this archive, or for originals),
+    - ``digest_ok`` — the record's declared payload digest equals the
+      recomputed digest of the governing payload: for a response, its
+      own block's payload; for a revisit, the referenced response's
+      payload (None when no digest is declared, or when a revisit's
+      reference is not in this archive),
     - ``payload`` — the USABLE payload after dedup resolution: the
       record's own for responses, the referenced response's for
       resolvable revisits (None otherwise)."""
@@ -195,7 +197,11 @@ def resolve_revisits(payload: bytes) -> "list[dict]":
             "payload": None,
         }
         if rtype == "response":
-            row["payload"] = _http_payload(r["block"])
+            body = _http_payload(r["block"])
+            row["payload"] = body
+            declared = header(r, "warc-payload-digest")
+            if declared is not None:
+                row["digest_ok"] = declared == payload_digest(body)
         else:
             ref_id = (header(r, "warc-refers-to") or "").strip("<>")
             row["refers_to"] = ref_id or None

@@ -19430,7 +19430,7 @@ def mm41_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CASE WHEN dup THEN 2 ELSE 1 END AS BIGINT) AS n_records,
            dup AS is_revisit,
            CAST(CASE WHEN dup THEN leader END AS BIGINT) AS refers_to_doc,
-           CASE WHEN dup THEN TRUE END AS digest_ok,
+           TRUE AS digest_ok,
            md5('shared corpus text for group ' || CAST(g AS VARCHAR))
              AS resolved_md5
     FROM d
@@ -19446,9 +19446,10 @@ def mm41_sitemap_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "referencing the leader (WARC-Profile identical-payload-digest, "
     "WARC-Refers-To + Refers-To-Target-URI/Date, block = HTTP headers "
     "only, payload elided) — t54's first-capture-owns dedup decision "
-    "in the archive format. The reader re-links each revisit to the "
-    "referenced response, verifies the declared digest against the "
-    "recomputed payload digest, and reconstructs the usable payload "
+    "in the archive format. The reader verifies EVERY declared digest "
+    "— a response's against its own payload, a revisit's against the "
+    "referenced response's payload after re-linking — and "
+    "reconstructs the usable payload "
     "(md5-pinned against the group constant). Both archive layouts "
     "rotate (per-record gzip members / plain concatenation). The "
     "oracle re-derives membership, reference, digest verdict and "
