@@ -198,11 +198,32 @@ def _expand_collapsed_pairs(
     return cross.unionByName(intra.select(*cross.columns))
 
 
-def shingle_index(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3) -> DataFrame:
+def shingle_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    widen: bool = True,
+) -> DataFrame:
     """Inverted index: one row per (doc, distinct word-k-shingle). Tokens
     are materialized as a projection first so the shingle lambda reads an
-    O(1) array reference (see word_shingles_from_tokens)."""
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    O(1) array reference (see word_shingles_from_tokens).
+
+    ``widen`` (default on) routes the input through
+    :func:`..skew.widen_narrow_scan` before the tokenize+shingle map: the
+    per-row work here (regex tokenize, k-gram explode, and the md5 per
+    shingle most callers chain on) is the expensive part, and a
+    single-row-group parquet input would otherwise run it all on one core
+    (r11 profile: the index-build job was 1.0–1.5 s single-task in every
+    dedup-family query at sf0.1). No-op when the scan is already wide;
+    callers inside foreachBatch (micro-batch inputs) pass ``widen=False``.
+    """
+    base = df.select(F.col(id_col), F.col(text_col))
+    if widen:
+        from .skew import widen_narrow_scan
+
+        base = widen_narrow_scan(base)
+    toks = base.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
     return toks.select(
         F.col(id_col), F.explode(word_shingles_from_tokens(F.col("__toks"), k)).alias("shingle")
     )
@@ -630,6 +651,7 @@ def portable_lsh_index(
     num_hashes: int = 32,
     bands: int = 8,
     checkpoint: bool = True,
+    widen: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Build the three frames of the portable MinHash-LSH index for ``df``:
     ``(hidx, banded, cnt)`` — the distinct (id, shingle-hash) set, the
@@ -646,7 +668,7 @@ def portable_lsh_index(
             "or ragged band silently degrades the candidate join (empty "
             "band keys collide universally: an n² cross product)"
         )
-    idx = shingle_index(df, text_col, id_col, k)
+    idx = shingle_index(df, text_col, id_col, k, widen=widen)
     hidx = idx.select(
         F.col(id_col), portable_shingle_base(F.col("shingle")).alias("sh")
     ).distinct()

@@ -78,6 +78,47 @@ def salted_join(
     return joined.drop("__salt")
 
 
+def widen_narrow_scan(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition immediately after a NARROW scan, before
+    expensive per-row work (tokenize + per-shingle md5, codec decode, …).
+
+    Optimization-guide §2.5 ("Input skew: one huge unsplittable file …
+    otherwise repartition immediately after the read"): a parquet file is
+    splittable only at row-group boundaries, so a single-row-group file
+    yields ONE working task no matter how small ``maxPartitionBytes`` is —
+    every downstream map in the stage then runs on one core while the rest
+    of the cluster idles. One round-robin shuffle of the raw rows unlocks
+    full parallelism for the heavy map that follows; it only pays when the
+    per-row work dominates the one extra pass over the bytes.
+
+    Scale posture: returns ``df`` unchanged when the input already has ≥
+    ``target`` partitions — at 100 TB the scan is thousands of row groups
+    wide and this is a no-op; the shuffle fires exactly in the
+    few-files-many-cores regime it exists for. ``target`` defaults to the
+    cluster's ``defaultParallelism`` (core count locally, executor cores on
+    a cluster), so the decision adapts to the session instead of baking in
+    a local constant.
+    """
+    spark = df.sparkSession
+    tgt = target or spark.sparkContext.defaultParallelism
+    if tgt <= 1:
+        return df
+    # Scan width is measured from the source FILE list, not
+    # ``rdd.getNumPartitions()``: the latter compiles the plan without AQE,
+    # so a post-shuffle/joined frame reports the static shuffle-partition
+    # count (e.g. 32) while at runtime AQE coalesces it back down to the
+    # handful of scan partitions (a broadcast join preserves the probe
+    # side's partitioning) — the r11 profile caught exactly that: a
+    # collapse-then-tokenize pipeline claimed 32 partitions and ran on 3.
+    # File count is AQE-immune and errs toward widening only on few-file
+    # inputs, which is precisely the pathology this guards.
+    files = df.inputFiles()
+    width = len(files) if files else df.rdd.getNumPartitions()
+    if width >= tgt:
+        return df
+    return df.repartition(tgt)
+
+
 def parquet_row_count(path: str) -> int:
     """Exact row count from parquet FOOTERS only — no data pages read, no
     Spark job. Handles both a single file and a Spark-style output

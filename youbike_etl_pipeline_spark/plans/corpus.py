@@ -9128,29 +9128,40 @@ def g1_item_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("i").alias("src"), F.col("j").alias("dst")).unionByName(
         pairs.select(F.col("j").alias("src"), F.col("i").alias("dst"))
     )
-    # small graph here; a billion-edge run would localCheckpoint(edges)
+    # Materialize the edge list ONCE: edges feeds deg, nodes, nn and every
+    # loop iteration, and without lineage truncation each of the 3 chained
+    # pr steps re-plans and re-executes the whole events->ui->pairs subtree
+    # (measured: 96 parquet scans / 244 Exchanges in the r11-start plan,
+    # 3638 plan lines -> planning time alone dominated the query). The
+    # checkpoint is one extra job; every consumer after it reads the
+    # edge-sized cached partitions. Same fix a billion-edge run needs.
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg rides along on the edge row so the loop's per-iteration join count
+    # drops from 3 (edges ⋈ pr ⋈ deg ⋈ nn) to 1 (edges_deg ⋈ pr): deg was
+    # being re-aggregated from edges inside EVERY iteration, and nn (the
+    # node count) re-counted — both are loop constants. n becomes a driver
+    # scalar (one count job over the checkpointed frame, constant-size
+    # result) spliced in as a literal, arithmetic unchanged.
+    edges = edges.join(deg, "src").localCheckpoint(eager=True)
     nodes = edges.select(F.col("src").alias("item")).distinct()
-    nn = nodes.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    pr = nodes.crossJoin(F.broadcast(nn)).select(
-        "item", (F.floor(F.lit(1000000) / F.col("n")) / F.lit(1000000.0)).alias("pr")
+    n = float(nodes.count())
+    pr = nodes.select(
+        "item", (F.floor(F.lit(1000000) / F.lit(n)) / F.lit(1000000.0)).alias("pr")
     )
     share = F.floor(F.col("pr") / F.col("deg") * 1000000) / F.lit(1000000.0)
     for _ in range(3):
         pr = (
             edges.join(pr, edges.src == pr.item)
-            .join(deg, "src")
-            .crossJoin(F.broadcast(nn))
-            .select(F.col("dst"), F.col("n"), share.alias("share"))
-            .groupBy("dst", "n")
+            .select(F.col("dst"), share.alias("share"))
+            .groupBy("dst")
             .agg(F.sum(F.col("share").cast("decimal(27,6)")).cast("double").alias("mass"))
             .select(
                 F.col("dst").alias("item"),
-                q6(F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("mass")).alias("pr"),
+                q6(F.lit(0.15) / F.lit(n) + F.lit(0.85) * F.col("mass")).alias("pr"),
             )
         )
     return (
-        pr.join(deg, pr.item == deg.src)
+        pr.join(edges.select("src", "deg").distinct(), pr.item == F.col("src"))
         .select("item", "deg", "pr")
         .orderBy(F.desc("pr"), "item")
         .limit(20)
@@ -14803,39 +14814,74 @@ def _e8_oracle_sql(iters: int = 4) -> str:
 )
 def e8_power_iteration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    xs = emb.select(
-        "vec_id", F.posexplode("embedding").alias("j0", "xf")
-    ).select(
-        "vec_id",
-        (F.col("j0") + 1).alias("j"),
-        F.floor(F.col("xf").cast("double") * 1000).cast("long").alias("xq"),
-    )
-    cmat = (
-        xs.toDF("vec_id", "j", "a")
-        .join(xs.toDF("vec_id", "k", "b"), "vec_id")
+
+    # Gram matrix via per-partition integer matmul (AᵀA partials) instead of
+    # the 64×-exploding posexplode self-join: the old plan shuffled
+    # n_vecs × dim rows into a SortMergeJoin, expanded to n_vecs × dim² rows
+    # through codegen, and aggregated; numpy's int64 matmul does the same
+    # exact arithmetic inside one Arrow batch, so only dim² partial cells
+    # per partition cross the exchange (guide §2.3: aggregate before you
+    # shuffle — this is the map-side combine of the join formulation). A
+    # sentinel cell (j=k=−1) carries each partition's row count so n_vecs
+    # rides the same single pass. Quantization mirrors the old expression
+    # bit-for-bit: float32 → float64 (exact) → ×1000.0 → floor → int64.
+    def gram_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        total = None
+        nrows = 0
+        for b in batches:
+            nrows += b.num_rows
+            if b.num_rows == 0:
+                continue
+            la = b.column(0)
+            if la.null_count:  # pragma: no cover - generated data has no nulls
+                rows = [r for r in la.to_pylist() if r is not None]
+                q = np.floor(np.asarray(rows, dtype=np.float64) * 1000.0).astype(np.int64)
+            else:
+                flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+                q = np.floor(flat * 1000.0).astype(np.int64).reshape(b.num_rows, -1)
+            g = q.T @ q
+            total = g if total is None else total + g
+        js, ks, cs = [-1], [-1], [nrows]
+        if total is not None:
+            d = total.shape[0]
+            idx = np.arange(1, d + 1, dtype=np.int32)
+            js.extend(np.repeat(idx, d).tolist())
+            ks.extend(np.tile(idx, d).tolist())
+            cs.extend(total.reshape(-1).tolist())
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(js, type=pa.int32()),
+                pa.array(ks, type=pa.int32()),
+                pa.array(cs, type=pa.int64()),
+            ],
+            names=["j", "k", "c"],
+        )
+
+    cells = (
+        emb.select("embedding")
+        .mapInArrow(gram_batches, "j int, k int, c long")
         .groupBy("j", "k")
-        .agg(F.sum(F.col("a") * F.col("b")).cast("long").alias("c"))
-        .localCheckpoint()
+        .agg(F.sum("c").cast("long").alias("c"))
+        .collect()
     )
-    n_vecs = emb.count()
-    trace = cmat.filter(F.col("j") == F.col("k")).agg(
-        F.sum("c").cast("long").alias("trace")
-    ).collect()[0].trace
-    # 64-row iterate: driver-held list, matrix held distributed — each
-    # step is one broadcast join + aggregation; collect is 64 rows.
+    n_vecs = sum(r.c for r in cells if r.j == -1)
+    cmat = {(r.j, r.k): r.c for r in cells if r.j != -1}
+    trace = sum(c for (j, k), c in cmat.items() if j == k)
+    # The iterate AND the dim²-cell gram matrix are constant-size (64×64
+    # longs) regardless of corpus scale, so the 4 power-iteration steps run
+    # on the driver in exact Python ints — the per-step broadcast-join +
+    # collect round trips (5 distributed jobs over a 4096-row frame) are
+    # gone; arithmetic is unchanged.
     v = {j: 1 for j in range(1, 65)}
     num = den = None
     for _ in range(4):
-        vdf = spark.createDataFrame(
-            [(j, x) for j, x in v.items()], schema="k long, x long"
-        )
-        w_rows = (
-            cmat.join(F.broadcast(vdf), "k")
-            .groupBy("j")
-            .agg(F.sum(F.col("c") * F.col("x")).cast("long").alias("w"))
-            .collect()
-        )
-        w = {r.j: r.w for r in w_rows}
+        w: dict[int, int] = {}
+        for (j, k), c in cmat.items():
+            if k in v:
+                w[j] = w.get(j, 0) + c * v[k]
         num = sum(v[j] * w[j] for j in w)
         den = sum(x * x for x in v.values())
         d = max(1, max(abs(x) for x in w.values()) // 1000)

@@ -182,7 +182,8 @@ def neardup_gate_foreach_batch(
 
     def handle(batch: DataFrame, epoch_id: int) -> None:
         b_hidx, b_banded, b_cnt = portable_lsh_index(
-            batch, k=k, num_hashes=num_hashes, bands=bands, checkpoint=False
+            batch, k=k, num_hashes=num_hashes, bands=bands, checkpoint=False,
+            widen=False,  # micro-batches are small; a per-batch shuffle loses
         )
         cands = (
             b_banded.toDF("id_a", "band_idx", "band_key")
