@@ -63,6 +63,26 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Widen a narrow input before the Python-heavy mapInPandas stage.
+
+    Every attach_* below hands rows to Python workers for codec/encode
+    work that costs orders of magnitude more per row than the bytes moved;
+    a single-row-group parquet input runs all of it on one core (guide
+    §2.5 — repartition immediately after the read). Applied only at the
+    (id[, text]) attach entry points — narrow projections whose shuffle is
+    nearly free; the payload-input decode_* stages are NOT widened: they
+    are fed by attach outputs that already carry the widened partitioning,
+    and re-shuffling payload bytes there would undo the
+    move-heavy-bytes-once rule (guide §8). No-op whenever the input is
+    already as wide as the cluster (at 100 TB scans are thousands of row
+    groups wide). See skew.widen_narrow_scan for the decision rule.
+    """
+    from .skew import widen_narrow_scan
+
+    return widen_narrow_scan(df)
+
+
 def attach_media_columns(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Wrap a text table into the media contract for testing: payload =
     utf-8 bytes of the text, metadata struct populated deterministically.
@@ -1675,7 +1695,7 @@ def attach_ppm_payloads(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
 
-    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
 
 
 def attach_ppm_payloads_neardup(
@@ -1711,7 +1731,7 @@ def attach_ppm_payloads_neardup(
                 payloads.append(bytearray(encode_ppm(flat.reshape(height, width, 3))))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
 
 
 #: (doc_id, hash_hi, hash_lo) — the 64-bit perceptual hash split into two
@@ -2306,7 +2326,7 @@ def attach_wav_payloads(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
 
-    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
 
 
 def attach_g711_payloads(
@@ -2356,7 +2376,7 @@ def attach_g711_payloads(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
 
-    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
 
 
 def attach_adpcm_payloads(
@@ -2406,7 +2426,7 @@ def attach_adpcm_payloads(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
 
-    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
 
 
 def attach_msadpcm_payloads(
@@ -2466,7 +2486,7 @@ def attach_msadpcm_payloads(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
 
-    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
 
 
 def attach_float_wav_payloads(
@@ -2515,7 +2535,7 @@ def attach_float_wav_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
 
 
 def attach_stereo_wav_payloads(
@@ -2552,7 +2572,7 @@ def attach_stereo_wav_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
 
 
 #: Per-channel feature schema for multichannel audio
@@ -2674,7 +2694,7 @@ def attach_flac_payloads(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
 
-    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
 
 
 AUDIO_FEATURES = T.StructType(
@@ -2910,7 +2930,7 @@ def attach_video_frames(
                 {"doc_id": ids, "frame_idx": idxs, "frame": frames}
             )
 
-    return df.select(id_col).mapInPandas(fn, schema=VIDEO_FRAME_SCHEMA)
+    return _widen(df.select(id_col)).mapInPandas(fn, schema=VIDEO_FRAME_SCHEMA)
 
 
 def encode_avi_mjpeg(
@@ -3155,7 +3175,7 @@ def attach_avi_av_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
 
 
 def decode_av_features(
@@ -3255,7 +3275,7 @@ def attach_warc_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return df.select(id_col, text_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col, text_col)).mapInPandas(fn, schema=out_schema)
 
 
 def parse_warc_features(
@@ -3411,7 +3431,7 @@ def attach_html_warc_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return df.select(id_col, text_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col, text_col)).mapInPandas(fn, schema=out_schema)
 
 
 def extract_html_features(
@@ -3599,7 +3619,7 @@ def attach_boilerplate_warc_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return df.select(id_col, text_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col, text_col)).mapInPandas(fn, schema=out_schema)
 
 
 #: main-content detection output (mm35)
@@ -3879,7 +3899,7 @@ def attach_crawl_segment_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return df.select(id_col, text_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col, text_col)).mapInPandas(fn, schema=out_schema)
 
 
 #: crawl admission decision (mm38)
@@ -4041,7 +4061,7 @@ def wet_conversion_features(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col, text_col)).mapInPandas(fn, schema=out_schema)
 
 
 def attach_status_warc_payloads(
@@ -4130,7 +4150,7 @@ def attach_status_warc_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
 
 
 #: HTTP status / redirect-frontier features (mm36)
@@ -4270,7 +4290,7 @@ def attach_crawl_url_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
 
 
 def canonicalize_url_features(
@@ -4386,7 +4406,7 @@ def attach_robots_warc_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
 
 
 def robots_policy_features(
@@ -4511,7 +4531,7 @@ def attach_webdataset_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return df.select(id_col, text_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col, text_col)).mapInPandas(fn, schema=out_schema)
 
 
 def read_webdataset_members(payload: bytes) -> "dict[str, bytes]":
@@ -4709,7 +4729,7 @@ def attach_avi_payloads(
             T.StructField("payload", T.BinaryType(), True),
         ]
     )
-    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
 
 
 def decode_video_channel_sums(
@@ -4924,7 +4944,7 @@ def attach_sitemap_warc_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
 
 
 #: sitemap-discovery features (mm41)
@@ -5084,7 +5104,7 @@ def attach_revisit_warc_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return df.select(id_col).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
 
 
 #: revisit-record features (mm42)

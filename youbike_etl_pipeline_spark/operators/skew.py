@@ -99,6 +99,10 @@ def widen_narrow_scan(df: DataFrame, target: int | None = None) -> DataFrame:
     a cluster), so the decision adapts to the session instead of baking in
     a local constant.
     """
+    if df.isStreaming:
+        # no static width to inspect (and .rdd/.inputFiles are illegal on a
+        # streaming frame); micro-batch parallelism is the trigger's concern
+        return df
     spark = df.sparkSession
     tgt = target or spark.sparkContext.defaultParallelism
     if tgt <= 1:

@@ -317,10 +317,18 @@ def countmin_partials_foreach_batch(
     def handle(batch: DataFrame, epoch_id: int) -> None:
         item = F.try_variant_get(F.try_parse_json("props"), "$.k", "int")
         it = batch.select(item.alias("item")).filter(F.col("item").isNotNull())
-        hashed = it.select(
-            "item",
+        # count per distinct item FIRST, then hash each item once and
+        # count-weight the cells — identical to hashing every occurrence
+        # (cell count = Σ item counts hashing into it) with the md5 cost
+        # cut from rows×|batch| to rows×|distinct items| (a23 does the
+        # same; the merge-by-addition property is untouched)
+        per_item = it.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+        hashed = per_item.select(
+            "n",
             F.explode(F.array(*[F.lit(j) for j in range(1, rows + 1)])).alias("j"),
+            F.col("item"),
         ).select(
+            "n",
             "j",
             F.pmod(
                 md5_token_hash64(F.concat_ws(":", F.col("j"), F.col("item"))),
@@ -329,7 +337,7 @@ def countmin_partials_foreach_batch(
             .cast("long")
             .alias("bucket"),
         )
-        cells = hashed.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+        cells = hashed.groupBy("j", "bucket").agg(F.sum("n").alias("cnt"))
         sink.append((epoch_id, cells.collect()))
 
     q = stream_events.writeStream.foreachBatch(handle).outputMode("append").start()
