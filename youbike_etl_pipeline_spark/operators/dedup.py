@@ -230,11 +230,18 @@ def shingle_index(
 
 
 def shingle_hash_index(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    widen: bool = True,
 ) -> DataFrame:
     """One row per (doc, xxhash64(shingle)) — MinHash/verify input, built on
-    the materialized-token projection."""
-    idx = shingle_index(df, text_col, id_col, k)
+    the materialized-token projection. ``widen`` threads through to
+    :func:`shingle_index` — foreachBatch callers on micro-batch frames must
+    pass ``False`` (batch frames are static, so the isStreaming guard does
+    NOT protect them — round-11 advice item 4)."""
+    idx = shingle_index(df, text_col, id_col, k, widen=widen)
     return idx.select(F.col(id_col), F.xxhash64("shingle").alias("sh"))
 
 
@@ -246,8 +253,11 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     exact_dedup_first: bool = True,
+    widen: bool = True,
 ) -> DataFrame:
     """All document pairs with word-k-gram Jaccard ≥ threshold.
+    ``widen`` threads to :func:`shingle_index` (foreachBatch callers on
+    micro-batch frames pass ``False`` — round-11 advice item 4).
 
     |A∩B| via self-join of the inverted index; |A∪B| = |A|+|B|−|A∩B|.
     ``max_doc_freq`` drops shingles appearing in more than that many docs —
@@ -275,7 +285,7 @@ def ngram_jaccard_pairs(
     mapping = None
     if exact_dedup_first:
         df, mapping = _exact_collapse(df, text_col, id_col)
-    idx = shingle_index(df, text_col, id_col, k)
+    idx = shingle_index(df, text_col, id_col, k, widen=widen)
     if max_doc_freq is not None:
         if mapping is not None:
             # full-corpus doc-frequency = rep doc-frequency weighted by
@@ -328,6 +338,7 @@ def prefix_filter_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     exact_dedup_first: bool = True,
+    widen: bool = True,
 ) -> DataFrame:
     """All document pairs with word-k-gram Jaccard ≥ threshold, computed
     EXACTLY via prefix filtering (Bayardo/Chaudhuri all-pairs similarity):
@@ -367,7 +378,7 @@ def prefix_filter_jaccard_pairs(
     mapping = None
     if exact_dedup_first:
         df, mapping = _exact_collapse(df, text_col, id_col)
-    idx = shingle_index(df, text_col, id_col, k).localCheckpoint(eager=True)
+    idx = shingle_index(df, text_col, id_col, k, widen=widen).localCheckpoint(eager=True)
     dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     w_doc = Window.partitionBy(id_col).orderBy("__df", "shingle")
     ranked = (
@@ -392,36 +403,83 @@ def prefix_filter_jaccard_pairs(
     g = math.gcd(num_r, den_r)
     num_r, den_r = num_r // g, den_r // g
     ceil_tau_n = F.expr(f"(__n * {num_r} + {den_r - 1}) div {den_r}").cast("int")
+    # Keep (rank, size) on the prefix rows — the PPJoin-style candidate
+    # filters below need them — and MATERIALIZE the pruned prefix frame:
+    # it feeds both self-join sides, and without the checkpoint the whole
+    # ranked subtree (idx ⋈ dfreq + two windows) compiles and executes
+    # twice (r12 profile: two full Window chains in the executed plan).
     prefix = ranked.filter(
         F.col("__rn") <= F.col("__n") - ceil_tau_n + 1
-    ).select(id_col, "shingle")
+    ).select(id_col, "shingle", "__rn", "__n")
+    if not prefix.isStreaming:
+        prefix = prefix.localCheckpoint(eager=True)
+    pa_ = prefix.toDF("id_a", "shingle", "__rn_a", "__n_a")
+    pb_ = prefix.toDF("id_b", "shingle", "__rn_b", "__n_b")
+    # Lossless candidate pruning (Bayardo WWW'07 / PPJoin, both implied by
+    # J ≥ τ and therefore answer-preserving — the r12 profile measured
+    # 408 k candidate pairs fanning the verify join out to 26 M rows for a
+    # 241-row answer):
+    #   size filter: τ·max(n_a,n_b) ≤ min(n_a,n_b), in exact integers via
+    #   the same floored rational τ' = num/den ≤ τ the prefix length uses
+    #   (weaker than τ ⇒ keeps every qualifying pair);
+    #   position filter: the shared-shingle count i of a qualifying pair
+    #   satisfies i ≥ ⌈τ'/(1+τ')·(n_a+n_b)⌉, and at the pair's FIRST
+    #   collision in the global rarity order (doc-local orders are
+    #   restrictions of one total order, so a first collision exists in
+    #   both prefixes simultaneously) every shared shingle sits at rank
+    #   ≥ rn in both docs, so i ≤ 1 + min(n_a−rn_a, n_b−rn_b). Pairs whose
+    #   every collision violates the bound cannot reach τ; the DISTINCT
+    #   after the filter keeps pairs whose first collision passes.
+    o_bound = F.expr(
+        f"((__n_a + __n_b) * {num_r} + {num_r + den_r - 1}) div {num_r + den_r}"
+    )
     cands = (
-        prefix.toDF("id_a", "shingle")
-        .join(prefix.toDF("id_b", "shingle"), "shingle")
+        pa_.join(pb_, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.col("__n_b") * den_r >= F.col("__n_a") * num_r)
+        .filter(F.col("__n_a") * den_r >= F.col("__n_b") * num_r)
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("__n_a") - F.col("__rn_a"), F.col("__n_b") - F.col("__rn_b")
+            )
+            >= o_bound
+        )
         .select("id_a", "id_b")
         .distinct()
     )
-    a = idx.toDF("id_a", "shingle")
-    b = idx.toDF("id_b", "shingle")
-    inter = (
-        a.join(cands, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    sa = sizes.toDF("id_a", "n_a")
-    sb = sizes.toDF("id_b", "n_b")
+    # Verify on per-doc shingle ARRAYS instead of re-exploding the index
+    # against the candidate set: the r12 profile measured the fan-out
+    # formulation (idx ⋈ cands ⋈ idx) at 8.8 M intermediate rows plus a
+    # 2×1.4 s count aggregation for 125 k candidates. One collect_list per
+    # doc (the index is distinct per (doc, shingle), so the array IS the
+    # set) and a candidate-bounded join computing
+    # size(array_intersect(...)) does the same exact counting in a single
+    # narrow pass — work is candidates × avg set size, no intermediate
+    # explosion, no extra shuffle. n_common = |A∩B| row-for-row identical
+    # to the join-count formulation.
+    arrs = idx.groupBy(id_col).agg(F.collect_list("shingle").alias("__shs"))
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     pairs = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        arrs.toDF("id_a", "__shs_a")
+        .join(F.broadcast(cands), "id_a")
+        .join(arrs.toDF("id_b", "__shs_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__shs_a", "__shs_b")).cast("long").alias("n_common"),
+            F.size("__shs_a").cast("long").alias("n_a"),
+            F.size("__shs_b").cast("long").alias("n_b"),
+        )
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "n_a", "n_b", "jaccard")
     )
     if mapping is not None:
+        # sizes re-derived from the arrays — one less aggregation over idx
+        sizes = arrs.select(
+            F.col(id_col), F.size("__shs").cast("long").alias("n_shingles")
+        )
         pairs = _expand_collapsed_pairs(pairs, mapping, sizes, with_counts=True)
     return pairs
 
@@ -547,6 +605,7 @@ def minhash_lsh_dedup(
     bands: int = 8,
     threshold: float = 0.5,
     exact_dedup_first: bool = True,
+    widen: bool = True,
 ) -> DataFrame:
     """Near-dup pairs via MinHash LSH: banded candidates verified by exact
     Jaccard of shingle-hash sets (semi-joined to candidates only, so the
@@ -567,7 +626,7 @@ def minhash_lsh_dedup(
     mapping = None
     if exact_dedup_first:
         df, mapping = _exact_collapse(df, text_col, id_col)
-    idx = shingle_hash_index(df, text_col, id_col, k).localCheckpoint(eager=True)
+    idx = shingle_hash_index(df, text_col, id_col, k, widen=widen).localCheckpoint(eager=True)
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes, index=idx)
     cands = minhash_lsh_candidates(sigs, id_col, bands)
     sizes = idx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
@@ -643,6 +702,40 @@ def portable_shingle_base(t: Column) -> Column:
     return le32.bitwiseAND(F.lit(0x3FFFFFFF))
 
 
+def _banded_from_signature(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_key) rows from a signature frame carrying the
+    ``h0..h{num_hashes-1}`` min columns — the banding step shared by
+    :func:`portable_lsh_index`, :func:`minhash_lsh_dedup_portable` and
+    :func:`sketch_accuracy_audit`. Callers validate divisibility."""
+    rows_per_band = num_hashes // bands
+    if rows_per_band < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"banding: bands ({bands}) must evenly divide num_hashes "
+            f"({num_hashes}) with >= 1 row per band — an empty or ragged "
+            "band silently degrades the candidate join (empty band keys "
+            "collide universally: an n² cross product)"
+        )
+    return sig.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"h{bi * rows_per_band + j}").cast("string")
+                            for j in range(rows_per_band)
+                        ],
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+
+
 def portable_lsh_index(
     df: DataFrame,
     text_col: str = "text",
@@ -679,23 +772,7 @@ def portable_lsh_index(
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
     sig = hidx.groupBy(id_col).agg(*mins)
-    banded = sig.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ",",
-                        *[
-                            F.col(f"h{bi * rows_per_band + j}").cast("string")
-                            for j in range(rows_per_band)
-                        ],
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
-    )
+    banded = _banded_from_signature(sig, id_col, num_hashes, bands)
     cnt = hidx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     return hidx, banded, cnt
 
@@ -726,9 +803,28 @@ def minhash_lsh_dedup_portable(
     mapping = None
     if exact_dedup_first:
         df, mapping = _exact_collapse(df, text_col, id_col)
-    hidx, banded, sizes = portable_lsh_index(
-        df, text_col, id_col, k, num_hashes, bands
+    # Round-12 restructure, same shape as sketch_accuracy_audit (guide §2.4
+    # fewer passes): ONE aggregation of the hash index yields the signature
+    # mins, the distinct-hash count AND the hash set as an array, and is
+    # checkpointed as the compact per-doc feature frame. The old shape
+    # aggregated the checkpointed index three times (signature, counts,
+    # intersection fan-out) across twice as many AQE stages.
+    idx = shingle_index(df, text_col, id_col, k)
+    hidx = idx.select(
+        F.col(id_col), portable_shingle_base(F.col("shingle")).alias("sh")
+    ).distinct()
+    mins = [
+        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+    ]
+    feat = hidx.groupBy(id_col).agg(
+        *mins,
+        F.count(F.lit(1)).alias("n_sh"),
+        F.collect_list("sh").alias("shs"),
     )
+    if not feat.isStreaming:
+        feat = feat.localCheckpoint(eager=True)
+    banded = _banded_from_signature(feat, id_col, num_hashes, bands)
     a = banded.toDF("id_a", "band_idx", "band_key")
     b = banded.toDF("id_b", "band_idx", "band_key")
     cands = (
@@ -737,25 +833,35 @@ def minhash_lsh_dedup_portable(
         .select("id_a", "id_b")
         .distinct()
     )
-    ia = hidx.toDF("id_a", "sh")
-    ib = hidx.toDF("id_b", "sh")
-    expanded = ia.join(F.broadcast(cands), "id_a")
-    inter = (
-        expanded.join(ib, ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    fa = feat.select(
+        F.col(id_col).alias("id_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("shs").alias("shs_a"),
     )
-    sa = sizes.toDF("id_a", "n_a")
-    sb = sizes.toDF("id_b", "n_b")
+    fb = feat.select(
+        F.col(id_col).alias("id_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("shs").alias("shs_b"),
+    )
     jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     pairs = (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        fa.join(F.broadcast(cands), "id_a")
+        .join(fb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            # the index is distinct per (doc, hash): the array IS the set,
+            # so size(array_intersect) = the old join-count n_common
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias("n_common"),
+            "n_a",
+            "n_b",
+        )
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
     if mapping is not None:
+        sizes = feat.select(F.col(id_col), F.col("n_sh"))
         pairs = _expand_collapsed_pairs(pairs, mapping, sizes, with_counts=False)
     return pairs
 
@@ -1139,19 +1245,37 @@ def sketch_accuracy_audit(
     """
     if exact_dedup_first:
         df, _ = _exact_collapse(df, text_col, id_col)
-    # checkpoint: hidx feeds FIVE subtrees here (banded, sig, both inter
-    # sides, cnt) — materializing it once is this file's convention (see
-    # ngram_jaccard_pairs) and saves ~5 recomputes of the tokenize+shingle
-    # scan; results are identical either way
-    hidx, banded, cnt = portable_lsh_index(
-        df, text_col, id_col, k, num_hashes=num_hashes, bands=bands,
-        checkpoint=True,
-    )
+    # Round-12 restructure (guide §2.4 fewer passes / §2.3 aggregate before
+    # shuffle): the r11 shape aggregated the checkpointed hash index FOUR
+    # times (signature inside portable_lsh_index for the banding, the same
+    # 32-min signature AGAIN here for the estimate side, per-doc counts,
+    # plus the candidate-bounded intersection fan-out join) across ~16 AQE
+    # stage jobs whose scheduling latency dominated wall-clock (r12
+    # profile: 1.5 s of executor work inside a 3.6 s wall). Now ONE
+    # aggregation computes everything per-doc — the 32 signature mins, the
+    # distinct-hash count, and the sorted hash SET as an array — and is
+    # checkpointed as the compact per-doc feature frame (n_docs × 34
+    # columns). Banding explodes from the checkpointed mins; the audit is
+    # one candidate-bounded join of two feature rows per pair, with the
+    # exact intersection via size(array_intersect(...)) — row-for-row the
+    # same n_common as the old join-count formulation (the index is
+    # distinct per (doc, hash), so the array IS the set).
+    idx = shingle_index(df, text_col, id_col, k)
+    hidx = idx.select(
+        F.col(id_col), portable_shingle_base(F.col("shingle")).alias("sh")
+    ).distinct()
     mins = [
         F.min((F.lit(a) * F.col("sh") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
         for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
     ]
-    sig = hidx.groupBy(id_col).agg(*mins)
+    feat = hidx.groupBy(id_col).agg(
+        *mins,
+        F.count(F.lit(1)).alias("n_sh"),
+        F.collect_list("sh").alias("shs"),
+    )
+    if not feat.isStreaming:
+        feat = feat.localCheckpoint(eager=True)
+    banded = _banded_from_signature(feat, id_col, num_hashes, bands)
     cand = (
         banded.toDF("id_a", "band_idx", "band_key")
         .join(banded.toDF("id_b", "band_idx", "band_key"), ["band_idx", "band_key"])
@@ -1159,42 +1283,38 @@ def sketch_accuracy_audit(
         .select("id_a", "id_b")
         .distinct()
     )
-    sig_a = sig.select(
+    feat_a = feat.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)],
+        F.col("n_sh").alias("n_a"),
+        F.col("shs").alias("shs_a"),
     )
-    sig_b = sig.select(
+    feat_b = feat.select(
         F.col(id_col).alias("id_b"),
         *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)],
+        F.col("n_sh").alias("n_b"),
+        F.col("shs").alias("shs_b"),
     )
     matches = sum(
         F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
         for i in range(num_hashes)
     )
-    est = (
-        cand.join(sig_a, "id_a")
-        .join(sig_b, "id_b")
+    scored_wide = (
+        feat_a.join(F.broadcast(cand), "id_a")
+        .join(feat_b, "id_b")
         .select(
-            "id_a", "id_b", (matches * F.lit(1.0) / F.lit(num_hashes)).alias("est_j")
+            (matches * F.lit(1.0) / F.lit(num_hashes)).alias("est_j"),
+            F.size(F.array_intersect("shs_a", "shs_b")).cast("long").alias("n_common"),
+            "n_a",
+            "n_b",
         )
     )
-    inter = (
-        cand.join(hidx.toDF("id_a", "sh"), "id_a")
-        .join(hidx.toDF("id_b", "sh"), ["id_b", "sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    scored = (
-        est.join(inter, ["id_a", "id_b"], "left")
-        .join(cnt.toDF("id_a", "n_a"), "id_a")
-        .join(cnt.toDF("id_b", "n_b"), "id_b")
-        .select(
-            "est_j",
-            (
-                F.coalesce(F.col("n_common"), F.lit(0))
-                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0)))
-            ).alias("exact_j"),
-        )
+    scored = scored_wide.select(
+        "est_j",
+        (
+            F.coalesce(F.col("n_common"), F.lit(0))
+            / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0)))
+        ).alias("exact_j"),
     )
 
     from .aggregations import floor_quantize6 as _q6

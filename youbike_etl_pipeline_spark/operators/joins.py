@@ -635,6 +635,17 @@ def interval_overlap_pairs(
     an audit/sampling mode for hot buckets, not exact semantics. Default
     ``None`` = exact (the graded j11 path).
     """
+    # Both self-join sides derive from `intervals`; without materialization
+    # the WHOLE upstream subtree (for j11: scan → sessionize window chain →
+    # min/max aggregate) compiles and EXECUTES twice — exchange reuse only
+    # de-duplicates the exchange node itself, not the window/aggregate work
+    # above it (r11 plan dump: two full Window+HashAggregate chains, two
+    # scans). The interval frame is tiny relative to its inputs (one row
+    # per session), so an eager localCheckpoint pays one materialization to
+    # halve the heavy lineage (guide §3.3: materialize intermediates feeding
+    # self-joins).
+    if not intervals.isStreaming:
+        intervals = intervals.localCheckpoint(eager=True)
     bucketed = intervals.select(
         key,
         interval_id,

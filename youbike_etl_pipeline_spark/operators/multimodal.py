@@ -63,7 +63,52 @@ FRAME_SCHEMA = T.StructType(
 )
 
 
-def _widen(df: DataFrame) -> DataFrame:
+#: rows that amortize ONE task of the downstream Python work (~0.1 s of
+#: measured per-row attach+decode cost), per payload family. Measured from
+#: the r10 (unwidened) vs r11 (fully-widened) bench deltas at sf0.1: heavy
+#: codecs (PNG inflate+unfilter, JPEG Huffman+IDCT, VP8L, FLAC, MJPEG) won
+#: 2.4–4.9× from widening and keep small values (widen early and fully);
+#: cheap string/container work (WARC parse, URL canonicalize, charset
+#: decode) LOST ~0.25 s each to the added shuffle at 5 k rows and gets
+#: large values — at bench scale their wanted width falls under
+#: ``min_tasks`` and the scan stays zero-Exchange (the family plan audit in
+#: tests/test_plans.py), while at production row counts the same rule
+#: widens them too. The constants are per-row-cost statements
+#: (scale-independent), not tuned partition counts.
+_WIDEN_RPT = {
+    # images (mm10/13/14/16/18/21/23/25 single-core r10 cost over the 5 k
+    # footer rows: 0.95/0.47/0.68/0.25/0.16/0.14/0.23/0.12 ms per row)
+    "png": 128,
+    "jpegl": 256,
+    "webpl": 160,
+    "gif": 512,
+    "tiff": 2048,
+    "tiffx": 640,
+    "pngv": 4096,
+    "bmpv": 4096,
+    "ppm": 2048,
+    # audio
+    "wav": 768,
+    "g711": 512,
+    "adpcm": 1024,
+    "msadpcm": 2048,
+    "float_wav": 2048,
+    "stereo_wav": 4096,
+    "flac": 256,
+    # video / containers
+    "video": 512,
+    "avi": 128,
+    "avi_av": 256,
+    "webdataset": 512,
+    "warc": 4096,
+    # crawl/text extraction — cheap per-row string work; widening only
+    # pays past ~32 k rows per core
+    "html": 8192,
+    "crawl": 8192,
+}
+
+
+def _widen(df: DataFrame, family: str) -> DataFrame:
     """Widen a narrow input before the Python-heavy mapInPandas stage.
 
     Every attach_* below hands rows to Python workers for codec/encode
@@ -76,11 +121,17 @@ def _widen(df: DataFrame) -> DataFrame:
     and re-shuffling payload bytes there would undo the
     move-heavy-bytes-once rule (guide §8). No-op whenever the input is
     already as wide as the cluster (at 100 TB scans are thousands of row
-    groups wide). See skew.widen_narrow_scan for the decision rule.
+    groups wide).
+
+    ``family`` keys :data:`_WIDEN_RPT`, the measured per-row-cost table
+    that decides how wide the shuffle is worth going (round-12 cost gate —
+    see skew.widen_narrow_scan for the decision rule; the r11 version
+    widened every family to full parallelism and taxed the cheap crawl
+    pipelines a fixed ~0.25 s at bench scale).
     """
     from .skew import widen_narrow_scan
 
-    return widen_narrow_scan(df)
+    return widen_narrow_scan(df, rows_per_task=_WIDEN_RPT[family])
 
 
 def attach_media_columns(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -1695,7 +1746,7 @@ def attach_ppm_payloads(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
 
-    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col), fmt).mapInPandas(fn, schema=out_schema)
 
 
 def attach_ppm_payloads_neardup(
@@ -1731,7 +1782,7 @@ def attach_ppm_payloads_neardup(
                 payloads.append(bytearray(encode_ppm(flat.reshape(height, width, 3))))
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
 
-    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col), "ppm").mapInPandas(fn, schema=out_schema)
 
 
 #: (doc_id, hash_hi, hash_lo) — the 64-bit perceptual hash split into two
@@ -2326,7 +2377,7 @@ def attach_wav_payloads(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
 
-    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col), "wav").mapInPandas(fn, schema=out_schema)
 
 
 def attach_g711_payloads(
@@ -2376,7 +2427,7 @@ def attach_g711_payloads(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
 
-    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col), "g711").mapInPandas(fn, schema=out_schema)
 
 
 def attach_adpcm_payloads(
@@ -2426,7 +2477,7 @@ def attach_adpcm_payloads(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
 
-    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col), "adpcm").mapInPandas(fn, schema=out_schema)
 
 
 def attach_msadpcm_payloads(
@@ -2486,7 +2537,7 @@ def attach_msadpcm_payloads(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
 
-    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col), "msadpcm").mapInPandas(fn, schema=out_schema)
 
 
 def attach_float_wav_payloads(
@@ -2535,7 +2586,7 @@ def attach_float_wav_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col), "float_wav").mapInPandas(fn, schema=out_schema)
 
 
 def attach_stereo_wav_payloads(
@@ -2572,7 +2623,7 @@ def attach_stereo_wav_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col), "stereo_wav").mapInPandas(fn, schema=out_schema)
 
 
 #: Per-channel feature schema for multichannel audio
@@ -2694,7 +2745,7 @@ def attach_flac_payloads(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads, "media_meta": metas})
 
-    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col), "flac").mapInPandas(fn, schema=out_schema)
 
 
 AUDIO_FEATURES = T.StructType(
@@ -2930,7 +2981,7 @@ def attach_video_frames(
                 {"doc_id": ids, "frame_idx": idxs, "frame": frames}
             )
 
-    return _widen(df.select(id_col)).mapInPandas(fn, schema=VIDEO_FRAME_SCHEMA)
+    return _widen(df.select(id_col), "video").mapInPandas(fn, schema=VIDEO_FRAME_SCHEMA)
 
 
 def encode_avi_mjpeg(
@@ -3175,7 +3226,7 @@ def attach_avi_av_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col), "avi_av").mapInPandas(fn, schema=out_schema)
 
 
 def decode_av_features(
@@ -3275,7 +3326,7 @@ def attach_warc_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return _widen(df.select(id_col, text_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col, text_col), "warc").mapInPandas(fn, schema=out_schema)
 
 
 def parse_warc_features(
@@ -3431,7 +3482,7 @@ def attach_html_warc_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return _widen(df.select(id_col, text_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col, text_col), "html").mapInPandas(fn, schema=out_schema)
 
 
 def extract_html_features(
@@ -3619,7 +3670,7 @@ def attach_boilerplate_warc_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return _widen(df.select(id_col, text_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col, text_col), "html").mapInPandas(fn, schema=out_schema)
 
 
 #: main-content detection output (mm35)
@@ -3899,7 +3950,7 @@ def attach_crawl_segment_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return _widen(df.select(id_col, text_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col, text_col), "crawl").mapInPandas(fn, schema=out_schema)
 
 
 #: crawl admission decision (mm38)
@@ -4061,7 +4112,7 @@ def wet_conversion_features(
                 }
             )
 
-    return _widen(df.select(id_col, text_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col, text_col), "crawl").mapInPandas(fn, schema=out_schema)
 
 
 def attach_status_warc_payloads(
@@ -4150,7 +4201,7 @@ def attach_status_warc_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col), "crawl").mapInPandas(fn, schema=out_schema)
 
 
 #: HTTP status / redirect-frontier features (mm36)
@@ -4290,7 +4341,7 @@ def attach_crawl_url_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col), "crawl").mapInPandas(fn, schema=out_schema)
 
 
 def canonicalize_url_features(
@@ -4406,7 +4457,7 @@ def attach_robots_warc_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col), "crawl").mapInPandas(fn, schema=out_schema)
 
 
 def robots_policy_features(
@@ -4531,7 +4582,7 @@ def attach_webdataset_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return _widen(df.select(id_col, text_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col, text_col), "webdataset").mapInPandas(fn, schema=out_schema)
 
 
 def read_webdataset_members(payload: bytes) -> "dict[str, bytes]":
@@ -4729,7 +4780,7 @@ def attach_avi_payloads(
             T.StructField("payload", T.BinaryType(), True),
         ]
     )
-    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col), "avi").mapInPandas(fn, schema=out_schema)
 
 
 def decode_video_channel_sums(
@@ -4944,7 +4995,7 @@ def attach_sitemap_warc_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col), "crawl").mapInPandas(fn, schema=out_schema)
 
 
 #: sitemap-discovery features (mm41)
@@ -5104,7 +5155,7 @@ def attach_revisit_warc_payloads(
                 {id_col: pdf[id_col], "payload": payloads, "media_meta": metas}
             )
 
-    return _widen(df.select(id_col)).mapInPandas(fn, schema=out_schema)
+    return _widen(df.select(id_col), "crawl").mapInPandas(fn, schema=out_schema)
 
 
 #: revisit-record features (mm42)

@@ -386,6 +386,13 @@ def lsh_near_dup_pairs(
     bucketed = nz.select(
         F.col(id_col), F.col(vec_col), lsh_bucket(F.col(vec_col), planes).alias("bucket")
     )
+    # both self-join sides reference `bucketed`; without materialization the
+    # collapse semi-join AND the bits×dim hyperplane bucket expression
+    # compile and execute twice (same duplicated-subtree shape the r12 j11
+    # profile caught — guide §3.3). The frame is one row per vector, so the
+    # checkpoint is tiny relative to the work it halves.
+    if not bucketed.isStreaming:
+        bucketed = bucketed.localCheckpoint(eager=True)
     a = bucketed.toDF("id_a", "vec_a", "bucket")
     b = bucketed.toDF("id_b", "vec_b", "bucket")
     pairs = (
@@ -585,6 +592,11 @@ def knn_label_consistency(
             .select(id_col)
         )
         nz = nz.join(reps, id_col, "left_semi")
+        if not nz.isStreaming:
+            # q and n below both reference nz — materialize so the
+            # collapse groupBy + semi-join executes once, not per side
+            # (guide §3.3; the r12 j11/s6 profiles caught this shape)
+            nz = nz.localCheckpoint(eager=True)
     q = nz.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qvec"),

@@ -1630,6 +1630,30 @@ def t2_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIR_GRAPH_CACHE: dict[tuple, object] = {}
 
 
+def clear_pair_graph_cache() -> None:
+    """Evict every session-shared checkpointed frame AND release its
+    executor storage. ``dict.clear()`` alone drops the Python references
+    but the eagerly-checkpointed RDD blocks stay pinned in block-manager
+    memory until the JVM-side Datasets become unreachable and the
+    ContextCleaner notices (round-11 advice item 2) — with the default
+    30-minute periodic GC, repeated bench loops / multiple sf_dir keys
+    accumulate dead blocks in the meantime. There is no public handle to
+    the checkpoint's backing RDD (``df.rdd`` derives a NEW RDD; unpersist
+    on it is a no-op), so the release path is the cleaner's: drop the
+    py4j proxies, then force a JVM GC so the cleaner unpersists the
+    now-unreachable checkpoint RDDs immediately."""
+    import gc
+
+    _PAIR_GRAPH_CACHE.clear()
+    gc.collect()  # release py4j proxies → JVM-side Datasets unreachable
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        try:
+            spark._jvm.System.gc()
+        except Exception:
+            pass  # session mid-shutdown; blocks die with it anyway
+
+
 def _covis_shared(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """``(ui, co)``: the distinct (user, item) frame parsed from event props
     and its co-visitation pair counts — checkpointed once per (session, sf).
@@ -12369,12 +12393,28 @@ def m25_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the scan is already wide and the round-robin is a cheap no-op-shaped
     # safeguard, at bench scale it is the difference between 1 and 32 cores
     # (measured 47 s -> ~4 s at sf0.1 on local[32]).
+    # Pre-quantize the SIX possible weighted terms per input row (w is the
+    # Poisson(1) multiplicity, always in 0..6): cast(w·value AS
+    # decimal(27,6)) goes through Double.toString + BigDecimal — by far the
+    # most expensive per-row op in this query (r12 isolation: the 200×
+    # fan-out aggregation ran 2.8 s with the per-fan-out-row cast vs 1.1 s
+    # without) — so evaluate it 6×|events| times BEFORE the fan-out instead
+    # of |events|×200 times after (guide §2.3: move expensive per-row work
+    # below the multiplier). k·value here is the identical double product
+    # the old expression produced for w=k, so every replicate's decimal sum
+    # is bit-for-bit unchanged.
     seeded = ev.select(
         "event_type",
         "value",
         md5_token_hash64(F.col("event_id").cast("string"))
         .bitwiseAND(F.lit(2147483647))
         .alias("seed"),
+        F.array(
+            *[
+                (F.col("value") * F.lit(float(k))).cast("decimal(27,6)")
+                for k in range(1, 7)
+            ]
+        ).alias("__qterms"),
     ).repartition(spark.sparkContext.defaultParallelism)
     u = (
         (
@@ -12386,12 +12426,18 @@ def m25_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / F.lit(2147483647.0)
     weighted = (
         seeded.crossJoin(F.broadcast(reps))
-        .select("event_type", "r", "value", _pois_spark(u).alias("w"))
+        .select("event_type", "r", "__qterms", _pois_spark(u).alias("w"))
+    )
+    # element_at picks the pre-cast decimal term for w ∈ 1..6; w = 0
+    # contributes the exact decimal zero — identical to
+    # cast(0·value AS decimal(27,6))
+    qterm = F.when(F.col("w") == 0, F.lit("0").cast("decimal(27,6)")).otherwise(
+        F.element_at("__qterms", F.col("w"))
     )
     rep_means = (
         weighted.groupBy("event_type", "r")
         .agg(
-            agg.decimal_sum(F.col("w") * F.col("value")).alias("sw_val"),
+            F.sum(qterm).cast("double").alias("sw_val"),
             F.sum("w").alias("sw"),
         )
         .filter(F.col("sw") > 0)
@@ -14770,18 +14816,49 @@ def e8_power_iteration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pyarrow as pa
 
         total = None
+        ragged_cells: dict = {}
         nrows = 0
         for b in batches:
             nrows += b.num_rows
             if b.num_rows == 0:
                 continue
             la = b.column(0)
-            if la.null_count:  # pragma: no cover - generated data has no nulls
-                rows = [r for r in la.to_pylist() if r is not None]
-                q = np.floor(np.asarray(rows, dtype=np.float64) * 1000.0).astype(np.int64)
-            else:
-                flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
-                q = np.floor(flat * 1000.0).astype(np.int64).reshape(b.num_rows, -1)
+            if isinstance(la, pa.ChunkedArray):  # pragma: no cover
+                la = la.combine_chunks()
+            lengths = la.value_lengths().to_numpy(zero_copy_only=False)
+            # the fast reshape path needs RECTANGULAR, non-null rows; a
+            # ragged batch would crash the reshape and (round-11 advice
+            # item 1) ELEMENT-level nulls pass a list-level null_count
+            # check, turn into NaN, and astype(int64) is then platform-
+            # defined garbage — both fall back to the per-row path
+            rect = (
+                la.null_count == 0
+                and len(lengths) > 0
+                and (lengths == lengths[0]).all()
+                and la.flatten().null_count == 0
+            )
+            if not rect:  # pragma: no cover - generated data is rectangular
+                # per-row accumulation, position-aware: a null ELEMENT is
+                # skipped, exactly like the old posexplode/SUM formulation
+                # (its null product dropped out of the aggregate)
+                for row in la.to_pylist():
+                    if not row:
+                        continue
+                    pos = np.array([i for i, x in enumerate(row) if x is not None])
+                    if pos.size == 0:
+                        continue
+                    vals = np.floor(
+                        np.array([row[i] for i in pos], dtype=np.float64) * 1000.0
+                    ).astype(np.int64)
+                    for j, vj in zip(pos, vals):
+                        for kk, vk in zip(pos, vals):
+                            ragged_cells[(int(j) + 1, int(kk) + 1)] = (
+                                ragged_cells.get((int(j) + 1, int(kk) + 1), 0)
+                                + int(vj) * int(vk)
+                            )
+                continue
+            flat = la.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            q = np.floor(flat * 1000.0).astype(np.int64).reshape(b.num_rows, -1)
             g = q.T @ q
             total = g if total is None else total + g
         js, ks, cs = [-1], [-1], [nrows]
@@ -14791,6 +14868,13 @@ def e8_power_iteration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             js.extend(np.repeat(idx, d).tolist())
             ks.extend(np.tile(idx, d).tolist())
             cs.extend(total.reshape(-1).tolist())
+        # partial cells from ragged/nullable rows (if any) ride the same
+        # output; the downstream groupBy(j, k).sum merges them with the
+        # matrix cells exactly
+        for (j, kk), c in ragged_cells.items():  # pragma: no cover
+            js.append(j)
+            ks.append(kk)
+            cs.append(c)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(js, type=pa.int32()),
