@@ -519,7 +519,11 @@ def numeric_nn_join(
     if n_buckets is None:
         n_buckets = int(left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     # driver-side scalar list: ≤ n_buckets−1 cut points from a GK sketch,
-    # not a data collect
+    # not a data collect. Materialize rvals first — the quantile sketch is
+    # its own action, and without the checkpoint the right-side aggregate
+    # executes once for the sketch and again inside the join query.
+    if not rvals.isStreaming:
+        rvals = rvals.localCheckpoint(eager=True)
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bnds = sorted(set(rvals.stat.approxQuantile("__v", probs, 0.001))) if probs else []
     if bnds:

@@ -6963,6 +6963,11 @@ def w17_regular_grid_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(
         "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
     ).agg(F.sum(dec).alias("s"))
+    # hourly feeds BOTH the bounds subtree (materialized below for the size
+    # estimate) and the scaffold join's right side — checkpoint it once so
+    # the events scan + decimal aggregate executes a single time (r12: the
+    # bounds checkpoint alone still re-ran hourly inside the main query)
+    hourly = hourly.localCheckpoint(eager=True)
     # Per-user bounds are one row per user — localCheckpoint the small
     # frame so the scaffold explode AND the size estimate below read it
     # without recomputing the hourly aggregate a third time.
@@ -7396,9 +7401,16 @@ def t31_lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t33_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import tokens
 
+    from ..operators.skew import widen_narrow_scan
+
     docs = _t(spark, sf_dir, "documents")
+    # widen before the word→char-pair double explode: the r12 profile
+    # measured the whole 949 k-pair build + partial aggregate on ONE real
+    # task (1.2 s single-task aggregation build) — per-footer-row cost
+    # ≈ 0.28 ms, so rows_per_task=512 sizes ~0.15 s tasks (guide §2.5)
     w = (
-        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        widen_narrow_scan(docs.select("text"), rows_per_task=512)
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
         .filter((F.length("w") >= 2) & F.col("w").rlike("^[ -~]+$"))
     )
     cs = F.split(F.col("w"), "")
@@ -7646,9 +7658,16 @@ def _hashed_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     description for the hashing scheme, plan shape, and float
     discipline."""
     from ..operators.dedup import md5_token_hash64
+    from ..operators.skew import widen_narrow_scan
     from ..operators.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
+    # widen before the tokenize + per-token md5 (hex-decode) map — the r12
+    # profile measured this stage ~1 s on one real task for t34/f20/ml4
+    # (all three share this frame); per-footer-row ≈ 0.2 ms → 512-row tasks
+    docs = widen_narrow_scan(
+        docs.select("doc_id", "source", "n_chars", "text"), rows_per_task=512
+    )
     feats = docs.select(
         "doc_id",
         "source",

@@ -315,6 +315,13 @@ def ks_two_sample(
     per_value = df.groupBy(F.col(value_col).alias("v")).agg(
         F.sum(in_a).alias("ca"), F.sum(1 - in_a).alias("cb")
     )
+    # approxQuantile is its own ACTION: without materialization it executes
+    # the whole per-value aggregation subtree once for the boundary sketch
+    # and the main query executes it again (r12 profile: a full extra
+    # scan+aggregate pass per query in this family). The distinct-value
+    # frame is the small side, so one eager checkpoint feeds both.
+    if not per_value.isStreaming:
+        per_value = per_value.localCheckpoint(eager=True)
     n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bnds = (
@@ -383,6 +390,13 @@ def mann_whitney_u(
     per_value = filtered.groupBy(F.col(value_col).alias("v")).agg(
         F.sum(in_a).alias("ca"), F.sum(1 - in_a).alias("cb")
     )
+    # approxQuantile is its own ACTION: without materialization it executes
+    # the whole per-value aggregation subtree once for the boundary sketch
+    # and the main query executes it again (r12 profile: a full extra
+    # scan+aggregate pass per query in this family). The distinct-value
+    # frame is the small side, so one eager checkpoint feeds both.
+    if not per_value.isStreaming:
+        per_value = per_value.localCheckpoint(eager=True)
     n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bnds = (
@@ -470,6 +484,13 @@ def kruskal_wallis(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
         F.col(value_col).alias("v"), F.col(group_col).alias("g")
     ).agg(F.count(F.lit(1)).alias("c"))
     per_value = per_vg.groupBy("v").agg(F.sum("c").alias("t"))
+    # approxQuantile is its own ACTION: without materialization it executes
+    # the whole per-value aggregation subtree once for the boundary sketch
+    # and the main query executes it again (r12 profile: a full extra
+    # scan+aggregate pass per query in this family). The distinct-value
+    # frame is the small side, so one eager checkpoint feeds both.
+    if not per_value.isStreaming:
+        per_value = per_value.localCheckpoint(eager=True)
     n_buckets = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bnds = (
